@@ -1,0 +1,41 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode for tests/bench; the same config keys are what we'd set on a real
+cluster (AQE on, shuffle partitions sized to the environment, Arrow on for the
+few Pandas-UDF paths). On a 1000-executor cluster only the master/shuffle
+sizing changes — operator code is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "hbsir_old_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    AQE handles runtime coalescing and skew joins; shuffle partitions default
+    to the local core count (not Spark's 200) so small-SF local runs don't
+    drown in empty tasks. On a real cluster, set ``HBSIR_SPARK_SHUFFLE`` to
+    ~2-3x total cores.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("HBSIR_SPARK_SHUFFLE", cpus))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("HBSIR_SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
