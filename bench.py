@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (computes every row/column
+without driver collection), so timings measure the engine, not toPandas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from hbsir_old_spark import get_spark  # noqa: E402
+
+#: representative cross-section: scan-agg, joins (broadcast/shuffle/range),
+#: windows, reshape, streaming-batch, dedup (exact + LSH), text, similarity
+HEADLINE = [
+    "a1_groupby_sum",
+    "j1_classification_join",
+    "j6_fact_join",
+    "j3_weighted_average",
+    "w1_weighted_ecdf",
+    "w2_decile",
+    "p18_melt",
+    "p13_cpi_deflation",
+    "s1_events_tumbling",
+    "s2_events_sessions",
+    "x1_dedup_exact",
+    "x3_minhash_lsh",
+    "x5_text_stats",
+    "x8_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("hbsir-old-spark-bench")
+    queries = entry_mod.queries()
+
+    # JVM/codegen warmup on the smallest SF so the first timed query doesn't
+    # absorb one-time JIT cost
+    queries["a1_groupby_sum"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,24 @@
+"""Beyond-reference functions for large-scale training-data pipelines:
+text analysis, deduplication, similarity search, multimodal columns.
+
+Everything here is built from native pyspark.sql.functions (JVM-side,
+codegen'd) unless physically impossible; the multimodal decode path is the
+only Pandas-UDF surface. Where a function participates in the DuckDB oracle
+gate, its formulation is deliberately portable (md5 + arithmetic, no
+engine-specific hashes).
+"""
+
+from hbsir_old_spark.functions.text import (  # noqa: F401
+    count_occurrences,
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+from hbsir_old_spark.functions.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from hbsir_old_spark.functions.similarity import cosine_similarity, cosine_topk  # noqa: F401

@@ -1,0 +1,265 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each variant at 100 TB):
+
+* **exact_dedup** — one hash-groupBy on a fingerprint; map-side combine,
+  single shuffle on the fingerprint key.
+* **ngram_jaccard_pairs** — exact pairwise Jaccard via an equi-join on
+  exploded shingles. Cost is Σ pairs sharing a shingle; use it on candidate
+  sets or small corpora, and as the verify stage of MinHash-LSH.
+* **minhash_lsh_pairs** — the scale path: per-doc k-perm MinHash signature
+  (array expressions, no UDF), banded into b buckets; only docs sharing a
+  band bucket are joined, then verified with exact Jaccard. Shuffle is on
+  band buckets, never all-pairs.
+* **simhash** — 32/64-bit fingerprint via aggregate/zip_with bit votes;
+  near-dups have small Hamming distance; banding on bit chunks gives the
+  candidate join.
+
+MinHash permutations use xxhash64(seed, shingle) — Spark-native, JVM-side.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hbsir_old_spark.functions.text import doc_fingerprint, normalize_text
+from hbsir_old_spark.session import ensure_min_partitions
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text, as an array<string>."""
+    col = F.col(col) if isinstance(col, str) else col
+    tokens = F.split(normalize_text(col), " ")
+    count = F.greatest(F.size(tokens) - (n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """Keep one row per exact (normalized) duplicate group — the row with the
+    min (or max) id. Deterministic, single shuffle on the fingerprint."""
+    fp = doc_fingerprint(text_col)
+    w = Window.partitionBy(fp)
+    keeper = F.min(id_col).over(w) if keep == "min" else F.max(id_col).over(w)
+    return (
+        df.withColumn("__keeper__", keeper)
+        .filter(F.col(id_col) == F.col("__keeper__"))
+        .drop("__keeper__")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact pairwise Jaccard over word n-gram sets, for pairs sharing >= 1
+    shingle. Output: (id_a, id_b, jaccard) with id_a < id_b, rounded 6dp."""
+    df = ensure_min_partitions(df)
+    shingled = df.select(
+        F.col(id_col).alias("__id__"), word_shingles(text_col, n).alias("__sh__")
+    )
+    sizes = shingled.select("__id__", F.size("__sh__").alias("__n__"))
+    exploded = shingled.select("__id__", F.explode("__sh__").alias("__s__"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.__s__") == F.col("b.__s__")) & (F.col("a.__id__") < F.col("b.__id__")))
+        .groupBy(F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b"))
+        .agg(F.count("*").alias("__common__"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    out = (
+        common.join(na, F.col("id_a") == F.col("na.__id__"))
+        .join(nb, F.col("id_b") == F.col("nb.__id__"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__common__")
+                / (F.col("na.__n__") + F.col("nb.__n__") - F.col("__common__")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signature_from_shingles(shingles: Column | str, num_perm: int = 16) -> Column:
+    """k-perm MinHash signature from a shingle array: element j = min over
+    shingles of xxhash64(j, shingle).
+
+    Single-pass formulation (one ``aggregate`` folding all k minima at once)
+    rather than k separate array traversals: Catalyst's projection collapse
+    would otherwise inline the shingle-building expression k times."""
+    shingles = F.col(shingles) if isinstance(shingles, str) else shingles
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_perm)
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(F.lit(j), s) for j in range(num_perm)]),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+
+
+def minhash_signature(col: Column | str, n: int = 3, num_perm: int = 16) -> Column:
+    """k-perm MinHash signature of the word n-gram set, as array<long>."""
+    return minhash_signature_from_shingles(word_shingles(col, n), num_perm)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
+
+    Pipeline: signature -> split into ``bands`` row-chunks -> explode band
+    hashes -> self-join on (band, hash) for candidates -> exact Jaccard on
+    the candidates only. Output schema matches :func:`ngram_jaccard_pairs`.
+    """
+    rows_per_band = num_perm // bands
+    df = ensure_min_partitions(df)
+    shingled = df.select(
+        F.col(id_col).alias("__id__"),
+        word_shingles(text_col, n).alias("__sh__"),
+    )
+    # bands carry ONLY (id, band-hash): the shingle arrays never ride
+    # through the candidate self-join / dedup shuffle
+    banded = shingled.select(
+        "__id__",
+        minhash_signature_from_shingles("__sh__", num_perm).alias("__sig__"),
+    ).select(
+        "__id__",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice("__sig__", b * rows_per_band + 1, rows_per_band)).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band__"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__band__") == F.col("b.__band__"))
+            & (F.col("a.__id__") < F.col("b.__id__")),
+        )
+        .select(F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = shingled.select(F.col("__id__").alias("id_a"), F.col("__sh__").alias("sh_a"))
+    sb = shingled.select(F.col("__id__").alias("id_b"), F.col("__sh__").alias("sh_b"))
+    verified = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        verified.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(col: Column | str, bits: int = 32) -> Column:
+    """SimHash fingerprint: per-bit majority vote over token xxhash64
+    values, folded with aggregate/zip_with — all native array expressions."""
+    col = F.col(col) if isinstance(col, str) else col
+    tokens = F.split(normalize_text(col), " ")
+    zero = F.array_repeat(F.lit(0), bits)
+    # bit positions are unrolled as Python ints (shiftright/shiftleft take
+    # literal shift amounts), so the whole computation stays one expression
+    votes = F.aggregate(
+        tokens,
+        zero,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+                    for i in range(bits)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(
+            F.element_at(votes, i + 1) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two long fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    chunk_bits: int = 8,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-dup pairs. Candidates = docs sharing any ``chunk_bits``
+    slice of the fingerprint (pigeonhole: any pair within
+    bits/chunk_bits - 1 Hamming must share a chunk); verified by exact
+    Hamming distance."""
+    chunks = bits // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    df = ensure_min_partitions(df)
+    sh = df.select(F.col(id_col).alias("__id__"), simhash(text_col, bits).alias("__sh__"))
+    banded = sh.select(
+        "__id__",
+        "__sh__",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("__sh__", c * chunk_bits).bitwiseAND(mask).alias("cv"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("__c__"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__c__") == F.col("b.__c__")) & (F.col("a.__id__") < F.col("b.__id__")),
+        )
+        .select(
+            F.col("a.__id__").alias("id_a"),
+            F.col("b.__id__").alias("id_b"),
+            hamming_distance(F.col("a.__sh__"), F.col("b.__sh__")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

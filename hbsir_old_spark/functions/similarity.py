@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+* **cosine_topk** — exact brute-force top-k: broadcast the (small) query
+  set against the corpus, dot products via zip_with/aggregate (JVM-side,
+  no UDF), rank with a window per query. At 100 TB the corpus side stays
+  partitioned; only queries are broadcast, so there is no shuffle of the
+  corpus at all.
+* **lsh_bucket_topk** — the approximate scale path: sign-random-projection
+  (SimHash for vectors) buckets; candidates = corpus rows whose signature
+  matches the query's in any band; exact cosine re-rank on candidates.
+  Hyperplanes are pseudo-random sign vectors derived from xxhash64(seed, i)
+  — deterministic, no stored model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hbsir_old_spark.session import ensure_min_partitions
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    sim_col: str = "cosine",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query row. Output: (query_id, vec_id,
+    rank, cosine). Self-matches (same id) are excluded when the id columns
+    collide. Ties break on neighbor id for determinism."""
+    q = queries.select(
+        F.col(query_id_col).alias("__qid__"), F.col(vec_col).alias("__qvec__")
+    )
+    corpus = ensure_min_partitions(corpus)
+    c = corpus.select(F.col(id_col).alias("__cid__"), F.col(vec_col).alias("__cvec__"))
+    sim = (
+        c.join(F.broadcast(q), F.col("__cid__") != F.col("__qid__"))
+        .withColumn("__sim__", cosine_similarity(F.col("__cvec__"), F.col("__qvec__")))
+    )
+    w = Window.partitionBy("__qid__").orderBy(F.col("__sim__").desc(), F.col("__cid__"))
+    ranked = (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    sim_out = F.round("__sim__", round_to) if round_to is not None else F.col("__sim__")
+    return ranked.select(
+        F.col("__qid__").alias(query_id_col),
+        F.col("__cid__").alias(id_col),
+        F.col("rank"),
+        sim_out.alias(sim_col),
+    )
+
+
+def srp_signature(vec_col: Column | str, planes: int = 16, dim: int = 64) -> Column:
+    """Sign-random-projection signature as a long: bit j = sign of
+    dot(vec, h_j) where h_j[i] = ±1 from xxhash64(j, i). Deterministic,
+    model-free, pure array expressions."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bits = []
+    for j in range(planes):
+        signs = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i, j=j: F.when(F.xxhash64(F.lit(j), i).bitwiseAND(1) == 1, F.lit(1.0)).otherwise(F.lit(-1.0)),
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share >= 1 signature band with the
+    query, then exact cosine re-rank. Recall < 1 by design; the exact twin
+    (:func:`cosine_topk`) is the correctness baseline."""
+    chunk = planes // bands
+    mask = (1 << chunk) - 1
+
+    def banded(df: DataFrame, idc: str, tag: str) -> DataFrame:
+        sig = srp_signature(vec_col, planes, dim)
+        return df.select(
+            F.col(idc).alias(f"__{tag}id__"),
+            F.col(vec_col).alias(f"__{tag}vec__"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(sig, b * chunk).bitwiseAND(mask).alias("bv"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias(f"__{tag}band__"),
+        )
+
+    c = banded(ensure_min_partitions(corpus), id_col, "c")
+    q = banded(queries, query_id_col, "q")
+    cand = (
+        c.join(
+            F.broadcast(q),
+            (F.col("__cband__") == F.col("__qband__")) & (F.col("__cid__") != F.col("__qid__")),
+        )
+        .dropDuplicates(["__qid__", "__cid__"])
+        .withColumn("__sim__", cosine_similarity(F.col("__cvec__"), F.col("__qvec__")))
+    )
+    w = Window.partitionBy("__qid__").orderBy(F.col("__sim__").desc(), F.col("__cid__"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid__").alias(query_id_col),
+            F.col("__cid__").alias(id_col),
+            F.col("rank"),
+            F.round("__sim__", 6).alias("cosine"),
+        )
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis scalar functions: token counting, language ID, quality
+scoring, document fingerprinting.
+
+All pure Column expressions (whole-stage codegen, no UDF) and all portable:
+the same logic is expressible in ANSI-ish SQL (replace/length arithmetic,
+md5), so every function here has an exact DuckDB oracle. At 100 TB these are
+embarrassingly parallel map-side expressions — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    col = _c(col)
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def count_occurrences(col: Column | str, term: str) -> Column:
+    """Non-overlapping occurrences of a literal term, via replace/length
+    arithmetic — identical semantics in any SQL engine."""
+    col = _c(col)
+    return (F.length(col) - F.length(F.replace(col, F.lit(term), F.lit("")))) / F.lit(len(term))
+
+
+#: marker words per language for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "los", "que"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "la", "et"),
+    "zh": ("de", "shi", "bu"),
+}
+
+
+def lang_score(col: Column | str, lang: str) -> Column:
+    """Marker-word hit count for one language (word-boundary via padding)."""
+    padded = F.concat(F.lit(" "), _c(col), F.lit(" "))
+    score = None
+    for word in LANG_MARKERS[lang]:
+        cnt = count_occurrences(padded, f" {word} ")
+        score = cnt if score is None else score + cnt
+    return score.cast("long")
+
+
+def lang_id(col: Column | str, langs: tuple[str, ...] = ("en", "es", "de", "fr", "zh")) -> Column:
+    """Argmax language by marker score; ties break to the alphabetically
+    LAST language (max over zero-padded 'score|lang' strings — portable
+    deterministic tie-break)."""
+    tagged = [
+        F.concat(F.format_string("%06d", lang_score(col, lang)), F.lit(lang))
+        for lang in sorted(langs)
+    ]
+    return F.greatest(*tagged).substr(7, 2)
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring feature set: lengths, token stats, punctuation and
+    stopword ratios, and a composite [0,1] quality score (rounded to 6dp so
+    cross-engine float noise vanishes)."""
+    col = _c(col)
+    n_chars = F.length(col)
+    n_tokens = token_count(col)
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    stop_hits = sum(
+        count_occurrences(padded, f" {w} ") for w in ("the", "a", "and", "of", "to")
+    )
+    punct = F.length(col) - F.length(F.translate(col, ".,!?;:", ""))
+    avg_tok_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.4
+        + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
+    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "avg_token_len": F.round(avg_tok_len, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "quality_score": F.round(score, 6),
+    }
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lower, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 of the normalized text (portable)."""
+    return F.md5(normalize_text(col))
+
+
+def rolling_min_fingerprint(col: Column | str, width: int = 8) -> Column:
+    """Rolling-hash document fingerprint: the minimum md5 over all
+    character ``width``-grams of the normalized text — a 1-perm MinHash.
+    Pure array expressions (sequence/transform/array_min), no UDF."""
+    norm = normalize_text(col)
+    positions = F.sequence(F.lit(1), F.greatest(F.length(norm) - (width - 1), F.lit(1)))
+    hashes = F.transform(positions, lambda i: F.md5(F.substring(norm, i, width)))
+    return F.array_min(hashes)

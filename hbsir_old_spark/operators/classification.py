@@ -1,0 +1,146 @@
+"""Classification (code-range) joins — the reference's flagship operator
+(J1, /root/reference/hbsir/core/decoder.py:326-476).
+
+The reference loops every classification item over every distinct observed
+code in Python (O(items x codes), decoder.py:382-400). Here the
+classification is a tiny *dimension DataFrame* of half-open code intervals,
+and membership is a **broadcast range join**: ``fact.Code BETWEEN code_start
+AND code_end - 1``. One broadcast, no shuffle of the fact table, and levels
+become columns via per-level broadcast joins (cheaper at scale than
+join-then-pivot, which would shuffle the fact).
+
+Uniqueness (reference decoder.py:436-444 raises when a (year, code, level)
+maps to two labels) is validated on the dimension itself: overlapping
+intervals within the same (year, level) — an O(dim log dim) driver-side
+check, equivalent to the reference's per-observed-code check but independent
+of fact size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbsir_old_spark.metadata.ranges import CodeRangeSet
+from hbsir_old_spark.metadata.versioning import categorize_items
+
+
+@dataclass
+class ClassificationDim:
+    """Driver-side classification dimension: one record per
+    (year, level, interval) with attribute payload."""
+
+    rows: list[dict] = field(default_factory=list)  # keys: year, level, code_start, code_end, + aspects
+    aspects: tuple[str, ...] = ("item_key",)
+
+    def validate_disjoint(self) -> None:
+        by_group: dict[tuple, list[tuple[int, int, str]]] = {}
+        for r in self.rows:
+            by_group.setdefault((r.get("year"), r["level"]), []).append(
+                (r["code_start"], r["code_end"], str({a: r.get(a) for a in self.aspects}))
+            )
+        for key, intervals in by_group.items():
+            intervals.sort()
+            for (s1, e1, l1), (s2, e2, l2) in zip(intervals, intervals[1:]):
+                if s2 < e1:
+                    raise ValueError(
+                        f"classification not 1:1 for (year, level)={key}: "
+                        f"[{s1},{e1}) {l1} overlaps [{s2},{e2}) {l2}"
+                    )
+
+    def to_spark(self, spark: SparkSession) -> DataFrame:
+        cols = ["year", "level", "code_start", "code_end", *self.aspects]
+        data = [tuple(r.get(c) for c in cols) for r in self.rows]
+        schema = "year int, level int, code_start long, code_end long, " + ", ".join(
+            f"`{a}` string" for a in self.aspects
+        )
+        return spark.createDataFrame(data, schema=schema)
+
+
+def build_classification_dim(
+    metadata: dict,
+    years: Sequence[int] | None = None,
+    aspects: Sequence[str] = ("item_key",),
+    code_keyword: str = "code",
+) -> ClassificationDim:
+    """Resolve classification metadata per year into interval rows.
+
+    ``metadata`` follows the reference layout: ``items: {name: {code: <range
+    spec>, level: int, <aspect>: value, categories: {...}}}`` with optional
+    year versioning anywhere (SURVEY §1.4). ``years=None`` builds a
+    year-agnostic dimension (year column null).
+    """
+    dim = ClassificationDim(aspects=tuple(aspects))
+    for year in years if years is not None else [None]:
+        resolved = categorize_items(metadata, year if year is not None else 9999)
+        for item in resolved["items"]:
+            spec = item.get(code_keyword)
+            if spec is None:
+                continue
+            crs = CodeRangeSet(spec, keywords=(code_keyword,))
+            for start, end in crs.intervals():
+                dim.rows.append(
+                    {
+                        "year": year,
+                        "level": int(item.get("level", 1)),
+                        "code_start": start,
+                        "code_end": end,
+                        **{a: item.get(a) for a in aspects},
+                    }
+                )
+    return dim
+
+
+def add_classification(
+    df: DataFrame,
+    dim: ClassificationDim | DataFrame,
+    code_col: str = "Code",
+    year_col: str | None = "Year",
+    levels: Sequence[int] = (1,),
+    aspects: Sequence[str] = ("item_key",),
+    column_names: dict[str, str] | None = None,
+    missing_value_replacements: dict[str, str] | None = None,
+    validate: bool = True,
+) -> DataFrame:
+    """Left-join classification labels onto ``df`` — one output column per
+    (aspect, level), named ``{aspect}_{level}`` (or per ``column_names``,
+    keyed like the default name). Reference semantics decoder.py:457-476.
+    """
+    if isinstance(dim, ClassificationDim):
+        if validate:
+            dim.validate_disjoint()
+        spark = df.sparkSession
+        dim_df = dim.to_spark(spark)
+        aspects = tuple(aspects or dim.aspects)
+    else:
+        dim_df = dim
+        aspects = tuple(aspects)
+    column_names = column_names or {}
+    missing_value_replacements = missing_value_replacements or {}
+
+    year_aware = year_col is not None and "year" in dim_df.columns and year_col in df.columns
+    out = df
+    for level in levels:
+        level_dim = dim_df.filter(F.col("level") == level)
+        sel = [F.col("code_start"), F.col("code_end")]
+        if year_aware:
+            sel.append(F.col("year").alias("__cls_year__"))
+        for aspect in aspects:
+            default_name = f"{aspect}_{level}" if len(levels) > 1 or len(aspects) > 1 else aspect
+            out_name = column_names.get(default_name, default_name)
+            sel.append(F.col(aspect).alias(out_name))
+        level_dim = level_dim.select(*sel)
+
+        cond = (F.col(code_col) >= F.col("code_start")) & (F.col(code_col) < F.col("code_end"))
+        if year_aware:
+            cond = cond & (F.col(year_col) == F.col("__cls_year__"))
+        out = out.join(F.broadcast(level_dim), cond, "left").drop(
+            "code_start", "code_end", "__cls_year__"
+        )
+    for name, default in missing_value_replacements.items():
+        if name in out.columns:
+            out = out.withColumn(name, F.coalesce(F.col(name), F.lit(default)))
+    return out

@@ -13,6 +13,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_min_partitions(df, minimum: int | None = None):
+    """Repartition a DataFrame whose scan produced too few partitions for
+    the cluster (e.g. one small parquet file) so expensive per-row
+    expressions actually parallelize. No-op for already-parallel inputs —
+    at real scale the scan yields thousands of splits and this never fires.
+    """
+    spark = df.sparkSession
+    if minimum is None:
+        minimum = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < minimum:
+        return df.repartition(minimum)
+    return df
+
+
 def get_spark(app_name: str = "hbsir_old_spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 

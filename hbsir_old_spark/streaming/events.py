@@ -1,0 +1,85 @@
+"""Event-stream operators: tumbling / sliding / session windows.
+
+The reference has no streaming (SURVEY §2.10); this is the engine's
+Structured-Streaming extension. Each transformation is written against a
+plain DataFrame so the SAME function runs in batch (for the DuckDB oracle
+gate) and on a ``readStream`` source (tests exercise both). For streaming
+use, call ``with_watermark=...`` so state is bounded and late data beyond
+the watermark is dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _maybe_watermark(df: DataFrame, ts_col: str, with_watermark: str | None) -> DataFrame:
+    return df.withWatermark(ts_col, with_watermark) if with_watermark else df
+
+
+def tumbling_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    with_watermark: str | None = None,
+) -> DataFrame:
+    """Per event-type counts and value sums over tumbling windows."""
+    df = _maybe_watermark(events, ts_col, with_watermark)
+    return (
+        df.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    with_watermark: str | None = None,
+) -> DataFrame:
+    """Sliding-window event counts (window/slide)."""
+    df = _maybe_watermark(events, ts_col, with_watermark)
+    return (
+        df.groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    with_watermark: str | None = None,
+) -> DataFrame:
+    """Per-user sessions: events closer than ``gap`` merge into one session.
+    Uses the native session_window state operator — in streaming mode this
+    is incremental per-key state with watermark-based eviction; in batch it
+    is the classic gaps-and-islands computation (the DuckDB oracle expresses
+    it with lag + cumulative sum)."""
+    df = _maybe_watermark(events, ts_col, with_watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), user_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

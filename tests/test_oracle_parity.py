@@ -1,0 +1,88 @@
+"""Replicates the driver's t2 correctness gate locally: every entry in
+__spark_entry__.queries() with a matching oracle_sql() is executed on Spark
+and on DuckDB over the same parquet, and compared order-insensitively
+(columns sorted by name, rows sorted by all columns, exact values)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype).startswith(("float", "Float")):
+            df[c] = df[c].astype("float64")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str).where(~df[c].isna(), None)
+    return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, sf_dir):
+    spark_df = QUERIES[name](spark, sf_dir).toPandas()
+    con = duck_con(sf_dir)
+    duck_df = con.sql(ORACLES[name]).df()
+    left, right = normalize(spark_df), normalize(duck_df)
+    assert list(left.columns) == list(right.columns), (
+        f"{name}: columns differ: {list(left.columns)} vs {list(right.columns)}"
+    )
+    assert len(left) == len(right), f"{name}: row counts {len(left)} vs {len(right)}"
+    mismatches = []
+    for col in left.columns:
+        lv, rv = left[col].tolist(), right[col].tolist()
+        bad = [
+            (i, x, y) for i, (x, y) in enumerate(zip(lv, rv)) if not values_equal(x, y)
+        ]
+        if bad:
+            mismatches.append((col, bad[:5]))
+    assert not mismatches, f"{name}: value mismatches {mismatches}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and len(df.columns) >= 1
