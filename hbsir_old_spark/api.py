@@ -1,0 +1,146 @@
+"""User-facing API — the reference's function surface
+(/root/reference/hbsir/api.py) on Spark.
+
+``HBSIREngine`` binds a SparkSession + schema/metadata into the reference's
+verbs: ``load_table``, ``add_classification``, ``add_attribute``,
+``select``, ``add_weight``, ``add_cpi`` / ``adjust_by_cpi``,
+``adjust_by_equivalence_scale``, and the calculator family
+(``average_table``, ``add_decile``, ``add_percentile``). Every verb returns
+a lazy DataFrame; nothing executes until an action.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbsir_old_spark.functions.standard import DEFAULT_EXTERNAL_FUNCTIONS
+from hbsir_old_spark.metadata.default_schema import (
+    DEFAULT_CLASSIFICATIONS,
+    DEFAULT_HOUSEHOLD,
+    DEFAULT_SCHEMA,
+)
+from hbsir_old_spark.metadata.ranges import parse_years
+from hbsir_old_spark.operators.quantile import add_decile as add_decile_op
+from hbsir_old_spark.operators.quantile import add_percentile as add_percentile_op
+from hbsir_old_spark.operators.weighted import average_table as average_table_op
+from hbsir_old_spark.plans.registry import BaseLoader, TableRegistry
+from hbsir_old_spark.sources.cache import FingerprintCache
+
+
+class HBSIREngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_loader: BaseLoader,
+        schema: Mapping | None = None,
+        household: Mapping | None = None,
+        classifications: Mapping | None = None,
+        external_functions: Mapping | None = None,
+        cache_dir: str | None = None,
+        first_year: int = 1363,
+        last_year: int = 1401,
+    ):
+        self.spark = spark
+        self.first_year = first_year
+        self.last_year = last_year
+        self.registry = TableRegistry(
+            spark,
+            schema=dict(schema if schema is not None else DEFAULT_SCHEMA),
+            metadata={
+                "household": dict(household or DEFAULT_HOUSEHOLD),
+                "classifications": dict(classifications or DEFAULT_CLASSIFICATIONS),
+            },
+            base_loader=base_loader,
+            external_functions={**DEFAULT_EXTERNAL_FUNCTIONS, **(external_functions or {})},
+            cache=FingerprintCache(cache_dir) if cache_dir else None,
+        )
+
+    # -- core loading ----------------------------------------------------
+    def parse_years(self, years) -> list[int]:
+        return parse_years(years, first_year=self.first_year, last_year=self.last_year)
+
+    def load_table(self, name: str, years=None) -> DataFrame:
+        """Main query path (reference api.py:94-191, processed form)."""
+        return self.registry.load_table(name, self.parse_years(years))
+
+    # -- decoders --------------------------------------------------------
+    def add_classification(self, table: DataFrame, name: str = "original", **kwargs) -> DataFrame:
+        return self.registry.add_classification(table, name=name, **kwargs)
+
+    def add_attribute(self, table: DataFrame, name: str, **kwargs) -> DataFrame:
+        return self.registry.add_attribute(table, name, **kwargs)
+
+    def select(self, table: DataFrame, attribute: str, values: Sequence) -> DataFrame:
+        """F2 attribute filter (decode -> filter -> no helper column)."""
+        return self.registry.select_by_attribute(table, attribute, values)
+
+    # -- enrichment ------------------------------------------------------
+    def add_weight(self, table: DataFrame, years=None, adjust_for_household_size: bool = False) -> DataFrame:
+        if years is None:
+            years = [r[0] for r in table.select("Year").distinct().collect()]
+        return self.registry.add_weights(
+            table, sorted(years), adjust_for_household_size=adjust_for_household_size
+        )
+
+    def add_cpi(self, table: DataFrame, cpi: DataFrame, on: Sequence[str] = ("Year",)) -> DataFrame:
+        """J4: broadcast join of the CPI dimension (columns: join keys +
+        ``CPI``)."""
+        return table.join(F.broadcast(cpi), list(on), "left")
+
+    def adjust_by_cpi(
+        self, table: DataFrame, cpi: DataFrame, columns: Sequence[str],
+        on: Sequence[str] = ("Year",), base: float = 100.0,
+    ) -> DataFrame:
+        """P13: deflate nominal columns to real terms (col / CPI * base)."""
+        out = self.add_cpi(table, cpi, on)
+        for c in columns:
+            out = out.withColumn(c, F.col(c) / F.col("CPI") * F.lit(base))
+        return out.drop("CPI")
+
+    def adjust_by_equivalence_scale(
+        self, table: DataFrame, columns: Sequence[str], scale: str = "OECD_Modified",
+        years=None,
+    ) -> DataFrame:
+        """J5/P14: divide columns by the household equivalence scale."""
+        if years is None:
+            years = [r[0] for r in table.select("Year").distinct().collect()]
+        scales = self.load_table("Equivalence_Scale", sorted(years)).select(
+            "Year", "ID", F.col(scale).alias("__scale__")
+        )
+        out = table.join(F.broadcast(scales), ["Year", "ID"], "left")
+        for c in columns:
+            out = out.withColumn(c, F.col(c) / F.col("__scale__"))
+        return out.drop("__scale__")
+
+    # -- calculators -----------------------------------------------------
+    def average_table(self, table: DataFrame, **kwargs) -> DataFrame:
+        return average_table_op(table, **kwargs)
+
+    def add_decile(self, table: DataFrame, value_col: str, **kwargs) -> DataFrame:
+        kwargs.setdefault("group_cols", ("Year",))
+        kwargs.setdefault("weight_col", "Weight")
+        kwargs.setdefault("tiebreaker_cols", ("ID",))
+        return add_decile_op(table, value_col, **kwargs)
+
+    def add_percentile(self, table: DataFrame, value_col: str, **kwargs) -> DataFrame:
+        kwargs.setdefault("group_cols", ("Year",))
+        kwargs.setdefault("weight_col", "Weight")
+        kwargs.setdefault("tiebreaker_cols", ("ID",))
+        return add_percentile_op(table, value_col, **kwargs)
+
+
+def parquet_base_loader(spark: SparkSession, root: str) -> BaseLoader:
+    """Base loader over the working layout ``{root}/{year}_{table}.parquet``
+    (reference data_engine.py:231-234)."""
+    import os
+
+    def load(name: str, year: int):
+        path = os.path.join(root, f"{year}_{name}.parquet")
+        if not os.path.exists(path):
+            return None
+        return spark.read.parquet(path)
+
+    return load

@@ -39,7 +39,7 @@ def map_codes(
     literal_map = F.create_map(
         *chain.from_iterable((F.lit(int(k)), F.lit(v)) for k, v in mapping.items())
     )
-    looked_up = literal_map.getItem(col.cast("int"))
+    looked_up = literal_map[col.cast("int")]
     if default is not None:
         looked_up = F.coalesce(looked_up, F.lit(default))
     return looked_up
@@ -58,7 +58,9 @@ def attribute_column(
     """
     years = sorted(positions_by_year)
     expr: Column | None = None
-    for boundary in reversed(years):
+    # ascending fold => the HIGHEST applicable boundary wraps outermost and
+    # is checked first (simple-versioning: greatest key <= Year wins)
+    for boundary in years:
         id_length, start, end = positions_by_year[boundary]
         code = extract_id_digits(id_col, id_length, start, end)
         piece = map_codes(code, mapping, default) if mapping else code

@@ -27,7 +27,16 @@ def melt(
     value_name: str = "value",
     drop_nulls: bool = False,
 ) -> DataFrame:
-    """Wide -> long via ``stack``: one output row per (row, value column)."""
+    """Wide -> long via ``stack``: one output row per (row, value column).
+    Numeric value columns of mixed width are upcast to double (pandas melt
+    widens the same way); ``stack`` itself requires homogeneous types."""
+    numeric = {"byte", "short", "integer", "long", "float", "double", "decimal", "null"}
+    types = {df.schema[c].dataType.typeName() for c in value_cols}
+    if len(types) > 1 and types <= numeric:
+        df = df.select(
+            *[c for c in df.columns if c not in value_cols],
+            *[F.col(c).cast("double").alias(c) for c in value_cols],
+        )
     pairs = ", ".join(f"'{c}', `{c}`" for c in value_cols)
     stack_expr = f"stack({len(value_cols)}, {pairs}) as (`{var_name}`, `{value_name}`)"
     out = df.select(*[F.col(c) for c in id_cols], F.expr(stack_expr))

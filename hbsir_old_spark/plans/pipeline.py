@@ -1,0 +1,249 @@
+"""Pipeline instruction compiler.
+
+The reference interprets a YAML instruction list eagerly, one pandas step at
+a time (/root/reference/hbsir/core/data_engine.py:282-449). Here every
+instruction compiles to a lazy ``DataFrame -> DataFrame`` transformation, so
+a whole table build is ONE Catalyst plan: filters push into scans, projections
+fuse, joins get planned globally (SURVEY §4 — this is the headline
+architectural win over the reference's eager execution).
+
+Instruction set (reference parity + the two declarative replacements for
+embedded pandas eval — SURVEY §2.2 P20):
+
+* ``add_year`` / ``add_table_name`` — provenance literals (P6)
+* ``create_column`` — numerical expressions over coalesce(col, 0)-wrapped
+  operands (P7; only operands named in the expression are filled, matching
+  data_engine.py:362-367) and categorical when-chains with the reference's
+  LAST-assignment-wins semantics over the pre-step snapshot (P8,
+  data_engine.py:370-405)
+* ``apply_filter`` — pandas-query strings translated to SQL (F1)
+* ``apply_order`` — final projection with optional per-column dtypes (P9)
+* ``aggregate`` — declarative groupby-sum (replaces pandas eval A1 uses)
+* ``melt`` — declarative wide->long (replaces pandas stack, P18)
+* ``join`` — inner join with another registry table on listed columns (J6)
+* ``add_weights`` — weights join (J3), via the registry
+* ``add_classification`` / ``add_attribute`` — J1/J2 decoders
+* ``apply_external_function`` — named transform registry (X1; arbitrary
+  ``module.fn`` import is replaced by an explicit allowlist)
+
+Steps whose year-resolved input is ``None`` are skipped (versioned
+disable, e.g. "1369: null" — metadata_utils semantics).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hbsir_old_spark.operators.reshape import melt as melt_op
+from hbsir_old_spark.plans.filters import translate_pandas_query
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+_TYPE_MAP = {
+    "unsigned": "long",
+    "integer": "long",
+    "float": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "category": "string",
+}
+
+
+class PipelineCompiler:
+    """Compiles instruction lists into DataFrame transformations.
+
+    ``registry`` (optional) provides ``load_table(name, years)`` and the
+    decoder/weights helpers for the instructions that need other tables.
+    """
+
+    def __init__(
+        self,
+        registry: Any | None = None,
+        external_functions: Mapping[str, Callable[[DataFrame], DataFrame]] | None = None,
+    ):
+        self.registry = registry
+        self.external_functions = dict(external_functions or {})
+
+    # -- public ----------------------------------------------------------
+    def apply(
+        self,
+        df: DataFrame,
+        instructions: Sequence,
+        year: int,
+        table_name: str,
+    ) -> DataFrame:
+        for step in instructions or []:
+            if step is None:
+                continue
+            if isinstance(step, str):
+                method, arg = step, None
+            elif isinstance(step, Mapping) and len(step) == 1:
+                method, arg = next(iter(step.items()))
+            else:
+                raise ValueError(f"malformed instruction: {step!r}")
+            handler = getattr(self, f"_op_{method}", None)
+            if handler is None:
+                raise ValueError(f"unknown instruction {method!r}")
+            result = handler(df, arg, year=year, table_name=table_name)
+            df = result if result is not None else df
+        return df
+
+    # -- provenance ------------------------------------------------------
+    def _op_add_year(self, df, arg, year, table_name):
+        return df.withColumn("Year", F.lit(int(year)))
+
+    def _op_add_table_name(self, df, arg, year, table_name):
+        return df.withColumn("Table_Name", F.lit(table_name))
+
+    # -- columns ---------------------------------------------------------
+    def _op_create_column(self, df, arg, year, table_name):
+        if arg is None:
+            return df
+        name = arg["name"]
+        if arg["type"] == "numerical":
+            return df.withColumn(name, self._numerical_expression(df, arg["expression"]))
+        if arg["type"] == "categorical":
+            return df.withColumn(
+                name, self._categorical_expression(df, name, arg["categories"])
+            )
+        raise ValueError(f"unknown create_column type {arg['type']!r}")
+
+    def _numerical_expression(self, df: DataFrame, expression) -> Column:
+        if isinstance(expression, int) and not isinstance(expression, bool):
+            return F.lit(expression)
+        # fill ONLY the operands named in the expression (reference
+        # data_engine.py:362-367), leaving other columns' nulls intact
+        columns = {c.lower(): c for c in df.columns}
+        def repl(m: re.Match) -> str:
+            word = m.group(0)
+            actual = columns.get(word.lower())
+            if actual is None:
+                return word  # literal / function name
+            return f"coalesce(`{actual}`, 0)"
+        return F.expr(_IDENT.sub(repl, expression))
+
+    def _categorical_expression(
+        self, df: DataFrame, column_name: str, categories: Mapping
+    ) -> Column:
+        base: Column = F.col(column_name) if column_name in df.columns else F.lit(None)
+        expr = base.cast("string") if column_name in df.columns else base
+        for category, condition in categories.items():
+            cond = self._condition(df, column_name, condition)
+            # forward fold => later categories wrap earlier ones as the
+            # outer `when`, reproducing pandas' sequential overwrite
+            expr = F.when(cond, F.lit(str(category))).otherwise(expr)
+        return expr
+
+    def _condition(self, df: DataFrame, column_name: str, condition) -> Column:
+        if condition is None:
+            return F.lit(True)
+        if isinstance(condition, str):
+            return F.col(column_name) == F.lit(condition)
+        if isinstance(condition, list):
+            return F.col(column_name).isin(condition)
+        if isinstance(condition, Mapping):
+            cond = F.lit(True)
+            for other, value in condition.items():
+                if isinstance(value, list):
+                    cond = cond & F.col(other).isin(value)
+                elif isinstance(value, (bool, str, int, float)):
+                    cond = cond & (F.col(other) == F.lit(value))
+                else:
+                    raise ValueError(f"bad condition value {value!r}")
+            return cond
+        raise ValueError(f"bad condition {condition!r}")
+
+    # -- filters / projection -------------------------------------------
+    def _op_apply_filter(self, df, arg, year, table_name):
+        if arg is None:
+            return df
+        conditions = [arg] if isinstance(arg, str) else list(arg)
+        for condition in conditions:
+            df = df.filter(translate_pandas_query(condition))
+        return df
+
+    def _op_apply_order(self, df, arg, year, table_name):
+        if arg is None:
+            return df
+        exprs = []
+        for entry in arg:
+            if isinstance(entry, str):
+                name, dtype = entry, None
+            else:
+                name, dtype = next(iter(entry.items()))
+            col = F.col(name)
+            if dtype:
+                col = col.cast(_TYPE_MAP.get(dtype, dtype))
+            exprs.append(col.alias(name))
+        return df.select(*exprs)
+
+    # -- declarative reshape/agg (replaces pandas eval) ------------------
+    def _op_aggregate(self, df, arg, year, table_name):
+        if arg is None:
+            return df
+        group = list(arg["groupby"])
+        how = arg.get("agg", "sum")
+        value_cols = arg.get("columns") or [
+            c for c in df.columns
+            if c not in group and df.schema[c].dataType.typeName() in
+            ("long", "integer", "double", "float", "short", "byte", "decimal")
+        ]
+        aggs = [getattr(F, how)(c).alias(c) for c in value_cols]
+        return df.groupBy(*group).agg(*aggs)
+
+    def _op_melt(self, df, arg, year, table_name):
+        if arg is None:
+            return df
+        return melt_op(
+            df,
+            id_cols=arg["id_columns"],
+            value_cols=arg["value_columns"],
+            var_name=arg.get("variable_name", "variable"),
+            value_name=arg.get("value_name", "value"),
+            drop_nulls=arg.get("drop_nulls", False),
+        )
+
+    # -- cross-table ------------------------------------------------------
+    def _op_join(self, df, arg, year, table_name):
+        if arg is None:
+            return df
+        if isinstance(arg, str):
+            other_name, on = arg, ["Year", "ID"]
+        else:
+            other_name, on = arg["table_name"], list(arg["columns"])
+        if self.registry is None:
+            raise ValueError("join instruction requires a registry")
+        other = self.registry.load_table(other_name, [year])
+        return df.join(other, on=on, how="inner")
+
+    def _op_add_weights(self, df, arg, year, table_name):
+        if self.registry is None:
+            raise ValueError("add_weights requires a registry")
+        adjust = bool(arg.get("adjust_for_household_size")) if isinstance(arg, Mapping) else False
+        return self.registry.add_weights(df, [year], adjust_for_household_size=adjust)
+
+    def _op_add_classification(self, df, arg, year, table_name):
+        if self.registry is None:
+            raise ValueError("add_classification requires a registry")
+        return self.registry.add_classification(df, years=[year], **(arg or {}))
+
+    def _op_add_attribute(self, df, arg, year, table_name):
+        if self.registry is None:
+            raise ValueError("add_attribute requires a registry")
+        name = arg if isinstance(arg, str) else arg["name"]
+        return self.registry.add_attribute(df, name)
+
+    def _op_apply_external_function(self, df, arg, year, table_name):
+        if arg is None:
+            return df
+        fn = self.external_functions.get(arg)
+        if fn is None:
+            raise KeyError(
+                f"external function {arg!r} is not registered "
+                f"(allowlist: {sorted(self.external_functions)})"
+            )
+        return fn(df)

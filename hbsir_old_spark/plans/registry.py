@@ -1,0 +1,250 @@
+"""Table registry: schema-driven derived-table builder with dependency
+resolution, availability pruning, and fingerprint caching.
+
+Reference parity: TableFactory/TableHandler
+(/root/reference/hbsir/core/data_engine.py:462-679) — per-year recursive
+construction of standard tables from original tables via instruction
+pipelines, multi-year union, availability pruning
+(parsing_utils.py:104-143), cache_result fingerprinting (data_engine.py:
+515-610). Differences by design: construction emits ONE lazy plan per year
+(no eager steps, no thread pool — Spark's scheduler parallelizes scans),
+and multi-year results are a ``unionByName`` of per-year plans, so Catalyst
+sees the whole multi-year query at once.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbsir_old_spark.metadata.ranges import CodeRangeSet
+from hbsir_old_spark.metadata.versioning import resolve_versioned
+from hbsir_old_spark.operators.attributes import attribute_column
+from hbsir_old_spark.operators.classification import (
+    add_classification as add_classification_op,
+    build_classification_dim,
+)
+from hbsir_old_spark.operators.reshape import union_tables
+from hbsir_old_spark.plans.pipeline import PipelineCompiler
+from hbsir_old_spark.sources.cache import FingerprintCache, stable_fingerprint
+
+BaseLoader = Callable[[str, int], "DataFrame | None"]
+
+
+class TableRegistry:
+    """Builds tables from a schema dict (the engine's declarative DSL —
+    year-versionable anywhere, same resolver as the reference's YAML).
+
+    Schema entry forms::
+
+        name:
+          table_list: [member, ...]     # derived: union members, then pipeline
+          instructions: [step, ...]     # pipeline (PipelineCompiler set)
+          cache_result: true            # fingerprint-cached materialization
+          years: <range spec>           # availability pruning
+
+    ``metadata`` carries the decoder inputs: ``household`` (ID lengths,
+    attribute digit positions, code maps) and ``classifications``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        schema: Mapping[str, Any] | None = None,
+        metadata: Mapping[str, Any] | None = None,
+        base_loader: BaseLoader | None = None,
+        external_functions: Mapping[str, Callable] | None = None,
+        cache: FingerprintCache | None = None,
+        weight_year_threshold: int = 1395,
+    ):
+        self.spark = spark
+        self.schema = dict(schema or {})
+        self.metadata = dict(metadata or {})
+        self.base_loader = base_loader
+        self.cache = cache
+        self.weight_year_threshold = weight_year_threshold
+        self.compiler = PipelineCompiler(registry=self, external_functions=external_functions)
+        self._availability: dict[str, CodeRangeSet] = {}
+        for name, spec in self.schema.items():
+            if isinstance(spec, Mapping) and "years" in spec:
+                self._availability[name] = CodeRangeSet(spec["years"])
+
+    # -- availability ----------------------------------------------------
+    def is_available(self, name: str, year: int) -> bool:
+        crs = self._availability.get(name)
+        return True if crs is None else year in crs
+
+    def available_years(self, name: str, years: Sequence[int]) -> list[int]:
+        return [y for y in years if self.is_available(name, y)]
+
+    # -- build -----------------------------------------------------------
+    def load_table(self, name: str, years: Sequence[int]) -> DataFrame:
+        parts = []
+        for year in self.available_years(name, years):
+            df = self._build_year(name, year)
+            if df is not None:
+                parts.append(df)
+        if not parts:
+            raise ValueError(f"table {name!r} unavailable for years {list(years)}")
+        return union_tables(parts)
+
+    def _schema_spec(self, name: str, year: int) -> Mapping | None:
+        raw = self.schema.get(name)
+        if raw is None:
+            return None
+        resolved = resolve_versioned(raw, year)
+        return resolved if isinstance(resolved, Mapping) else None
+
+    def _build_year(self, name: str, year: int) -> DataFrame | None:
+        spec = self._schema_spec(name, year)
+        if spec is None:
+            return self._load_base(name, year)
+
+        if spec.get("cache_result") and self.cache is not None:
+            fingerprint = self.dependency_fingerprint(name, year)
+            cached = self.cache.get(self.spark, name, year, fingerprint)
+            if cached is not None:
+                return cached
+
+        if "table_list" in spec:
+            members = spec["table_list"]
+            members = [members] if isinstance(members, str) else list(members)
+            parts = [self._build_year(member, year) for member in members]
+            parts = [p for p in parts if p is not None]
+            if not parts:
+                return None
+            df = union_tables(parts)
+        else:
+            df = self._load_base(name, year)
+            if df is None:
+                return None
+
+        df = self.compiler.apply(df, spec.get("instructions") or [], year, name)
+
+        if spec.get("cache_result") and self.cache is not None:
+            df = self.cache.put(df, name, year, fingerprint)
+        return df
+
+    def _load_base(self, name: str, year: int) -> DataFrame | None:
+        if self.base_loader is None:
+            raise KeyError(f"no schema entry or base loader for table {name!r}")
+        return self.base_loader(name, year)
+
+    # -- fingerprints ----------------------------------------------------
+    def dependency_fingerprint(self, name: str, year: int) -> str:
+        """Fingerprint of the resolved schema subtree rooted at ``name``."""
+        def walk(table: str) -> Any:
+            spec = self._schema_spec(table, year)
+            if spec is None:
+                return {"base": table}
+            node: dict[str, Any] = {"spec": spec}
+            members = spec.get("table_list")
+            if members:
+                members = [members] if isinstance(members, str) else list(members)
+                node["deps"] = {m: walk(m) for m in members}
+            return node
+        return stable_fingerprint({"table": name, "year": year, "tree": walk(name)})
+
+    # -- enrichment (J2/J3 decoders) -------------------------------------
+    def add_weights(
+        self,
+        df: DataFrame,
+        years: Sequence[int],
+        adjust_for_household_size: bool = False,
+    ) -> DataFrame:
+        """J3: per-year weights — ``household_information.Weight`` for years
+        above the threshold, the external ``weights`` table otherwise
+        (reference data_engine.py:682-786); left join on (Year, ID)."""
+        recent = [y for y in years if y > self.weight_year_threshold]
+        old = [y for y in years if y <= self.weight_year_threshold]
+        parts = []
+        if recent:
+            info = self.load_table("household_information", recent)
+            parts.append(info.select("Year", "ID", "Weight"))
+        if old:
+            external = self.load_table("weights", old)
+            parts.append(external.select("Year", "ID", "Weight"))
+        weights = union_tables(parts)
+        if adjust_for_household_size:
+            members = self.load_table("Number_of_Members", list(years))
+            weights = (
+                weights.join(members.select("Year", "ID", "Members"), ["Year", "ID"], "left")
+                .withColumn("Weight", F.col("Weight") * F.coalesce(F.col("Members"), F.lit(1)))
+                .drop("Members")
+            )
+        return df.join(F.broadcast(weights), ["Year", "ID"], "left")
+
+    def add_classification(
+        self,
+        df: DataFrame,
+        name: str = "original",
+        years: Sequence[int] | None = None,
+        levels: Sequence[int] | None = None,
+        aspects: Sequence[str] | None = None,
+        code_col: str = "Code",
+        year_col: str = "Year",
+        column_names: Mapping[str, str] | None = None,
+        drop_value: bool = False,
+    ) -> DataFrame:
+        """J1: classification labels via the broadcast range-join decoder.
+        Defaults (levels/aspects/missing replacements) come from the
+        classification's own metadata, like DecoderSettings
+        (reference decoder.py:226-323)."""
+        meta = self.metadata["classifications"][name]
+        defaults = meta.get("defaults", {})
+        levels = tuple(levels or defaults.get("levels") or (1,))
+        aspects = tuple(aspects or defaults.get("aspects") or ("item_key",))
+        missing = defaults.get("missing_value_replacements") or {}
+        if years is None:
+            years = [r[0] for r in df.select(year_col).distinct().collect()]
+        dim = build_classification_dim(meta, years=sorted(years), aspects=aspects)
+        out = add_classification_op(
+            df,
+            dim,
+            code_col=code_col,
+            year_col=year_col,
+            levels=levels,
+            aspects=aspects,
+            column_names=dict(column_names or {}),
+            missing_value_replacements=missing,
+        )
+        return out.drop(code_col) if drop_value else out
+
+    def _household_positions(self, attribute: str):
+        household = self.metadata["household"]
+        lengths: Mapping[int, int] = household["id_length"]
+        positions: Mapping[int, Mapping[str, int]] = household["attributes"][attribute]["position"]
+        boundaries = sorted(set(lengths) | set(positions))
+        out = {}
+        for boundary in boundaries:
+            id_length = lengths[max(k for k in lengths if k <= boundary)]
+            pos = positions[max(k for k in positions if k <= boundary)]
+            out[boundary] = (id_length, pos["start"], pos["end"])
+        return out
+
+    def add_attribute(
+        self,
+        df: DataFrame,
+        name: str,
+        id_col: str = "ID",
+        year_col: str = "Year",
+        column_name: str | None = None,
+    ) -> DataFrame:
+        """J2: decode a household attribute from ID digits — one vectorized
+        year-branched expression, no join, no UDF."""
+        mapping = self.metadata["household"]["attributes"][name].get("mapping")
+        col = attribute_column(
+            id_col, year_col, self._household_positions(name), mapping
+        )
+        return df.withColumn(column_name or name, col)
+
+    def select_by_attribute(
+        self, df: DataFrame, name: str, values: Sequence
+    ) -> DataFrame:
+        """F2: decode-filter-drop, with the predicate left as pure ID/Year
+        arithmetic so it can push toward the scan."""
+        mapping = self.metadata["household"]["attributes"][name].get("mapping")
+        col = attribute_column("ID", "Year", self._household_positions(name), mapping)
+        return df.filter(col.isin(list(values)))

@@ -1,0 +1,133 @@
+"""Column-metadata compiler: raw CSV columns -> cleaned, typed columns.
+
+Capability parity with the reference cleaner
+(/root/reference/hbsir/core/data_cleaner.py:108-261): per (table, column,
+year) metadata declares rename (``new_name``), ``type``
+(string/boolean/unsigned/integer/float/category), value ``replace`` maps,
+``true_condition`` for booleans, and ``categories`` code->label maps; the
+table-level ``missings`` policy (error|drop|keep) governs columns present in
+the data but absent from metadata.
+
+Everything compiles to ONE ``select`` of cast/when expressions — a single
+projection over the scan, no per-column passes. Categories become string
+labels via literal-map lookup (Spark has no categorical dtype; parquet
+dictionary encoding recovers the storage win). Numeric downcasting is
+dropped deliberately: Long/Double + parquet encoding make it moot on Spark
+(SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hbsir_old_spark.metadata.versioning import resolve_versioned
+
+
+def scrub_string(col: Column | str) -> Column:
+    """The reference's raw-string scrub (data_cleaner.py:216-227): strip
+    newline/CR/commas/at/plus/star/brackets/underscore/question marks,
+    middle-dot -> '.', trailing dots, leading minus noise; blank -> null."""
+    col = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(col, r"[\n\r,@+*\[\]_?]", "")
+    out = F.regexp_replace(out, "·", ".")
+    out = F.regexp_replace(out, r"\.+$", "")
+    out = F.regexp_replace(out, r"^-+(?=\D|$)", "")
+    out = F.trim(out)
+    return F.nullif(out, F.lit(""))
+
+
+def _typed_column(raw: Column, meta: Mapping) -> Column:
+    """Compile one column's type metadata into an expression."""
+    ctype = meta.get("type", "string")
+    replace = meta.get("replace")
+    if replace:
+        for old, new in replace.items():
+            raw = F.when(raw == F.lit(old), F.lit(new)).otherwise(raw)
+    if ctype == "string":
+        return raw
+    if ctype == "boolean":
+        true_condition = meta.get("true_condition", 1)
+        return raw.cast("int") == F.lit(true_condition)
+    if ctype in ("unsigned", "integer"):
+        return raw.cast("long")
+    if ctype == "float":
+        return raw.cast("double")
+    if ctype == "category":
+        categories = meta.get("categories") or {}
+        code = raw.cast("int")
+        if not categories:
+            return code.cast("string")
+        literal_map = F.create_map(
+            *chain.from_iterable(
+                (F.lit(int(k)), F.lit(str(v))) for k, v in categories.items()
+            )
+        )
+        return literal_map[code]
+    raise ValueError(f"unknown column type {ctype!r}")
+
+
+def clean_table(
+    df: DataFrame,
+    table_meta: Mapping,
+    year: int,
+    scrub: bool = True,
+) -> DataFrame:
+    """Apply year-resolved column metadata to a raw table.
+
+    ``table_meta`` mirrors the reference layout: ``{"columns": {raw_name:
+    {new_name, type, ...} | "drop"}, "missings": "error"|"drop"|"keep"}``
+    with year versioning anywhere. Unknown-column policy is enforced
+    EAGERLY (the reference raises at load time, data_cleaner.py:148-151;
+    schema inspection needs no job, so laziness is preserved).
+    """
+    resolved = resolve_versioned(table_meta, year) or {}
+    columns_meta: dict = resolved.get("columns") or {}
+    missings = resolved.get("missings", "error")
+
+    meta_by_lower = {str(k).lower(): (k, v) for k, v in columns_meta.items()}
+    exprs: list[Column] = []
+    for name in df.columns:
+        key = name.lower()
+        if key not in meta_by_lower:
+            if missings == "error":
+                raise KeyError(
+                    f"column {name!r} not declared in metadata (missings=error)"
+                )
+            if missings == "drop":
+                continue
+            exprs.append(F.col(name))
+            continue
+        _, meta = meta_by_lower[key]
+        if meta is None or meta == "drop":
+            continue
+        raw: Column = F.col(name)
+        if scrub and str(df.schema[name].dataType) == "StringType()":
+            raw = scrub_string(raw)
+        new_name = (meta.get("new_name") if isinstance(meta, Mapping) else None) or name
+        exprs.append(_typed_column(raw, meta if isinstance(meta, Mapping) else {}).alias(new_name))
+    return df.select(*exprs)
+
+
+def load_raw_csv(
+    spark,
+    urban_path: str | None,
+    rural_path: str | None,
+) -> DataFrame:
+    """S1: read per-(table, year) urban+rural CSVs as all-string columns,
+    tag provenance, and union by name (missing columns -> null)."""
+    parts = []
+    for path, flag in ((urban_path, "Urban"), (rural_path, "Rural")):
+        if path is None:
+            continue
+        df = spark.read.option("header", True).csv(path)
+        parts.append(df.withColumn("Urban_Rural", F.lit(flag)))
+    if not parts:
+        raise ValueError("at least one of urban/rural path is required")
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out

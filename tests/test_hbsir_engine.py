@@ -1,0 +1,368 @@
+"""End-to-end tests of the HBSIR-parity engine against synthetic fixtures,
+with DuckDB as the oracle for every numeric pipeline (SURVEY §5 test plan:
+golden pipeline, per-operator oracle checks, multi-year load matrix)."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hbsir_fixtures import YEARS, write_fixture_parquet  # noqa: E402
+from hbsir_old_spark.api import HBSIREngine, parquet_base_loader  # noqa: E402
+from hbsir_old_spark.plans.filters import translate_pandas_query  # noqa: E402
+from hbsir_old_spark.sources.cleaner import clean_table  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("hbsir_fixtures"))
+    write_fixture_parquet(root)
+    return root
+
+
+@pytest.fixture(scope="module")
+def engine(spark, fixture_root, tmp_path_factory):
+    cache_dir = str(tmp_path_factory.mktemp("hbsir_cache"))
+    return HBSIREngine(
+        spark,
+        base_loader=parquet_base_loader(spark, fixture_root),
+        cache_dir=cache_dir,
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle(fixture_root):
+    con = duckdb.connect()
+    for fname in os.listdir(fixture_root):
+        if fname.endswith(".parquet"):
+            year, table = fname[:-8].split("_", 1)
+            view = f"{table}_{year}"
+            con.execute(
+                f"CREATE VIEW {view} AS SELECT * FROM read_parquet('{fixture_root}/{fname}')"
+            )
+    # multi-year views
+    for table in ("food", "durable", "household_information", "members_properties",
+                  "other_income", "weights"):
+        parts = [
+            f"SELECT * FROM {table}_{y}" for y in YEARS
+            if os.path.exists(f"{fixture_root}/{y}_{table}.parquet")
+        ]
+        con.execute(f"CREATE VIEW {table} AS " + " UNION ALL ".join(parts))
+    return con
+
+
+def _norm(frame):
+    frame = frame.reindex(sorted(frame.columns), axis=1)
+    return frame.sort_values(by=list(frame.columns)).reset_index(drop=True)
+
+
+def assert_frames_match(spark_df, duck_df, tol=1e-9):
+    left = _norm(spark_df.toPandas())
+    right = _norm(duck_df)
+    assert list(left.columns) == list(right.columns), (list(left.columns), list(right.columns))
+    assert len(left) == len(right), (len(left), len(right))
+    for c in left.columns:
+        lv, rv = left[c], right[c]
+        if str(lv.dtype).startswith("float") or str(rv.dtype).startswith("float"):
+            diffs = (lv.fillna(-1e30) - rv.fillna(-1e30)).abs()
+            assert (diffs < tol).all(), f"{c}: max diff {diffs.max()}"
+        else:
+            assert (lv.fillna("-").astype(str) == rv.fillna("-").astype(str)).all(), c
+
+
+class TestLoadTable:
+    def test_original_table_multi_year(self, engine, oracle):
+        df = engine.load_table("food", [1394, 1400])
+        expected = oracle.sql("SELECT count(*) n FROM food WHERE Year IN (1394, 1400)").df()
+        assert df.count() == int(expected.n[0])
+
+    def test_year_versioned_table_list(self, engine):
+        # 1375 resolves table_list to [food]; 1394/1400 to [food, durable]
+        only_food = engine.load_table("Original_Expenditures", 1375)
+        both = engine.load_table("Original_Expenditures", 1394)
+        assert only_food.filter(F.col("Code") >= 30000).count() == 0
+        assert both.filter(F.col("Code") >= 30000).count() > 0
+
+    def test_filter_and_computed_column(self, engine, oracle):
+        df = engine.load_table("Expenditures", [1400]).select(
+            "Year", "ID", "Code", "Yearly_Expenditure"
+        )
+        expected = oracle.sql(
+            """
+            SELECT Year, ID, Code, coalesce(Expenditure, 0) / Duration * 360 AS Yearly_Expenditure
+            FROM (SELECT * FROM food_1400 UNION ALL BY NAME SELECT * FROM durable_1400)
+            WHERE Code NOT IN (18888, 19993)
+            """
+        ).df()
+        assert_frames_match(df, expected)
+
+    def test_total_expenditure_cached(self, engine, oracle):
+        df = engine.load_table("Total_Expenditure", [1394, 1400])
+        expected = oracle.sql(
+            """
+            SELECT Year, ID,
+                   sum(coalesce(Expenditure, 0)) AS Gross_Expenditure,
+                   sum(coalesce(Expenditure, 0) / Duration * 360) AS Yearly_Expenditure
+            FROM (SELECT * FROM food UNION ALL BY NAME SELECT * FROM durable)
+            WHERE Code NOT IN (18888, 19993) AND Year IN (1394, 1400)
+            GROUP BY Year, ID
+            """
+        ).df()
+        assert_frames_match(df, expected)
+        # second load hits the fingerprint cache (parquet written)
+        cached_files = os.listdir(engine.registry.cache.root)
+        assert any("Total_Expenditure" in f and f.endswith(".meta.json") for f in cached_files)
+        df2 = engine.load_table("Total_Expenditure", [1394, 1400])
+        assert df2.count() == df.count()
+
+    def test_income_melt_chain(self, engine, oracle):
+        df = engine.load_table("Total_Income", list(YEARS))
+        expected = oracle.sql(
+            """
+            WITH long AS (
+              SELECT Year, ID, Member_Number, kind, val FROM other_income
+              UNPIVOT (val FOR kind IN (Retirement, Rent, Interest, Aid, Home_Production, Transfer))
+            )
+            SELECT Year, ID, sum(val) AS Income FROM long WHERE val > 0 GROUP BY Year, ID
+            """
+        ).df()
+        assert_frames_match(df, expected)
+
+    def test_availability_pruning(self, spark, engine, fixture_root):
+        eng = HBSIREngine(
+            spark,
+            base_loader=parquet_base_loader(spark, fixture_root),
+            schema={"food": {"years": {"start": 1390, "end": 1402}, "instructions": []}},
+        )
+        df = eng.load_table("food", [1375, 1394, 1400])
+        assert df.select("Year").distinct().count() == 2
+
+
+class TestDecoders:
+    def test_attribute_decode(self, engine, oracle):
+        df = engine.add_attribute(
+            engine.load_table("household_information", [1375, 1400]), "Urban_Rural"
+        )
+        # digit 0 of the ID encodes urban(1)/rural(2) for both ID widths
+        expected = oracle.sql(
+            """
+            SELECT Year, ID,
+                   CASE (ID // CASE WHEN Year >= 1392 THEN 10000000000 ELSE 10000000 END)
+                        WHEN 1 THEN 'Urban' WHEN 2 THEN 'Rural' END AS Urban_Rural
+            FROM household_information WHERE Year IN (1375, 1400)
+            """
+        ).df()
+        assert_frames_match(df.select("Year", "ID", "Urban_Rural"), expected)
+
+    def test_select_filters_without_helper_column(self, engine):
+        hh = engine.load_table("household_information", [1400])
+        urban = engine.select(hh, "Urban_Rural", ["Urban"])
+        assert "Urban_Rural" not in urban.columns
+        assert 0 < urban.count() < hh.count()
+
+    def test_classification_levels_and_defaults(self, engine, oracle):
+        food = engine.load_table("food", [1400])
+        classified = engine.add_classification(food, "original")
+        got = classified.filter(F.col("Code") == 11150).select("item_key_1", "item_key_2").distinct()
+        rows = got.collect()
+        assert rows[0]["item_key_1"] == "food" and rows[0]["item_key_2"] == "cereals"
+
+    def test_food_nonfood_missing_default(self, engine):
+        exp = engine.load_table("Original_Expenditures", [1400])
+        classified = engine.add_classification(exp, "Food_NonFood")
+        kinds = {r["item_key"] for r in classified.select("item_key").distinct().collect()}
+        assert kinds == {"Food", "Non-Food"}
+
+
+class TestEnrichment:
+    def test_weights_both_sources(self, engine, oracle):
+        te = engine.load_table("Total_Expenditure", [1394, 1400])
+        weighted = engine.add_weight(te)
+        expected = oracle.sql(
+            """
+            WITH te AS (
+              SELECT Year, ID FROM (SELECT * FROM food UNION ALL BY NAME SELECT * FROM durable)
+              WHERE Code NOT IN (18888, 19993) AND Year IN (1394, 1400) GROUP BY Year, ID
+            )
+            SELECT te.Year, te.ID,
+                   coalesce(w.Weight, h.Weight) AS Weight
+            FROM te
+            LEFT JOIN weights w ON te.Year = w.Year AND te.ID = w.ID AND te.Year <= 1395
+            LEFT JOIN household_information h ON te.Year = h.Year AND te.ID = h.ID AND te.Year > 1395
+            """
+        ).df()
+        assert_frames_match(weighted.select("Year", "ID", "Weight"), expected)
+
+    def test_equivalence_scale_adjustment(self, engine, oracle):
+        te = engine.load_table("Total_Expenditure", [1400])
+        adjusted = engine.adjust_by_equivalence_scale(te, ["Gross_Expenditure"], scale="OECD")
+        expected = oracle.sql(
+            """
+            WITH te AS (
+              SELECT Year, ID, sum(coalesce(Expenditure, 0)) AS gross
+              FROM (SELECT * FROM food_1400 UNION ALL BY NAME SELECT * FROM durable_1400)
+              WHERE Code NOT IN (18888, 19993) GROUP BY Year, ID
+            ), nm AS (
+              SELECT Year, ID, count(Member_Number) AS members,
+                     sum(CASE WHEN Age >= 14 THEN 1 ELSE 0 END) AS adults
+              FROM members_properties_1400 GROUP BY Year, ID
+            )
+            SELECT te.Year, te.ID,
+                   te.gross / (0.7 * nm.adults + 0.3 + 0.5 * (nm.members - nm.adults))
+                       AS Gross_Expenditure
+            FROM te JOIN nm ON te.Year = nm.Year AND te.ID = nm.ID
+            """
+        ).df()
+        assert_frames_match(adjusted.select("Year", "ID", "Gross_Expenditure"), expected)
+
+    def test_cpi_deflation(self, spark, engine):
+        te = engine.load_table("Total_Expenditure", [1394, 1400])
+        cpi = spark.createDataFrame(
+            [(1394, 50.0), (1400, 100.0)], schema="Year int, CPI double"
+        )
+        real = engine.adjust_by_cpi(te, cpi, ["Gross_Expenditure"])
+        nominal = {(r["Year"], r["ID"]): r["Gross_Expenditure"] for r in te.collect()}
+        for r in real.collect():
+            factor = 2.0 if r["Year"] == 1394 else 1.0
+            assert abs(r["Gross_Expenditure"] - nominal[(r["Year"], r["ID"])] * factor) < 1e-9
+
+
+class TestGoldenPipeline:
+    """The README-walkthrough analog: per-class weighted mean yearly food
+    expenditure for urban households, by year (reference
+    test_by_examples.py:7-69 shape)."""
+
+    def test_weighted_class_means(self, engine, oracle):
+        exp = engine.load_table("Expenditures", list(YEARS))
+        classified = engine.add_classification(exp, "Food_NonFood")
+        urban = engine.select(classified, "Urban_Rural", ["Urban"])
+        per_hh = urban.groupBy("Year", "ID", "item_key").agg(
+            F.sum("Yearly_Expenditure").alias("Yearly_Expenditure")
+        )
+        weighted = engine.add_weight(per_hh)
+        result = engine.average_table(
+            weighted, value_cols=["Yearly_Expenditure"], groupby=["Year", "item_key"]
+        )
+        expected = oracle.sql(
+            """
+            WITH exp AS (
+              -- durable joins the table_list only from 1380 (year-versioned schema)
+              SELECT Year, ID, Code, coalesce(Expenditure, 0) / Duration * 360 AS yearly
+              FROM (SELECT * FROM food
+                    UNION ALL BY NAME SELECT * FROM durable WHERE Year >= 1380)
+              WHERE Code NOT IN (18888, 19993)
+            ), classified AS (
+              SELECT Year, ID,
+                     CASE WHEN Code BETWEEN 11100 AND 19999 THEN 'Food' ELSE 'Non-Food' END AS item_key,
+                     yearly
+              FROM exp
+              WHERE (ID // CASE WHEN Year >= 1392 THEN 10000000000 ELSE 10000000 END) = 1
+            ), per_hh AS (
+              SELECT Year, ID, item_key, sum(yearly) AS yearly FROM classified GROUP BY 1, 2, 3
+            ), wt AS (
+              SELECT p.*, coalesce(w.Weight, h.Weight) AS Weight FROM per_hh p
+              LEFT JOIN weights w ON p.Year = w.Year AND p.ID = w.ID AND p.Year <= 1395
+              LEFT JOIN household_information h ON p.Year = h.Year AND p.ID = h.ID AND p.Year > 1395
+            )
+            SELECT Year, item_key, sum(yearly * Weight) / sum(Weight) AS Yearly_Expenditure
+            FROM wt GROUP BY Year, item_key
+            """
+        ).df()
+        assert_frames_match(result, expected, tol=1e-6)
+
+    def test_decile_assignment(self, engine, oracle):
+        te = engine.add_weight(engine.load_table("Total_Expenditure", [1400]))
+        deciles = engine.add_decile(te, "Yearly_Expenditure")
+        expected = oracle.sql(
+            """
+            WITH te AS (
+              SELECT Year, ID, sum(coalesce(Expenditure, 0) / Duration * 360) AS yearly
+              FROM (SELECT * FROM food_1400 UNION ALL BY NAME SELECT * FROM durable_1400)
+              WHERE Code NOT IN (18888, 19993) GROUP BY Year, ID
+            ), wt AS (
+              SELECT te.*, h.Weight FROM te
+              JOIN household_information_1400 h ON te.Year = h.Year AND te.ID = h.ID
+            )
+            SELECT Year, ID,
+                   least(greatest(floor(
+                     sum(Weight) OVER (PARTITION BY Year ORDER BY yearly, ID
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / sum(Weight) OVER (PARTITION BY Year) * 10) + 1, 1), 10)::INTEGER AS Decile
+            FROM wt
+            """
+        ).df()
+        assert_frames_match(deciles.select("Year", "ID", "Decile"), expected)
+
+
+class TestCleaner:
+    def test_clean_table_compiles_types(self, spark):
+        raw = spark.createDataFrame(
+            [("1", " 25 ", "3", "1", "x,y"), ("2", "abc", "1", "0", "-z")],
+            schema="ADRS string, age string, TENURE string, lit string, note string",
+        )
+        meta = {
+            "columns": {
+                "ADRS": {"new_name": "ID", "type": "unsigned"},
+                "age": {"new_name": "Age", "type": "float", "replace": {"abc": "7"}},
+                "TENURE": {
+                    "new_name": "Tenure",
+                    "type": "category",
+                    "categories": {1: "Owned", 3: "Rent"},
+                },
+                "lit": {"new_name": "Is_Literate", "type": "boolean", "true_condition": 1},
+                "note": "drop",
+            },
+            "missings": "error",
+        }
+        out = clean_table(raw, meta, year=1400)
+        rows = {r["ID"]: r for r in out.collect()}
+        assert out.columns == ["ID", "Age", "Tenure", "Is_Literate"]
+        assert rows[1]["Age"] == 25.0 and rows[2]["Age"] == 7.0
+        assert rows[1]["Tenure"] == "Rent" and rows[2]["Tenure"] == "Owned"
+        assert rows[1]["Is_Literate"] is True and rows[2]["Is_Literate"] is False
+
+    def test_missings_policies(self, spark):
+        raw = spark.createDataFrame([("1", "x")], schema="a string, junk string")
+        base = {"columns": {"a": {"new_name": "A"}}}
+        with pytest.raises(KeyError):
+            clean_table(raw, {**base, "missings": "error"}, 1400)
+        assert clean_table(raw, {**base, "missings": "drop"}, 1400).columns == ["A"]
+        assert clean_table(raw, {**base, "missings": "keep"}, 1400).columns == ["A", "junk"]
+
+    def test_year_versioned_columns(self, spark):
+        raw = spark.createDataFrame([("5",)], schema="code string")
+        meta = {
+            "columns": {
+                "code": {
+                    "versions": {
+                        1363: {"new_name": "Old_Code", "type": "unsigned"},
+                        1390: {"new_name": "Code", "type": "unsigned"},
+                    }
+                }
+            }
+        }
+        assert clean_table(raw, meta, 1380).columns == ["Old_Code"]
+        assert clean_table(raw, meta, 1400).columns == ["Code"]
+
+
+class TestQueryTranslator:
+    @pytest.mark.parametrize(
+        "pandas_expr,sql",
+        [
+            ("Code not in [18888, 19993]", "Code NOT IN (18888, 19993)"),
+            ("Other_Incomes > 0", "Other_Incomes > 0"),
+            (
+                "Imputed_Rent.notnull() & (Imputed_Rent > 0)",
+                "Imputed_Rent IS NOT NULL AND (Imputed_Rent > 0)",
+            ),
+            ("A == 1 | ~(B in [1, 2])", "A = 1 OR NOT (B IN (1, 2))"),
+            ("`my col`.isnull()", "`my col` IS NULL"),
+        ],
+    )
+    def test_translate(self, pandas_expr, sql):
+        assert translate_pandas_query(pandas_expr) == sql
