@@ -799,11 +799,18 @@ WHERE c / (len(sa.s) + len(sb.s) - c) >= 0.05
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate near-dup (LSH-bucketed candidates, exact-Jaccard verified);
-    # recall < 1 by design => rows-only driver check (q_ngram_jaccard is the
-    # exact twin with a full oracle)
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, n=2, num_perm=16, bands=8, threshold=0.05)
+    # approximate near-dup detection at its honest operating point: bands=4,
+    # rows=4 => collision threshold ~(1/4)^(1/4) ~ 0.7, so only true
+    # near-duplicates collide. The corpus is doubled with lightly-perturbed
+    # copies so real near-dup pairs exist; recall < 1 by design => rows-only
+    # driver check (q_ngram_jaccard is the exact-Jaccard twin with an oracle).
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" perturbed suffix token")).alias("text"),
+    )
+    corpus = union_tables([docs, perturbed])
+    return minhash_lsh_pairs(corpus, n=2, num_perm=16, bands=4, threshold=0.5)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -942,6 +949,105 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# DSL pipeline: the engine's declarative schema (table_list + instructions)
+# driving filter translation, computed/categorical columns, aggregate, and
+# final projection — one Catalyst plan end to end (SURVEY §3.1 shape)
+# --------------------------------------------------------------------------
+
+DSL_SCHEMA = {
+    "lineitem_revenue": {
+        "table_list": ["lineitem_base"],
+        "instructions": [
+            {"apply_filter": "l_quantity >= 5 & l_returnflag in ['A', 'R']"},
+            {
+                "create_column": {
+                    "name": "revenue",
+                    "type": "numerical",
+                    "expression": "l_extendedprice * (1 - l_discount)",
+                }
+            },
+            {
+                "create_column": {
+                    "name": "status_class",
+                    "type": "categorical",
+                    "categories": {
+                        "finished": {"l_linestatus": "F"},
+                        "open": {"l_linestatus": "O"},
+                    },
+                }
+            },
+            {
+                "aggregate": {
+                    "groupby": ["l_returnflag", "status_class"],
+                    "columns": ["revenue", "l_quantity"],
+                    "agg": "sum",
+                }
+            },
+            {
+                "apply_order": [
+                    "l_returnflag",
+                    "status_class",
+                    {"revenue": "float"},
+                    {"l_quantity": "float"},
+                ]
+            },
+        ],
+    }
+}
+
+
+def q_dsl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.plans.registry import TableRegistry
+
+    def base_loader(name: str, year: int):
+        if name == "lineitem_base":
+            return _t(spark, sf_dir, "lineitem")
+        return None
+
+    registry = TableRegistry(spark, schema=DSL_SCHEMA, base_loader=base_loader)
+    df = registry.load_table("lineitem_revenue", [1400])
+    return df.select(
+        "l_returnflag",
+        "status_class",
+        F.round("revenue", 2).alias("revenue"),
+        F.round("l_quantity", 2).alias("sum_qty"),
+    )
+
+
+SQL_DSL_PIPELINE = """
+SELECT l_returnflag,
+       CASE WHEN l_linestatus = 'F' THEN 'finished'
+            WHEN l_linestatus = 'O' THEN 'open' END AS status_class,
+       round(sum(coalesce(l_extendedprice, 0) * (1 - coalesce(l_discount, 0))), 2) AS revenue,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_quantity >= 5 AND l_returnflag IN ('A', 'R')
+GROUP BY 1, 2
+"""
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.text import bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+SQL_BPE_TOKEN_COUNT = r"""
+SELECT doc_id,
+       (CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))::BIGINT
+           AS bpe_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
 
@@ -1021,6 +1127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_cosine_topk": q_cosine_topk,
         "x9_ann_lsh": q_ann_lsh,
         "x10_multimodal_features": q_multimodal_features,
+        "x11_bpe_token_count": q_bpe_token_count,
+        "g1_dsl_pipeline": q_dsl_pipeline,
     }
 
 
@@ -1061,4 +1169,6 @@ def oracle_sql() -> dict[str, str]:
         "x7_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
         "x8_cosine_topk": SQL_COSINE_TOPK,
         "x10_multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "x11_bpe_token_count": SQL_BPE_TOKEN_COUNT,
+        "g1_dsl_pipeline": SQL_DSL_PIPELINE,
     }

@@ -49,6 +49,7 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep one row per exact (normalized) duplicate group — the row with the
     min (or max) id. Deterministic, single shuffle on the fingerprint."""
+    df = ensure_min_partitions(df)
     fp = doc_fingerprint(text_col)
     w = Window.partitionBy(fp)
     keeper = F.min(id_col).over(w) if keep == "min" else F.max(id_col).over(w)
@@ -143,19 +144,29 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__id__"),
         word_shingles(text_col, n).alias("__sh__"),
     )
+    # signature via explode + codegen'd groupBy min: `min` is
+    # partial-aggregable, so the shuffle carries one 16-long row per doc per
+    # map partition — faster than interpreted higher-order array functions
+    # and skew-safe at scale
+    exploded = shingled.select("__id__", F.explode("__sh__").alias("__s__"))
+    sig = exploded.groupBy("__id__").agg(
+        *[
+            F.min(F.xxhash64(F.lit(j), F.col("__s__"))).alias(f"__h{j}__")
+            for j in range(num_perm)
+        ]
+    )
     # bands carry ONLY (id, band-hash): the shingle arrays never ride
     # through the candidate self-join / dedup shuffle
-    banded = shingled.select(
-        "__id__",
-        minhash_signature_from_shingles("__sh__", num_perm).alias("__sig__"),
-    ).select(
+    banded = sig.select(
         "__id__",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(F.slice("__sig__", b * rows_per_band + 1, rows_per_band)).alias("bh"),
+                        F.hash(
+                            *[F.col(f"__h{b * rows_per_band + k}__") for k in range(rows_per_band)]
+                        ).alias("bh"),
                     )
                     for b in range(bands)
                 ]

@@ -26,6 +26,19 @@ def token_count(col: Column | str) -> Column:
     )
 
 
+#: GPT-2-style pretokenizer regex (letters / digits / punctuation runs with
+#: leading-space absorption, contraction suffixes) — the "BPE-ish" counter:
+#: real BPE merges only ever split WITHIN these pretokens, so this counts an
+#: upper bound token estimate without a vocab file. RE2/Java-regex compatible.
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Approximate BPE token count via the GPT-2 pretokenizer regex —
+    ``regexp_count``, JVM-side, no vocab needed."""
+    return F.regexp_count(_c(col), F.lit(BPE_SPLIT_PATTERN)).cast("long")
+
+
 def count_occurrences(col: Column | str, term: str) -> Column:
     """Non-overlapping occurrences of a literal term, via replace/length
     arithmetic — identical semantics in any SQL engine."""

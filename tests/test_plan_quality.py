@@ -1,0 +1,64 @@
+"""Physical-plan assertions: these guard the 100 TB story — filters must
+reach the parquet scan, dimension joins must broadcast, hot paths must stay
+JVM-side, and window computations must not multiply shuffles."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = entry_mod.q_filter_predicates(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "In(l_returnflag" in plan
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    df = entry_mod.q_computed_column(spark, sf_dir)
+    plan = plan_of(df)
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_shipdate" not in scan and "l_returnflag" not in scan
+
+
+def test_classification_join_broadcasts(spark, sf_dir):
+    df = entry_mod.q_classification_join(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dim_join_chain_broadcasts(spark, sf_dir):
+    df = entry_mod.q_dim_join_chain(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_weighted_ecdf_single_exchange(spark, sf_dir):
+    df = entry_mod.q_weighted_ecdf(spark, sf_dir)
+    plan = plan_of(df)
+    # one shuffle for the window partitioning; no extra exchanges
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_no_python_udf_in_core_queries(spark, sf_dir):
+    for name, fn in entry_mod.queries().items():
+        if name == "x10_multimodal_features":
+            continue  # mapInPandas is the designed exception
+        plan = plan_of(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} fell back to a Python UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF unexpectedly"
+
+
+def test_groupby_has_partial_aggregation(spark, sf_dir):
+    plan = plan_of(entry_mod.q_groupby_sum(spark, sf_dir))
+    # map-side combine: HashAggregate appears before and after the exchange
+    assert plan.count("HashAggregate") >= 2

@@ -1,0 +1,83 @@
+"""Structured Streaming tests: the SAME transformation functions used by
+the batch oracle queries run on a file-source stream with watermarks,
+proving the operators are streaming-safe (SURVEY §7.2 M7)."""
+
+import os
+import shutil
+import sys
+import time
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hbsir_old_spark.streaming.events import sessionize, tumbling_stats  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Materialize the events table as a small parquet directory usable as a
+    file stream source (micro-batches discover files)."""
+    out = str(tmp_path_factory.mktemp("event_stream"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .limit(2000)
+    )
+    events.coalesce(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_stream_to_memory(spark, stream_df, name: str, timeout_s: int = 60):
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s * 1000)
+    deadline = time.time() + timeout_s
+    while query.isActive and time.time() < deadline:
+        time.sleep(0.5)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stats_stream_matches_batch(spark, event_stream_dir):
+    schema = spark.read.parquet(event_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    streamed = _run_stream_to_memory(
+        spark,
+        tumbling_stats(stream, window="1 hour", with_watermark="2 hours"),
+        "tumbling_mem",
+    ).toPandas()
+    batch = tumbling_stats(
+        spark.read.parquet(event_stream_dir), window="1 hour"
+    ).toPandas()
+    key = ["window_start", "event_type"]
+    left = streamed.sort_values(key).reset_index(drop=True)
+    right = batch.sort_values(key).reset_index(drop=True)
+    assert len(left) == len(right) > 0
+    assert (left["n_events"].values == right["n_events"].values).all()
+
+
+def test_sessionize_stream_runs_with_state(spark, event_stream_dir):
+    schema = spark.read.parquet(event_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    sessions = _run_stream_to_memory(
+        spark,
+        sessionize(stream, gap="5 minutes", with_watermark="1 hour"),
+        "sessions_mem",
+    )
+    pdf = sessions.toPandas()
+    assert len(pdf) > 0
+    # session invariant: within a user, consecutive session starts are at
+    # least the gap apart
+    import pandas as pd
+
+    for _, grp in pdf.sort_values("session_start").groupby("user_id"):
+        diffs = grp["session_start"].diff().dropna()
+        assert (diffs >= pd.Timedelta(minutes=5)).all()
