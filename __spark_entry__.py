@@ -949,6 +949,42 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (exact pairwise baseline; the
+# LSH-bucketed scale path is q_ann_lsh)
+# --------------------------------------------------------------------------
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.similarity import cosine_similarity
+    from hbsir_old_spark.session import ensure_min_partitions
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dup = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    corpus = ensure_min_partitions(emb.unionByName(dup))
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    sims = pairs.withColumn("__sim__", cosine_similarity(F.col("va"), F.col("vb")))
+    return sims.filter(F.col("__sim__") >= 0.9999).select(
+        "id_a", "id_b", F.round("__sim__", 4).alias("cosine")
+    )
+
+
+SQL_EMBEDDING_DEDUP = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.9999
+"""
+
+
+# --------------------------------------------------------------------------
 # DSL pipeline: the engine's declarative schema (table_list + instructions)
 # driving filter translation, computed/categorical columns, aggregate, and
 # final projection — one Catalyst plan end to end (SURVEY §3.1 shape)
@@ -1128,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_ann_lsh": q_ann_lsh,
         "x10_multimodal_features": q_multimodal_features,
         "x11_bpe_token_count": q_bpe_token_count,
+        "x12_embedding_dedup": q_embedding_dedup,
         "g1_dsl_pipeline": q_dsl_pipeline,
     }
 
@@ -1170,5 +1207,6 @@ def oracle_sql() -> dict[str, str]:
         "x8_cosine_topk": SQL_COSINE_TOPK,
         "x10_multimodal_features": SQL_MULTIMODAL_FEATURES,
         "x11_bpe_token_count": SQL_BPE_TOKEN_COUNT,
+        "x12_embedding_dedup": SQL_EMBEDDING_DEDUP,
         "g1_dsl_pipeline": SQL_DSL_PIPELINE,
     }

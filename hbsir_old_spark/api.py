@@ -116,6 +116,63 @@ class HBSIREngine:
         return out.drop("__scale__")
 
     # -- calculators -----------------------------------------------------
+    #: variable aliases of the reference quantile family (quantile.py:52-60)
+    QUANTILE_VARIABLES = {
+        "Income": ("Total_Income", "Income"),
+        "Gross_Expenditure": ("Total_Expenditure", "Gross_Expenditure"),
+        "Net_Expenditure": ("Total_Expenditure", "Yearly_Expenditure"),
+    }
+
+    def add_quantile_by_variable(
+        self,
+        table: DataFrame,
+        variable: str = "Gross_Expenditure",
+        bins: int = 10,
+        out_col: str | None = None,
+        equivalence_scale: str | None = None,
+        for_all: bool = True,
+        years=None,
+    ) -> DataFrame:
+        """W3: rank households by a DERIVED variable (Total_Income /
+        Total_Expenditure), optionally per-capita via an equivalence scale,
+        then attach the bin to the caller's table by (Year, ID) join — the
+        reference's positional index assignment becomes a key join
+        (SURVEY §7.3). ``for_all=False`` restricts the ranking population to
+        the caller's households (quantile.py:115-117)."""
+        from hbsir_old_spark.operators.quantile import add_quantile_bin, weighted_ecdf
+
+        if years is None:
+            years = [r[0] for r in table.select("Year").distinct().collect()]
+        source_table, value_col = self.QUANTILE_VARIABLES[variable]
+        values = self.load_table(source_table, sorted(years)).select(
+            "Year", "ID", F.col(value_col).alias("__value__")
+        )
+        if equivalence_scale:
+            scales = self.load_table("Equivalence_Scale", sorted(years)).select(
+                "Year", "ID", F.col(equivalence_scale).alias("__scale__")
+            )
+            values = (
+                values.join(F.broadcast(scales), ["Year", "ID"], "left")
+                .withColumn("__value__", F.col("__value__") / F.col("__scale__"))
+                .drop("__scale__")
+            )
+        if not for_all:
+            values = values.join(table.select("Year", "ID").distinct(), ["Year", "ID"], "left_semi")
+        weighted = self.registry.add_weights(values, sorted(years))
+        ranked = weighted_ecdf(
+            weighted, "__value__", "Weight", group_cols=("Year",),
+            out_col="__q__", tiebreaker_cols=("ID",),
+        )
+        name = out_col or ("Decile" if bins == 10 else "Percentile" if bins == 100 else f"Bin{bins}")
+        binned = add_quantile_bin(ranked, "__q__", bins, name).select("Year", "ID", name)
+        return table.join(binned, ["Year", "ID"], "left")
+
+    def frame(self, df: DataFrame):
+        """P22 sugar: ``engine.frame(df).view.original``."""
+        from hbsir_old_spark.hbsframe import HBSFrame
+
+        return HBSFrame(df, self)
+
     def average_table(self, table: DataFrame, **kwargs) -> DataFrame:
         return average_table_op(table, **kwargs)
 

@@ -94,6 +94,29 @@ def build_classification_dim(
     return dim
 
 
+#: dims with at most this many interval rows per level compile to a CASE
+#: chain instead of a join — zero join, whole-stage codegen, and the
+#: predicate logic can const-fold/push down
+EXPRESSION_STRATEGY_MAX_ROWS = 128
+
+
+def _expression_lookup(
+    rows: list[dict],
+    code_col: str,
+    year_col: str | None,
+    aspect: str,
+) -> Column:
+    """Compile interval rows into one when-chain Column: intervals within a
+    (year, level) slice are disjoint (validated), so order is free."""
+    expr = F.lit(None).cast("string")
+    for r in rows:
+        cond = (F.col(code_col) >= r["code_start"]) & (F.col(code_col) < r["code_end"])
+        if year_col is not None and r.get("year") is not None:
+            cond = cond & (F.col(year_col) == r["year"])
+        expr = F.when(cond, F.lit(r.get(aspect))).otherwise(expr)
+    return expr
+
+
 def add_classification(
     df: DataFrame,
     dim: ClassificationDim | DataFrame,
@@ -104,23 +127,74 @@ def add_classification(
     column_names: dict[str, str] | None = None,
     missing_value_replacements: dict[str, str] | None = None,
     validate: bool = True,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Left-join classification labels onto ``df`` — one output column per
+    """Attach classification labels to ``df`` — one output column per
     (aspect, level), named ``{aspect}_{level}`` (or per ``column_names``,
     keyed like the default name). Reference semantics decoder.py:457-476.
+
+    ``strategy``: ``"expression"`` compiles small dims to CASE chains (no
+    join at all); ``"join"`` broadcast-range-joins the dimension (the path
+    for hundreds+ of intervals); ``"auto"`` picks by dim size per level.
     """
-    if isinstance(dim, ClassificationDim):
-        if validate:
-            dim.validate_disjoint()
-        spark = df.sparkSession
-        dim_df = dim.to_spark(spark)
-        aspects = tuple(aspects or dim.aspects)
-    else:
-        dim_df = dim
-        aspects = tuple(aspects)
     column_names = column_names or {}
     missing_value_replacements = missing_value_replacements or {}
 
+    def out_name(aspect: str, level: int) -> str:
+        default = f"{aspect}_{level}" if len(levels) > 1 or len(aspects) > 1 else aspect
+        return column_names.get(default, default)
+
+    out = df
+    if isinstance(dim, ClassificationDim):
+        if validate:
+            dim.validate_disjoint()
+        aspects = tuple(aspects or dim.aspects)
+        year_aware = year_col is not None and year_col in df.columns
+        rows_by_level: dict[int, list[dict]] = {}
+        for r in dim.rows:
+            rows_by_level.setdefault(r["level"], []).append(r)
+        remaining_levels = []
+        for level in levels:
+            rows = rows_by_level.get(level, [])
+            if strategy == "join" or (
+                strategy == "auto" and len(rows) > EXPRESSION_STRATEGY_MAX_ROWS
+            ):
+                remaining_levels.append(level)
+                continue
+            for aspect in aspects:
+                out = out.withColumn(
+                    out_name(aspect, level),
+                    _expression_lookup(
+                        rows, code_col, year_col if year_aware else None, aspect
+                    ),
+                )
+        if remaining_levels:
+            out = _join_classification(
+                out, dim.to_spark(df.sparkSession), code_col, year_col,
+                remaining_levels, aspects, out_name,
+            )
+    else:
+        aspects = tuple(aspects)
+        out = _join_classification(
+            out, dim, code_col, year_col, list(levels), aspects, out_name
+        )
+
+    for name, default in missing_value_replacements.items():
+        if name in out.columns:
+            out = out.withColumn(name, F.coalesce(F.col(name), F.lit(default)))
+    return out
+
+
+def _join_classification(
+    df: DataFrame,
+    dim_df: DataFrame,
+    code_col: str,
+    year_col: str | None,
+    levels: Sequence[int],
+    aspects: Sequence[str],
+    out_name,
+) -> DataFrame:
+    """Broadcast range-join path (per level, so the fact never shuffles)."""
     year_aware = year_col is not None and "year" in dim_df.columns and year_col in df.columns
     out = df
     for level in levels:
@@ -129,9 +203,7 @@ def add_classification(
         if year_aware:
             sel.append(F.col("year").alias("__cls_year__"))
         for aspect in aspects:
-            default_name = f"{aspect}_{level}" if len(levels) > 1 or len(aspects) > 1 else aspect
-            out_name = column_names.get(default_name, default_name)
-            sel.append(F.col(aspect).alias(out_name))
+            sel.append(F.col(aspect).alias(out_name(aspect, level)))
         level_dim = level_dim.select(*sel)
 
         cond = (F.col(code_col) >= F.col("code_start")) & (F.col(code_col) < F.col("code_end"))
@@ -140,7 +212,4 @@ def add_classification(
         out = out.join(F.broadcast(level_dim), cond, "left").drop(
             "code_start", "code_end", "__cls_year__"
         )
-    for name, default in missing_value_replacements.items():
-        if name in out.columns:
-            out = out.withColumn(name, F.coalesce(F.col(name), F.lit(default)))
     return out

@@ -1,0 +1,112 @@
+"""External-dataset registry: dotted-name addressing with goto/alias/from
+indirection (reference parity:
+/root/reference/hbsir/external_data/external_data_cleaner.py:80-175 and
+metadata/external_data.yaml).
+
+Resolution semantics:
+* navigate the metadata dict part by part; a ``goto`` entry redirects to a
+  new dotted address with the REMAINING parts appended;
+* an ``alias`` entry names the sibling sub-key to use when the address
+  stops at this node;
+* leaf types: ``manual`` (table provided out-of-band), ``url`` (fetch raw
+  file then apply the named cleaning function), ``from`` (load the listed
+  datasets recursively, then combine via the cleaning function).
+
+External tables are small (CPI series, Gini, county maps) — cleaned on the
+driver in pandas and lifted to Spark with ``createDataFrame``, then
+broadcast into fact joins. The fetcher is injectable; the default raises
+(no network in this environment), and cleaned results are parquet-cached.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Mapping
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+Cleaner = Callable[[Any], pd.DataFrame]
+Fetcher = Callable[[str, str], None]
+
+
+def _default_fetcher(url: str, dest: str) -> None:
+    raise NotImplementedError(
+        f"no network access in this environment; provide a fetcher to download {url!r}"
+    )
+
+
+class ExternalDataRegistry:
+    def __init__(
+        self,
+        spark: SparkSession,
+        metadata: Mapping[str, Any],
+        cleaners: Mapping[str, Cleaner] | None = None,
+        manual_tables: Mapping[str, pd.DataFrame] | None = None,
+        fetcher: Fetcher | None = None,
+        cache_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.metadata = dict(metadata)
+        self.cleaners = dict(cleaners or {})
+        self.manual_tables = dict(manual_tables or {})
+        self.fetcher = fetcher or _default_fetcher
+        self.cache_dir = cache_dir
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+
+    # -- address resolution ----------------------------------------------
+    def _navigate(self, name: str) -> tuple[str, Any]:
+        parts = name.split(".")
+        meta: Any = self.metadata
+        walked: list[str] = []
+        while parts:
+            part = parts.pop(0)
+            if not isinstance(meta, Mapping) or part not in meta:
+                raise KeyError(f"external dataset {'.'.join(walked + [part])!r} not found")
+            meta = meta[part]
+            walked.append(part)
+            if isinstance(meta, Mapping) and "goto" in meta:
+                target = meta["goto"].split(".") + parts
+                return self._navigate(".".join(target))
+        if isinstance(meta, Mapping) and "alias" in meta:
+            return self._navigate(".".join(walked + [meta["alias"]]))
+        return ".".join(walked), meta
+
+    def _cleaner(self, name: str) -> Cleaner:
+        key = name.replace(".", "_")
+        if key not in self.cleaners:
+            raise KeyError(f"no cleaning function registered for {name!r} (key {key!r})")
+        return self.cleaners[key]
+
+    # -- loading ---------------------------------------------------------
+    def load_pandas(self, name: str) -> pd.DataFrame:
+        resolved, meta = self._navigate(name)
+        cache_path = (
+            os.path.join(self.cache_dir, f"{resolved}.parquet") if self.cache_dir else None
+        )
+        if cache_path and os.path.exists(cache_path):
+            return pd.read_parquet(cache_path)
+
+        if meta == "manual" or (isinstance(meta, Mapping) and "manual" in meta):
+            table = self.manual_tables[resolved]
+        elif isinstance(meta, Mapping) and "from" in meta:
+            sources = meta["from"]
+            sources = sources if isinstance(sources, list) else [sources]
+            loaded = [self.load_pandas(s) for s in sources]
+            table = self._cleaner(resolved)(loaded if len(loaded) > 1 else loaded)
+        elif isinstance(meta, Mapping) and "url" in meta:
+            raw_path = os.path.join(self.cache_dir or ".", "_raw", resolved)
+            os.makedirs(os.path.dirname(raw_path), exist_ok=True)
+            self.fetcher(meta["url"], raw_path)
+            table = self._cleaner(resolved)(raw_path)
+        else:
+            raise ValueError(f"external dataset {resolved!r} has no recognized type")
+
+        if cache_path:
+            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+            table.to_parquet(cache_path, index=False)
+        return table
+
+    def load(self, name: str) -> DataFrame:
+        return self.spark.createDataFrame(self.load_pandas(name))

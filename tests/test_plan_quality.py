@@ -28,8 +28,27 @@ def test_projection_prunes_scan_columns(spark, sf_dir):
     assert "l_shipdate" not in scan and "l_returnflag" not in scan
 
 
-def test_classification_join_broadcasts(spark, sf_dir):
+def test_classification_small_dim_compiles_to_expression(spark, sf_dir):
+    # small dims need no join at all: the labels are CASE chains
     df = entry_mod.q_classification_join(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert "CASE WHEN" in plan
+
+
+def test_classification_large_dim_broadcast_joins(spark, sf_dir):
+    from hbsir_old_spark.operators.classification import (
+        add_classification,
+        build_classification_dim,
+    )
+
+    items = {
+        f"band{i}": {"code": {"start": i * 10, "end": i * 10 + 10}, "level": 1}
+        for i in range(300)  # above the expression-strategy cutoff
+    }
+    dim = build_classification_dim({"items": items})
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = add_classification(li, dim, code_col="l_partkey", year_col=None)
     plan = plan_of(df)
     assert "Broadcast" in plan
     assert "SortMergeJoin" not in plan

@@ -1,0 +1,150 @@
+"""Tests: external-data registry (goto/alias/from resolution), raw CSV
+urban/rural loading + clean chain (S1), quantile-by-variable (W3), and the
+view accessor sugar (P22)."""
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hbsir_fixtures import write_fixture_parquet  # noqa: E402
+from hbsir_old_spark.api import HBSIREngine, parquet_base_loader  # noqa: E402
+from hbsir_old_spark.sources.cleaner import clean_table, load_raw_csv  # noqa: E402
+from hbsir_old_spark.sources.external import ExternalDataRegistry  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("fixtures2"))
+    write_fixture_parquet(root)
+    return HBSIREngine(spark, base_loader=parquet_base_loader(spark, root))
+
+
+class TestExternalRegistry:
+    METADATA = {
+        "counties": "manual",
+        "cpi": {"goto": "sci.cpi_1400"},
+        "sci": {
+            "cpi_1400": {
+                "alias": "annual",
+                "annual": {"from": "sci.cpi_raw"},
+                "monthly": "manual",
+            },
+            "cpi_raw": "manual",
+        },
+    }
+
+    def _registry(self, spark, tmp_path=None):
+        cpi_raw = pd.DataFrame({"Year": [1394, 1400], "CPI": [50.0, 100.0]})
+        counties = pd.DataFrame({"code": [1001], "name": ["TestCounty"]})
+
+        def clean_annual(tables):
+            (raw,) = tables
+            return raw.assign(CPI=raw.CPI * 1.0)
+
+        return ExternalDataRegistry(
+            spark,
+            self.METADATA,
+            cleaners={"sci_cpi_1400_annual": clean_annual},
+            manual_tables={
+                "counties": counties,
+                "sci.cpi_raw": cpi_raw,
+                "sci.cpi_1400.monthly": cpi_raw.assign(Month=1),
+            },
+            cache_dir=str(tmp_path) if tmp_path else None,
+        )
+
+    def test_manual_dataset(self, spark):
+        df = self._registry(spark).load("counties")
+        assert df.collect()[0]["name"] == "TestCounty"
+
+    def test_goto_alias_from_chain(self, spark):
+        # cpi -> goto sci.cpi_1400 -> alias annual -> from sci.cpi_raw -> cleaner
+        df = self._registry(spark).load("cpi")
+        rows = {r["Year"]: r["CPI"] for r in df.collect()}
+        assert rows == {1394: 50.0, 1400: 100.0}
+
+    def test_goto_with_remainder(self, spark):
+        df = self._registry(spark).load("cpi.monthly")  # goto + appended part
+        assert df is not None
+
+    def test_cache_roundtrip(self, spark, tmp_path):
+        reg = self._registry(spark, tmp_path)
+        reg.load("cpi")
+        assert os.path.exists(os.path.join(str(tmp_path), "sci.cpi_1400.annual.parquet"))
+        again = reg.load("cpi")
+        assert again.count() == 2
+
+    def test_missing_dataset_errors(self, spark):
+        with pytest.raises(KeyError):
+            self._registry(spark).load("nope.nothing")
+
+    def test_url_fetch_is_stubbed(self, spark):
+        reg = ExternalDataRegistry(spark, {"x": {"url": "http://example.com/a.xlsx"}})
+        with pytest.raises(NotImplementedError):
+            reg.load("x")
+
+
+class TestRawCsv:
+    def test_urban_rural_union_and_clean(self, spark, tmp_path):
+        urban = tmp_path / "U00.csv"
+        rural = tmp_path / "R00.csv"
+        urban.write_text("ADRS,G01\n10001,5\n10002,7\n")
+        rural.write_text("ADRS,G01,EXTRA\n20001,3,x\n")
+        raw = load_raw_csv(spark, str(urban), str(rural))
+        assert raw.count() == 3
+        assert set(raw.columns) == {"ADRS", "G01", "EXTRA", "Urban_Rural"}
+        meta = {
+            "columns": {
+                "ADRS": {"new_name": "ID", "type": "unsigned"},
+                "G01": {"new_name": "Grams", "type": "float"},
+                "EXTRA": "drop",
+                "Urban_Rural": {},
+            }
+        }
+        cleaned = clean_table(raw, meta, 1400)
+        rows = {r["ID"]: r for r in cleaned.collect()}
+        assert rows[20001]["Urban_Rural"] == "Rural" and rows[10001]["Grams"] == 5.0
+
+
+class TestQuantileByVariable:
+    def test_decile_from_total_expenditure(self, spark, engine):
+        hh = engine.load_table("household_information", [1400])
+        with_decile = engine.add_quantile_by_variable(
+            hh, variable="Gross_Expenditure", bins=10
+        )
+        deciles = [r["Decile"] for r in with_decile.select("Decile").collect()]
+        assert all(d is None or 1 <= d <= 10 for d in deciles)
+        assert any(d is not None for d in deciles)
+
+    def test_for_all_false_restricts_population(self, spark, engine):
+        hh = engine.load_table("household_information", [1400]).limit(5)
+        restricted = engine.add_quantile_by_variable(
+            hh, variable="Gross_Expenditure", bins=10, for_all=False
+        )
+        assert restricted.count() == 5
+
+    def test_equivalence_adjusted_ranking_changes(self, spark, engine):
+        hh = engine.load_table("household_information", [1400])
+        plain = engine.add_quantile_by_variable(hh, bins=100, out_col="P1")
+        adjusted = engine.add_quantile_by_variable(
+            hh, bins=100, out_col="P2", equivalence_scale="OECD"
+        )
+        joined = plain.select("ID", "P1").join(adjusted.select("ID", "P2"), "ID")
+        diffs = joined.filter(F.col("P1") != F.col("P2")).count()
+        assert diffs > 0  # per-capita ranking reorders households
+
+
+class TestViewSugar:
+    def test_view_accessor(self, spark, engine):
+        food = engine.load_table("food", [1400])
+        classified = engine.frame(food).view.Food_NonFood
+        assert "item_key" in classified.columns
+        classified2 = engine.frame(food).view["original"]
+        assert "item_key_1" in classified2.columns
