@@ -745,6 +745,58 @@ FROM numbered GROUP BY user_id, session_no
 # Extensions: dedup / text / similarity / multimodal on documents+embeddings
 # --------------------------------------------------------------------------
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.streaming.events import sliding_counts
+
+    events = _events(spark, sf_dir)
+    counts = sliding_counts(events, window="1 hour", slide="30 minutes")
+    return counts.select(
+        F.unix_millis("window_start").alias("window_start_ms"), "n_events"
+    )
+
+
+# each event belongs to exactly two 1h/30m sliding windows: the ones starting
+# at its 30-minute bucket and 30 minutes before it
+SQL_EVENTS_SLIDING = """
+WITH buckets AS (
+  SELECT unnest([
+           time_bucket(INTERVAL '30 minutes', ts),
+           time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+         ]) AS w
+  FROM events
+)
+SELECT epoch_ms(w)::BIGINT AS window_start_ms, count(*)::BIGINT AS n_events
+FROM buckets GROUP BY 1
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey", "l_suppkey").alias("n_part_supp"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey)::BIGINT AS n_suppliers,
+       count(DISTINCT (l_partkey, l_suppkey))::BIGINT AS n_part_supp,
+       count(*)::BIGINT AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperLogLog++ sketch — the 100 TB path for cardinality; approximate by
+    # design => rows-only driver check (q_distinct_agg is the exact twin)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = union_tables(
@@ -1153,6 +1205,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p13_cpi_deflation": q_cpi_deflation,
         "s1_events_tumbling": q_events_tumbling,
         "s2_events_sessions": q_events_sessions,
+        "s3_events_sliding": q_events_sliding,
+        "a6_distinct_agg": q_distinct_agg,
+        "a7_approx_distinct": q_approx_distinct,
         "x1_dedup_exact": q_dedup_exact,
         "x2_ngram_jaccard": q_ngram_jaccard,
         "x3_minhash_lsh": q_minhash_lsh,
@@ -1196,6 +1251,10 @@ def oracle_sql() -> dict[str, str]:
         "p13_cpi_deflation": SQL_CPI_DEFLATION,
         "s1_events_tumbling": SQL_EVENTS_TUMBLING,
         "s2_events_sessions": SQL_EVENTS_SESSIONS,
+        "s3_events_sliding": SQL_EVENTS_SLIDING,
+        "a6_distinct_agg": SQL_DISTINCT_AGG,
+        # a7_approx_distinct: HLL sketch, approximate by design => rows-only
+        # check; a6_distinct_agg is the exact twin.
         "x1_dedup_exact": SQL_DEDUP_EXACT,
         "x2_ngram_jaccard": SQL_NGRAM_JACCARD,
         # x3_minhash_lsh / x4_simhash_pairs / x9_ann_lsh: approximate by

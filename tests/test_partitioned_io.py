@@ -1,0 +1,35 @@
+"""Partitioned parquet round-trip + partition-pruning plan checks."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hbsir_fixtures import write_fixture_parquet  # noqa: E402
+from hbsir_old_spark.api import HBSIREngine, parquet_base_loader  # noqa: E402
+from hbsir_old_spark.sources.writer import read_partitioned, write_partitioned  # noqa: E402
+
+
+def test_partitioned_roundtrip_and_pruning(spark, tmp_path):
+    root = str(tmp_path / "fixtures")
+    write_fixture_parquet(root)
+    engine = HBSIREngine(spark, base_loader=parquet_base_loader(spark, root))
+    table = engine.load_table("food", [1375, 1394, 1400])
+
+    out = str(tmp_path / "food_partitioned")
+    write_partitioned(table, out, partition_cols=("Year",))
+    assert sorted(d for d in os.listdir(out) if d.startswith("Year=")) == [
+        "Year=1375", "Year=1394", "Year=1400",
+    ]
+
+    back = read_partitioned(spark, out)
+    assert back.count() == table.count()
+
+    filtered = back.filter(F.col("Year") == 1400)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "Year" in plan.split("PartitionFilters")[1][:120]
+    # pruned scan reads only the one directory
+    assert filtered.count() == table.filter(F.col("Year") == 1400).count()
