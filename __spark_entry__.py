@@ -980,6 +980,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb_d, queries, k=5, planes=16, bands=8, dim=64)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF coarse-quantizer ANN — approximate => rows-only check
+    # (q_cosine_topk is the exact baseline)
+    from hbsir_old_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emb_d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb_d.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb_d, queries, k=5, n_centroids=16, n_probe=4)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     assets = docs.select(
@@ -1217,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_rolling_fingerprint": q_rolling_fingerprint,
         "x8_cosine_topk": q_cosine_topk,
         "x9_ann_lsh": q_ann_lsh,
+        "x13_ivf_topk": q_ivf_topk,
         "x10_multimodal_features": q_multimodal_features,
         "x11_bpe_token_count": q_bpe_token_count,
         "x12_embedding_dedup": q_embedding_dedup,

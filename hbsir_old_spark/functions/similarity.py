@@ -95,6 +95,70 @@ def srp_signature(vec_col: Column | str, planes: int = 16, dim: int = 64) -> Col
     return out
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: a deterministic coarse quantizer.
+
+    1. centroids = the ``n_centroids`` corpus vectors with the smallest
+       xxhash64(id) (deterministic sample — no trained model, no RNG);
+    2. every corpus row is assigned to its nearest centroid (one broadcast
+       of the tiny centroid set; cost O(rows x centroids) map-side);
+    3. each query probes its ``n_probe`` nearest centroids and re-ranks
+       exactly (cosine) within those inverted lists only.
+
+    At 100 TB the inverted lists would be written bucketed by centroid id so
+    probing prunes files; here the assignment column plays that role.
+    Recall < 1 by design — :func:`cosine_topk` is the exact baseline.
+    """
+    corpus = ensure_min_partitions(corpus)
+    c = corpus.select(F.col(id_col).alias("__cid__"), F.col(vec_col).alias("__cvec__"))
+    centroids = (
+        c.withColumn("__h__", F.xxhash64(F.col("__cid__")))
+        .orderBy("__h__")
+        .limit(n_centroids)
+        .select(F.col("__cid__").alias("__centroid__"), F.col("__cvec__").alias("__centvec__"))
+    )
+
+    def assign(df: DataFrame, idc: str, vecc: str, keep: int) -> DataFrame:
+        scored = df.join(F.broadcast(centroids)).withColumn(
+            "__csim__", cosine_similarity(F.col(vecc), F.col("__centvec__"))
+        )
+        w = Window.partitionBy(idc).orderBy(F.col("__csim__").desc(), F.col("__centroid__"))
+        return (
+            scored.withColumn("__crank__", F.row_number().over(w))
+            .filter(F.col("__crank__") <= keep)
+            .drop("__centvec__", "__csim__", "__crank__")
+        )
+
+    assigned = assign(c, "__cid__", "__cvec__", keep=1)
+    q = queries.select(F.col(query_id_col).alias("__qid__"), F.col(vec_col).alias("__qvec__"))
+    probed = assign(q, "__qid__", "__qvec__", keep=n_probe)
+
+    cand = assigned.join(
+        F.broadcast(probed), on="__centroid__"
+    ).filter(F.col("__cid__") != F.col("__qid__"))
+    sims = cand.withColumn("__sim__", cosine_similarity(F.col("__cvec__"), F.col("__qvec__")))
+    w = Window.partitionBy("__qid__").orderBy(F.col("__sim__").desc(), F.col("__cid__"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid__").alias(query_id_col),
+            F.col("__cid__").alias(id_col),
+            F.col("rank"),
+            F.round("__sim__", 6).alias("cosine"),
+        )
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
