@@ -66,6 +66,28 @@ class HBSIREngine:
         """Main query path (reference api.py:94-191, processed form)."""
         return self.registry.load_table(name, self.parse_years(years))
 
+    def create_table_with_schema(self, schema: Mapping, years=None, name: str = "_adhoc") -> DataFrame:
+        """Build a table from a caller-supplied schema dict (reference
+        ``create_table_with_schema``, api.py) — the user's dict is resolved
+        with the same year-versioning and instruction set as packaged
+        schemas, layered over the engine's registry for dependencies."""
+        merged = dict(self.registry.schema)
+        if "table_list" in schema or "instructions" in schema:
+            merged[name] = dict(schema)
+            target = name
+        else:
+            merged.update({k: dict(v) for k, v in schema.items()})
+            target = next(iter(schema))
+        scratch = TableRegistry(
+            self.spark,
+            schema=merged,
+            metadata=self.registry.metadata,
+            base_loader=self.registry.base_loader,
+            external_functions=self.registry.compiler.external_functions,
+            cache=None,
+        )
+        return scratch.load_table(target, self.parse_years(years))
+
     # -- decoders --------------------------------------------------------
     def add_classification(self, table: DataFrame, name: str = "original", **kwargs) -> DataFrame:
         return self.registry.add_classification(table, name=name, **kwargs)

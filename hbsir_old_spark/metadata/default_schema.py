@@ -112,6 +112,70 @@ DEFAULT_SCHEMA = {
             },
         ],
     },
+    "Original_Outlays": {
+        # outlays net out secondhand sales of durables (schema.yaml outlay
+        # chain shape); operand-only coalesce handles the missing column in
+        # food via union null-fill
+        "table_list": {1363: ["food"], 1380: ["food", "durable"]},
+        "instructions": [
+            {"apply_filter": "Code not in [18888, 19993]"},
+            {
+                "create_column": {
+                    "name": "Gross_Outlay",
+                    "type": "numerical",
+                    "expression": "Expenditure - Secondhand_Sale",
+                }
+            },
+        ],
+    },
+    "Outlays": {
+        "table_list": ["Original_Outlays"],
+        "instructions": [
+            {
+                "create_column": {
+                    "name": "Yearly_Outlay",
+                    "type": "numerical",
+                    "expression": "Gross_Outlay / Duration * 360",
+                }
+            },
+        ],
+    },
+    "Total_Outlay": {
+        "table_list": ["Outlays"],
+        "cache_result": True,
+        "instructions": [
+            {
+                "aggregate": {
+                    "groupby": ["Year", "ID"],
+                    "columns": ["Gross_Outlay", "Yearly_Outlay"],
+                    "agg": "sum",
+                }
+            },
+        ],
+    },
+    "Imputed_Rent": {
+        # housing-code rows (31100-31999) valued as rent (schema.yaml:980-1008
+        # shape: code-range filter + per-household sum)
+        "table_list": {1363: ["food"], 1380: ["food", "durable"]},
+        "instructions": [
+            {"apply_filter": "Code >= 31100 & Code < 32000"},
+            {
+                "create_column": {
+                    "name": "Imputed_Rent",
+                    "type": "numerical",
+                    "expression": "Expenditure",
+                }
+            },
+            {
+                "aggregate": {
+                    "groupby": ["Year", "ID"],
+                    "columns": ["Imputed_Rent"],
+                    "agg": "sum",
+                }
+            },
+            {"apply_filter": "Imputed_Rent.notnull() & (Imputed_Rent > 0)"},
+        ],
+    },
     "_long_other_income": {
         "table_list": ["other_income"],
         "instructions": [
@@ -137,6 +201,31 @@ DEFAULT_SCHEMA = {
             {
                 "aggregate": {
                     "groupby": ["Year", "ID", "Income_Type"],
+                    "columns": ["Income"],
+                    "agg": "sum",
+                }
+            },
+        ],
+    },
+    "Members_Income_Breakdown": {
+        "table_list": ["_long_other_income"],
+        "instructions": [
+            {
+                "aggregate": {
+                    "groupby": ["Year", "ID", "Member_Number", "Income_Type"],
+                    "columns": ["Income"],
+                    "agg": "sum",
+                }
+            },
+        ],
+    },
+    "Members_Total_Income": {
+        "table_list": ["Members_Income_Breakdown"],
+        "cache_result": True,
+        "instructions": [
+            {
+                "aggregate": {
+                    "groupby": ["Year", "ID", "Member_Number"],
                     "columns": ["Income"],
                     "agg": "sum",
                 }

@@ -119,6 +119,9 @@ def build_tables() -> dict[tuple[int, str], pd.DataFrame]:
                         "Code": code,
                         "Duration": 360,
                         "Expenditure": float(rng.randint(1_000, 50_000)),
+                        "Secondhand_Sale": (
+                            float(rng.randint(100, 900)) if rng.randint(0, 3) == 0 else None
+                        ),
                     }
                 )
         tables[(year, "durable")] = pd.DataFrame(durable)

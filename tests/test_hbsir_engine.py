@@ -133,6 +133,65 @@ class TestLoadTable:
         ).df()
         assert_frames_match(df, expected)
 
+    def test_outlay_chain_nets_secondhand_sales(self, engine, oracle):
+        df = engine.load_table("Total_Outlay", [1400])
+        expected = oracle.sql(
+            """
+            SELECT Year, ID,
+                   sum(coalesce(Expenditure, 0) - coalesce(Secondhand_Sale, 0)) AS Gross_Outlay,
+                   sum((coalesce(Expenditure, 0) - coalesce(Secondhand_Sale, 0)) / Duration * 360)
+                       AS Yearly_Outlay
+            FROM (SELECT * FROM food_1400 UNION ALL BY NAME SELECT * FROM durable_1400)
+            WHERE Code NOT IN (18888, 19993)
+            GROUP BY Year, ID
+            """
+        ).df()
+        assert_frames_match(df, expected)
+
+    def test_imputed_rent_housing_codes_only(self, engine, oracle):
+        df = engine.load_table("Imputed_Rent", [1394, 1400])
+        expected = oracle.sql(
+            """
+            SELECT Year, ID, sum(coalesce(Expenditure, 0)) AS Imputed_Rent
+            FROM durable WHERE Code BETWEEN 31100 AND 31999 AND Year IN (1394, 1400)
+            GROUP BY Year, ID
+            HAVING sum(coalesce(Expenditure, 0)) > 0
+            """
+        ).df()
+        assert_frames_match(df, expected)
+
+    def test_members_income_tables(self, engine, oracle):
+        df = engine.load_table("Members_Total_Income", list(YEARS))
+        expected = oracle.sql(
+            """
+            WITH long AS (
+              SELECT Year, ID, Member_Number, kind, val FROM other_income
+              UNPIVOT (val FOR kind IN (Retirement, Rent, Interest, Aid, Home_Production, Transfer))
+            )
+            SELECT Year, ID, Member_Number, sum(val) AS Income
+            FROM long WHERE val > 0 GROUP BY 1, 2, 3
+            """
+        ).df()
+        assert_frames_match(df, expected)
+
+    def test_create_table_with_schema(self, engine):
+        adhoc = {
+            "table_list": ["food"],
+            "instructions": [
+                {"apply_filter": "Code not in [18888, 19993]"},
+                {
+                    "aggregate": {
+                        "groupby": ["Year", "ID"],
+                        "columns": ["Expenditure"],
+                        "agg": "sum",
+                    }
+                },
+            ],
+        }
+        df = engine.create_table_with_schema(adhoc, years=[1400])
+        assert set(df.columns) == {"Year", "ID", "Expenditure"}
+        assert df.count() > 0
+
     def test_availability_pruning(self, spark, engine, fixture_root):
         eng = HBSIREngine(
             spark,

@@ -60,6 +60,11 @@ def test_query_matches_oracle(name, spark, sf_dir):
     spark_df = QUERIES[name](spark, sf_dir).toPandas()
     con = duck_con(sf_dir)
     duck_df = con.sql(ORACLES[name]).df()
+    # strict dtype agreement BEFORE normalization — a driver that hashes
+    # typed values would see int32 vs int64 as different
+    for col in sorted(set(spark_df.columns) & set(duck_df.columns)):
+        ls, rs = str(spark_df[col].dtype), str(duck_df[col].dtype)
+        assert ls == rs, f"{name}.{col}: spark dtype {ls} != duckdb dtype {rs}"
     left, right = normalize(spark_df), normalize(duck_df)
     assert list(left.columns) == list(right.columns), (
         f"{name}: columns differ: {list(left.columns)} vs {list(right.columns)}"
