@@ -144,6 +144,13 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__id__"),
         word_shingles(text_col, n).alias("__sh__"),
     )
+    # the shingle table feeds three consumers (signature build + both sides
+    # of the verify join); persist it so the normalize/shingle expressions
+    # run once (MEMORY_AND_DISK — spills instead of OOM at scale; Spark's
+    # ContextCleaner reclaims it once the result plan is released)
+    from pyspark import StorageLevel
+
+    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     # signature via explode + codegen'd groupBy min: `min` is
     # partial-aggregable, so the shuffle carries one 16-long row per doc per
     # map partition — faster than interpreted higher-order array functions
