@@ -223,3 +223,22 @@ def parquet_base_loader(spark: SparkSession, root: str) -> BaseLoader:
         return spark.read.parquet(path)
 
     return load
+
+
+def partitioned_base_loader(spark: SparkSession, root: str) -> BaseLoader:
+    """Base loader over the cluster layout ``{root}/{table}/Year=YYYY/...``
+    (written by ``sources.writer.write_partitioned``). Each per-year request
+    is a Year-filter over the partitioned table, so the scan prunes to one
+    directory — the registry's per-year planning and parquet partition
+    pruning line up exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    def load(name: str, year: int):
+        path = os.path.join(root, name)
+        if not os.path.isdir(os.path.join(path, f"Year={year}")):
+            return None
+        return spark.read.parquet(path).filter(F.col("Year") == year)
+
+    return load

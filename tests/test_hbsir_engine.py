@@ -358,6 +358,63 @@ class TestGoldenPipeline:
         assert_frames_match(deciles.select("Year", "ID", "Decile"), expected)
 
 
+class TestPresentation:
+    def test_pivot_with_total_row(self, engine, oracle):
+        """The reference golden test's presentation shape: urban/rural
+        weighted means pivoted to columns plus a 'Total' row (union-of-
+        totals, SURVEY §2.5 note)."""
+        from hbsir_old_spark.operators.reshape import pivot_table, union_tables
+
+        exp = engine.load_table("Expenditures", [1400])
+        cls = engine.add_classification(exp, "Food_NonFood")
+        attributed = engine.add_attribute(cls, "Urban_Rural")
+        per_hh = attributed.groupBy("Year", "ID", "Urban_Rural", "item_key").agg(
+            F.sum("Yearly_Expenditure").alias("Yearly_Expenditure")
+        )
+        weighted = engine.add_weight(per_hh)
+        means = engine.average_table(
+            weighted,
+            value_cols=["Yearly_Expenditure"],
+            groupby=["Urban_Rural", "item_key"],
+        )
+        wide = pivot_table(
+            means, group_cols=("item_key",), pivot_col="Urban_Rural",
+            value_col="Yearly_Expenditure", agg="first",
+            pivot_values=("Urban", "Rural"),
+        )
+        total = wide.groupBy().agg(
+            F.lit("Total").alias("item_key"),
+            F.sum("Urban").alias("Urban"),
+            F.sum("Rural").alias("Rural"),
+        )
+        report = union_tables([wide, total])
+        rows = {r["item_key"]: r for r in report.collect()}
+        assert set(rows) == {"Food", "Non-Food", "Total"}
+        assert abs(rows["Total"]["Urban"] - (rows["Food"]["Urban"] + rows["Non-Food"]["Urban"])) < 1e-9
+
+        expected = oracle.sql(
+            """
+            WITH exp AS (
+              SELECT Year, ID, Code, coalesce(Expenditure, 0) / Duration * 360 AS yearly,
+                     CASE (ID // 10000000000) WHEN 1 THEN 'Urban' ELSE 'Rural' END AS ur
+              FROM (SELECT * FROM food_1400 UNION ALL BY NAME SELECT * FROM durable_1400)
+              WHERE Code NOT IN (18888, 19993)
+            ), per_hh AS (
+              SELECT Year, ID, ur,
+                     CASE WHEN Code BETWEEN 11100 AND 19999 THEN 'Food' ELSE 'Non-Food' END AS k,
+                     sum(yearly) AS y
+              FROM exp GROUP BY 1, 2, 3, 4
+            ), wt AS (
+              SELECT p.*, h.Weight FROM per_hh p
+              JOIN household_information_1400 h ON p.Year = h.Year AND p.ID = h.ID
+            )
+            SELECT ur, k, sum(y * Weight) / sum(Weight) AS mean FROM wt GROUP BY ur, k
+            """
+        ).df()
+        for _, row in expected.iterrows():
+            assert abs(rows[row["k"]][row["ur"]] - row["mean"]) < 1e-6
+
+
 class TestCleaner:
     def test_clean_table_compiles_types(self, spark):
         raw = spark.createDataFrame(

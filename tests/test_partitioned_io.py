@@ -33,3 +33,31 @@ def test_partitioned_roundtrip_and_pruning(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "Year" in plan.split("PartitionFilters")[1][:120]
     # pruned scan reads only the one directory
     assert filtered.count() == table.filter(F.col("Year") == 1400).count()
+
+
+def test_partitioned_base_loader_drives_registry(spark, tmp_path):
+    from hbsir_old_spark.api import partitioned_base_loader
+
+    flat_root = str(tmp_path / "flat")
+    write_fixture_parquet(flat_root)
+    flat_engine = HBSIREngine(spark, base_loader=parquet_base_loader(spark, flat_root))
+
+    part_root = str(tmp_path / "partitioned")
+    for table in ("food", "durable", "household_information", "members_properties",
+                  "other_income", "weights"):
+        try:
+            df = flat_engine.load_table(table, [1375, 1394, 1400])
+        except ValueError:
+            continue
+        write_partitioned(df, os.path.join(part_root, table), partition_cols=("Year",))
+
+    part_engine = HBSIREngine(spark, base_loader=partitioned_base_loader(spark, part_root))
+    flat_total = flat_engine.load_table("Total_Expenditure", [1394, 1400])
+    part_total = part_engine.load_table("Total_Expenditure", [1394, 1400])
+    l = flat_total.orderBy("Year", "ID").collect()
+    r = part_total.orderBy("Year", "ID").collect()
+    assert [tuple(x) for x in l] == [tuple(x) for x in r]
+
+    # pruning reaches the scan through the whole derived-table plan
+    plan = part_engine.load_table("food", [1400])._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "Year" in plan.split("PartitionFilters")[1][:120]

@@ -64,6 +64,32 @@ def test_tumbling_stats_stream_matches_batch(spark, event_stream_dir):
     assert (left["n_events"].values == right["n_events"].values).all()
 
 
+def test_streaming_dedup_within_watermark(spark, event_stream_dir, tmp_path):
+    """Streaming exactly-once dedup: duplicate event_ids arriving within the
+    watermark are dropped (dropDuplicatesWithinWatermark) — the streaming
+    face of the dedup operator family."""
+    dup_dir = str(tmp_path / "dup_events")
+    base = spark.read.parquet(event_stream_dir).limit(500)
+    base.unionByName(base).coalesce(2).write.mode("overwrite").parquet(dup_dir)
+
+    schema = spark.read.parquet(dup_dir).schema
+    stream = spark.readStream.schema(schema).parquet(dup_dir)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(60 * 1000)
+    deadline = time.time() + 60
+    while query.isActive and time.time() < deadline:
+        time.sleep(0.5)
+    assert spark.sql("SELECT count(DISTINCT event_id) FROM dedup_mem").collect()[0][0] == 500
+    assert spark.table("dedup_mem").count() == 500  # duplicates dropped
+
+
 def test_sessionize_stream_runs_with_state(spark, event_stream_dir):
     schema = spark.read.parquet(event_stream_dir).schema
     stream = spark.readStream.schema(schema).parquet(event_stream_dir)
