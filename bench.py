@@ -36,6 +36,9 @@ HEADLINE = [
     "x3_minhash_lsh",
     "x5_text_stats",
     "x8_cosine_topk",
+    "x11_bpe_token_count",
+    "a6_distinct_agg",
+    "g1_dsl_pipeline",
 ]
 
 
