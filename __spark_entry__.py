@@ -797,6 +797,90 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # semi-structured column handling: parse the JSON props payload and
+    # aggregate on an extracted field — stays JVM-side via get_json_object
+    events = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.col("k")).alias("n_with_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type,
+       count(json_extract(props, '$.k'))::BIGINT AS n_with_k,
+       round(avg(json_extract(props, '$.k')::BIGINT), 6) AS avg_k,
+       max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation pipeline: score quality -> filter ->
+    exact-dedup (over a corpus with planted duplicates) -> per-language
+    stats. Every stage exact, so the whole composition has an oracle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    doubled = union_tables(
+        [docs, docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "text")]
+    )
+    feats = quality_features("text")
+    scored = doubled.withColumn("quality_score", feats["quality_score"]).withColumn(
+        "n_tokens", token_count("text").cast("long")
+    )
+    kept = scored.filter(F.col("quality_score") >= 0.5)
+    deduped = exact_dedup(kept, text_col="text", id_col="doc_id")
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
+SQL_TRAINING_PIPELINE = """
+WITH doubled AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, text FROM documents
+), scored AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         ((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+          + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3
+          + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5
+          + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4
+          + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' to ', ''))) / 4) AS stop_hits,
+         (length(text) - length(translate(text, '.,!?;:', ''))) AS punct,
+         length(text) AS n_chars
+  FROM doubled
+), q AS (
+  SELECT doc_id, lang, text, n_tokens,
+         round(least(n_tokens / 50.0, 1.0) * 0.4
+               + least(CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0 END * 5, 1.0) * 0.4
+               + (1 - least(CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0 END * 10, 1.0)) * 0.2,
+               6) AS quality_score
+  FROM scored
+), kept AS (
+  SELECT * FROM q WHERE quality_score >= 0.5
+), deduped AS (
+  SELECT * FROM kept
+  QUALIFY doc_id = min(doc_id) OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round(avg(n_tokens), 6) AS avg_tokens,
+       round(avg(quality_score), 6) AS avg_quality
+FROM deduped GROUP BY lang
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = union_tables(
@@ -1221,6 +1305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_events_sliding": q_events_sliding,
         "a6_distinct_agg": q_distinct_agg,
         "a7_approx_distinct": q_approx_distinct,
+        "p23_json_extract": q_json_extract,
+        "g2_training_pipeline": q_training_pipeline,
         "x1_dedup_exact": q_dedup_exact,
         "x2_ngram_jaccard": q_ngram_jaccard,
         "x3_minhash_lsh": q_minhash_lsh,
@@ -1267,6 +1353,8 @@ def oracle_sql() -> dict[str, str]:
         "s2_events_sessions": SQL_EVENTS_SESSIONS,
         "s3_events_sliding": SQL_EVENTS_SLIDING,
         "a6_distinct_agg": SQL_DISTINCT_AGG,
+        "p23_json_extract": SQL_JSON_EXTRACT,
+        "g2_training_pipeline": SQL_TRAINING_PIPELINE,
         # a7_approx_distinct: HLL sketch, approximate by design => rows-only
         # check; a6_distinct_agg is the exact twin.
         "x1_dedup_exact": SQL_DEDUP_EXACT,
