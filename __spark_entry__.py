@@ -524,6 +524,25 @@ FROM per_nation
 # A4 — average_table (grouped mean, unweighted path => weight ≡ 1)
 # --------------------------------------------------------------------------
 
+def q_weighted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5: weighted totals as denominators (population totals per group)
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "Weight", ((F.col("o_custkey") % 5) + 1).cast("double")
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.sum("Weight"), 2).alias("sum_weight"),
+        F.round(F.sum(F.col("Weight") * F.col("o_totalprice")), 2).alias("weighted_total"),
+    )
+
+
+SQL_WEIGHTED_SUM = """
+SELECT o_orderpriority,
+       round(sum(((o_custkey % 5) + 1)::DOUBLE), 2) AS sum_weight,
+       round(sum(((o_custkey % 5) + 1)::DOUBLE * o_totalprice), 2) AS weighted_total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_average_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     avg = average_table(
@@ -1106,7 +1125,9 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.similarity import cosine_similarity
     from hbsir_old_spark.session import ensure_min_partitions
 
-    emb = _t(spark, sf_dir, "embeddings").select(
+    # cap the exact-pairwise corpus (deterministic prefix) so the O(n^2)
+    # baseline stays bounded at any SF; the LSH/IVF paths are the scale story
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     dup = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
@@ -1122,9 +1143,9 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EMBEDDING_DEDUP = """
 WITH corpus AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 1000
   UNION ALL
-  SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+  SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 1000
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 4) AS cosine
@@ -1295,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_fact_join": q_fact_join,
         "a2_household_math": q_household_math,
         "a4_average_table": q_average_table,
+        "a5_weighted_sum": q_weighted_sum,
         "w1_weighted_ecdf": q_weighted_ecdf,
         "w2_decile": q_decile,
         "o1_top_k": q_top_k,
@@ -1344,6 +1366,7 @@ def oracle_sql() -> dict[str, str]:
         "j6_fact_join": SQL_FACT_JOIN,
         "a2_household_math": SQL_HOUSEHOLD_MATH,
         "a4_average_table": SQL_AVERAGE_TABLE,
+        "a5_weighted_sum": SQL_WEIGHTED_SUM,
         "w1_weighted_ecdf": SQL_WEIGHTED_ECDF,
         "w2_decile": SQL_DECILE,
         "o1_top_k": SQL_TOP_K,
