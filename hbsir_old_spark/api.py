@@ -40,12 +40,14 @@ class HBSIREngine:
         classifications: Mapping | None = None,
         external_functions: Mapping | None = None,
         cache_dir: str | None = None,
-        first_year: int = 1363,
-        last_year: int = 1401,
+        settings: Mapping | None = None,
     ):
+        from hbsir_old_spark.metadata.settings import Settings
+
         self.spark = spark
-        self.first_year = first_year
-        self.last_year = last_year
+        self.settings = Settings.with_defaults(settings)
+        self.first_year = self.settings["years.first"]
+        self.last_year = self.settings["years.last"]
         self.registry = TableRegistry(
             spark,
             schema=dict(schema if schema is not None else DEFAULT_SCHEMA),
@@ -56,6 +58,7 @@ class HBSIREngine:
             base_loader=base_loader,
             external_functions={**DEFAULT_EXTERNAL_FUNCTIONS, **(external_functions or {})},
             cache=FingerprintCache(cache_dir) if cache_dir else None,
+            weight_year_threshold=self.settings["weights.household_info_from_year"] - 1,
         )
 
     # -- core loading ----------------------------------------------------

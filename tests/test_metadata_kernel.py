@@ -172,6 +172,33 @@ class TestCategorizeItems:
         assert categorize_items(meta, 1395)["items"][0]["code"] == 2
 
 
+class TestSettingsCascade:
+    def test_layered_merge_and_dotted_access(self):
+        from hbsir_old_spark.metadata.settings import Settings
+
+        s = Settings.with_defaults(
+            {"years": {"last": 1399}, "custom": {"x": 1}},
+            {"custom": {"y": 2}},
+        )
+        assert s["years.first"] == 1363  # package default survives
+        assert s["years.last"] == 1399  # project override wins
+        assert s["custom.x"] == 1 and s["custom.y"] == 2  # layers merge
+        assert s.get("nope.deep", "fallback") == "fallback"
+        import pytest as _pytest
+
+        with _pytest.raises(KeyError):
+            _ = s["years.middle"]
+
+    def test_engine_reads_settings(self, spark):
+        from hbsir_old_spark.api import HBSIREngine
+
+        eng = HBSIREngine(
+            spark, base_loader=lambda n, y: None, settings={"years": {"last": 1390}}
+        )
+        assert eng.parse_years(None)[-1] == 1390
+        assert eng.registry.weight_year_threshold == 1395
+
+
 class TestParseYears:
     def test_forms(self):
         assert parse_years(1400) == [1400]
