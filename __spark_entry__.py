@@ -682,9 +682,13 @@ SELECT s_suppkey, s_name, s_acctbal, NULL, 'supplier' FROM supplier
 # --------------------------------------------------------------------------
 
 def _cpi_dim(spark: SparkSession) -> DataFrame:
-    # deterministic CPI curve over the order-date span (base 1995 = 80, +6/yr)
-    rows = [(year, float(80 + (year - 1995) * 6)) for year in range(1990, 2011)]
-    return spark.createDataFrame(rows, schema="order_year int, cpi double")
+    # deterministic CPI curve over the order-date span (base 1995 = 80, +6/yr);
+    # built with spark.range so the dim is JVM-side (no py4j local-relation
+    # round trip on every call)
+    return spark.range(1990, 2011).select(
+        F.col("id").cast("int").alias("order_year"),
+        (80 + (F.col("id") - 1995) * 6).cast("double").alias("cpi"),
+    )
 
 
 def q_cpi_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:

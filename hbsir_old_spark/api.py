@@ -135,7 +135,9 @@ class HBSIREngine:
         scales = self.load_table("Equivalence_Scale", sorted(years)).select(
             "Year", "ID", F.col(scale).alias("__scale__")
         )
-        out = table.join(F.broadcast(scales), ["Year", "ID"], "left")
+        # equivalence scales are per-household (fact-cardinality): no
+        # broadcast hint, AQE decides
+        out = table.join(scales, ["Year", "ID"], "left")
         for c in columns:
             out = out.withColumn(c, F.col(c) / F.col("__scale__"))
         return out.drop("__scale__")
@@ -177,7 +179,7 @@ class HBSIREngine:
                 "Year", "ID", F.col(equivalence_scale).alias("__scale__")
             )
             values = (
-                values.join(F.broadcast(scales), ["Year", "ID"], "left")
+                values.join(scales, ["Year", "ID"], "left")
                 .withColumn("__value__", F.col("__value__") / F.col("__scale__"))
                 .drop("__scale__")
             )

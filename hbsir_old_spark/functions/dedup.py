@@ -138,6 +138,11 @@ def minhash_lsh_pairs(
     hashes -> self-join on (band, hash) for candidates -> exact Jaccard on
     the candidates only. Output schema matches :func:`ngram_jaccard_pairs`.
     """
+    if bands <= 0 or num_perm % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_perm ({num_perm}); "
+            "otherwise signature rows would be silently dropped"
+        )
     rows_per_band = num_perm // bands
     df = ensure_min_partitions(df)
     shingled = df.select(
@@ -225,8 +230,11 @@ def simhash(col: Column | str, bits: int = 32) -> Column:
     )
     out = F.lit(0).cast("long")
     for i in range(bits):
+        # shiftleft instead of a Python 1 << i literal: bit 63 would
+        # overflow the signed-long literal range
         out = out + F.when(
-            F.element_at(votes, i + 1) > 0, F.lit(1 << i).cast("long")
+            F.element_at(votes, i + 1) > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
         ).otherwise(F.lit(0).cast("long"))
     return out
 

@@ -120,10 +120,19 @@ DEFAULT_SCHEMA = {
         "instructions": [
             {"apply_filter": "Code not in [18888, 19993]"},
             {
+                # the expression is year-versioned like the reference YAML:
+                # Secondhand_Sale only exists once durables join the union
                 "create_column": {
-                    "name": "Gross_Outlay",
-                    "type": "numerical",
-                    "expression": "Expenditure - Secondhand_Sale",
+                    1363: {
+                        "name": "Gross_Outlay",
+                        "type": "numerical",
+                        "expression": "Expenditure",
+                    },
+                    1380: {
+                        "name": "Gross_Outlay",
+                        "type": "numerical",
+                        "expression": "Expenditure - Secondhand_Sale",
+                    },
                 }
             },
         ],

@@ -208,7 +208,12 @@ def _join_classification(
 
         cond = (F.col(code_col) >= F.col("code_start")) & (F.col(code_col) < F.col("code_end"))
         if year_aware:
-            cond = cond & (F.col(year_col) == F.col("__cls_year__"))
+            # a null dim year means "applies to every year" (year-agnostic
+            # rows must behave like the expression strategy, which skips the
+            # year predicate for them)
+            cond = cond & (
+                F.col("__cls_year__").isNull() | (F.col(year_col) == F.col("__cls_year__"))
+            )
         out = out.join(F.broadcast(level_dim), cond, "left").drop(
             "code_start", "code_end", "__cls_year__"
         )

@@ -63,8 +63,15 @@ def salted_join(
     row's key + a uniform spread via monotonically varying component is NOT
     used — pure key hash would keep the skew, so the salt comes from
     ``rand``-free row identity: ``xxhash64`` of all left columns). Right
-    rows are replicated once per salt value. Output equals the plain join.
+    rows are replicated once per salt value. Output equals the plain join
+    for inner/left/semi/anti joins; right/full outer joins would duplicate
+    unmatched right rows per salt and are rejected.
     """
+    if how.replace("_outer", "") in ("right", "full", "outer"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched right rows "
+            "would appear once per salt replica"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(factor))
     left_salted = left.withColumn("__salt__", salt)
     right_salted = right.withColumn(

@@ -174,7 +174,9 @@ class TableRegistry:
                 .withColumn("Weight", F.col("Weight") * F.coalesce(F.col("Members"), F.lit(1)))
                 .drop("Members")
             )
-        return df.join(F.broadcast(weights), ["Year", "ID"], "left")
+        # weights are PER-HOUSEHOLD (fact-cardinality), not a dimension —
+        # no broadcast hint; AQE picks broadcast only when genuinely small
+        return df.join(weights, ["Year", "ID"], "left")
 
     def add_classification(
         self,

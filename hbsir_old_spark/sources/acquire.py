@@ -48,14 +48,20 @@ def extract_archive(path: str, dest_dir: str, recursive: bool = True) -> list[st
         )
     else:
         raise ValueError(f"unsupported archive type: {path!r}")
+    # snapshot the tree BEFORE recursing — nested extraction mutates
+    # dest_dir, and walking lazily would re-visit (and re-extract) the
+    # directories the recursion just created
+    snapshot = [
+        os.path.join(root, fname)
+        for root, _, files in os.walk(dest_dir)
+        for fname in files
+    ]
     extracted: list[str] = []
-    for root, _, files in os.walk(dest_dir):
-        for fname in files:
-            full = os.path.join(root, fname)
-            if recursive and fname.lower().endswith((".zip", ".rar")) and full != path:
-                extracted.extend(extract_archive(full, os.path.join(root, fname + ".d")))
-            else:
-                extracted.append(full)
+    for full in snapshot:
+        if recursive and full.lower().endswith((".zip", ".rar")) and full != path:
+            extracted.extend(extract_archive(full, full + ".d"))
+        else:
+            extracted.append(full)
     return extracted
 
 

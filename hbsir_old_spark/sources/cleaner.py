@@ -23,6 +23,7 @@ from typing import Mapping
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from hbsir_old_spark.metadata.versioning import resolve_versioned
 
@@ -105,7 +106,7 @@ def clean_table(
         if meta is None or meta == "drop":
             continue
         raw: Column = F.col(name)
-        if scrub and str(df.schema[name].dataType) == "StringType()":
+        if scrub and isinstance(df.schema[name].dataType, T.StringType):
             raw = scrub_string(raw)
         new_name = (meta.get("new_name") if isinstance(meta, Mapping) else None) or name
         exprs.append(_typed_column(raw, meta if isinstance(meta, Mapping) else {}).alias(new_name))

@@ -94,7 +94,10 @@ class ExternalDataRegistry:
             sources = meta["from"]
             sources = sources if isinstance(sources, list) else [sources]
             loaded = [self.load_pandas(s) for s in sources]
-            table = self._cleaner(resolved)(loaded if len(loaded) > 1 else loaded)
+            # single-source 'from' entries hand the cleaner the bare frame
+            # (reference semantics: the cleaning fn signature depends on the
+            # declared source arity)
+            table = self._cleaner(resolved)(loaded if len(loaded) > 1 else loaded[0])
         elif isinstance(meta, Mapping) and "url" in meta:
             raw_path = os.path.join(self.cache_dir or ".", "_raw", resolved)
             os.makedirs(os.path.dirname(raw_path), exist_ok=True)

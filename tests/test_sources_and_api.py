@@ -44,8 +44,8 @@ class TestExternalRegistry:
         cpi_raw = pd.DataFrame({"Year": [1394, 1400], "CPI": [50.0, 100.0]})
         counties = pd.DataFrame({"code": [1001], "name": ["TestCounty"]})
 
-        def clean_annual(tables):
-            (raw,) = tables
+        def clean_annual(raw):
+            # single-source 'from' entries receive the bare frame
             return raw.assign(CPI=raw.CPI * 1.0)
 
         return ExternalDataRegistry(
