@@ -1024,7 +1024,7 @@ def _sql_lang_score(lang: str, words: tuple[str, ...]) -> str:
         f"((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2})"
         for w in words
     )
-    return f"printf('%06d', ({terms})::BIGINT) || '{lang}'"
+    return f"printf('%012d', ({terms})::BIGINT) || '{lang}'"
 
 
 def _sql_lang_id() -> str:
@@ -1032,7 +1032,7 @@ def _sql_lang_id() -> str:
 
     scores = ", ".join(_sql_lang_score(lang, LANG_MARKERS[lang]) for lang in sorted(LANG_MARKERS))
     return f"""
-SELECT doc_id, substr(greatest({scores}), 7, 2) AS lang_guess FROM documents
+SELECT doc_id, substr(greatest({scores}), 13, 2) AS lang_guess FROM documents
 """
 
 

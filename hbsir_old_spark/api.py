@@ -227,6 +227,14 @@ def parquet_base_loader(spark: SparkSession, root: str) -> BaseLoader:
             return None
         return spark.read.parquet(path)
 
+    def stats(name: str, year: int):
+        path = os.path.join(root, f"{year}_{name}.parquet")
+        if not os.path.exists(path):
+            return None
+        st = os.stat(path)
+        return [st.st_size, int(st.st_mtime)]
+
+    load.stats_fn = stats  # picked up by dependency_fingerprint
     return load
 
 

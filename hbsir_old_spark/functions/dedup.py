@@ -250,12 +250,13 @@ def simhash_pairs(
     text_col: str = "text",
     bits: int = 32,
     chunk_bits: int = 8,
-    max_hamming: int = 6,
+    max_hamming: int = 3,
 ) -> DataFrame:
     """SimHash near-dup pairs. Candidates = docs sharing any ``chunk_bits``
-    slice of the fingerprint (pigeonhole: any pair within
-    bits/chunk_bits - 1 Hamming must share a chunk); verified by exact
-    Hamming distance."""
+    slice of the fingerprint. Pigeonhole guarantee: recall is COMPLETE only
+    for ``max_hamming <= bits/chunk_bits - 1`` (the default); a larger
+    ``max_hamming`` still works but pairs whose differing bits spread
+    across every chunk are missed (approximate, like every banding LSH)."""
     chunks = bits // chunk_bits
     mask = (1 << chunk_bits) - 1
     df = ensure_min_partitions(df)

@@ -28,11 +28,14 @@ def number_of_members(df: DataFrame) -> DataFrame:
 
 
 def equivalence_scale(df: DataFrame) -> DataFrame:
-    """P12: household equivalence scales over Number_of_Members output."""
+    """P12: household equivalence scales over Number_of_Members output —
+    reference-exact fields (standard_tables.py:16-26): Household ≡ 1 ("no
+    adjustment"), Per_Capita = Members, OECD / OECD_Modified / Square_Root."""
     return df.select(
         "Year",
         "ID",
-        F.col("Members").cast("double").alias("Household"),
+        F.lit(1.0).alias("Household"),
+        F.col("Members").cast("double").alias("Per_Capita"),
         (0.7 * F.col("Adults") + 0.3 + 0.5 * F.col("Childs")).alias("OECD"),
         (0.5 * F.col("Adults") + 0.5 + 0.3 * F.col("Childs")).alias("OECD_Modified"),
         F.sqrt(F.col("Members")).alias("Square_Root"),
@@ -40,8 +43,12 @@ def equivalence_scale(df: DataFrame) -> DataFrame:
 
 
 def add_season(df: DataFrame) -> DataFrame:
-    """P11: Month -> Season label (quarter map)."""
-    quarter = (F.floor((F.col("Month") - 1) / 3) + 1).cast("int")
+    """P11: Month -> Season label, reference-exact formula ``Month // 3 + 1``
+    (standard_tables.py:29-38). Note the inherited quirk: month 12 maps to
+    code 5, which has no season label and therefore yields null — replicated
+    deliberately for parity (unlike the bugs listed in SURVEY §5, this is
+    observable reference behavior, not an implementation accident)."""
+    quarter = (F.floor(F.col("Month") / 3) + 1).cast("int")
     season_map = F.create_map(
         *chain.from_iterable((F.lit(k), F.lit(v)) for k, v in SEASONS.items())
     )

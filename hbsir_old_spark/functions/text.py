@@ -70,11 +70,13 @@ def lang_id(col: Column | str, langs: tuple[str, ...] = ("en", "es", "de", "fr",
     """Argmax language by marker score; ties break to the alphabetically
     LAST language (max over zero-padded 'score|lang' strings — portable
     deterministic tie-break)."""
+    # 12-digit zero padding: lexicographic max == numeric max for any score
+    # below 10^12 (a document would need ~4 TB of one marker word to exceed)
     tagged = [
-        F.concat(F.format_string("%06d", lang_score(col, lang)), F.lit(lang))
+        F.concat(F.format_string("%012d", lang_score(col, lang)), F.lit(lang))
         for lang in sorted(langs)
     ]
-    return F.greatest(*tagged).substr(7, 2)
+    return F.greatest(*tagged).substr(13, 2)
 
 
 def quality_features(col: Column | str) -> dict[str, Column]:

@@ -25,14 +25,25 @@ _IN_LIST = re.compile(r"(not\s+in|in)\s*\[([^\]]*)\]", re.IGNORECASE)
 _EQ = re.compile(r"(?<![=!<>])==(?!=)")
 
 
+_STRING_LITERAL = re.compile(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"")
+
+
 def translate_pandas_query(expr: str) -> str:
     """Translate a pandas ``DataFrame.query`` expression into a Spark SQL
-    boolean expression."""
-    out = expr
+    boolean expression. Quoted string literals are shielded so operators
+    inside them (``Brand == 'A&B'``) survive untouched."""
+    literals: list[str] = []
+
+    def shield(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    out = _STRING_LITERAL.sub(shield, expr)
     out = _NOTNULL.sub(lambda m: f"{m.group(1)} IS NOT NULL", out)
     out = _ISNULL.sub(lambda m: f"{m.group(1)} IS NULL", out)
     out = _IN_LIST.sub(lambda m: f"{m.group(1).upper()} ({m.group(2)})", out)
     out = _EQ.sub("=", out)
     out = out.replace("&", " AND ").replace("|", " OR ")
     out = re.sub(r"~\s*", " NOT ", out)
-    return re.sub(r"\s+", " ", out).strip()
+    out = re.sub(r"\s+", " ", out).strip()
+    return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], out)

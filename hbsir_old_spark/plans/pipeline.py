@@ -113,7 +113,7 @@ class PipelineCompiler:
         raise ValueError(f"unknown create_column type {arg['type']!r}")
 
     def _numerical_expression(self, df: DataFrame, expression) -> Column:
-        if isinstance(expression, int) and not isinstance(expression, bool):
+        if isinstance(expression, (int, float)) and not isinstance(expression, bool):
             return F.lit(expression)
         # fill ONLY the operands named in the expression (reference
         # data_engine.py:362-367), leaving other columns' nulls intact

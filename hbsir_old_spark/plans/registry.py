@@ -134,11 +134,20 @@ class TableRegistry:
 
     # -- fingerprints ----------------------------------------------------
     def dependency_fingerprint(self, name: str, year: int) -> str:
-        """Fingerprint of the resolved schema subtree rooted at ``name``."""
+        """Fingerprint of the resolved schema subtree rooted at ``name``,
+        including base-file size/mtime stats when the base loader exposes a
+        ``stats_fn`` (reference parity: extract_dependencies records base
+        file sizes, data_engine.py:48-92 — without this, overwritten source
+        parquet would serve stale cached derivations)."""
+        stats_fn = getattr(self.base_loader, "stats_fn", None)
+
         def walk(table: str) -> Any:
             spec = self._schema_spec(table, year)
             if spec is None:
-                return {"base": table}
+                leaf: dict[str, Any] = {"base": table}
+                if stats_fn is not None:
+                    leaf["stat"] = stats_fn(table, year)
+                return leaf
             node: dict[str, Any] = {"spec": spec}
             members = spec.get("table_list")
             if members:

@@ -46,8 +46,17 @@ def _typed_column(raw: Column, meta: Mapping) -> Column:
     ctype = meta.get("type", "string")
     replace = meta.get("replace")
     if replace:
+        # simultaneous mapping like pandas Series.replace: every condition
+        # tests the ORIGINAL value, so {1: 2, 2: 3} maps 1 -> 2 (never 3)
+        original = raw
+        replaced = None
         for old, new in replace.items():
-            raw = F.when(raw == F.lit(old), F.lit(new)).otherwise(raw)
+            cond = original == F.lit(old)
+            replaced = (
+                F.when(cond, F.lit(new)) if replaced is None
+                else replaced.when(cond, F.lit(new))
+            )
+        raw = replaced.otherwise(original)
     if ctype == "string":
         return raw
     if ctype == "boolean":

@@ -91,6 +91,84 @@ def test_nested_archive_extraction_no_duplicates(tmp_path):
     assert len(csvs) == 1, f"duplicate extraction: {csvs}"
 
 
+def test_replace_map_is_simultaneous(spark):
+    # pandas Series.replace semantics: {1: 2, 2: 3} maps 1 -> 2, never 1 -> 3
+    from hbsir_old_spark.sources.cleaner import clean_table
+
+    raw = spark.createDataFrame([("1",), ("2",), ("3",)], schema="v string")
+    meta = {"columns": {"v": {"new_name": "V", "type": "unsigned",
+                              "replace": {"1": "2", "2": "3"}}}}
+    got = sorted(r["V"] for r in clean_table(raw, meta, 1400).collect())
+    assert got == [2, 3, 3]
+
+
+def test_equivalence_scale_reference_fields(engine):
+    es = engine.load_table("Equivalence_Scale", [1400])
+    assert {"Household", "Per_Capita", "OECD", "OECD_Modified", "Square_Root"} <= set(es.columns)
+    rows = es.collect()
+    assert all(r["Household"] == 1.0 for r in rows)
+    assert all(r["Per_Capita"] >= 1.0 for r in rows)
+
+
+def test_season_reference_formula(spark):
+    from hbsir_old_spark.functions.standard import add_season
+
+    df = spark.createDataFrame([(m,) for m in range(1, 13)], schema="Month int")
+    seasons = {r["Month"]: r["Season"] for r in add_season(df).collect()}
+    # reference Month//3+1: months 1-2 Spring, 3-5 Summer, ..., 12 -> null
+    assert seasons[1] == "Spring" and seasons[2] == "Spring"
+    assert seasons[3] == "Summer" and seasons[5] == "Summer"
+    assert seasons[12] is None  # inherited reference quirk, documented
+
+
+def test_filter_translation_shields_string_literals():
+    from hbsir_old_spark.plans.filters import translate_pandas_query
+
+    assert translate_pandas_query("Brand == 'A&B'") == "Brand = 'A&B'"
+    assert (
+        translate_pandas_query('Name == "x|y" & Code > 1')
+        == 'Name = "x|y" AND Code > 1'
+    )
+
+
+def test_float_constant_expression(spark):
+    from hbsir_old_spark.plans.pipeline import PipelineCompiler
+
+    df = spark.createDataFrame([(1,)], schema="a int")
+    out = PipelineCompiler().apply(
+        df,
+        [{"create_column": {"name": "x", "type": "numerical", "expression": 2.5}}],
+        year=1400,
+        table_name="t",
+    )
+    assert out.collect()[0]["x"] == 2.5
+
+
+def test_cache_invalidated_when_base_parquet_changes(spark, tmp_path):
+    import pandas as pd
+
+    root = str(tmp_path / "base")
+    os.makedirs(root)
+    pd.DataFrame({"Year": [1400], "ID": [1], "V": [10.0]}).to_parquet(
+        f"{root}/1400_t.parquet"
+    )
+    eng = HBSIREngine(
+        spark,
+        base_loader=parquet_base_loader(spark, root),
+        schema={"derived": {"table_list": ["t"], "cache_result": True, "instructions": []}},
+        cache_dir=str(tmp_path / "cache"),
+    )
+    assert eng.load_table("derived", [1400]).collect()[0]["V"] == 10.0
+    # overwrite the base data: the fingerprint must change -> rebuild
+    import time as _time
+
+    _time.sleep(1.1)  # ensure mtime tick
+    pd.DataFrame({"Year": [1400], "ID": [1], "V": [99.0]}).to_parquet(
+        f"{root}/1400_t.parquet"
+    )
+    assert eng.load_table("derived", [1400]).collect()[0]["V"] == 99.0
+
+
 def test_weights_join_has_no_forced_broadcast(engine):
     te = engine.load_table("Total_Expenditure", [1400])
     plan = engine.add_weight(te)._jdf.queryExecution().logical().toString()
