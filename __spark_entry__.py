@@ -820,6 +820,50 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hierarchical totals in one pass — the Spark-native upgrade of the
+    # reference's union-of-totals presentation (SURVEY §2.5 note)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*)::BIGINT AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # existence joins: customers with / without orders — no payload from the
+    # right side ever moves (semi/anti short-circuit at the join)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = cust.join(orders, "c_custkey", "left_semi").select(
+        "c_mktsegment", F.lit("active").alias("status")
+    )
+    without = cust.join(orders, "c_custkey", "left_anti").select(
+        "c_mktsegment", F.lit("inactive").alias("status")
+    )
+    return with_orders.unionByName(without).groupBy("c_mktsegment", "status").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+SQL_SEMI_ANTI_JOIN = """
+SELECT c_mktsegment, status, count(*)::BIGINT AS n_customers FROM (
+  SELECT c_mktsegment, 'active' AS status FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  UNION ALL
+  SELECT c_mktsegment, 'inactive' FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+) GROUP BY c_mktsegment, status
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semi-structured column handling: parse the JSON props payload and
     # aggregate on an extracted field — stays JVM-side via get_json_object
@@ -1333,6 +1377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_approx_distinct": q_approx_distinct,
         "p23_json_extract": q_json_extract,
         "g2_training_pipeline": q_training_pipeline,
+        "a8_rollup": q_rollup,
+        "j9_semi_anti": q_semi_anti_join,
         "x1_dedup_exact": q_dedup_exact,
         "x2_ngram_jaccard": q_ngram_jaccard,
         "x3_minhash_lsh": q_minhash_lsh,
@@ -1382,6 +1428,8 @@ def oracle_sql() -> dict[str, str]:
         "a6_distinct_agg": SQL_DISTINCT_AGG,
         "p23_json_extract": SQL_JSON_EXTRACT,
         "g2_training_pipeline": SQL_TRAINING_PIPELINE,
+        "a8_rollup": SQL_ROLLUP,
+        "j9_semi_anti": SQL_SEMI_ANTI_JOIN,
         # a7_approx_distinct: HLL sketch, approximate by design => rows-only
         # check; a6_distinct_agg is the exact twin.
         "x1_dedup_exact": SQL_DEDUP_EXACT,
