@@ -7,8 +7,11 @@ Column names and rounding are aligned in BOTH dialects so the driver's
 order-insensitive value-hash matches.
 
 Conventions:
-* every float aggregate is rounded identically on both sides (cross-engine
-  last-ulp noise vanishes under rounding);
+* every float aggregate is rounded to the same precision on both sides
+  (cross-engine last-ulp noise vanishes under rounding; a residual
+  divergence exists when a double's shortest decimal repr ends exactly at
+  the half boundary — Spark rounds the repr HALF_UP, DuckDB multiplies —
+  not observed at any gate scale factor);
 * integer results are cast to BIGINT in the oracle (DuckDB's count/sum
   otherwise widen to HUGEINT/DECIMAL);
 * timestamps are compared as epoch milliseconds (BIGINT) — no tz/precision
@@ -586,7 +589,7 @@ SELECT o_orderkey, year(o_orderdate)::INTEGER AS order_year,
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          / sum(((o_custkey % 5) + 1)::DOUBLE) OVER (PARTITION BY year(o_orderdate)),
        6) AS quantile
-FROM orders
+FROM orders WHERE o_totalprice IS NOT NULL
 """
 
 
@@ -619,7 +622,7 @@ WITH q AS (
              PARTITION BY year(o_orderdate) ORDER BY o_totalprice, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          / sum(((o_custkey % 5) + 1)::DOUBLE) OVER (PARTITION BY year(o_orderdate)) AS quantile
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 )
 SELECT order_year,
        least(greatest(floor(quantile * 10) + 1, 1), 10)::INTEGER AS decile,
@@ -685,7 +688,7 @@ def _cpi_dim(spark: SparkSession) -> DataFrame:
     # deterministic CPI curve over the order-date span (base 1995 = 80, +6/yr);
     # built with spark.range so the dim is JVM-side (no py4j local-relation
     # round trip on every call)
-    return spark.range(1990, 2011).select(
+    return spark.range(1960, 2101).select(
         F.col("id").cast("int").alias("order_year"),
         (80 + (F.col("id") - 1995) * 6).cast("double").alias("cpi"),
     )
@@ -805,7 +808,8 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DISTINCT_AGG = """
 SELECT l_returnflag,
        count(DISTINCT l_suppkey)::BIGINT AS n_suppliers,
-       count(DISTINCT (l_partkey, l_suppkey))::BIGINT AS n_part_supp,
+       count(DISTINCT CASE WHEN l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+                    THEN (l_partkey, l_suppkey) END)::BIGINT AS n_part_supp,
        count(*)::BIGINT AS n_rows
 FROM lineitem GROUP BY l_returnflag
 """
@@ -997,7 +1001,7 @@ SELECT id_a, id_b,
 FROM common
 JOIN sh sa ON sa.doc_id = id_a
 JOIN sh sb ON sb.doc_id = id_b
-WHERE c / (len(sa.s) + len(sb.s) - c) >= 0.05
+WHERE round(c / (len(sa.s) + len(sb.s) - c), 6) >= 0.05
 """
 
 
@@ -1159,7 +1163,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MULTIMODAL_FEATURES = """
-SELECT doc_id AS asset_id, strlen(text)::BIGINT AS n_bytes, sha256(text) AS content_sha
+SELECT doc_id AS asset_id, coalesce(strlen(text), 0)::BIGINT AS n_bytes,
+       sha256(coalesce(text, '')) AS content_sha
 FROM documents
 """
 

@@ -87,6 +87,21 @@ def test_rows_only_queries_run(name, spark, sf_dir):
     assert df.count() >= 0
 
 
+def test_every_oracle_key_has_a_query():
+    """Guard the two hand-maintained dicts against drift: every oracle must
+    pair with a query, and the rows-only set is exactly the documented
+    approximate operators."""
+    assert set(ORACLES) <= set(QUERIES)
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert rows_only == {
+        "x3_minhash_lsh",
+        "x4_simhash_pairs",
+        "x9_ann_lsh",
+        "x13_ivf_topk",
+        "a7_approx_distinct",
+    }
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
