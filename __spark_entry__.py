@@ -824,6 +824,103 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus cleaning ops: HTML strip + PII redaction + repetition
+    signal, exercised on synthesized noisy variants of the documents (the
+    corpus itself is clean, so noise is injected deterministically)."""
+    from hbsir_old_spark.functions.text import (
+        redact_pii,
+        repeated_token_ratio,
+        strip_html,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("<p>Contact "),
+            F.lit("user"), (F.col("doc_id") % 50).cast("string"), F.lit("@example.com or "),
+            F.lit("https://site"), (F.col("doc_id") % 9).cast("string"), F.lit(".example/x "),
+            F.lit("</p><div>"), F.col("text"), F.lit("</div>"),
+        ),
+    )
+    cleaned = noisy.withColumn("text", redact_pii(strip_html("text")))
+    return cleaned.select(
+        "doc_id",
+        F.length("text").cast("long").alias("clean_len"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("[EMAIL]"), F.lit(""))))
+        .cast("long")
+        .alias("email_chars"),
+        repeated_token_ratio("text").alias("rep_ratio"),
+    )
+
+
+SQL_TEXT_CLEANING = r"""
+WITH noisy AS (
+  SELECT doc_id,
+         '<p>Contact user' || (doc_id % 50) || '@example.com or https://site' ||
+         (doc_id % 9) || '.example/x </p><div>' || text || '</div>' AS text
+  FROM documents
+), stripped AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS text
+  FROM noisy
+), redacted AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             'https?://[^\s]+', '[URL]', 'g'),
+           '\+?[0-9][0-9()\-\s]{7,}[0-9]', '[PHONE]', 'g') AS text
+  FROM stripped
+)
+SELECT doc_id,
+       length(text)::BIGINT AS clean_len,
+       (length(text) - length(replace(text, '[EMAIL]', '')))::BIGINT AS email_chars,
+       round(CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+                  THEN 1 - len(list_distinct(string_split_regex(trim(text), '\s+')))
+                           / len(string_split_regex(trim(text), '\s+'))
+                  ELSE 0 END, 6) AS rep_ratio
+FROM redacted
+"""
+
+
+def q_contamination_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: flag corpus documents sharing any word
+    5-gram with a held-out 'benchmark' set (doc_id < 5) — a left-semi join
+    on exploded shingles, the scalable exact formulation."""
+    from hbsir_old_spark.functions.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shingled = docs.select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
+    bench = shingled.filter(F.col("doc_id") < 5).select("g").distinct()
+    contaminated = (
+        shingled.filter(F.col("doc_id") >= 5)
+        .join(bench, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return contaminated.orderBy("doc_id")
+
+
+SQL_CONTAMINATION_FLAG = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+                                             i -> array_to_string(t[i:i+4], ' ')))) AS g
+  FROM toks
+)
+SELECT DISTINCT a.doc_id
+FROM sh a WHERE a.doc_id >= 5
+  AND EXISTS (SELECT 1 FROM sh b WHERE b.doc_id < 5 AND b.g = a.g)
+ORDER BY a.doc_id
+"""
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hierarchical totals in one pass — the Spark-native upgrade of the
     # reference's union-of-totals presentation (SURVEY §2.5 note)
@@ -1384,6 +1481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_training_pipeline": q_training_pipeline,
         "a8_rollup": q_rollup,
         "j9_semi_anti": q_semi_anti_join,
+        "x14_text_cleaning": q_text_cleaning,
+        "x15_contamination_flag": q_contamination_flag,
         "x1_dedup_exact": q_dedup_exact,
         "x2_ngram_jaccard": q_ngram_jaccard,
         "x3_minhash_lsh": q_minhash_lsh,
@@ -1435,6 +1534,8 @@ def oracle_sql() -> dict[str, str]:
         "g2_training_pipeline": SQL_TRAINING_PIPELINE,
         "a8_rollup": SQL_ROLLUP,
         "j9_semi_anti": SQL_SEMI_ANTI_JOIN,
+        "x14_text_cleaning": SQL_TEXT_CLEANING,
+        "x15_contamination_flag": SQL_CONTAMINATION_FLAG,
         # a7_approx_distinct: HLL sketch, approximate by design => rows-only
         # check; a6_distinct_agg is the exact twin.
         "x1_dedup_exact": SQL_DEDUP_EXACT,

@@ -109,6 +109,42 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     }
 
 
+def strip_html(col: Column | str) -> Column:
+    """Remove HTML tags and collapse the resulting whitespace — the first
+    step of web-corpus cleaning. Pure regexp, codegen'd."""
+    no_tags = F.regexp_replace(_c(col), r"<[^>]*>", " ")
+    return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+
+
+#: redaction patterns for PII-ish spans (conservative, RE2/Java compatible)
+REDACTION_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "URL": r"https?://[^\s]+",
+    "PHONE": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def redact_pii(col: Column | str, patterns: dict[str, str] | None = None) -> Column:
+    """Replace PII-ish spans with ``[TAG]`` placeholders. Deterministic
+    regexp chain; order is the dict order (emails before phones so the
+    digits inside an email aren't half-eaten)."""
+    out = _c(col)
+    for tag, pattern in (patterns or REDACTION_PATTERNS).items():
+        out = F.regexp_replace(out, pattern, f"[{tag}]")
+    return out
+
+
+def repeated_token_ratio(col: Column | str) -> Column:
+    """Gopher-style repetition signal: 1 - distinct_tokens / tokens.
+    High values flag boilerplate/spammy documents. Rounded 6dp."""
+    tokens = F.split(F.trim(_c(col)), r"\s+")
+    n = F.size(tokens)
+    distinct_n = F.size(F.array_distinct(tokens))
+    return F.round(
+        F.when(n > 0, 1 - distinct_n / n).otherwise(F.lit(0.0)), 6
+    )
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lower, collapse whitespace, trim."""
     return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
