@@ -204,7 +204,7 @@ DEFAULT_SCHEMA = {
         ],
     },
     "Income_Breakdown": {
-        "table_list": ["_long_other_income"],
+        "table_list": ["Incomes"],
         "cache_result": True,
         "instructions": [
             {
@@ -216,8 +216,88 @@ DEFAULT_SCHEMA = {
             },
         ],
     },
+    "_employment_income_selected": {
+        # wage income normalized to (Year, ID, Member_Number, Income_Type,
+        # Income) rows — categorical with a None condition labels every row
+        # (reference P8 all-rows form)
+        "table_list": ["employment_income"],
+        "instructions": [
+            {
+                "create_column": {
+                    "name": "Income",
+                    "type": "numerical",
+                    "expression": "Yearly_Net_Income",
+                }
+            },
+            {
+                "create_column": {
+                    "name": "Income_Type",
+                    "type": "categorical",
+                    "categories": {"Employment": None},
+                }
+            },
+            {"apply_filter": "Income > 0"},
+            {"apply_order": ["Year", "ID", "Member_Number", "Income_Type", "Income"]},
+        ],
+    },
+    "_self_employed_selected": {
+        "table_list": ["self_employed_income"],
+        "instructions": [
+            {
+                "create_column": {
+                    "name": "Income",
+                    "type": "numerical",
+                    "expression": "Profit",
+                }
+            },
+            {
+                "create_column": {
+                    "name": "Income_Type",
+                    "type": "categorical",
+                    "categories": {"Self_Employment": None},
+                }
+            },
+            {"apply_filter": "Income > 0"},
+            {"apply_order": ["Year", "ID", "Member_Number", "Income_Type", "Income"]},
+        ],
+    },
+    "_subsidy_selected": {
+        # cash subsidies exist only from 1390 (reference schema.yaml:1066-1070
+        # joins subsidy into Cash_Incomes from 1390) — availability-pruned
+        "years": {"start": 1390, "end": 1402},
+        "table_list": ["subsidy"],
+        "instructions": [
+            {
+                "create_column": {
+                    "name": "Income",
+                    "type": "numerical",
+                    "expression": "Subsidy",
+                }
+            },
+            {
+                "create_column": {
+                    "name": "Income_Type",
+                    "type": "categorical",
+                    "categories": {"Subsidy": None},
+                }
+            },
+            {"apply_filter": "Income > 0"},
+            {"apply_order": ["Year", "ID", "Member_Number", "Income_Type", "Income"]},
+        ],
+    },
+    "Incomes": {
+        # the union of every income source in long form (the table the
+        # reference declares but never defines — SURVEY §1.1 note — given a
+        # real definition here)
+        "table_list": [
+            "_employment_income_selected",
+            "_self_employed_selected",
+            "_long_other_income",
+            "_subsidy_selected",
+        ],
+    },
     "Members_Income_Breakdown": {
-        "table_list": ["_long_other_income"],
+        "table_list": ["Incomes"],
         "instructions": [
             {
                 "aggregate": {

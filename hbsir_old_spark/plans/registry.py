@@ -98,6 +98,10 @@ class TableRegistry:
         return resolved if isinstance(resolved, Mapping) else None
 
     def _build_year(self, name: str, year: int) -> DataFrame | None:
+        # availability applies to recursive member builds too (a derived
+        # table's union simply drops unavailable members for that year)
+        if not self.is_available(name, year):
+            return None
         spec = self._schema_spec(name, year)
         if spec is None:
             return self._load_base(name, year)

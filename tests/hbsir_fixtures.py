@@ -126,6 +126,53 @@ def build_tables() -> dict[tuple[int, str], pd.DataFrame]:
                 )
         tables[(year, "durable")] = pd.DataFrame(durable)
 
+        employment = []
+        for h in hh:
+            if h["ID"] % 3 == 0:
+                continue  # not every household has employment income
+            employment.append(
+                {
+                    "Year": year,
+                    "ID": h["ID"],
+                    "Member_Number": 1,
+                    "Job_Code": int(rng.randint(1000, 9999)),
+                    "Sector": "Private" if rng.randint(0, 2) else "Public",
+                    "Monthly_Net_Income": float(rng.randint(100, 2_000)),
+                    "Yearly_Net_Income": float(rng.randint(1_200, 24_000)),
+                }
+            )
+        tables[(year, "employment_income")] = pd.DataFrame(employment)
+
+        self_emp = []
+        for h in hh:
+            if h["ID"] % 4 != 0:
+                continue
+            self_emp.append(
+                {
+                    "Year": year,
+                    "ID": h["ID"],
+                    "Member_Number": 1,
+                    "Job_Code": int(rng.randint(1000, 9999)),
+                    "Is_Agricultural": bool(rng.randint(0, 2)),
+                    "Sales": float(rng.randint(1_000, 90_000)),
+                    "Profit": float(rng.randint(-2_000, 40_000)),
+                }
+            )
+        tables[(year, "self_employed_income")] = pd.DataFrame(self_emp)
+
+        subsidy = []
+        for h in hh:
+            subsidy.append(
+                {
+                    "Year": year,
+                    "ID": h["ID"],
+                    "Member_Number": 1,
+                    "Number_of_Individuals": float(h["Members"]),
+                    "Subsidy": float(455 * h["Members"]),
+                }
+            )
+        tables[(year, "subsidy")] = pd.DataFrame(subsidy)
+
         other_income = []
         for h in hh:
             other_income.append(

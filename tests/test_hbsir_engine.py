@@ -47,7 +47,8 @@ def oracle(fixture_root):
             )
     # multi-year views
     for table in ("food", "durable", "household_information", "members_properties",
-                  "other_income", "weights"):
+                  "other_income", "weights", "employment_income",
+                  "self_employed_income", "subsidy"):
         parts = [
             f"SELECT * FROM {table}_{y}" for y in YEARS
             if os.path.exists(f"{fixture_root}/{y}_{table}.parquet")
@@ -120,18 +121,40 @@ class TestLoadTable:
         df2 = engine.load_table("Total_Expenditure", [1394, 1400])
         assert df2.count() == df.count()
 
-    def test_income_melt_chain(self, engine, oracle):
+    INCOME_LONG_SQL = """
+            WITH long AS (
+              SELECT Year, ID, val FROM other_income
+              UNPIVOT (val FOR kind IN (Retirement, Rent, Interest, Aid, Home_Production, Transfer))
+              WHERE val > 0
+              UNION ALL
+              SELECT Year, ID, Yearly_Net_Income FROM employment_income
+              WHERE Yearly_Net_Income > 0
+              UNION ALL
+              SELECT Year, ID, Profit FROM self_employed_income WHERE Profit > 0
+              UNION ALL
+              SELECT Year, ID, Subsidy FROM subsidy WHERE Subsidy > 0 AND Year >= 1390
+            )
+    """
+
+    def test_income_chain_all_sources(self, engine, oracle):
         df = engine.load_table("Total_Income", list(YEARS))
         expected = oracle.sql(
-            """
-            WITH long AS (
-              SELECT Year, ID, Member_Number, kind, val FROM other_income
-              UNPIVOT (val FOR kind IN (Retirement, Rent, Interest, Aid, Home_Production, Transfer))
-            )
-            SELECT Year, ID, sum(val) AS Income FROM long WHERE val > 0 GROUP BY Year, ID
-            """
+            self.INCOME_LONG_SQL
+            + "SELECT Year, ID, sum(val) AS Income FROM long GROUP BY Year, ID"
         ).df()
         assert_frames_match(df, expected)
+
+    def test_income_breakdown_types(self, engine):
+        bd = engine.load_table("Income_Breakdown", [1394])
+        types = {r["Income_Type"] for r in bd.select("Income_Type").distinct().collect()}
+        assert {"Employment", "Self_Employment", "Subsidy"} <= types
+        assert types & {"Retirement", "Aid", "Transfer", "Rent"}
+
+    def test_subsidy_availability_pruned_before_1390(self, engine):
+        bd = engine.load_table("Income_Breakdown", [1375])
+        types = {r["Income_Type"] for r in bd.select("Income_Type").distinct().collect()}
+        assert "Subsidy" not in types
+        assert "Employment" in types
 
     def test_outlay_chain_nets_secondhand_sales(self, engine, oracle):
         df = engine.load_table("Total_Outlay", [1400])
@@ -165,11 +188,20 @@ class TestLoadTable:
         expected = oracle.sql(
             """
             WITH long AS (
-              SELECT Year, ID, Member_Number, kind, val FROM other_income
+              SELECT Year, ID, Member_Number, val FROM other_income
               UNPIVOT (val FOR kind IN (Retirement, Rent, Interest, Aid, Home_Production, Transfer))
+              WHERE val > 0
+              UNION ALL
+              SELECT Year, ID, Member_Number, Yearly_Net_Income FROM employment_income
+              WHERE Yearly_Net_Income > 0
+              UNION ALL
+              SELECT Year, ID, Member_Number, Profit FROM self_employed_income WHERE Profit > 0
+              UNION ALL
+              SELECT Year, ID, Member_Number, Subsidy FROM subsidy
+              WHERE Subsidy > 0 AND Year >= 1390
             )
             SELECT Year, ID, Member_Number, sum(val) AS Income
-            FROM long WHERE val > 0 GROUP BY 1, 2, 3
+            FROM long GROUP BY 1, 2, 3
             """
         ).df()
         assert_frames_match(df, expected)
