@@ -61,6 +61,23 @@ DEFAULT_CLASSIFICATIONS = {
 
 #: standard-table derivations (reference schema.yaml shapes)
 DEFAULT_SCHEMA = {
+    # original-table pipeline: processed household_information carries the
+    # derived Season label (reference applies schema pipelines to original
+    # tables too, data_engine.py:511-514)
+    "household_information": {
+        "instructions": [
+            {"apply_external_function": "add_season"},
+        ],
+    },
+    # the Weights standard table (reference schema.yaml:575-588 shape:
+    # house_specifications base -> add_weights -> ordered projection)
+    "Weights": {
+        "table_list": ["house_specifications"],
+        "instructions": [
+            {"add_weights": None},
+            {"apply_order": ["Year", "ID", {"Weight": "float"}]},
+        ],
+    },
     "Number_of_Members": {
         "table_list": ["members_properties"],
         "instructions": [

@@ -126,6 +126,20 @@ def build_tables() -> dict[tuple[int, str], pd.DataFrame]:
                 )
         tables[(year, "durable")] = pd.DataFrame(durable)
 
+        house_spec = []
+        for h in hh:
+            house_spec.append(
+                {
+                    "Year": year,
+                    "ID": h["ID"],
+                    "Tenure": "Owned_Estate" if rng.randint(0, 2) else "Rent",
+                    "Number_of_Rooms": int(rng.randint(1, 7)),
+                    "Space": int(rng.randint(30, 300)),
+                    "Car": bool(rng.randint(0, 2)),
+                }
+            )
+        tables[(year, "house_specifications")] = pd.DataFrame(house_spec)
+
         employment = []
         for h in hh:
             if h["ID"] % 3 == 0:

@@ -48,7 +48,7 @@ def oracle(fixture_root):
     # multi-year views
     for table in ("food", "durable", "household_information", "members_properties",
                   "other_income", "weights", "employment_income",
-                  "self_employed_income", "subsidy"):
+                  "self_employed_income", "subsidy", "house_specifications"):
         parts = [
             f"SELECT * FROM {table}_{y}" for y in YEARS
             if os.path.exists(f"{fixture_root}/{y}_{table}.parquet")
@@ -223,6 +223,30 @@ class TestLoadTable:
         df = engine.create_table_with_schema(adhoc, years=[1400])
         assert set(df.columns) == {"Year", "ID", "Expenditure"}
         assert df.count() > 0
+
+    def test_weights_standard_table(self, engine, oracle):
+        w = engine.load_table("Weights", [1375, 1400])
+        assert w.columns == ["Year", "ID", "Weight"]
+        expected = oracle.sql(
+            """
+            SELECT h.Year, h.ID, coalesce(w.Weight, hi.Weight) AS Weight
+            FROM (SELECT Year, ID FROM house_specifications WHERE Year IN (1375, 1400)) h
+            LEFT JOIN weights w ON h.Year = w.Year AND h.ID = w.ID AND h.Year <= 1395
+            LEFT JOIN household_information hi
+              ON h.Year = hi.Year AND h.ID = hi.ID AND h.Year > 1395
+            """
+        ).df()
+        assert_frames_match(w, expected)
+
+    def test_household_information_pipeline_adds_season(self, engine):
+        hh = engine.load_table("household_information", [1400])
+        assert "Season" in hh.columns
+        rows = hh.select("Month", "Season").collect()
+        for r in rows:
+            if r["Month"] in (1, 2):
+                assert r["Season"] == "Spring"
+            if r["Month"] == 12:
+                assert r["Season"] is None  # documented reference quirk
 
     def test_availability_pruning(self, spark, engine, fixture_root):
         eng = HBSIREngine(
