@@ -871,7 +871,7 @@ WITH noisy AS (
            regexp_replace(
              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
              'https?://[^\s]+', '[URL]', 'g'),
-           '\+?[0-9][0-9()\-\s]{7,}[0-9]', '[PHONE]', 'g') AS text
+           '\+?[0-9][0-9()\-.]{7,}[0-9]', '[PHONE]', 'g') AS text
   FROM stripped
 )
 SELECT doc_id,

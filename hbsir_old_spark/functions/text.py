@@ -116,11 +116,14 @@ def strip_html(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
 
 
-#: redaction patterns for PII-ish spans (conservative, RE2/Java compatible)
+#: redaction patterns for PII-ish spans (conservative, RE2/Java compatible).
+#: PHONE deliberately excludes whitespace inside the run: allowing it made
+#: any space-separated digit sequence ("2018 2019 2020") redactable; the
+#: trade-off is that space-separated phone formats stay unredacted.
 REDACTION_PATTERNS: dict[str, str] = {
     "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "URL": r"https?://[^\s]+",
-    "PHONE": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "PHONE": r"\+?[0-9][0-9()\-.]{7,}[0-9]",
 }
 
 

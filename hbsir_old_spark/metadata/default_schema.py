@@ -279,9 +279,9 @@ DEFAULT_SCHEMA = {
         ],
     },
     "_subsidy_selected": {
-        # cash subsidies exist only from 1390 (reference schema.yaml:1066-1070
-        # joins subsidy into Cash_Incomes from 1390) — availability-pruned
-        "years": {"start": 1390, "end": 1402},
+        # cash subsidies exist from 1390 onward, open-ended (reference
+        # schema.yaml:1066-1070 joins subsidy into Cash_Incomes from 1390)
+        "years": {"start": 1390, "end": 9999},
         "table_list": ["subsidy"],
         "instructions": [
             {

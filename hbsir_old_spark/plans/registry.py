@@ -156,7 +156,13 @@ class TableRegistry:
             members = spec.get("table_list")
             if members:
                 members = [members] if isinstance(members, str) else list(members)
-                node["deps"] = {m: walk(m) for m in members}
+                # availability-pruned members cannot affect the result, so
+                # their base files must not key (or spuriously invalidate)
+                # the cache
+                node["deps"] = {
+                    m: walk(m) if self.is_available(m, year) else {"unavailable": m}
+                    for m in members
+                }
             return node
         return stable_fingerprint({"table": name, "year": year, "tree": walk(name)})
 

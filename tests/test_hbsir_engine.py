@@ -121,27 +121,29 @@ class TestLoadTable:
         df2 = engine.load_table("Total_Expenditure", [1394, 1400])
         assert df2.count() == df.count()
 
-    INCOME_LONG_SQL = """
+    @staticmethod
+    def income_long_sql(keys: str = "Year, ID") -> str:
+        """The four-source income union, parameterized on the grouping keys
+        so the household- and member-level oracles share one definition."""
+        return f"""
             WITH long AS (
-              SELECT Year, ID, val FROM other_income
+              SELECT {keys}, val FROM other_income
               UNPIVOT (val FOR kind IN (Retirement, Rent, Interest, Aid, Home_Production, Transfer))
               WHERE val > 0
               UNION ALL
-              SELECT Year, ID, Yearly_Net_Income FROM employment_income
+              SELECT {keys}, Yearly_Net_Income FROM employment_income
               WHERE Yearly_Net_Income > 0
               UNION ALL
-              SELECT Year, ID, Profit FROM self_employed_income WHERE Profit > 0
+              SELECT {keys}, Profit FROM self_employed_income WHERE Profit > 0
               UNION ALL
-              SELECT Year, ID, Subsidy FROM subsidy WHERE Subsidy > 0 AND Year >= 1390
+              SELECT {keys}, Subsidy FROM subsidy WHERE Subsidy > 0 AND Year >= 1390
             )
-    """
+            SELECT {keys}, sum(val) AS Income FROM long GROUP BY {keys}
+        """
 
     def test_income_chain_all_sources(self, engine, oracle):
         df = engine.load_table("Total_Income", list(YEARS))
-        expected = oracle.sql(
-            self.INCOME_LONG_SQL
-            + "SELECT Year, ID, sum(val) AS Income FROM long GROUP BY Year, ID"
-        ).df()
+        expected = oracle.sql(self.income_long_sql("Year, ID")).df()
         assert_frames_match(df, expected)
 
     def test_income_breakdown_types(self, engine):
@@ -185,25 +187,7 @@ class TestLoadTable:
 
     def test_members_income_tables(self, engine, oracle):
         df = engine.load_table("Members_Total_Income", list(YEARS))
-        expected = oracle.sql(
-            """
-            WITH long AS (
-              SELECT Year, ID, Member_Number, val FROM other_income
-              UNPIVOT (val FOR kind IN (Retirement, Rent, Interest, Aid, Home_Production, Transfer))
-              WHERE val > 0
-              UNION ALL
-              SELECT Year, ID, Member_Number, Yearly_Net_Income FROM employment_income
-              WHERE Yearly_Net_Income > 0
-              UNION ALL
-              SELECT Year, ID, Member_Number, Profit FROM self_employed_income WHERE Profit > 0
-              UNION ALL
-              SELECT Year, ID, Member_Number, Subsidy FROM subsidy
-              WHERE Subsidy > 0 AND Year >= 1390
-            )
-            SELECT Year, ID, Member_Number, sum(val) AS Income
-            FROM long GROUP BY 1, 2, 3
-            """
-        ).df()
+        expected = oracle.sql(self.income_long_sql("Year, ID, Member_Number")).df()
         assert_frames_match(df, expected)
 
     def test_create_table_with_schema(self, engine):
