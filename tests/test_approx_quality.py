@@ -1,0 +1,85 @@
+"""Quality floors for the approximate (rows-only) operators — the driver's
+gate only checks these run; these tests quantify that they work.
+
+* MinHash-LSH at its operating point recovers 100% of planted near-dup
+  twins (jaccard ~0.9 >> the b=4/r=4 threshold ~0.7).
+* ANN (SRP-LSH and IVF) results are SOUND (every returned cosine equals
+  the exact computation; ranks consistent) and recall a reasonable share
+  of the exact top-k on unclustered random vectors.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark, sf_dir):
+    return {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in entry_mod.q_cosine_topk(spark, sf_dir).collect()
+    }
+
+
+def test_minhash_recovers_all_planted_twins(spark, sf_dir):
+    pairs = entry_mod.q_minhash_lsh(spark, sf_dir).collect()
+    n_docs = entry_mod._t(spark, sf_dir, "documents").count()
+    twins = sum(1 for r in pairs if r["id_b"] - r["id_a"] == 1_000_000)
+    assert twins == n_docs, f"only {twins}/{n_docs} planted twins recovered"
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+def test_ann_lsh_sound_and_recalls(spark, sf_dir, exact_topk):
+    approx = entry_mod.q_ann_lsh(spark, sf_dir).collect()
+    assert len(approx) > 0
+    hits = sum(1 for r in approx if (r["query_id"], r["vec_id"]) in exact_topk)
+    # soundness: where both agree on a neighbor, the cosine is identical
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_topk:
+            assert abs(r["cosine"] - round(exact_topk[key], 6)) < 2e-4
+    recall = hits / len(exact_topk)
+    assert recall >= 0.2, f"SRP-LSH recall collapsed: {recall:.2f}"
+
+
+def test_ivf_sound_and_recalls(spark, sf_dir, exact_topk):
+    approx = entry_mod.q_ivf_topk(spark, sf_dir).collect()
+    assert len(approx) > 0
+    hits = sum(1 for r in approx if (r["query_id"], r["vec_id"]) in exact_topk)
+    recall = hits / len(exact_topk)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall:.2f}"
+    # per-query rank sequences are contiguous from 1
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_simhash_pairs_are_sound(spark, sf_dir):
+    pairs = entry_mod.q_simhash_pairs(spark, sf_dir).collect()
+    for r in pairs:
+        assert 0 <= r["hamming"] <= 10
+        assert r["id_a"] < r["id_b"]
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    approx = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in entry_mod.q_approx_distinct(spark, sf_dir).collect()
+    }
+    li = entry_mod._t(spark, sf_dir, "lineitem")
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_orderkey").alias("n")).collect()
+    }
+    for flag, est in approx.items():
+        rel_err = abs(est - exact[flag]) / exact[flag]
+        assert rel_err < 0.1, f"{flag}: approx {est} vs exact {exact[flag]}"
