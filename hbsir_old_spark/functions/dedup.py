@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hbsir_old_spark.functions.text import doc_fingerprint, normalize_text
@@ -48,15 +48,22 @@ def exact_dedup(
     keep: str = "min",
 ) -> DataFrame:
     """Keep one row per exact (normalized) duplicate group — the row with the
-    min (or max) id. Deterministic, single shuffle on the fingerprint."""
+    min (or max) id.
+
+    Implemented as ``groupBy(fingerprint).agg(min_by(payload, id))`` rather
+    than a fingerprint-partitioned window: ``min_by`` is partial-aggregable,
+    so each map partition pre-collapses its duplicates and only one payload
+    per (fingerprint, partition) rides the single shuffle — the window
+    formulation moved every full row. Same keeper, deterministic (ids are
+    unique per document)."""
     df = ensure_min_partitions(df)
     fp = doc_fingerprint(text_col)
-    w = Window.partitionBy(fp)
-    keeper = F.min(id_col).over(w) if keep == "min" else F.max(id_col).over(w)
+    pick = F.min_by if keep == "min" else F.max_by
+    payload = F.struct(*[F.col(c) for c in df.columns])
     return (
-        df.withColumn("__keeper__", keeper)
-        .filter(F.col(id_col) == F.col("__keeper__"))
-        .drop("__keeper__")
+        df.groupBy(fp.alias("__fp__"))
+        .agg(pick(payload, F.col(id_col)).alias("__row__"))
+        .select("__row__.*")
     )
 
 

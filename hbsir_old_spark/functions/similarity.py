@@ -95,6 +95,46 @@ def srp_signature(vec_col: Column | str, planes: int = 16, dim: int = 64) -> Col
     return out
 
 
+def assign_nearest_centroids(
+    df: DataFrame,
+    idc: str,
+    vecc: str,
+    centroid_arr: DataFrame,
+    keep: int,
+) -> DataFrame:
+    """Map-side nearest-centroid assignment.
+
+    ``centroid_arr`` is a single-row DataFrame carrying the whole (tiny)
+    centroid set as one ``array<struct<__centroid__, __centvec__>>`` column;
+    it rides to every task via a broadcast nested-loop join against one row,
+    so the corpus side never shuffles. The per-row top-``keep`` is an array
+    sort over ``n_centroids`` elements: ``struct(-sim, centroid)`` sorted
+    ascending gives similarity-descending with centroid-id ascending
+    tiebreak — identical to the former ``Window.partitionBy(id)`` argmax
+    but with zero Exchange between the scan and the assignment
+    (plan-pinned by ``tests/test_plan_quality.py``).
+    """
+    scored = df.crossJoin(F.broadcast(centroid_arr))
+    ranked = F.slice(
+        F.sort_array(
+            F.transform(
+                F.col("__cents__"),
+                lambda cent: F.struct(
+                    (-cosine_similarity(F.col(vecc), cent["__centvec__"])).alias("__negsim__"),
+                    cent["__centroid__"].alias("__centroid__"),
+                ),
+            )
+        ),
+        1,
+        keep,
+    )
+    return scored.select(
+        F.col(idc),
+        F.col(vecc),
+        F.explode(ranked).alias("__assign__"),
+    ).select(idc, vecc, F.col("__assign__.__centroid__").alias("__centroid__"))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -120,27 +160,17 @@ def ivf_topk(
     """
     corpus = ensure_min_partitions(corpus)
     c = corpus.select(F.col(id_col).alias("__cid__"), F.col(vec_col).alias("__cvec__"))
-    centroids = (
+    centroid_arr = (
         c.withColumn("__h__", F.xxhash64(F.col("__cid__")))
         .orderBy("__h__")
         .limit(n_centroids)
         .select(F.col("__cid__").alias("__centroid__"), F.col("__cvec__").alias("__centvec__"))
+        .agg(F.collect_list(F.struct("__centroid__", "__centvec__")).alias("__cents__"))
     )
 
-    def assign(df: DataFrame, idc: str, vecc: str, keep: int) -> DataFrame:
-        scored = df.join(F.broadcast(centroids)).withColumn(
-            "__csim__", cosine_similarity(F.col(vecc), F.col("__centvec__"))
-        )
-        w = Window.partitionBy(idc).orderBy(F.col("__csim__").desc(), F.col("__centroid__"))
-        return (
-            scored.withColumn("__crank__", F.row_number().over(w))
-            .filter(F.col("__crank__") <= keep)
-            .drop("__centvec__", "__csim__", "__crank__")
-        )
-
-    assigned = assign(c, "__cid__", "__cvec__", keep=1)
+    assigned = assign_nearest_centroids(c, "__cid__", "__cvec__", centroid_arr, keep=1)
     q = queries.select(F.col(query_id_col).alias("__qid__"), F.col(vec_col).alias("__qvec__"))
-    probed = assign(q, "__qid__", "__qvec__", keep=n_probe)
+    probed = assign_nearest_centroids(q, "__qid__", "__qvec__", centroid_arr, keep=n_probe)
 
     cand = assigned.join(
         F.broadcast(probed), on="__centroid__"

@@ -77,6 +77,66 @@ def test_no_python_udf_in_core_queries(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF unexpectedly"
 
 
+def test_ivf_assignment_no_exchange(spark, sf_dir):
+    """The IVF centroid assignment must be map-side: no hash-partitioned
+    Exchange anywhere in the assigned-corpus plan (the only exchanges are
+    the SinglePartition collect_list of the 16 centroids and its broadcast)."""
+    from pyspark.sql import functions as F
+
+    from hbsir_old_spark.functions.similarity import assign_nearest_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("__cid__"), F.col("embedding").alias("__cvec__")
+    )
+    cents = (
+        emb.limit(8)
+        .select(F.col("__cid__").alias("__centroid__"), F.col("__cvec__").alias("__centvec__"))
+        .agg(F.collect_list(F.struct("__centroid__", "__centvec__")).alias("__cents__"))
+    )
+    assigned = assign_nearest_centroids(emb, "__cid__", "__cvec__", cents, keep=1)
+    plan = plan_of(assigned)
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ivf_assignment_matches_window_argmax(spark, sf_dir):
+    """The map-side argmax must agree row-for-row with the old window
+    formulation (sim desc, centroid asc tiebreak)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hbsir_old_spark.functions.similarity import (
+        assign_nearest_centroids,
+        cosine_similarity,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("__cid__"), F.col("embedding").alias("__cvec__")
+    )
+    centroids = emb.limit(8).select(
+        F.col("__cid__").alias("__centroid__"), F.col("__cvec__").alias("__centvec__")
+    )
+    cents_arr = centroids.agg(
+        F.collect_list(F.struct("__centroid__", "__centvec__")).alias("__cents__")
+    )
+    got = {
+        (r["__cid__"], r["__centroid__"])
+        for r in assign_nearest_centroids(emb, "__cid__", "__cvec__", cents_arr, keep=2).collect()
+    }
+    w = Window.partitionBy("__cid__").orderBy(F.col("__csim__").desc(), F.col("__centroid__"))
+    want = {
+        (r["__cid__"], r["__centroid__"])
+        for r in (
+            emb.join(F.broadcast(centroids))
+            .withColumn("__csim__", cosine_similarity(F.col("__cvec__"), F.col("__centvec__")))
+            .withColumn("__crank__", F.row_number().over(w))
+            .filter(F.col("__crank__") <= 2)
+            .collect()
+        )
+    }
+    assert got == want
+
+
 def test_groupby_has_partial_aggregation(spark, sf_dir):
     plan = plan_of(entry_mod.q_groupby_sum(spark, sf_dir))
     # map-side combine: HashAggregate appears before and after the exchange
