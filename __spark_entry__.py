@@ -1404,6 +1404,95 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# L1 — load_table(form=) three-layer switch: raw (untyped survey strings) ->
+# cleaned (rename/type/replace via column metadata) -> processed (cleaned +
+# pipeline instructions), reference api.py:65-97,167-191. One gate exercises
+# all three forms: raw supplies the untouched string column, cleaned the
+# typed/renamed/replaced ones, processed the derived column.
+# --------------------------------------------------------------------------
+
+CUSTOMER_CLEANING = {
+    "columns": {
+        "c_custkey": {"new_name": "ID", "type": "unsigned"},
+        "c_name": "drop",
+        "c_nationkey": {"new_name": "Nation_Code", "type": "integer"},
+        "c_acctbal": {"new_name": "Balance", "type": "float"},
+        "c_mktsegment": {
+            "new_name": "Segment",
+            "type": "string",
+            "replace": {"BUILDING": "Construction"},
+        },
+    },
+    "missings": "error",
+}
+
+CUSTOMER_FORM_SCHEMA = {
+    "customer": {
+        "instructions": [
+            {
+                "create_column": {
+                    "name": "Balance_K",
+                    "type": "numerical",
+                    "expression": "Balance / 1000",
+                }
+            },
+        ],
+    }
+}
+
+
+def q_form_raw_vs_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.api import HBSIREngine
+
+    def raw_loader(name: str, year: int):
+        # the raw layer: the survey file as acquired — every column an
+        # untyped string (stands in for the urban/rural CSV scan)
+        if name != "customer" or year != 1400:
+            return None
+        df = _t(spark, sf_dir, "customer")
+        return df.select([F.col(c).cast("string").alias(c) for c in df.columns])
+
+    engine = HBSIREngine(
+        spark,
+        base_loader=None,
+        schema=CUSTOMER_FORM_SCHEMA,
+        raw_loader=raw_loader,
+        cleaning_metadata={"customer": CUSTOMER_CLEANING},
+    )
+    raw = engine.load_table("customer", [1400], form="raw")
+    processed = engine.load_table("customer", [1400], form="processed")
+    return processed.join(
+        raw.select(
+            F.col("c_custkey").cast("long").alias("ID"),
+            F.col("c_nationkey").alias("raw_nation"),
+        ),
+        "ID",
+    ).select(
+        "ID",
+        "raw_nation",
+        "Nation_Code",
+        F.round("Balance", 2).alias("Balance"),
+        "Segment",
+        # round 6, not 4: a 2-decimal balance / 1000 has a 5-decimal repr, so
+        # 4dp rounding lands exactly on the half boundary where Spark
+        # (HALF_UP on repr) and DuckDB (multiply) disagree
+        F.round("Balance_K", 6).alias("Balance_K"),
+    )
+
+
+SQL_FORM_RAW_VS_CLEANED = """
+SELECT c_custkey::BIGINT                    AS ID,
+       c_nationkey::VARCHAR                 AS raw_nation,
+       c_nationkey::BIGINT                  AS Nation_Code,
+       round(c_acctbal, 2)                  AS Balance,
+       CASE WHEN c_mktsegment = 'BUILDING' THEN 'Construction'
+            ELSE c_mktsegment END           AS Segment,
+       round(coalesce(c_acctbal, 0) / 1000, 6) AS Balance_K
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
 
@@ -1497,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x11_bpe_token_count": q_bpe_token_count,
         "x12_embedding_dedup": q_embedding_dedup,
         "g1_dsl_pipeline": q_dsl_pipeline,
+        "l1_form_raw_vs_cleaned": q_form_raw_vs_cleaned,
     }
 
 
@@ -1551,4 +1641,5 @@ def oracle_sql() -> dict[str, str]:
         "x11_bpe_token_count": SQL_BPE_TOKEN_COUNT,
         "x12_embedding_dedup": SQL_EMBEDDING_DEDUP,
         "g1_dsl_pipeline": SQL_DSL_PIPELINE,
+        "l1_form_raw_vs_cleaned": SQL_FORM_RAW_VS_CLEANED,
     }

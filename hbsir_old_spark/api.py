@@ -41,6 +41,8 @@ class HBSIREngine:
         external_functions: Mapping | None = None,
         cache_dir: str | None = None,
         settings: Mapping | None = None,
+        raw_loader: BaseLoader | None = None,
+        cleaning_metadata: Mapping | None = None,
     ):
         from hbsir_old_spark.metadata.settings import Settings
 
@@ -59,15 +61,20 @@ class HBSIREngine:
             external_functions={**DEFAULT_EXTERNAL_FUNCTIONS, **(external_functions or {})},
             cache=FingerprintCache(cache_dir) if cache_dir else None,
             weight_year_threshold=self.settings["weights.household_info_from_year"] - 1,
+            raw_loader=raw_loader,
+            cleaning_metadata=cleaning_metadata,
         )
 
     # -- core loading ----------------------------------------------------
     def parse_years(self, years) -> list[int]:
         return parse_years(years, first_year=self.first_year, last_year=self.last_year)
 
-    def load_table(self, name: str, years=None) -> DataFrame:
-        """Main query path (reference api.py:94-191, processed form)."""
-        return self.registry.load_table(name, self.parse_years(years))
+    def load_table(self, name: str, years=None, form: str = "processed") -> DataFrame:
+        """Main query path (reference api.py:94-191). ``form`` selects the
+        reference's three layers — ``"raw"`` (survey data as acquired),
+        ``"cleaned"`` (typed/renamed, values untouched), ``"processed"``
+        (full derived pipeline; the only form standard tables have)."""
+        return self.registry.load_table(name, self.parse_years(years), form=form)
 
     def create_table_with_schema(self, schema: Mapping, years=None, name: str = "_adhoc") -> DataFrame:
         """Build a table from a caller-supplied schema dict (reference
@@ -88,6 +95,8 @@ class HBSIREngine:
             base_loader=self.registry.base_loader,
             external_functions=self.registry.compiler.external_functions,
             cache=None,
+            raw_loader=self.registry.raw_loader,
+            cleaning_metadata=self.registry.cleaning_metadata,
         )
         return scratch.load_table(target, self.parse_years(years))
 

@@ -58,11 +58,15 @@ class TableRegistry:
         external_functions: Mapping[str, Callable] | None = None,
         cache: FingerprintCache | None = None,
         weight_year_threshold: int = 1395,
+        raw_loader: BaseLoader | None = None,
+        cleaning_metadata: Mapping[str, Mapping] | None = None,
     ):
         self.spark = spark
         self.schema = dict(schema or {})
         self.metadata = dict(metadata or {})
         self.base_loader = base_loader
+        self.raw_loader = raw_loader
+        self.cleaning_metadata = dict(cleaning_metadata or {})
         self.cache = cache
         self.weight_year_threshold = weight_year_threshold
         self.compiler = PipelineCompiler(registry=self, external_functions=external_functions)
@@ -80,15 +84,79 @@ class TableRegistry:
         return [y for y in years if self.is_available(name, y)]
 
     # -- build -----------------------------------------------------------
-    def load_table(self, name: str, years: Sequence[int]) -> DataFrame:
+    def load_table(
+        self, name: str, years: Sequence[int], form: str = "processed"
+    ) -> DataFrame:
+        """Load a table in one of the reference's three forms
+        (reference api.py:65-97,167-191):
+
+        * ``raw`` — the survey data as acquired, untyped (original tables
+          only; served by the ``raw_loader``);
+        * ``cleaned`` — typed/renamed/label-decoded columns, no value
+          changes (original tables only; the materialized base layer when
+          the ``base_loader`` serves it, else derived raw -> ``clean_table``);
+        * ``processed`` — the full derived pipeline (default; standard
+          tables exist only in this form).
+        """
+        if form not in ("processed", "cleaned", "raw"):
+            raise ValueError(
+                f"form must be 'processed', 'cleaned' or 'raw', got {form!r}"
+            )
         parts = []
         for year in self.available_years(name, years):
-            df = self._build_year(name, year)
+            if form == "processed":
+                df = self._build_year(name, year)
+            else:
+                spec = self._schema_spec(name, year)
+                if spec is not None and "table_list" in spec:
+                    raise ValueError(
+                        f"{name!r} is a standard (derived) table; standard "
+                        "tables are only available in form='processed' "
+                        "(reference api.py:168-171,178-181)"
+                    )
+                df = (
+                    self._load_raw(name, year)
+                    if form == "raw"
+                    else self._load_cleaned(name, year)
+                )
             if df is not None:
                 parts.append(df)
         if not parts:
-            raise ValueError(f"table {name!r} unavailable for years {list(years)}")
+            raise ValueError(
+                f"table {name!r} unavailable for years {list(years)} (form={form!r})"
+            )
         return union_tables(parts)
+
+    def _load_raw(self, name: str, year: int) -> DataFrame | None:
+        if self.raw_loader is None:
+            raise ValueError(
+                f"form='raw' requested for {name!r} but no raw loader is "
+                "configured on this registry"
+            )
+        return self.raw_loader(name, year)
+
+    def _load_cleaned(self, name: str, year: int) -> DataFrame | None:
+        """The cleaned layer: prefer the materialized base table (the saved
+        cleaned parquet, reference TableHandler.read_table), else derive it
+        raw -> ``clean_table`` on the fly (reference on_missing='create')."""
+        if self.base_loader is not None:
+            df = self.base_loader(name, year)
+            if df is not None:
+                return df
+        if self.raw_loader is not None:
+            raw = self.raw_loader(name, year)
+            if raw is None:
+                return None
+            meta = self.cleaning_metadata.get(name)
+            if meta is None:
+                raise KeyError(
+                    f"raw table {name!r} has no cleaning metadata; cannot "
+                    "derive its cleaned form"
+                )
+            from hbsir_old_spark.sources.cleaner import clean_table
+
+            return clean_table(raw, meta, year)
+        return None
 
     def _schema_spec(self, name: str, year: int) -> Mapping | None:
         raw = self.schema.get(name)
@@ -132,9 +200,14 @@ class TableRegistry:
         return df
 
     def _load_base(self, name: str, year: int) -> DataFrame | None:
-        if self.base_loader is None:
-            raise KeyError(f"no schema entry or base loader for table {name!r}")
-        return self.base_loader(name, year)
+        """Base layer of a processed build = the cleaned form, so derived
+        pipelines transparently run over raw sources when no materialized
+        base parquet exists."""
+        if self.base_loader is None and self.raw_loader is None:
+            raise KeyError(
+                f"no schema entry, base loader, or raw loader for table {name!r}"
+            )
+        return self._load_cleaned(name, year)
 
     # -- fingerprints ----------------------------------------------------
     def dependency_fingerprint(self, name: str, year: int) -> str:

@@ -113,6 +113,102 @@ class TestRawCsv:
         assert rows[20001]["Urban_Rural"] == "Rural" and rows[10001]["Grams"] == 5.0
 
 
+class TestLoadTableForms:
+    """The reference's form='raw'|'cleaned'|'processed' switch
+    (reference api.py:65-97,167-191) wired through the registry."""
+
+    CLEANING = {
+        "columns": {
+            "ADRS": {"new_name": "ID", "type": "unsigned"},
+            "G01": {"new_name": "Grams", "type": "float", "replace": {"7": "70"}},
+            "JUNK": "drop",
+        },
+        "missings": "error",
+    }
+    SCHEMA = {
+        "food": {
+            "instructions": [
+                {
+                    "create_column": {
+                        "name": "Kilos",
+                        "type": "numerical",
+                        "expression": "Grams / 1000",
+                    }
+                }
+            ]
+        },
+        "Meals": {"table_list": ["food"]},
+    }
+
+    def _engine(self, spark, base_loader=None):
+        def raw_loader(name, year):
+            if name != "food" or year != 1400:
+                return None
+            return spark.createDataFrame(
+                [("10001", "5", "x"), ("10002", "7", "y")],
+                ["ADRS", "G01", "JUNK"],
+            )
+
+        return HBSIREngine(
+            spark,
+            base_loader=base_loader,
+            schema=self.SCHEMA,
+            raw_loader=raw_loader,
+            cleaning_metadata={"food": self.CLEANING},
+        )
+
+    def test_raw_form_is_untouched(self, spark):
+        raw = self._engine(spark).load_table("food", [1400], form="raw")
+        assert raw.columns == ["ADRS", "G01", "JUNK"]
+        assert {r["G01"] for r in raw.collect()} == {"5", "7"}
+
+    def test_cleaned_form_types_and_replaces(self, spark):
+        cleaned = self._engine(spark).load_table("food", [1400], form="cleaned")
+        assert cleaned.columns == ["ID", "Grams"]
+        rows = {r["ID"]: r["Grams"] for r in cleaned.collect()}
+        assert rows == {10001: 5.0, 10002: 70.0}
+
+    def test_processed_form_runs_pipeline_over_raw(self, spark):
+        processed = self._engine(spark).load_table("food", [1400], form="processed")
+        rows = {r["ID"]: r["Kilos"] for r in processed.collect()}
+        assert rows == {10001: 0.005, 10002: 0.07}
+
+    def test_standard_table_rejects_raw_and_cleaned(self, spark):
+        engine = self._engine(spark)
+        for form in ("raw", "cleaned"):
+            with pytest.raises(ValueError, match="standard"):
+                engine.load_table("Meals", [1400], form=form)
+
+    def test_unknown_form_rejected(self, spark):
+        with pytest.raises(ValueError, match="form"):
+            self._engine(spark).load_table("food", [1400], form="original")
+
+    def test_raw_without_loader_rejected(self, spark, engine):
+        with pytest.raises(ValueError, match="raw loader"):
+            engine.load_table("household_information", [1400], form="raw")
+
+    def test_cleaned_prefers_materialized_base(self, spark):
+        def base_loader(name, year):
+            if name != "food" or year != 1400:
+                return None
+            return spark.createDataFrame([(1, 9.0)], ["ID", "Grams"])
+
+        cleaned = self._engine(spark, base_loader).load_table(
+            "food", [1400], form="cleaned"
+        )
+        assert [r["Grams"] for r in cleaned.collect()] == [9.0]
+
+    def test_missing_cleaning_metadata_errors(self, spark):
+        def raw_loader(name, year):
+            return spark.createDataFrame([("1",)], ["A"])
+
+        engine = HBSIREngine(
+            spark, base_loader=None, schema={}, raw_loader=raw_loader
+        )
+        with pytest.raises(KeyError, match="cleaning metadata"):
+            engine.load_table("mystery", [1400], form="cleaned")
+
+
 class TestQuantileByVariable:
     def test_decile_from_total_expenditure(self, spark, engine):
         hh = engine.load_table("household_information", [1400])
