@@ -1404,6 +1404,104 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# G3 — the reference's README-walkthrough report golden (reference
+# tests/test_package/package/test_by_examples.py:43-69): classify -> weight
+# -> per-capita weighted expenditure -> pivot to (Urban_Rural x Net/Gross)
+# columns -> union-of-totals "Total" row (table.loc["Total"] = table.sum()).
+# Shape-for-shape on the synthetic tables: lineitem/orders stand in for
+# expenditures/households, the mod-expressions for the Food_NonFood
+# classification and the Urban_Rural ID-digit decode.
+# --------------------------------------------------------------------------
+
+_G3_COLS = ["Urban_Net", "Urban_Gross", "Rural_Net", "Rural_Gross"]
+
+
+def q_report_pivot_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.operators.reshape import melt as melt_op
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.when(F.col("l_partkey") % 3 == 0, "Food").otherwise("NonFood").alias("Category"),
+        F.when(F.col("o_orderkey") % 2 == 0, "Urban").otherwise("Rural").alias("UR"),
+        F.col("l_extendedprice").alias("gross"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+        ((F.col("o_custkey") % 5) + 1).cast("double").alias("Weight"),
+    )
+    # weights_sum comes from the household roster (all of orders), not the
+    # fact — mirroring the reference's separate weight-table denominator
+    wsum = (
+        orders.select(
+            F.when(F.col("o_orderkey") % 2 == 0, "Urban").otherwise("Rural").alias("UR"),
+            ((F.col("o_custkey") % 5) + 1).cast("double").alias("Weight"),
+        )
+        .groupBy("UR")
+        .agg(F.sum("Weight").alias("ws"))
+    )
+    cell = (
+        fact.groupBy("Category", "UR")
+        .agg(
+            F.sum(F.col("net") * F.col("Weight")).alias("wnet"),
+            F.sum(F.col("gross") * F.col("Weight")).alias("wgross"),
+        )
+        .join(F.broadcast(wsum), "UR")
+        .select(
+            "Category",
+            "UR",
+            (F.col("wnet") / F.col("ws") / 1000).alias("Net"),
+            (F.col("wgross") / F.col("ws") / 1000).alias("Gross"),
+        )
+    )
+    long = melt_op(cell, ["Category", "UR"], ["Net", "Gross"], var_name="Metric")
+    long = long.withColumn("colname", F.concat_ws("_", "UR", "Metric"))
+    pivoted = pivot_table(
+        long, ["Category"], "colname", "value", agg="sum", pivot_values=_G3_COLS
+    )
+    total = pivoted.agg(*[F.sum(c).alias(c) for c in _G3_COLS]).select(
+        F.lit("Total").alias("Category"), *_G3_COLS
+    )
+    return union_tables([pivoted, total]).select(
+        "Category", *[F.round(c, 4).alias(c) for c in _G3_COLS]
+    )
+
+
+SQL_REPORT_PIVOT_TOTALS = """
+WITH fact AS (
+  SELECT CASE WHEN l_partkey % 3 = 0 THEN 'Food' ELSE 'NonFood' END AS Category,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'Urban' ELSE 'Rural' END AS UR,
+         l_extendedprice AS gross,
+         l_extendedprice * (1 - l_discount) AS net,
+         (o_custkey % 5 + 1)::DOUBLE AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), wsum AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'Urban' ELSE 'Rural' END AS UR,
+         sum((o_custkey % 5 + 1)::DOUBLE) AS ws
+  FROM orders GROUP BY 1
+), cell AS (
+  SELECT Category, f.UR,
+         sum(net * w)   / any_value(ws) / 1000 AS net_pc,
+         sum(gross * w) / any_value(ws) / 1000 AS gross_pc
+  FROM fact f JOIN wsum ON f.UR = wsum.UR
+  GROUP BY 1, 2
+), pivoted AS (
+  SELECT Category,
+         sum(CASE WHEN UR = 'Urban' THEN net_pc   END) AS Urban_Net,
+         sum(CASE WHEN UR = 'Urban' THEN gross_pc END) AS Urban_Gross,
+         sum(CASE WHEN UR = 'Rural' THEN net_pc   END) AS Rural_Net,
+         sum(CASE WHEN UR = 'Rural' THEN gross_pc END) AS Rural_Gross
+  FROM cell GROUP BY Category
+)
+SELECT Category, round(Urban_Net, 4) AS Urban_Net, round(Urban_Gross, 4) AS Urban_Gross,
+       round(Rural_Net, 4) AS Rural_Net, round(Rural_Gross, 4) AS Rural_Gross
+FROM pivoted
+UNION ALL
+SELECT 'Total', round(sum(Urban_Net), 4), round(sum(Urban_Gross), 4),
+       round(sum(Rural_Net), 4), round(sum(Rural_Gross), 4)
+FROM pivoted
+"""
+
+
+# --------------------------------------------------------------------------
 # L1 — load_table(form=) three-layer switch: raw (untyped survey strings) ->
 # cleaned (rename/type/replace via column metadata) -> processed (cleaned +
 # pipeline instructions), reference api.py:65-97,167-191. One gate exercises
@@ -1587,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x12_embedding_dedup": q_embedding_dedup,
         "g1_dsl_pipeline": q_dsl_pipeline,
         "l1_form_raw_vs_cleaned": q_form_raw_vs_cleaned,
+        "g3_report_pivot_totals": q_report_pivot_totals,
     }
 
 
@@ -1642,4 +1741,5 @@ def oracle_sql() -> dict[str, str]:
         "x12_embedding_dedup": SQL_EMBEDDING_DEDUP,
         "g1_dsl_pipeline": SQL_DSL_PIPELINE,
         "l1_form_raw_vs_cleaned": SQL_FORM_RAW_VS_CLEANED,
+        "g3_report_pivot_totals": SQL_REPORT_PIVOT_TOTALS,
     }
