@@ -1591,6 +1591,98 @@ FROM customer
 
 
 # --------------------------------------------------------------------------
+# L2 — setup() -> load_table end-to-end: two synthetic yearly archives
+# (urban/rural CSVs zipped, file:// URLs) are bootstrapped by setup() into
+# Year-partitioned cleaned parquet, then read back through
+# partitioned_base_loader and aggregated across both years — proving the
+# acquisition verbs, the cleaner, the partitioned writer, and partition
+# discovery compose (reference api.py:612-657 setup + api.py:65-97
+# load_table). The archives are derived deterministically FROM the sf
+# `customer` table so DuckDB can oracle the same answer from `customer`.
+# --------------------------------------------------------------------------
+
+SETUP_CUST_CLEANING = {
+    "cust": {
+        "columns": {
+            "ADRS": {"new_name": "ID", "type": "unsigned"},
+            "NKEY": {"new_name": "Nation_Code", "type": "integer"},
+            "BAL": {"new_name": "Balance", "type": "float"},
+            "SEG": {"new_name": "Segment", "type": "string"},
+            "Urban_Rural": {},
+        },
+        "missings": "error",
+    }
+}
+
+
+def q_setup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import zipfile
+
+    from hbsir_old_spark.api import HBSIREngine, partitioned_base_loader
+    from hbsir_old_spark.sources.acquire import setup
+
+    rows = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .collect()
+    )
+    ws = tempfile.mkdtemp(prefix="hbsir_l2_setup_")
+    archives: dict[int, str] = {}
+    for year in (1399, 1400):
+        # year split on custkey parity; urban/rural on nationkey range
+        keep = [r for r in rows if (r["c_custkey"] % 2 == 0) == (year == 1400)]
+
+        def _csv(rs) -> str:
+            lines = ["ADRS,NKEY,BAL,SEG"]
+            lines += [
+                f"{r['c_custkey']},{r['c_nationkey']},{r['c_acctbal']!r},{r['c_mktsegment']}"
+                for r in rs
+            ]
+            return "\n".join(lines) + "\n"
+
+        path = os.path.join(ws, f"hbs{year}.zip")
+        with zipfile.ZipFile(path, "w") as zf:
+            zf.writestr("Ucust.csv", _csv([r for r in keep if r["c_nationkey"] < 12]))
+            zf.writestr("Rcust.csv", _csv([r for r in keep if r["c_nationkey"] >= 12]))
+        archives[year] = "file://" + path
+    root = setup(
+        spark, archives, cleaning_metadata=SETUP_CUST_CLEANING, workspace=ws
+    )
+    engine = HBSIREngine(spark, base_loader=partitioned_base_loader(spark, root))
+    df = engine.load_table("cust", [1399, 1400])
+    return (
+        df.groupBy(F.col("Year").cast("int").alias("Year"), F.col("Urban_Rural"))
+        .agg(
+            F.count("*").cast("long").alias("n_households"),
+            F.round(F.sum("Balance"), 2).alias("total_balance"),
+            F.max("Nation_Code").cast("long").alias("max_nation"),
+        )
+        .orderBy("Year", "Urban_Rural")
+    )
+
+
+SQL_SETUP_ROUNDTRIP = """
+WITH tagged AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN 1400 ELSE 1399 END AS Year,
+         CASE WHEN c_nationkey < 12 THEN 'Urban' ELSE 'Rural' END AS Urban_Rural,
+         c_acctbal,
+         c_nationkey
+  FROM customer
+)
+SELECT Year::INTEGER            AS Year,
+       Urban_Rural,
+       count(*)::BIGINT         AS n_households,
+       round(sum(c_acctbal), 2) AS total_balance,
+       max(c_nationkey)::BIGINT  AS max_nation
+FROM tagged
+GROUP BY Year, Urban_Rural
+ORDER BY Year, Urban_Rural
+"""
+
+
+# --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
 
@@ -1685,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x12_embedding_dedup": q_embedding_dedup,
         "g1_dsl_pipeline": q_dsl_pipeline,
         "l1_form_raw_vs_cleaned": q_form_raw_vs_cleaned,
+        "l2_setup_roundtrip": q_setup_roundtrip,
         "g3_report_pivot_totals": q_report_pivot_totals,
     }
 
@@ -1741,5 +1834,6 @@ def oracle_sql() -> dict[str, str]:
         "x12_embedding_dedup": SQL_EMBEDDING_DEDUP,
         "g1_dsl_pipeline": SQL_DSL_PIPELINE,
         "l1_form_raw_vs_cleaned": SQL_FORM_RAW_VS_CLEANED,
+        "l2_setup_roundtrip": SQL_SETUP_ROUNDTRIP,
         "g3_report_pivot_totals": SQL_REPORT_PIVOT_TOTALS,
     }

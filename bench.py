@@ -5,12 +5,19 @@ JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
 
 Each query is forced end-to-end with a noop sink (computes every row/column
 without driver collection), so timings measure the engine, not toPandas.
+
+Each query runs $SPARK_GRAFT_BENCH_ITERS times (default 3); "queries"
+carries the per-query MEDIAN and "queries_cold" the first (cold) run —
+single-iteration timings at 0.3-4 s granularity cannot distinguish a real
+30% regression from JVM/GC contention (observed round-over-round swings of
++92% on untouched queries), medians can.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -54,21 +61,29 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    timings: dict[str, float] = {}
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    medians: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        runs: list[float] = []
+        for _ in range(iters):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - start)
+        medians[name] = round(statistics.median(runs), 3)
+        cold[name] = round(runs[0], 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
+                "queries_cold": cold,
+                "iters": iters,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -46,18 +46,38 @@ def exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep: str = "min",
+    strategy: str = "agg",
 ) -> DataFrame:
     """Keep one row per exact (normalized) duplicate group — the row with the
-    min (or max) id.
+    min (or max) id. Rows whose id is NULL are dropped up front (the window
+    formulation this replaced dropped them too: ``id == min(id) over group``
+    is NULL for a NULL id; without the filter, ``min_by`` would instead emit
+    one all-null row for a group whose ids are all NULL).
 
-    Implemented as ``groupBy(fingerprint).agg(min_by(payload, id))`` rather
-    than a fingerprint-partitioned window: ``min_by`` is partial-aggregable,
-    so each map partition pre-collapses its duplicates and only one payload
-    per (fingerprint, partition) rides the single shuffle — the window
-    formulation moved every full row. Same keeper, deterministic (ids are
-    unique per document)."""
-    df = ensure_min_partitions(df)
+    Two physical strategies, same result:
+
+    * ``agg`` — ``groupBy(fingerprint).agg(min_by(payload, id))``:
+      partial-aggregable, each map partition pre-collapses its duplicates so
+      one payload per (fingerprint, partition) rides the single shuffle.
+      Best when duplicates are common (the 100-TB dedup regime).
+    * ``semi`` — ``groupBy(fingerprint).agg(min(id))`` then a left-semi join
+      back on id: the aggregation shuffle carries only (fingerprint, id)
+      pairs, at the cost of a second (id-keyed) shuffle of the surviving
+      rows. Best when duplicates are rare and payload rows are wide.
+
+    Deterministic either way (ids are unique per document)."""
+    if strategy not in ("agg", "semi"):
+        raise ValueError(f"strategy must be 'agg' or 'semi', got {strategy!r}")
+    df = ensure_min_partitions(df).filter(F.col(id_col).isNotNull())
     fp = doc_fingerprint(text_col)
+    if strategy == "semi":
+        pick_id = F.min if keep == "min" else F.max
+        keepers = (
+            df.groupBy(fp.alias("__fp__"))
+            .agg(pick_id(F.col(id_col)).alias("__keep__"))
+            .select("__keep__")
+        )
+        return df.join(keepers, F.col(id_col) == F.col("__keep__"), "left_semi")
     pick = F.min_by if keep == "min" else F.max_by
     payload = F.struct(*[F.col(c) for c in df.columns])
     return (

@@ -33,7 +33,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm vector yields NULL similarity instead of an
+    # ANSI DIVIDE_BY_ZERO that would fail the whole job; callers rank NULL
+    # as "no similarity" (see assign_nearest_centroids' -inf guard)
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(
@@ -113,14 +116,29 @@ def assign_nearest_centroids(
     tiebreak — identical to the former ``Window.partitionBy(id)`` argmax
     but with zero Exchange between the scan and the assignment
     (plan-pinned by ``tests/test_plan_quality.py``).
+
+    Degenerate similarities (NULL from null vector elements, NaN from a
+    zero-norm vector) are coalesced to -inf so such centroids always LOSE:
+    without the guard, ``sort_array`` ascending on ``-sim`` would rank a
+    NULL similarity first (NULL sorts before everything), silently electing
+    a broken centroid.
     """
     scored = df.crossJoin(F.broadcast(centroid_arr))
+    neg_inf = F.lit(float("-inf"))
     ranked = F.slice(
         F.sort_array(
             F.transform(
                 F.col("__cents__"),
                 lambda cent: F.struct(
-                    (-cosine_similarity(F.col(vecc), cent["__centvec__"])).alias("__negsim__"),
+                    (
+                        -F.coalesce(
+                            F.nanvl(
+                                cosine_similarity(F.col(vecc), cent["__centvec__"]),
+                                neg_inf,
+                            ),
+                            neg_inf,
+                        )
+                    ).alias("__negsim__"),
                     cent["__centroid__"].alias("__centroid__"),
                 ),
             )

@@ -1,0 +1,93 @@
+"""Geo source + geometry join (reference parity: S10/J8 —
+map_drawer.py:8-43 create_geoseries/add_geometry).
+
+Spark-first shape: geometry rides as a WKT string column in a tiny
+area-keyed dimension DataFrame (a few dozen provinces/regions), broadcast
+left-joined onto the fact — the fact side never shuffles. Reading a
+shapefile/GeoJSON needs GeoPandas, which is optional: only
+:func:`load_geometry_dim` touches it (import-guarded); the join itself is
+plain Spark and fully testable with an injected dimension.
+
+At 100 TB the dim stays broadcast-size by construction (admin geographies
+are inherently small); downstream spatial tooling (Sedona, GeoPandas on
+the collected result) consumes the WKT column directly.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: reference map_drawer.add_geometry auto-detection order (Region first)
+_AREA_PRIORITY = ("Region", "Province")
+
+
+def geometry_dim(
+    spark: SparkSession,
+    geometries: Mapping[str, str],
+    area: str = "Province",
+) -> DataFrame:
+    """Build the broadcastable geometry dimension from an in-memory
+    {area_name: wkt} mapping (the shape `create_geoseries` produces after
+    code->name decoding, reference map_drawer.py:8-24)."""
+    rows = [(name, wkt) for name, wkt in sorted(geometries.items())]
+    return spark.createDataFrame(rows, f"{area} string, geometry string")
+
+
+def load_geometry_dim(
+    spark: SparkSession,
+    path: str,
+    code_column: str,
+    codes: Mapping,
+    area_names: Mapping,
+    area: str = "Province",
+) -> DataFrame:
+    """S10: read a map file (shapefile/GeoJSON) and decode its code column
+    to area names (reference create_geoseries, map_drawer.py:8-24). The
+    GeoPandas dependency is import-guarded — everything after the read is
+    plain Spark."""
+    try:
+        import geopandas as gpd  # type: ignore[import-not-found]
+    except ImportError as exc:
+        raise NotImplementedError(
+            "reading map files requires geopandas; install it, or build the "
+            "dimension yourself with geometry_dim({area_name: wkt})"
+        ) from exc
+    gdf = gpd.read_file(path)[[code_column, "geometry"]]
+    name_by_code = {value: area_names[key] for key, value in codes.items()}
+    mapping = {
+        name_by_code[code]: geom.wkt
+        for code, geom in zip(gdf[code_column], gdf["geometry"])
+        if code in name_by_code
+    }
+    return geometry_dim(spark, mapping, area)
+
+
+def add_geometry(
+    df: DataFrame,
+    dim: DataFrame,
+    area: str | None = None,
+) -> DataFrame:
+    """J8: attach the geometry column by area name (reference add_geometry,
+    map_drawer.py:27-43): ``area`` defaults to the first of Region/Province
+    present in the table; the tiny dim is broadcast so the fact side never
+    shuffles. Left join — areas without a geometry keep NULL, like the
+    reference's pandas left join."""
+    if area is None:
+        for candidate in _AREA_PRIORITY:
+            if candidate in df.columns:
+                area = candidate
+                break
+        else:
+            raise ValueError(
+                "no Region/Province column found; pass area= explicitly "
+                f"(table columns: {df.columns})"
+            )
+    elif area not in df.columns:
+        raise ValueError(f"area column {area!r} not in table (has {df.columns})")
+    dim_area = [c for c in dim.columns if c != "geometry"][0]
+    return df.join(
+        F.broadcast(dim.withColumnRenamed(dim_area, area)), on=area, how="left"
+    )

@@ -122,8 +122,17 @@ class TableRegistry:
             if df is not None:
                 parts.append(df)
         if not parts:
+            missing = self._missing_dependencies(name, list(years))
+            hint = (
+                f"; no data for dependency table(s) {sorted(missing)} in any "
+                "requested year — check the schema's table_list spelling and "
+                "the base/raw loader coverage"
+                if missing
+                else ""
+            )
             raise ValueError(
-                f"table {name!r} unavailable for years {list(years)} (form={form!r})"
+                f"table {name!r} unavailable for years {list(years)} "
+                f"(form={form!r}){hint}"
             )
         return union_tables(parts)
 
@@ -144,19 +153,70 @@ class TableRegistry:
             if df is not None:
                 return df
         if self.raw_loader is not None:
-            raw = self.raw_loader(name, year)
-            if raw is None:
-                return None
+            # metadata check FIRST: with a base loader also configured, the
+            # base layer is the registry's cleaned source of record, so a raw
+            # table with no cleaning metadata is simply unavailable for this
+            # year (not an error — previously this raised mid-build and
+            # turned every processed build touching the table into a hard
+            # failure). Only when raw is the SOLE source is the missing
+            # metadata a configuration error worth raising.
             meta = self.cleaning_metadata.get(name)
             if meta is None:
+                if self.base_loader is not None:
+                    return None
                 raise KeyError(
                     f"raw table {name!r} has no cleaning metadata; cannot "
                     "derive its cleaned form"
                 )
+            raw = self.raw_loader(name, year)
+            if raw is None:
+                return None
             from hbsir_old_spark.sources.cleaner import clean_table
 
             return clean_table(raw, meta, year)
         return None
+
+    def _missing_dependencies(self, name: str, years: Sequence[int]) -> set[str]:
+        """Diagnostic walk (error-path only): leaf dependencies of ``name``
+        — tables referenced by some ``table_list`` but declared nowhere in
+        the schema — that no loader served for ANY requested year. These are
+        what a user debugging an ad-hoc ``create_table_with_schema`` schema
+        needs named (the build itself reports only the queried table)."""
+        missing: set[str] = set()
+        seen: set[str] = set()
+
+        def leaf_served(table: str) -> bool:
+            for year in years:
+                try:
+                    if self._load_cleaned(table, year) is not None:
+                        return True
+                except KeyError:
+                    continue
+            return False
+
+        def walk(table: str) -> None:
+            if table in seen:
+                return
+            seen.add(table)
+            if table not in self.schema:
+                if (
+                    self.base_loader is not None or self.raw_loader is not None
+                ) and not leaf_served(table):
+                    missing.add(table)
+                return
+            for year in years:
+                spec = self._schema_spec(table, year)
+                if spec is None:
+                    continue
+                members = spec.get("table_list")
+                if not members:
+                    continue
+                members = [members] if isinstance(members, str) else list(members)
+                for member in members:
+                    walk(member)
+
+        walk(name)
+        return missing
 
     def _schema_spec(self, name: str, year: int) -> Mapping | None:
         raw = self.schema.get(name)

@@ -26,6 +26,7 @@ from __future__ import annotations
 import csv
 import os
 import shutil
+import subprocess
 import urllib.request
 import zipfile
 from typing import Callable, Mapping, Sequence
@@ -41,6 +42,36 @@ def download(url: str, dest: str, overwrite: bool = False) -> str:
     return dest
 
 
+def _find_unrar_tool() -> "tuple[str, str] | None":
+    """Locate an external tool that can unpack rar archives (reference
+    parity: seven_zip_utils.py:9-26 shells to a downloaded 7z binary; here
+    detection is env-based). Returns (tool_path, flavor) or None."""
+    for candidate, flavor in (
+        ("7z", "7z"),
+        ("7za", "7z"),
+        ("7zz", "7z"),
+        ("unrar", "unrar"),
+    ):
+        found = shutil.which(candidate)
+        if found:
+            return found, flavor
+    return None
+
+
+def _run_unrar_tool(tool: "tuple[str, str]", path: str, dest_dir: str) -> None:
+    exe, flavor = tool
+    if flavor == "7z":
+        cmd = [exe, "x", "-y", f"-o{dest_dir}", path]
+    else:
+        cmd = [exe, "x", "-y", path, dest_dir + os.sep]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"{exe} failed to extract {path!r} (exit {proc.returncode}): "
+            f"{proc.stderr.strip() or proc.stdout.strip()}"
+        )
+
+
 def extract_archive(path: str, dest_dir: str, recursive: bool = True) -> list[str]:
     """Unpack an archive; nested archives are extracted recursively (the
     reference's RAR-in-RAR layout). Returns extracted file paths."""
@@ -49,10 +80,14 @@ def extract_archive(path: str, dest_dir: str, recursive: bool = True) -> list[st
         with zipfile.ZipFile(path) as zf:
             zf.extractall(dest_dir)
     elif path.lower().endswith(".rar"):
-        raise NotImplementedError(
-            "rar extraction needs an external tool (e.g. 7z/unrar); "
-            "install one and extend extract_archive — zip archives work out of the box"
-        )
+        tool = _find_unrar_tool()
+        if tool is None:
+            raise NotImplementedError(
+                "rar extraction needs an external tool (7z/7za/7zz/unrar on "
+                "PATH — the reference shells to 7z, seven_zip_utils.py:9-26); "
+                "none found — zip archives work out of the box"
+            )
+        _run_unrar_tool(tool, path, dest_dir)
     else:
         raise ValueError(f"unsupported archive type: {path!r}")
     # snapshot the tree BEFORE recursing — nested extraction mutates
@@ -132,7 +167,10 @@ def extract_access_tables(
                 written.append(file_path)
                 continue
             try:
-                cursor.execute(f"SELECT * FROM [{name}]")
+                # ODBC bracket quoting: a ']' inside the (catalog-supplied,
+                # untrusted) table name must be doubled or it closes the
+                # quote and the rest of the name is spliced as raw SQL
+                cursor.execute(f"SELECT * FROM [{name.replace(']', ']]')}]")
                 rows = cursor.fetchall()
                 headers = [c[0] for c in cursor.description]
             except Exception:  # driver-specific errors — skip, like the reference
