@@ -1683,6 +1683,53 @@ ORDER BY Year, Urban_Rural
 
 
 # --------------------------------------------------------------------------
+# J8 — geometry join (reference map_drawer.py:27-43 add_geometry): per-area
+# aggregate + broadcast WKT-dimension left join; areas without a geometry
+# keep NULL. The dim is built driver-side from the nation table (admin
+# geographies are inherently dim-sized), deterministic POINT WKTs so DuckDB
+# reproduces the same strings.
+# --------------------------------------------------------------------------
+
+
+def q_geometry_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.operators.geo import add_geometry, geometry_dim
+
+    wkts = {
+        r["n_name"]: f"POINT ({r['n_nationkey']} {r['n_nationkey']})"
+        for r in _t(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 12)
+        .collect()
+    }
+    dim = geometry_dim(spark, wkts, area="Province")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name").alias("Province")
+    )
+    per_prov = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("Province")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+    return add_geometry(per_prov, dim).orderBy("Province")
+
+
+SQL_GEOMETRY_JOIN = """
+SELECT n.n_name AS Province,
+       count(*)::BIGINT AS n_customers,
+       round(sum(c.c_acctbal), 2) AS total_balance,
+       CASE WHEN n.n_nationkey < 12
+            THEN 'POINT (' || n.n_nationkey || ' ' || n.n_nationkey || ')'
+            ELSE NULL END AS geometry
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, n.n_nationkey
+ORDER BY Province
+"""
+
+
+# --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
 
@@ -1778,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g1_dsl_pipeline": q_dsl_pipeline,
         "l1_form_raw_vs_cleaned": q_form_raw_vs_cleaned,
         "l2_setup_roundtrip": q_setup_roundtrip,
+        "j8_geometry_join": q_geometry_join,
         "g3_report_pivot_totals": q_report_pivot_totals,
     }
 
@@ -1835,5 +1883,6 @@ def oracle_sql() -> dict[str, str]:
         "g1_dsl_pipeline": SQL_DSL_PIPELINE,
         "l1_form_raw_vs_cleaned": SQL_FORM_RAW_VS_CLEANED,
         "l2_setup_roundtrip": SQL_SETUP_ROUNDTRIP,
+        "j8_geometry_join": SQL_GEOMETRY_JOIN,
         "g3_report_pivot_totals": SQL_REPORT_PIVOT_TOTALS,
     }
