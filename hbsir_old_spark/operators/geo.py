@@ -57,10 +57,12 @@ def load_geometry_dim(
         ) from exc
     gdf = gpd.read_file(path)[[code_column, "geometry"]]
     name_by_code = {value: area_names[key] for key, value in codes.items()}
+    # features with null/empty geometry are skipped, so the downstream left
+    # join serves them NULL (the documented "areas without a geometry" path)
     mapping = {
         name_by_code[code]: geom.wkt
         for code, geom in zip(gdf[code_column], gdf["geometry"])
-        if code in name_by_code
+        if code in name_by_code and geom is not None
     }
     return geometry_dim(spark, mapping, area)
 
@@ -75,19 +77,26 @@ def add_geometry(
     present in the table; the tiny dim is broadcast so the fact side never
     shuffles. Left join — areas without a geometry keep NULL, like the
     reference's pandas left join."""
+    dim_area = [c for c in dim.columns if c != "geometry"][0]
     if area is None:
-        for candidate in _AREA_PRIORITY:
-            if candidate in df.columns:
-                area = candidate
-                break
+        # the dim's own key column wins: a Province-keyed dim joined onto a
+        # table carrying BOTH Region and Province must join on Province —
+        # priority order alone would pick Region and left-join province
+        # names against region values (all-NULL geometries, no error)
+        if dim_area in df.columns:
+            area = dim_area
         else:
-            raise ValueError(
-                "no Region/Province column found; pass area= explicitly "
-                f"(table columns: {df.columns})"
-            )
+            for candidate in _AREA_PRIORITY:
+                if candidate in df.columns:
+                    area = candidate
+                    break
+            else:
+                raise ValueError(
+                    "no Region/Province column found; pass area= explicitly "
+                    f"(table columns: {df.columns})"
+                )
     elif area not in df.columns:
         raise ValueError(f"area column {area!r} not in table (has {df.columns})")
-    dim_area = [c for c in dim.columns if c != "geometry"][0]
     return df.join(
         F.broadcast(dim.withColumnRenamed(dim_area, area)), on=area, how="left"
     )

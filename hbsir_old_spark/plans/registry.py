@@ -153,24 +153,26 @@ class TableRegistry:
             if df is not None:
                 return df
         if self.raw_loader is not None:
-            # metadata check FIRST: with a base loader also configured, the
-            # base layer is the registry's cleaned source of record, so a raw
-            # table with no cleaning metadata is simply unavailable for this
-            # year (not an error — previously this raised mid-build and
-            # turned every processed build touching the table into a hard
-            # failure). Only when raw is the SOLE source is the missing
-            # metadata a configuration error worth raising.
+            # with a base loader also configured, the base layer is the
+            # registry's cleaned source of record, so a raw table with no
+            # cleaning metadata is simply unavailable for this year (not an
+            # error — raising here would turn every processed build touching
+            # the table into a hard failure); skip the raw probe entirely.
             meta = self.cleaning_metadata.get(name)
+            if meta is None and self.base_loader is not None:
+                return None
+            # raw-only registry: probe raw FIRST — a table the raw source
+            # simply doesn't carry must prune gracefully (return None), and
+            # only a table that HAS raw data but no metadata to clean it is
+            # a configuration error.
+            raw = self.raw_loader(name, year)
+            if raw is None:
+                return None
             if meta is None:
-                if self.base_loader is not None:
-                    return None
                 raise KeyError(
                     f"raw table {name!r} has no cleaning metadata; cannot "
                     "derive its cleaned form"
                 )
-            raw = self.raw_loader(name, year)
-            if raw is None:
-                return None
             from hbsir_old_spark.sources.cleaner import clean_table
 
             return clean_table(raw, meta, year)
@@ -187,10 +189,13 @@ class TableRegistry:
 
         def leaf_served(table: str) -> bool:
             for year in years:
+                # broad except: this walk runs on the error path only — a
+                # loader that raises (instead of returning None) must read
+                # as "not served", never mask the ValueError being built
                 try:
                     if self._load_cleaned(table, year) is not None:
                         return True
-                except KeyError:
+                except Exception:
                     continue
             return False
 

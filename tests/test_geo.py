@@ -47,6 +47,18 @@ def test_add_geometry_prefers_region_over_province(spark):
     assert out[0]["geometry"] == "POINT (0 1)"
 
 
+def test_add_geometry_autodetect_prefers_dim_key_column(spark):
+    # review finding: a Province-keyed dim joined onto a table carrying BOTH
+    # Region and Province must auto-detect Province (the dim's key), not
+    # Region (the priority order) — the latter silently yields NULLs
+    dim = geometry_dim(spark, WKTS)  # Province-keyed
+    df = spark.createDataFrame(
+        [("North", "Tehran")], "Region string, Province string"
+    )
+    out = add_geometry(df, dim).collect()
+    assert out[0]["geometry"] == WKTS["Tehran"]
+
+
 def test_add_geometry_errors_without_area_column(spark):
     dim = geometry_dim(spark, WKTS)
     df = spark.createDataFrame([(1,)], "ID long")

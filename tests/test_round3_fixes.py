@@ -162,6 +162,44 @@ def test_missing_cleaning_metadata_raw_only_still_raises(spark):
         reg.load_table("member", [1400], form="cleaned")
 
 
+def test_raw_only_registry_prunes_tables_absent_from_raw_source(spark):
+    # review finding: a raw-only registry must keep pruning members the raw
+    # source simply doesn't carry (raw returns None), even when they also
+    # have no cleaning metadata — only raw-data-present + no-metadata raises
+    raw_a = spark.createDataFrame([(1400, 1, 2.0)], "Year int, ID long, V double")
+    reg = _registry(
+        spark,
+        schema={"t": {"table_list": ["A", "B"]}},
+        raw_loader=lambda name, year: raw_a if name == "A" else None,
+        cleaning_metadata={
+            "A": {"columns": {"Year": {}, "ID": {}, "V": {}}, "missings": "error"}
+        },
+    )
+    assert reg.load_table("t", [1400]).count() == 1
+
+
+def test_missing_dep_walk_survives_raising_loader(spark):
+    # review finding: the diagnostic walk re-probes loaders on the error
+    # path; a loader that raises there (e.g. non-idempotent, or raising
+    # instead of returning None) must read as "not served" and never mask
+    # the 'unavailable' ValueError with its own stack trace
+    calls: set = set()
+
+    def flaky_loader(name, year):
+        if (name, year) in calls:
+            raise FileNotFoundError(f"no path for {name}")
+        calls.add((name, year))
+        return None
+
+    reg = _registry(
+        spark,
+        schema={"t": {"table_list": ["Ghost"]}},
+        base_loader=flaky_loader,
+    )
+    with pytest.raises(ValueError, match="Ghost"):
+        reg.load_table("t", [1400])
+
+
 # -- missing-dependency error naming -------------------------------------
 def test_adhoc_schema_error_names_missing_dependency(spark):
     reg = _registry(
