@@ -1700,6 +1700,87 @@ ORDER BY Year, Urban_Rural
 
 
 # --------------------------------------------------------------------------
+# X16/X17/X18 — deterministic corpus sampling + vocabulary (training-data
+# pipeline primitives beyond the reference): stable hash train/test split
+# (pure key function, map-side), per-group document quotas (window topK),
+# and corpus token frequency (explode -> partial-aggregable count).
+# --------------------------------------------------------------------------
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    tagged = hash_split(docs, key_col="doc_id", test_frac=0.1)
+    return (
+        tagged.groupBy("lang", "split")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+SQL_HASH_SPLIT = """
+SELECT lang,
+       CASE WHEN substr(md5('split' || '|' || doc_id::VARCHAR), 1, 4) < '1999'
+            THEN 'test' ELSE 'train' END AS split,
+       count(*)::BIGINT AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, split
+"""
+
+
+def q_group_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.sampling import group_quota
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    capped = group_quota(docs, group_col="lang", quota=50, order_col="doc_id")
+    return (
+        capped.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_id"),
+            F.max("doc_id").alias("last_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_GROUP_QUOTA = """
+WITH capped AS (
+  SELECT * FROM documents
+  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 50
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       min(doc_id) AS first_id, max(doc_id) AS last_id
+FROM capped GROUP BY lang ORDER BY lang
+"""
+
+
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.text import top_k_tokens
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return top_k_tokens(docs, text_col="text", k=20).select(
+        "token", F.col("freq").cast("long").alias("freq")
+    )
+
+
+SQL_TOKEN_FREQ = """
+SELECT token, count(*)::BIGINT AS freq
+FROM (
+  SELECT unnest(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 # J8 — geometry join (reference map_drawer.py:27-43 add_geometry): per-area
 # aggregate + broadcast WKT-dimension left join; areas without a geometry
 # keep NULL. The dim is built driver-side from the nation table (admin
@@ -1843,6 +1924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l1_form_raw_vs_cleaned": q_form_raw_vs_cleaned,
         "l2_setup_roundtrip": q_setup_roundtrip,
         "j8_geometry_join": q_geometry_join,
+        "x16_hash_split": q_hash_split,
+        "x17_group_quota": q_group_quota,
+        "x18_token_freq": q_token_freq,
         "g3_report_pivot_totals": q_report_pivot_totals,
     }
 
@@ -1901,5 +1985,8 @@ def oracle_sql() -> dict[str, str]:
         "l1_form_raw_vs_cleaned": SQL_FORM_RAW_VS_CLEANED,
         "l2_setup_roundtrip": SQL_SETUP_ROUNDTRIP,
         "j8_geometry_join": SQL_GEOMETRY_JOIN,
+        "x16_hash_split": SQL_HASH_SPLIT,
+        "x17_group_quota": SQL_GROUP_QUOTA,
+        "x18_token_freq": SQL_TOKEN_FREQ,
         "g3_report_pivot_totals": SQL_REPORT_PIVOT_TOTALS,
     }

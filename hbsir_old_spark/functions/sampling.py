@@ -1,0 +1,82 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+* **hash_split** — stable train/test assignment by key hash. The split
+  must be a pure function of the key (re-runs, late-arriving shards, and
+  incremental appends all land the same row on the same side — Spark's
+  ``randomSplit`` is seed+partition dependent and reshuffles membership
+  when the input repartitions). Implemented as a comparison on the first
+  hex digits of ``md5(salt|key)``: fixed-length lowercase hex compares
+  lexicographically == numerically, so the same predicate runs unchanged
+  in any engine (the DuckDB oracle uses the identical expression). Pure
+  map-side: no shuffle, no RNG state, whole-stage codegen.
+* **group_quota** — cap rows per group (per-language / per-domain document
+  quotas) with a deterministic keep order. One hash-partition Exchange on
+  the group key + in-partition topK; at 100 TB this is the standard
+  "balance the mixture" primitive. Skewed groups cost one hot partition —
+  the window's rank short-circuits, and AQE skew handling applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: md5 prefix length used for bucketing: 4 hex digits = 65536 buckets,
+#: giving split-fraction granularity of ~0.0015%
+_HEX_DIGITS = 4
+_BUCKETS = 16 ** _HEX_DIGITS
+
+
+def split_threshold_hex(test_frac: float) -> str:
+    """The fixed-length lowercase hex threshold ``t``: a key lands in the
+    test split iff its bucket hex < ``t``. Exposed so oracle SQL can embed
+    the same literal."""
+    if not 0.0 <= test_frac <= 1.0:
+        raise ValueError(f"test_frac must be in [0, 1], got {test_frac}")
+    return format(int(test_frac * _BUCKETS), f"0{_HEX_DIGITS}x")
+
+
+def hash_bucket(key: Column | str, salt: str = "split") -> Column:
+    """First ``_HEX_DIGITS`` lowercase hex chars of md5(salt|key)."""
+    key = F.col(key) if isinstance(key, str) else key
+    return F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), key.cast("string"))), 1, _HEX_DIGITS
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    test_frac: float = 0.1,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Tag every row 'test' or 'train' as a pure function of its key."""
+    threshold = split_threshold_hex(test_frac)
+    return df.withColumn(
+        out_col,
+        F.when(hash_bucket(key_col, salt) < F.lit(threshold), "test").otherwise(
+            "train"
+        ),
+    )
+
+
+def group_quota(
+    df: DataFrame,
+    group_col: str,
+    quota: int,
+    order_col: str,
+    ascending: bool = True,
+) -> DataFrame:
+    """Keep at most ``quota`` rows per group, by deterministic order
+    (e.g. best-quality-first with ``order_col='quality', ascending=False``,
+    tiebreaking naturally on the unique order column)."""
+    if quota < 0:
+        raise ValueError(f"quota must be >= 0, got {quota}")
+    order = F.col(order_col) if ascending else F.col(order_col).desc()
+    w = Window.partitionBy(group_col).orderBy(order)
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= quota)
+        .drop("__rn__")
+    )

@@ -166,3 +166,28 @@ def rolling_min_fingerprint(col: Column | str, width: int = 8) -> Column:
     positions = F.sequence(F.lit(1), F.greatest(F.length(norm) - (width - 1), F.lit(1)))
     hashes = F.transform(positions, lambda i: F.md5(F.substring(norm, i, width)))
     return F.array_min(hashes)
+
+
+def token_frequencies(df, text_col: str = "text") -> "DataFrame":
+    """Corpus-wide token frequency table: (token, freq), one row per
+    distinct normalized token. The explode feeds a codegen'd partial-
+    aggregable count — the shuffle carries (token, partial_count), not
+    token instances, so vocabulary building scales to corpus size."""
+    from pyspark.sql import DataFrame  # noqa: F811 (typing only)
+
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    return (
+        df.select(F.explode(tokens).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def top_k_tokens(df, text_col: str = "text", k: int = 20) -> "DataFrame":
+    """The k most frequent corpus tokens (vocabulary head), deterministic
+    tiebreak on the token string. A single global top-k over the (small)
+    aggregated vocabulary — Spark's TakeOrderedAndProject, no full sort."""
+    return token_frequencies(df, text_col).orderBy(
+        F.col("freq").desc(), F.col("token")
+    ).limit(k)

@@ -31,9 +31,12 @@ Fetcher = Callable[[str, str], None]
 
 
 def _default_fetcher(url: str, dest: str) -> None:
-    raise NotImplementedError(
-        f"no network access in this environment; provide a fetcher to download {url!r}"
-    )
+    """urllib fetch (http(s)/file schemes) — ``file://`` URLs make the whole
+    url-type path testable offline; deployments needing auth/retry inject
+    their own fetcher."""
+    from hbsir_old_spark.sources.acquire import download
+
+    download(url, dest, overwrite=True)
 
 
 class ExternalDataRegistry:

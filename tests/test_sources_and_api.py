@@ -85,9 +85,17 @@ class TestExternalRegistry:
         with pytest.raises(KeyError):
             self._registry(spark).load("nope.nothing")
 
-    def test_url_fetch_is_stubbed(self, spark):
-        reg = ExternalDataRegistry(spark, {"x": {"url": "http://example.com/a.xlsx"}})
-        with pytest.raises(NotImplementedError):
+    def test_url_fetch_error_propagates(self, spark, tmp_path):
+        # the default fetcher really fetches (urllib); an unreachable URL
+        # surfaces the underlying error instead of silently proceeding
+        missing = (tmp_path / "does-not-exist.xlsx").as_uri()
+        reg = ExternalDataRegistry(
+            spark,
+            {"x": {"url": missing}},
+            cleaners={"x": lambda p: None},
+            cache_dir=str(tmp_path / "c"),
+        )
+        with pytest.raises(OSError):
             reg.load("x")
 
 
