@@ -1781,6 +1781,27 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# W4 — approximate decile binning (scale twin of w2's exact window ECDF):
+# Greenwald-Khanna sketch breaks (partial-aggregable, no global sort) +
+# map-side array binning. Approximate by design -> rows-only gate; the
+# exact twin (w2_decile) is the oracle-checked baseline, and
+# tests/test_approx_quality.py pins >=99% row agreement with it.
+# --------------------------------------------------------------------------
+
+
+def q_approx_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.operators.quantile import add_approx_bin
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    binned = add_approx_bin(orders, "o_totalprice", bins=10, out_col="decile")
+    return (
+        binned.groupBy("decile")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------------------------
 # J8 — geometry join (reference map_drawer.py:27-43 add_geometry): per-area
 # aggregate + broadcast WKT-dimension left join; areas without a geometry
 # keep NULL. The dim is built driver-side from the nation table (admin
@@ -1927,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x16_hash_split": q_hash_split,
         "x17_group_quota": q_group_quota,
         "x18_token_freq": q_token_freq,
+        "w4_approx_decile": q_approx_decile,
         "g3_report_pivot_totals": q_report_pivot_totals,
     }
 

@@ -46,6 +46,9 @@ HEADLINE = [
     "x11_bpe_token_count",
     "a6_distinct_agg",
     "g1_dsl_pipeline",
+    "x16_hash_split",
+    "x17_group_quota",
+    "x18_token_freq",
 ]
 
 

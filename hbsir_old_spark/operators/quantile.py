@@ -89,3 +89,55 @@ def add_percentile(
     """W1 + P15 with bins=100."""
     with_q = weighted_ecdf(df, value_col, weight_col, group_cols, "__q__", tiebreaker_cols)
     return add_quantile_bin(with_q, "__q__", 100, out_col).drop("__q__")
+
+
+def approx_quantile_breaks(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    group_cols: Sequence[str] = (),
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Approximate per-group quantile break values via Spark's
+    Greenwald-Khanna sketch (``approx_percentile``): one partial-aggregable
+    pass, no global sort. Returns one row per group with
+    ``breaks`` = array of bins-1 inner break points.
+
+    This is the 100-TB twin of :func:`weighted_ecdf` + binning: the exact
+    window formulation totally orders each group (one shuffle + full sort,
+    fine up to hot-group sizes), while the sketch keeps O(1/eps) state per
+    group and merges map-side — the standard trade once groups outgrow a
+    partition sort. Unweighted (the sketch has no weight notion; for
+    survey-weighted deciles use the exact path)."""
+    probs = [i / bins for i in range(1, bins)]
+    agg = F.expr(
+        f"approx_percentile({value_col}, array({', '.join(map(str, probs))}), "
+        f"{int(1 / relative_error)})"
+    ).alias("breaks")
+    return df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
+
+
+def add_approx_bin(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    group_cols: Sequence[str] = (),
+    out_col: str = "Decile",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Assign each row its approximate ``bins``-quantile bin: compute the
+    per-group sketch breaks once, broadcast them back (groups are
+    dim-cardinality), and bin map-side — the row side never sorts and never
+    shuffles beyond the sketch's own partial aggregation."""
+    breaks = approx_quantile_breaks(df, value_col, bins, group_cols, relative_error)
+    joined = (
+        df.join(F.broadcast(breaks), on=list(group_cols))
+        if group_cols
+        else df.crossJoin(F.broadcast(breaks))
+    )
+    # bin = 1 + number of breaks strictly below the value (array expression,
+    # codegen-friendly, no per-row loop in Python)
+    bin_col = F.lit(1) + F.size(
+        F.filter(F.col("breaks"), lambda b: b < F.col(value_col))
+    )
+    return joined.withColumn(out_col, bin_col.cast("int")).drop("breaks")

@@ -83,3 +83,50 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     for flag, est in approx.items():
         rel_err = abs(est - exact[flag]) / exact[flag]
         assert rel_err < 0.1, f"{flag}: approx {est} vs exact {exact[flag]}"
+
+
+class TestApproxDecile:
+    def test_approx_bins_agree_with_exact_ecdf(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from hbsir_old_spark.operators.quantile import add_approx_bin, add_decile
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        exact = add_decile(
+            orders, "o_totalprice", out_col="d_exact",
+            tiebreaker_cols=("o_orderkey",),
+        ).select("o_orderkey", "d_exact")
+        approx = add_approx_bin(
+            orders, "o_totalprice", out_col="d_approx"
+        ).select("o_orderkey", "d_approx")
+        joined = exact.join(approx, "o_orderkey")
+        total = joined.count()
+        agree = joined.filter(F.col("d_exact") == F.col("d_approx")).count()
+        # eps=0.001 on this scale: only rows hugging a break can differ
+        assert agree / total >= 0.99, f"agreement {agree}/{total}"
+
+    def test_approx_bin_plan_has_no_sort_or_window(self, spark, sf_dir):
+        from hbsir_old_spark.operators.quantile import add_approx_bin
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_custkey", "o_totalprice"
+        )
+        plan = (
+            add_approx_bin(orders, "o_totalprice", group_cols=())
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+        assert "Sort" not in plan.replace("SortAggregate", "")  # sketch agg only
+
+    def test_grouped_breaks_monotone(self, spark, sf_dir):
+        from hbsir_old_spark.operators.quantile import approx_quantile_breaks
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rows = approx_quantile_breaks(
+            docs, "doc_id", bins=4, group_cols=("lang",)
+        ).collect()
+        assert len(rows) > 1
+        for r in rows:
+            assert r["breaks"] == sorted(r["breaks"])

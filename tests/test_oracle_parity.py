@@ -99,6 +99,7 @@ def test_every_oracle_key_has_a_query():
         "x9_ann_lsh",
         "x13_ivf_topk",
         "a7_approx_distinct",
+        "w4_approx_decile",
     }
 
 

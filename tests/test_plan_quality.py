@@ -141,3 +141,22 @@ def test_groupby_has_partial_aggregation(spark, sf_dir):
     plan = plan_of(entry_mod.q_groupby_sum(spark, sf_dir))
     # map-side combine: HashAggregate appears before and after the exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_token_freq_prunes_to_text_and_partially_aggregates(spark, sf_dir):
+    # x18: the scan must read ONLY text, and the count must partial-agg
+    # before its Exchange (the shuffle carries (token, partial) rows)
+    df = entry_mod.q_token_freq(spark, sf_dir)
+    plan = plan_of(df)
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "text" in scan and "doc_id" not in scan and "lang" not in scan
+    assert plan.index("partial_count") > plan.index("Exchange") > plan.index(
+        "count("
+    ), "partial aggregation must sit below (after, in bottom-up text) the Exchange"
+
+
+def test_group_quota_single_exchange(spark, sf_dir):
+    # x17: one hash Exchange on the group key, nothing more
+    df = entry_mod.q_group_quota(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") <= 2  # quota window + final agg
