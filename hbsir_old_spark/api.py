@@ -76,6 +76,30 @@ class HBSIREngine:
         (full derived pipeline; the only form standard tables have)."""
         return self.registry.load_table(name, self.parse_years(years), form=form)
 
+    def register_views(
+        self, names: Sequence[str], years=None, prefix: str = ""
+    ) -> list[str]:
+        """Expose processed tables as temp views so users can drop to plain
+        ``spark.sql`` (the lazy plans register as-is — Catalyst still sees
+        the whole derived pipeline through the view, so pushdown/pruning
+        keep working across the SQL boundary). Returns the view names."""
+        registered = []
+        for name in names:
+            view = f"{prefix}{name}"
+            self.load_table(name, years).createOrReplaceTempView(view)
+            registered.append(view)
+        return registered
+
+    def sql(self, query: str, years=None, tables: Sequence[str] | None = None) -> DataFrame:
+        """Run SQL over standard tables (auto-registering ``tables``, or
+        every table name that appears verbatim in the query when omitted)."""
+        if tables is None:
+            tables = [
+                n for n in self.registry.schema if n in query and n.isidentifier()
+            ]
+        self.register_views(tables, years)
+        return self.spark.sql(query)
+
     def create_table_with_schema(self, schema: Mapping, years=None, name: str = "_adhoc") -> DataFrame:
         """Build a table from a caller-supplied schema dict (reference
         ``create_table_with_schema``, api.py) — the user's dict is resolved

@@ -522,3 +522,30 @@ class TestQueryTranslator:
     )
     def test_translate(self, pandas_expr, sql):
         assert translate_pandas_query(pandas_expr) == sql
+
+
+class TestSqlSurface:
+    def test_register_views_and_sql(self, engine):
+        out = engine.sql(
+            "SELECT Year, count(*) AS n FROM Expenditures GROUP BY Year ORDER BY Year",
+            years=[1394, 1400],
+        )
+        rows = {r["Year"]: r["n"] for r in out.collect()}
+        assert set(rows) == {1394, 1400}
+        assert all(n > 0 for n in rows.values())
+
+    def test_sql_view_keeps_catalyst_visibility(self, engine):
+        # pruning must survive the SQL boundary: selecting one column
+        # through the view should not widen the underlying scans
+        engine.register_views(["Expenditures"], years=[1400])
+        plan = (
+            engine.spark.sql("SELECT Year FROM Expenditures")
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "Amount" not in plan
+
+    def test_sql_explicit_tables(self, engine):
+        out = engine.sql(
+            "SELECT count(*) AS n FROM food", years=[1400], tables=["food"]
+        )
+        assert out.collect()[0]["n"] > 0

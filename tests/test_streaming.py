@@ -107,3 +107,44 @@ def test_sessionize_stream_runs_with_state(spark, event_stream_dir):
     for _, grp in pdf.sort_values("session_start").groupby("user_id"):
         diffs = grp["session_start"].diff().dropna()
         assert (diffs >= pd.Timedelta(minutes=5)).all()
+
+
+class TestUpsertSink:
+    def _start(self, spark, src_dir, target, ckpt):
+        from hbsir_old_spark.streaming.sink import run_windowed_upsert
+
+        schema = spark.read.parquet(src_dir).schema
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        agg = tumbling_stats(stream, window="1 hour", with_watermark="2 hours")
+        q = run_windowed_upsert(
+            agg, target, ckpt, partition_cols=["event_type"]
+        )
+        q.awaitTermination(60_000)
+        deadline = time.time() + 60
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.5)
+
+    def test_windowed_upsert_matches_batch(self, spark, event_stream_dir, tmp_path):
+        target = str(tmp_path / "agg")
+        ckpt = str(tmp_path / "ckpt")
+        self._start(spark, event_stream_dir, target, ckpt)
+        got = spark.read.parquet(target).toPandas()
+        want = tumbling_stats(
+            spark.read.parquet(event_stream_dir), window="1 hour"
+        ).toPandas()
+        key = ["window_start", "event_type"]
+        got = got.sort_values(key).reset_index(drop=True)[want.columns]
+        want = want.sort_values(key).reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_restart_with_same_checkpoint_is_idempotent(
+        self, spark, event_stream_dir, tmp_path
+    ):
+        target = str(tmp_path / "agg2")
+        ckpt = str(tmp_path / "ckpt2")
+        self._start(spark, event_stream_dir, target, ckpt)
+        first = spark.read.parquet(target).count()
+        # re-running with the same checkpoint finds no new files and must
+        # not duplicate or clobber existing partitions
+        self._start(spark, event_stream_dir, target, ckpt)
+        assert spark.read.parquet(target).count() == first
