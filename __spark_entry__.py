@@ -59,16 +59,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    parquet reader rejects; read nanos as long (legacy conf) and convert to
-    a microsecond TimestampType column. On a cluster this conf lives in
-    spark-defaults; setting it at runtime keeps the driver contract
-    self-contained."""
+    """Load events with a TimestampType ``ts`` regardless of how the parquet
+    encodes it. Some generator versions write TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects — those are read as epoch-nano longs
+    (legacy conf) and converted; TIMESTAMP(MICROS/MILLIS) files come back as
+    timestamps already and pass through untouched."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # naive parquet timestamps are treated as UTC instants (matches DuckDB's
+    # epoch_ms on the same file); also makes the NTZ→LTZ cast below an
+    # epoch-identity so watermarks see the same instant the oracle hashes
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer `div`, not `/`: epoch-nanos exceed double's 2^53 mantissa, so
-    # float division would round the microsecond off
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        # integer `div`, not `/`: epoch-nanos exceed double's 2^53 mantissa,
+        # so float division would round the microsecond off
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks/windows require TimestampType (an instant); under the
+        # UTC session tz this cast preserves the epoch value bit-for-bit
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 # --------------------------------------------------------------------------

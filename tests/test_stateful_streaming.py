@@ -19,12 +19,9 @@ def multi_file_events(spark, sf_dir, tmp_path_factory):
     """Several parquet files so availableNow produces multiple batches and
     state actually carries across them."""
     out = str(tmp_path_factory.mktemp("events_files"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .limit(3000)
-    )
+    from __spark_entry__ import _events
+
+    events = _events(spark, sf_dir).limit(3000)
     events.repartition(6).write.mode("overwrite").parquet(out)
     return out
 

@@ -11,8 +11,6 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F  # noqa: E402
-
 from hbsir_old_spark.streaming.events import sessionize, tumbling_stats  # noqa: E402
 
 
@@ -21,12 +19,9 @@ def event_stream_dir(spark, sf_dir, tmp_path_factory):
     """Materialize the events table as a small parquet directory usable as a
     file stream source (micro-batches discover files)."""
     out = str(tmp_path_factory.mktemp("event_stream"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .limit(2000)
-    )
+    from __spark_entry__ import _events
+
+    events = _events(spark, sf_dir).limit(2000)
     events.coalesce(4).write.mode("overwrite").parquet(out)
     return out
 
