@@ -172,22 +172,18 @@ def minhash_lsh_pairs(
         )
     rows_per_band = num_perm // bands
     df = ensure_min_partitions(df)
-    shingled = df.select(
+    # One streaming pass over exploded shingles builds the signatures; the
+    # full shingle table is never cached (a corpus-sized array<string> cache
+    # was the old cold-run cliff — and at 100 TB it would not fit anywhere).
+    # The verify stage recomputes shingles for CANDIDATE docs only, below.
+    exploded = df.select(
         F.col(id_col).alias("__id__"),
-        word_shingles(text_col, n).alias("__sh__"),
+        F.explode(word_shingles(text_col, n)).alias("__s__"),
     )
-    # the shingle table feeds three consumers (signature build + both sides
-    # of the verify join); persist it so the normalize/shingle expressions
-    # run once (MEMORY_AND_DISK — spills instead of OOM at scale; Spark's
-    # ContextCleaner reclaims it once the result plan is released)
-    from pyspark import StorageLevel
-
-    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     # signature via explode + codegen'd groupBy min: `min` is
     # partial-aggregable, so the shuffle carries one 16-long row per doc per
     # map partition — faster than interpreted higher-order array functions
     # and skew-safe at scale
-    exploded = shingled.select("__id__", F.explode("__sh__").alias("__s__"))
     sig = exploded.groupBy("__id__").agg(
         *[
             F.min(F.xxhash64(F.lit(j), F.col("__s__"))).alias(f"__h{j}__")
@@ -221,6 +217,27 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # Materialize the candidate pairs once: they feed both the id semi-join
+    # and the verify join, and re-deriving them would re-run the whole
+    # signature pipeline. Candidate pairs are tiny relative to the corpus
+    # (that is the point of LSH), so the checkpoint blocks are cheap; the
+    # ContextCleaner reclaims them when the result DataFrame is released.
+    # (localCheckpoint trades executor-loss recovery for not re-running the
+    # band join — acceptable for a small derived set; use a reliable
+    # checkpoint dir on a cluster where executor churn is expected.)
+    cand = cand.localCheckpoint(eager=True)
+    # Shingles for the verify stage are recomputed for candidate docs ONLY:
+    # semi-join the corpus down to candidate ids (small -> auto-broadcast
+    # under AQE), then rebuild the arrays for that sliver.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("__id__"))
+        .union(cand.select(F.col("id_b").alias("__id__")))
+        .distinct()
+    )
+    shingled = (
+        df.join(cand_ids, F.col(id_col) == cand_ids["__id__"], "left_semi")
+        .select(F.col(id_col).alias("__id__"), word_shingles(text_col, n).alias("__sh__"))
     )
     sa = shingled.select(F.col("__id__").alias("id_a"), F.col("__sh__").alias("sh_a"))
     sb = shingled.select(F.col("__id__").alias("id_b"), F.col("__sh__").alias("sh_b"))
