@@ -15,11 +15,15 @@ Scale design (the point of each variant at 100 TB):
   near-dups have small Hamming distance; banding on bit chunks gives the
   candidate join.
 
-MinHash permutations use xxhash64(seed, shingle) — Spark-native, JVM-side.
+MinHash hashes each shingle once (xxhash64, Spark-native, JVM-side) and
+derives the k permutations via universal multiply-add hashing in the
+2^31-1 field — k× less string hashing per shingle and compact generated
+code (see _shingle_base_hash).
 """
 
 from __future__ import annotations
 
+import random
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -125,21 +129,50 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+#: Mersenne prime 2^31-1: the field for the universal permutation hashes.
+#: a_j * base + b_j stays under 2^62, so the arithmetic never overflows a
+#: long even with ANSI mode on.
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _perm_constants(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) pairs for the universal hash family
+    h_j(x) = (a_j*x + b_j) mod 2^31-1, a_j != 0. Fixed seed so signatures
+    are reproducible across runs/sessions/clusters."""
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_perm)
+    ]
+
+
+def _shingle_base_hash(s: Column) -> Column:
+    """One xxhash64 per shingle, folded into the Mersenne field. All
+    ``num_perm`` permutations derive from this single hash via multiply-add
+    — hashing the string once instead of k times is the dominant cost at
+    corpus scale, and the tiny generated code keeps whole-stage-codegen JIT
+    cheap (k inlined xxhash64(lit(j), s) calls were measurably slow to
+    compile on first run)."""
+    return F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
+
+
 def minhash_signature_from_shingles(shingles: Column | str, num_perm: int = 16) -> Column:
     """k-perm MinHash signature from a shingle array: element j = min over
-    shingles of xxhash64(j, shingle).
+    shingles of the j-th universal permutation of xxhash64(shingle).
 
     Single-pass formulation (one ``aggregate`` folding all k minima at once)
     rather than k separate array traversals: Catalyst's projection collapse
     would otherwise inline the shingle-building expression k times."""
     shingles = F.col(shingles) if isinstance(shingles, str) else shingles
+    consts = _perm_constants(num_perm)
+    bases = F.transform(shingles, _shingle_base_hash)
     init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_perm)
     return F.aggregate(
-        shingles,
+        bases,
         init,
-        lambda acc, s: F.zip_with(
+        lambda acc, b: F.zip_with(
             acc,
-            F.array(*[F.xxhash64(F.lit(j), s) for j in range(num_perm)]),
+            F.array(*[F.pmod(F.lit(a) * b + F.lit(c), F.lit(_MERSENNE31)) for a, c in consts]),
             lambda x, y: F.least(x, y),
         ),
     )
@@ -183,11 +216,16 @@ def minhash_lsh_pairs(
     # signature via explode + codegen'd groupBy min: `min` is
     # partial-aggregable, so the shuffle carries one 16-long row per doc per
     # map partition — faster than interpreted higher-order array functions
-    # and skew-safe at scale
+    # and skew-safe at scale. Each shingle is hashed ONCE; the k
+    # permutations are multiply-adds over that base hash (_shingle_base_hash).
+    consts = _perm_constants(num_perm)
+    exploded = exploded.withColumn("__b__", _shingle_base_hash(F.col("__s__")))
     sig = exploded.groupBy("__id__").agg(
         *[
-            F.min(F.xxhash64(F.lit(j), F.col("__s__"))).alias(f"__h{j}__")
-            for j in range(num_perm)
+            F.min(F.pmod(F.lit(a) * F.col("__b__") + F.lit(c), F.lit(_MERSENNE31))).alias(
+                f"__h{j}__"
+            )
+            for j, (a, c) in enumerate(consts)
         ]
     )
     # bands carry ONLY (id, band-hash): the shingle arrays never ride
