@@ -11,6 +11,7 @@ a lazy DataFrame; nothing executes until an action.
 
 from __future__ import annotations
 
+import re
 from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -94,8 +95,13 @@ class HBSIREngine:
         """Run SQL over standard tables (auto-registering ``tables``, or
         every table name that appears verbatim in the query when omitted)."""
         if tables is None:
+            # word-boundary match, not substring: a query over
+            # `Original_Expenditures` must not also register `Expenditures`
+            # (and possibly shadow a user's own temp view of that name)
             tables = [
-                n for n in self.registry.schema if n in query and n.isidentifier()
+                n
+                for n in self.registry.schema
+                if n.isidentifier() and re.search(rf"\b{re.escape(n)}\b", query)
             ]
         self.register_views(tables, years)
         return self.spark.sql(query)

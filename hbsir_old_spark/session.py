@@ -22,7 +22,19 @@ def ensure_min_partitions(df, minimum: int | None = None):
     spark = df.sparkSession
     if minimum is None:
         minimum = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < minimum:
+    # Estimate scan parallelism from the leaf files instead of probing
+    # `df.rdd.getNumPartitions()`: touching `.rdd` forces a full physical
+    # compile (pre-AQE) of the plan on every call, which is pure planning
+    # overhead on wide plans. `inputFiles()` only walks the analyzed logical
+    # plan. Splittable formats can yield more partitions than files, so this
+    # undercounts for huge files — erring toward a repartition that AQE's
+    # coalescing absorbs; at real scale the scan has thousands of files and
+    # this never fires.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file source (rate, memory, ...) — leave as-is
+        return df
+    if 0 < n_files < minimum:
         return df.repartition(minimum)
     return df
 

@@ -544,6 +544,16 @@ class TestSqlSurface:
         )
         assert "Amount" not in plan
 
+    def test_sql_word_boundary_table_detection(self, engine):
+        # `Expenditures` is a substring of `Original_Expenditures`; naming
+        # only the latter must register exactly one view, not both
+        engine.spark.catalog.dropTempView("Expenditures")
+        engine.sql(
+            "SELECT count(*) AS n FROM Original_Expenditures", years=[1400]
+        ).collect()
+        assert engine.spark.catalog.tableExists("Original_Expenditures")
+        assert not engine.spark.catalog.tableExists("Expenditures")
+
     def test_sql_explicit_tables(self, engine):
         out = engine.sql(
             "SELECT count(*) AS n FROM food", years=[1400], tables=["food"]
