@@ -1813,6 +1813,107 @@ def q_approx_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# W4b — WEIGHTED approximate decile (scale twin of the flagship
+# survey-weighted w2 semantics, reference quantile.py:119-146): GK probe
+# grid + exact weighted CDF at each probe + interpolated breaks — no sort,
+# no window. Approximate by design -> rows-only gate; w2_decile is the
+# oracle-checked exact twin and tests/test_approx_quality.py pins >=99%
+# row agreement under cubed-skew weights.
+# --------------------------------------------------------------------------
+
+
+def q_weighted_approx_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.operators.quantile import add_weighted_approx_bin
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", F.col("l_quantity").alias("Weight")
+    )
+    binned = add_weighted_approx_bin(
+        li, "l_extendedprice", "Weight", bins=10, out_col="decile"
+    )
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.sum("Weight"), 2).alias("total_weight"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# S4 — streaming upsert sink, end-to-end with a REPLAYED epoch: two
+# micro-batches of the hourly aggregate go through upsert_batch_writer
+# (dynamic partition overwrite keyed on the window partition), the second
+# batch is delivered twice with the same epoch id (exactly the re-delivery
+# contract foreachBatch has after a failure), and the table read back from
+# disk must equal the plain batch aggregate over ALL events — which is the
+# DuckDB oracle. Proves the sink's idempotent-upsert semantics, not just
+# the aggregate.
+# --------------------------------------------------------------------------
+
+
+def q_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hbsir_old_spark.streaming.sink import upsert_batch_writer
+
+    events = _events(spark, sf_dir)
+    agg_all = (
+        events.groupBy(
+            F.unix_millis(F.date_trunc("hour", "ts")).alias("window_start_ms"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    # split point: mid-range hour boundary (two tiny scalar reads — metadata,
+    # not a data collect)
+    lo, hi = events.agg(
+        F.unix_millis(F.min("ts")), F.unix_millis(F.max("ts"))
+    ).first()
+    cut_ms = (lo + hi) // 2
+    cut_hour_ms = cut_ms - cut_ms % 3_600_000
+    target = tempfile.mkdtemp(prefix="s4_upsert_")
+    writer = upsert_batch_writer(target, ["window_start_ms"])
+    # micro-batch 0: everything before the cut — the boundary window holds a
+    # PARTIAL aggregate that batch 1 must overwrite
+    batch1 = (
+        events.filter(F.unix_millis("ts") < cut_ms)
+        .groupBy(
+            F.unix_millis(F.date_trunc("hour", "ts")).alias("window_start_ms"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    writer(batch1, 0)
+    # micro-batch 1: update-mode re-emission of every window touched at or
+    # after the cut (rows >= cut only land in windows >= the cut hour)
+    batch2 = agg_all.filter(F.col("window_start_ms") >= cut_hour_ms)
+    writer(batch2, 1)
+    writer(batch2, 1)  # replayed epoch — must be a no-op on the final state
+    out = spark.read.parquet(target)
+    return out.select(
+        F.col("window_start_ms").cast("long").alias("window_start_ms"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_UPSERT_SINK = """
+SELECT epoch_ms(date_trunc('hour', ts))::BIGINT AS window_start_ms,
+       event_type, count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # J8 — geometry join (reference map_drawer.py:27-43 add_geometry): per-area
 # aggregate + broadcast WKT-dimension left join; areas without a geometry
 # keep NULL. The dim is built driver-side from the nation table (admin
@@ -1921,6 +2022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x16_hash_split": q_hash_split,
         "x17_group_quota": q_group_quota,
         "x18_token_freq": q_token_freq,
+        # -- new in round 4 --
+        "w4b_weighted_approx_decile": q_weighted_approx_decile,
+        "s4_upsert_sink": q_upsert_sink,
         # -- veterans (green r1-r3) --
         "a1_groupby_sum": q_groupby_sum,
         "p7_computed_column": q_computed_column,
@@ -2036,4 +2140,8 @@ def oracle_sql() -> dict[str, str]:
         "x17_group_quota": SQL_GROUP_QUOTA,
         "x18_token_freq": SQL_TOKEN_FREQ,
         "g3_report_pivot_totals": SQL_REPORT_PIVOT_TOTALS,
+        # w4b_weighted_approx_decile: approximate by design => rows-only;
+        # w2_decile is the exact oracle-checked twin (>=99% agreement pinned
+        # in tests/test_approx_quality.py).
+        "s4_upsert_sink": SQL_UPSERT_SINK,
     }

@@ -117,6 +117,132 @@ def approx_quantile_breaks(
     return df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
 
 
+def weighted_approx_quantile_breaks(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    bins: int = 10,
+    group_cols: Sequence[str] = (),
+    probes: int | None = None,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Approximate per-group WEIGHTED quantile breaks without a global sort
+    (the survey-weighted semantics of reference quantile.py:119-146, which
+    the unweighted GK sketch in :func:`approx_quantile_breaks` can't carry).
+
+    Two partial-aggregable passes:
+
+    1. an UNWEIGHTED Greenwald-Khanna probe grid per group — ``probes``
+       value-candidates spanning the distribution (plus min/max), so break
+       positions can only land where data actually is;
+    2. the EXACT weighted CDF at every probe — per probe j,
+       ``sum(weight * (value <= probe_j)) / sum(weight)`` — one plain
+       groupBy over codegen'd conditional sums (map-side combine applies;
+       the shuffle carries one (probes+1)-column row per group per map
+       partition).
+
+    The weighted break for target quantile q is then the first probe whose
+    weighted CDF reaches q. The CDF values are exact; the only
+    approximation is that breaks snap to the probe grid, so the error is
+    bounded by the largest weight mass between adjacent unweighted
+    1/probes-quantiles. Returns one row per group:
+    (group_cols..., breaks array<double> of bins-1 inner break values).
+    """
+    n_probes = probes or max(64, bins * 16)
+    probe_qs = [i / n_probes for i in range(1, n_probes)]
+    sketch = F.expr(
+        f"approx_percentile({value_col}, array({', '.join(map(str, probe_qs))}), "
+        f"{int(1 / relative_error)})"
+    )
+    grid_aggs = [
+        F.concat(
+            F.array(F.min(value_col).cast("double")),
+            sketch.cast("array<double>"),
+            F.array(F.max(value_col).cast("double")),
+        ).alias("__probes__")
+    ]
+    grid = (
+        df.groupBy(*group_cols).agg(*grid_aggs) if group_cols else df.agg(*grid_aggs)
+    )
+    joined = (
+        df.join(F.broadcast(grid), on=list(group_cols))
+        if group_cols
+        else df.crossJoin(F.broadcast(grid))
+    )
+    w = F.col(weight_col).cast("double")
+    n_cols = n_probes + 1  # min + (n_probes-1) sketch points + max
+    cdf_sums = [
+        F.sum(
+            F.when(F.col(value_col) <= F.element_at("__probes__", j + 1), w).otherwise(
+                F.lit(0.0)
+            )
+        ).alias(f"__c{j}__")
+        for j in range(n_cols)
+    ]
+    # The agg carries only fixed-width doubles — carrying the probes array
+    # through (e.g. first(__probes__)) would demote the whole aggregation
+    # from HashAggregate to SortAggregate (array buffers aren't
+    # hash-aggregable), adding a per-partition sort on the group key. The
+    # grid is re-attached by a second broadcast join instead.
+    aggs = [F.sum(w).alias("__tw__"), *cdf_sums]
+    agg = (
+        joined.groupBy(*group_cols).agg(*aggs) if group_cols else joined.agg(*aggs)
+    )
+    agg = (
+        agg.join(F.broadcast(grid), on=list(group_cols))
+        if group_cols
+        else agg.crossJoin(F.broadcast(grid))
+    )
+    cdfs = F.array(*[F.col(f"__c{j}__") / F.col("__tw__") for j in range(n_cols)])
+    # break for q=i/bins: linearly interpolate between the bracketing probes
+    # (p_lo, cdf_lo) and (p_hi, cdf_hi) where the weighted CDF crosses q —
+    # snapping to the grid alone leaves a half-probe-gap bias; interpolation
+    # (uniform-density-within-gap assumption) recovers most of it. The final
+    # probe is max(value) with CDF 1.0, so a crossing always exists.
+    def _break_at(i: Column) -> Column:
+        q = i.cast("double") / bins
+        k = F.size(F.filter(cdfs, lambda c: c < q))  # 0-based crossing index
+        p_hi = F.element_at(F.col("__probes__"), k + 1)
+        c_hi = F.element_at(cdfs, k + 1)
+        p_lo = F.element_at(F.col("__probes__"), F.greatest(k, F.lit(1)))
+        c_lo = F.element_at(cdfs, F.greatest(k, F.lit(1)))
+        interp = p_lo + (q - c_lo) / (c_hi - c_lo) * (p_hi - p_lo)
+        return F.when((k == 0) | (c_hi <= c_lo), p_hi).otherwise(interp)
+
+    breaks = F.transform(F.sequence(F.lit(1), F.lit(bins - 1)), _break_at)
+    keep = [*group_cols] if group_cols else []
+    return agg.select(*keep, breaks.alias("breaks"))
+
+
+def add_weighted_approx_bin(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    bins: int = 10,
+    group_cols: Sequence[str] = (),
+    out_col: str = "Decile",
+    probes: int | None = None,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Weighted twin of :func:`add_approx_bin`: per-group weighted sketch
+    breaks broadcast back, rows binned map-side — no sort, no window, and
+    the row side never shuffles. This is the 100-TB path for the flagship
+    survey-weighted decile (W2); the exact window path remains the
+    small-group / oracle semantics."""
+    breaks = weighted_approx_quantile_breaks(
+        df, value_col, weight_col, bins, group_cols, probes, relative_error
+    )
+    joined = (
+        df.join(F.broadcast(breaks), on=list(group_cols))
+        if group_cols
+        else df.crossJoin(F.broadcast(breaks))
+    )
+    bin_col = F.lit(1) + F.size(
+        F.filter(F.col("breaks"), lambda b: b < F.col(value_col))
+    )
+    return joined.withColumn(out_col, bin_col.cast("int")).drop("breaks")
+
+
 def add_approx_bin(
     df: DataFrame,
     value_col: str,

@@ -120,6 +120,54 @@ class TestApproxDecile:
         assert "Window" not in plan
         assert "Sort" not in plan.replace("SortAggregate", "")  # sketch agg only
 
+    def test_weighted_approx_bins_agree_with_exact(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from hbsir_old_spark.operators.quantile import (
+            add_decile,
+            add_weighted_approx_bin,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            # cubed weights: heavy skew, the regime where unweighted breaks
+            # would be badly wrong
+            F.pow("l_quantity", 3).alias("w"),
+        )
+        both = add_weighted_approx_bin(
+            add_decile(
+                li,
+                "l_extendedprice",
+                "w",
+                out_col="d_exact",
+                tiebreaker_cols=("l_orderkey", "l_linenumber"),
+            ),
+            "l_extendedprice",
+            "w",
+            out_col="d_approx",
+        )
+        agree = both.select(
+            F.avg((F.col("d_exact") == F.col("d_approx")).cast("double"))
+        ).collect()[0][0]
+        assert agree >= 0.99, f"weighted agreement {agree:.4f}"
+
+    def test_weighted_approx_bin_plan_has_no_sort_or_window(self, spark, sf_dir):
+        from hbsir_old_spark.operators.quantile import add_weighted_approx_bin
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_suppkey", "l_extendedprice", "l_quantity"
+        )
+        plan = (
+            add_weighted_approx_bin(
+                li, "l_extendedprice", "l_quantity", group_cols=("l_suppkey",)
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+        assert "Sort" not in plan.replace("SortAggregate", "")
+
     def test_grouped_breaks_monotone(self, spark, sf_dir):
         from hbsir_old_spark.operators.quantile import approx_quantile_breaks
 
