@@ -809,10 +809,27 @@ FROM buckets GROUP BY 1
 
 def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # Two-level formulation instead of one agg with two multi-key
+    # countDistincts: the single-agg plan Expands every input row 3x before
+    # the first shuffle (one replica per distinct group), tripling shuffle
+    # volume at scale. Level 1 collapses to distinct (flag, part, supp)
+    # combos with map-side combine; the remaining Expand runs over combos,
+    # not rows. (Measured at sf0.1: marginally faster warm, 3x less
+    # first-shuffle input; r3's +90% on this query was environment noise —
+    # both shapes sit at ~1.1 s warm on a quiet machine.)
+    lvl1 = li.groupBy("l_returnflag", "l_partkey", "l_suppkey").agg(
+        F.count("*").alias("__c__")
+    )
+    return lvl1.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct("l_partkey", "l_suppkey").alias("n_part_supp"),
-        F.count("*").alias("n_rows"),
+        # count(*) over combos would also count a combo whose part/supp are
+        # NULL; countDistinct skips any-NULL rows, so mirror that here
+        F.count(
+            F.when(
+                F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull(), 1
+            )
+        ).alias("n_part_supp"),
+        F.sum("__c__").cast("long").alias("n_rows"),
     )
 
 
