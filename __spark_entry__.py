@@ -1931,6 +1931,63 @@ FROM events GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# X19 — near-dup CLUSTERS: pair emission (exact n-gram Jaccard, the oracled
+# x2 path) -> connected components (O(log n)-round pointer-jumping label
+# propagation) -> (doc_id, component=min reachable id). The transitive
+# closure is what corpus dedup actually needs (A~B, B~C => one keeper);
+# DuckDB verifies with a recursive CTE over the identical pair set.
+# --------------------------------------------------------------------------
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+SQL_DUP_CLUSTERS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                                      i -> array_to_string(t[i:i+1], ' '))) AS s
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS c
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+  WHERE round(c / (len(sa.s) + len(sb.s) - c), 6) >= 0.5
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT u, u AS comp FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u::BIGINT AS doc_id, min(comp)::BIGINT AS component
+FROM reach GROUP BY u
+"""
+
+
+# --------------------------------------------------------------------------
 # J8 — geometry join (reference map_drawer.py:27-43 add_geometry): per-area
 # aggregate + broadcast WKT-dimension left join; areas without a geometry
 # keep NULL. The dim is built driver-side from the nation table (admin
@@ -2042,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 --
         "w4b_weighted_approx_decile": q_weighted_approx_decile,
         "s4_upsert_sink": q_upsert_sink,
+        "x19_dup_clusters": q_dup_clusters,
         # -- veterans (green r1-r3) --
         "a1_groupby_sum": q_groupby_sum,
         "p7_computed_column": q_computed_column,
@@ -2083,10 +2141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x11_bpe_token_count": q_bpe_token_count,
         "x12_embedding_dedup": q_embedding_dedup,
         "g1_dsl_pipeline": q_dsl_pipeline,
-        "l1_form_raw_vs_cleaned": q_form_raw_vs_cleaned,
-        # -- rotated past position 50 this round: all nine have green driver
-        # rows in CORRECTNESS_r01/r02/r03 and full coverage in
+        # -- rotated past position 50 this round: every gate below has green
+        # driver rows in CORRECTNESS_r01/r02/r03 and full coverage in
         # tests/test_oracle_parity.py --
+        "l1_form_raw_vs_cleaned": q_form_raw_vs_cleaned,
         "p4_string_scrub": q_string_scrub,
         "p11_season_derivation": q_season_derivation,
         "p16_id_digit_extraction": q_id_digit_extraction,
@@ -2161,4 +2219,5 @@ def oracle_sql() -> dict[str, str]:
         # w2_decile is the exact oracle-checked twin (>=99% agreement pinned
         # in tests/test_approx_quality.py).
         "s4_upsert_sink": SQL_UPSERT_SINK,
+        "x19_dup_clusters": SQL_DUP_CLUSTERS,
     }

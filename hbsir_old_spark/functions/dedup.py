@@ -183,6 +183,85 @@ def minhash_signature(col: Column | str, n: int = 3, num_perm: int = 16) -> Colu
     return minhash_signature_from_shingles(word_shingles(col, n), num_perm)
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list: returns
+    (node, component) where component is the MINIMUM node id reachable.
+
+    This is the missing half of pair-based dedup: LSH/Jaccard emit PAIRS,
+    but "keep one copy per duplicate group" needs the transitive closure
+    (A~B, B~C => one group {A,B,C}). Iterative min-label propagation with
+    POINTER JUMPING (comp[u] <- comp[comp[u]] each round), the classic
+    O(log n)-round MapReduce formulation — a chain of length n converges in
+    ~log2(n) rounds, not n. Each round is two joins + one aggregation, all
+    on (node, label) longs; ``localCheckpoint`` truncates the plan each
+    round (iterative DataFrame lineage otherwise grows unboundedly and
+    re-executes from scratch). Driver-side loop is control flow only — all
+    data stays distributed; the per-round convergence check is a count on
+    the checkpointed labels.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = sym.select("u").distinct().withColumn("comp", F.col("u"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("comp").alias("__nmin__"))
+        )
+        stepped = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("comp"), F.coalesce("__nmin__", F.col("comp"))).alias("comp"),
+            )
+        )
+        # pointer jump: labels are node ids, so comp's own label exists
+        jump = stepped.select(F.col("u").alias("comp"), F.col("comp").alias("__jmp__"))
+        jumped = (
+            stepped.join(jump, "comp", "left")
+            .select(
+                "u",
+                F.least(F.col("comp"), F.coalesce("__jmp__", F.col("comp"))).alias("comp"),
+            )
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "__old__"), "u")
+            .filter(F.col("comp") != F.col("__old__"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), F.col("comp").alias("component"))
+
+
+def keep_cluster_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Corpus-level near-dup removal: given duplicate PAIRS (from
+    minhash_lsh_pairs / ngram_jaccard_pairs / simhash_pairs), keep exactly
+    one document per connected duplicate cluster — the min-id member — and
+    every document that appears in no pair. A left-anti join against the
+    (small) non-representative id set; the corpus never shuffles."""
+    comps = connected_components(pairs, src=src, dst=dst)
+    non_reps = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(non_reps, id_col, "left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1,0 +1,62 @@
+"""Connected-components dup clustering: pairs -> transitive closure ->
+one representative per cluster (the corpus-level dedup primitive; the
+oracled x19 gate checks the same algorithm against DuckDB's recursive
+CTE at sf0.01)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hbsir_old_spark.functions.dedup import (  # noqa: E402
+    connected_components,
+    keep_cluster_representatives,
+)
+
+
+def _components(spark, edges):
+    e = spark.createDataFrame(edges, ["id_a", "id_b"])
+    return {r["node"]: r["component"] for r in connected_components(e).collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    # a path graph is the worst case for naive propagation (diameter = n);
+    # pointer jumping must still converge inside max_iterations
+    out = _components(spark, [(i, i + 1) for i in range(1, 12)])
+    assert all(out[i] == 1 for i in range(1, 13))
+
+
+def test_disjoint_clusters_keep_separate_labels(spark):
+    out = _components(spark, [(1, 2), (2, 3), (20, 21), (30, 31), (31, 32), (30, 32)])
+    assert {out[1], out[2], out[3]} == {1}
+    assert {out[20], out[21]} == {20}
+    assert {out[30], out[31], out[32]} == {30}
+
+
+def test_edge_direction_is_irrelevant(spark):
+    assert _components(spark, [(5, 2), (2, 9)]) == {2: 2, 5: 2, 9: 2}
+
+
+def test_representatives_keep_min_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    kept = sorted(
+        r["doc_id"]
+        for r in keep_cluster_representatives(docs, pairs).select("doc_id").collect()
+    )
+    # cluster {1,2,3} -> 1; cluster {5,6} -> 5; 4 and 7 untouched
+    assert kept == [1, 4, 5, 7]
+
+
+def test_representative_filter_is_anti_join_only(spark):
+    docs = spark.createDataFrame([(i, "t") for i in range(5)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    plan = (
+        keep_cluster_representatives(docs, pairs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in plan

@@ -100,6 +100,7 @@ def test_every_oracle_key_has_a_query():
         "x13_ivf_topk",
         "a7_approx_distinct",
         "w4_approx_decile",
+        "w4b_weighted_approx_decile",
     }
 
 
@@ -115,6 +116,10 @@ NEVER_ROWED_BEFORE_R4 = {
     "x16_hash_split",
     "x17_group_quota",
     "x18_token_freq",
+    # new in round 4
+    "w4b_weighted_approx_decile",
+    "s4_upsert_sink",
+    "x19_dup_clusters",
 }
 ROTATED_VETERANS = {
     "p4_string_scrub",
@@ -126,6 +131,8 @@ ROTATED_VETERANS = {
     "u1_union_missing_columns",
     "p23_json_extract",
     "a7_approx_distinct",
+    # rotated in round 4 to fit x19 (green r1-r3, parity-covered)
+    "l1_form_raw_vs_cleaned",
 }
 
 
