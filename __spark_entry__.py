@@ -67,7 +67,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # naive parquet timestamps are treated as UTC instants (matches DuckDB's
     # epoch_ms on the same file); also makes the NTZ→LTZ cast below an
-    # epoch-identity so watermarks see the same instant the oracle hashes
+    # epoch-identity so watermarks see the same instant the oracle hashes.
+    # Deliberately session-global: the driver may run gates in a session it
+    # built itself (not get_spark(), which already pins UTC), and every
+    # events oracle is only correct under UTC — harness policy, not library
+    # behavior.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(raw.dtypes)["ts"]
@@ -1871,21 +1875,23 @@ def q_weighted_approx_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
     import tempfile
 
     from hbsir_old_spark.streaming.sink import upsert_batch_writer
 
     events = _events(spark, sf_dir)
-    agg_all = (
-        events.groupBy(
+
+    def hourly_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(
             F.unix_millis(F.date_trunc("hour", "ts")).alias("window_start_ms"),
             "event_type",
-        )
-        .agg(
+        ).agg(
             F.count("*").cast("long").alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
-    )
+
     # split point: mid-range hour boundary (two tiny scalar reads — metadata,
     # not a data collect)
     lo, hi = events.agg(
@@ -1893,25 +1899,22 @@ def q_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     cut_ms = (lo + hi) // 2
     cut_hour_ms = cut_ms - cut_ms % 3_600_000
-    target = tempfile.mkdtemp(prefix="s4_upsert_")
+    # deterministic workspace keyed on the input (the harness calls each
+    # gate several times; a mkdtemp per call would accumulate /tmp trees —
+    # same policy as the l2 setup workspace). Unlike l2 there is no
+    # completion marker: re-running the writes IS the gate, and stale
+    # window partitions from older test data must not survive, so the tree
+    # is rebuilt from empty every call.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    target = f"{tempfile.gettempdir()}/s4_upsert_{tag}"
+    shutil.rmtree(target, ignore_errors=True)
     writer = upsert_batch_writer(target, ["window_start_ms"])
     # micro-batch 0: everything before the cut — the boundary window holds a
     # PARTIAL aggregate that batch 1 must overwrite
-    batch1 = (
-        events.filter(F.unix_millis("ts") < cut_ms)
-        .groupBy(
-            F.unix_millis(F.date_trunc("hour", "ts")).alias("window_start_ms"),
-            "event_type",
-        )
-        .agg(
-            F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-    )
-    writer(batch1, 0)
+    writer(hourly_agg(events.filter(F.unix_millis("ts") < cut_ms)), 0)
     # micro-batch 1: update-mode re-emission of every window touched at or
     # after the cut (rows >= cut only land in windows >= the cut hour)
-    batch2 = agg_all.filter(F.col("window_start_ms") >= cut_hour_ms)
+    batch2 = hourly_agg(events).filter(F.col("window_start_ms") >= cut_hour_ms)
     writer(batch2, 1)
     writer(batch2, 1)  # replayed epoch — must be a no-op on the final state
     out = spark.read.parquet(target)
@@ -1923,11 +1926,10 @@ def q_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_UPSERT_SINK = """
-SELECT epoch_ms(date_trunc('hour', ts))::BIGINT AS window_start_ms,
-       event_type, count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
-FROM events GROUP BY 1, 2
-"""
+# the sink's final state must equal the plain batch hourly aggregate — the
+# same oracle as s1 by construction, so share the constant rather than
+# letting two copies drift
+SQL_UPSERT_SINK = SQL_EVENTS_TUMBLING
 
 
 # --------------------------------------------------------------------------

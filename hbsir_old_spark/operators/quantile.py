@@ -117,6 +117,29 @@ def approx_quantile_breaks(
     return df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
 
 
+def _join_groups_broadcast(
+    left: DataFrame, right: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Broadcast-join per-group rows back onto the fact side, NULL-safely:
+    ``on=group_cols`` uses null-rejecting equality and would silently drop
+    every NULL-group row, while the exact path's ``Window.partitionBy``
+    treats NULL as an ordinary group. ``eqNullSafe`` keys keep the
+    broadcast hash join."""
+    if not group_cols:
+        return left.crossJoin(F.broadcast(right))
+    # rename the right-side keys first: right derives from left, so
+    # left[c]/right[c] references trip the ambiguous-self-join check
+    for c in group_cols:
+        right = right.withColumnRenamed(c, f"__g_{c}__")
+    cond = None
+    for c in group_cols:
+        clause = F.col(c).eqNullSafe(F.col(f"__g_{c}__"))
+        cond = clause if cond is None else cond & clause
+    return left.join(F.broadcast(right), cond).drop(
+        *[f"__g_{c}__" for c in group_cols]
+    )
+
+
 def weighted_approx_quantile_breaks(
     df: DataFrame,
     value_col: str,
@@ -147,7 +170,14 @@ def weighted_approx_quantile_breaks(
     bounded by the largest weight mass between adjacent unweighted
     1/probes-quantiles. Returns one row per group:
     (group_cols..., breaks array<double> of bins-1 inner break values).
+
+    NULL values are dropped up front (mirroring :func:`weighted_ecdf`'s
+    default) — otherwise their weight would inflate the CDF denominator
+    while reaching no probe, capping every CDF below 1 and leaving high
+    quantiles without a crossing. NULL group keys form their own group,
+    as they do under ``Window.partitionBy`` in the exact path.
     """
+    df = df.filter(F.col(value_col).isNotNull())
     n_probes = probes or max(64, bins * 16)
     probe_qs = [i / n_probes for i in range(1, n_probes)]
     sketch = F.expr(
@@ -164,11 +194,7 @@ def weighted_approx_quantile_breaks(
     grid = (
         df.groupBy(*group_cols).agg(*grid_aggs) if group_cols else df.agg(*grid_aggs)
     )
-    joined = (
-        df.join(F.broadcast(grid), on=list(group_cols))
-        if group_cols
-        else df.crossJoin(F.broadcast(grid))
-    )
+    joined = _join_groups_broadcast(df, grid, group_cols)
     w = F.col(weight_col).cast("double")
     n_cols = n_probes + 1  # min + (n_probes-1) sketch points + max
     cdf_sums = [
@@ -188,11 +214,7 @@ def weighted_approx_quantile_breaks(
     agg = (
         joined.groupBy(*group_cols).agg(*aggs) if group_cols else joined.agg(*aggs)
     )
-    agg = (
-        agg.join(F.broadcast(grid), on=list(group_cols))
-        if group_cols
-        else agg.crossJoin(F.broadcast(grid))
-    )
+    agg = _join_groups_broadcast(agg, grid, group_cols)
     cdfs = F.array(*[F.col(f"__c{j}__") / F.col("__tw__") for j in range(n_cols)])
     # break for q=i/bins: linearly interpolate between the bracketing probes
     # (p_lo, cdf_lo) and (p_hi, cdf_hi) where the weighted CDF crosses q —
@@ -209,7 +231,12 @@ def weighted_approx_quantile_breaks(
         interp = p_lo + (q - c_lo) / (c_hi - c_lo) * (p_hi - p_lo)
         return F.when((k == 0) | (c_hi <= c_lo), p_hi).otherwise(interp)
 
-    breaks = F.transform(F.sequence(F.lit(1), F.lit(bins - 1)), _break_at)
+    if bins < 2:
+        # sequence(1, 0) would count DOWN and fabricate two breaks; one bin
+        # means no inner breaks at all (same as the unweighted twin)
+        breaks = F.array().cast("array<double>")
+    else:
+        breaks = F.transform(F.sequence(F.lit(1), F.lit(bins - 1)), _break_at)
     keep = [*group_cols] if group_cols else []
     return agg.select(*keep, breaks.alias("breaks"))
 
@@ -232,15 +259,14 @@ def add_weighted_approx_bin(
     breaks = weighted_approx_quantile_breaks(
         df, value_col, weight_col, bins, group_cols, probes, relative_error
     )
-    joined = (
-        df.join(F.broadcast(breaks), on=list(group_cols))
-        if group_cols
-        else df.crossJoin(F.broadcast(breaks))
-    )
+    joined = _join_groups_broadcast(df, breaks, group_cols)
     bin_col = F.lit(1) + F.size(
         F.filter(F.col("breaks"), lambda b: b < F.col(value_col))
     )
-    return joined.withColumn(out_col, bin_col.cast("int")).drop("breaks")
+    # NULL values get a NULL bin (the exact path drops those rows; a
+    # row-preserving operator flags them instead of silently binning to 1)
+    bin_col = F.when(F.col(value_col).isNotNull(), bin_col.cast("int"))
+    return joined.withColumn(out_col, bin_col).drop("breaks")
 
 
 def add_approx_bin(
@@ -256,11 +282,7 @@ def add_approx_bin(
     dim-cardinality), and bin map-side — the row side never sorts and never
     shuffles beyond the sketch's own partial aggregation."""
     breaks = approx_quantile_breaks(df, value_col, bins, group_cols, relative_error)
-    joined = (
-        df.join(F.broadcast(breaks), on=list(group_cols))
-        if group_cols
-        else df.crossJoin(F.broadcast(breaks))
-    )
+    joined = _join_groups_broadcast(df, breaks, group_cols)
     # bin = 1 + number of breaks strictly below the value (array expression,
     # codegen-friendly, no per-row loop in Python)
     bin_col = F.lit(1) + F.size(

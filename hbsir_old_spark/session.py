@@ -29,12 +29,20 @@ def ensure_min_partitions(df, minimum: int | None = None):
     # plan. Splittable formats can yield more partitions than files, so this
     # undercounts for huge files — erring toward a repartition that AQE's
     # coalescing absorbs; at real scale the scan has thousands of files and
-    # this never fires.
+    # this never fires. A DataFrame with NO leaf files (createDataFrame,
+    # memory sources) falls back to the actual-partition probe — those plans
+    # are small local constructions where the compile is cheap, and skipping
+    # them entirely would leave exactly the 1-2-partition inputs this
+    # function exists to widen.
     try:
         n_files = len(df.inputFiles())
-    except Exception:  # non-file source (rate, memory, ...) — leave as-is
+    except Exception:
+        n_files = 0
+    if n_files == 0:
+        if df.rdd.getNumPartitions() < minimum:
+            return df.repartition(minimum)
         return df
-    if 0 < n_files < minimum:
+    if n_files < minimum:
         return df.repartition(minimum)
     return df
 

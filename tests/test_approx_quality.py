@@ -168,6 +168,40 @@ class TestApproxDecile:
         assert "Window" not in plan
         assert "Sort" not in plan.replace("SortAggregate", "")
 
+    def test_weighted_null_values_and_groups(self, spark):
+        # NULL values must not deflate the CDF (their weight reached no
+        # probe, capping high quantiles without a crossing); NULL group keys
+        # must survive the broadcast joins like they survive partitionBy
+        from pyspark.sql import functions as F
+
+        from hbsir_old_spark.operators.quantile import add_weighted_approx_bin
+
+        rows = [(i, "g" if i % 2 else None, float(i), 100.0) for i in range(1, 101)]
+        rows += [(1000 + i, "g", None, 1000.0) for i in range(10)]  # heavy NULLs
+        df = spark.createDataFrame(rows, ["id", "grp", "val", "w"])
+        out = add_weighted_approx_bin(
+            df, "val", "w", bins=4, group_cols=("grp",), out_col="b"
+        )
+        assert out.count() == 110  # row-preserving, NULL groups included
+        got = {r["id"]: r["b"] for r in out.collect()}
+        assert all(got[1000 + i] is None for i in range(10))  # NULL val -> NULL bin
+        assert {got[i] for i in range(1, 101)} == {1, 2, 3, 4}
+
+    def test_weighted_single_bin_has_no_breaks(self, spark):
+        from hbsir_old_spark.operators.quantile import (
+            add_weighted_approx_bin,
+            weighted_approx_quantile_breaks,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(i), 1.0) for i in range(50)], ["id", "val", "w"]
+        )
+        assert weighted_approx_quantile_breaks(df, "val", "w", bins=1).collect()[0][
+            "breaks"
+        ] == []
+        bins = {r["b"] for r in add_weighted_approx_bin(df, "val", "w", bins=1, out_col="b").collect()}
+        assert bins == {1}
+
     def test_grouped_breaks_monotone(self, spark, sf_dir):
         from hbsir_old_spark.operators.quantile import approx_quantile_breaks
 
