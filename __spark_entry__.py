@@ -1990,6 +1990,61 @@ FROM reach GROUP BY u
 
 
 # --------------------------------------------------------------------------
+# X21 — as-of join (operators/temporal.py): purchase -> latest prior click
+# attribution per user, 2h tolerance. Sorted-merge-over-window formulation
+# (one shuffle, no join operator); DuckDB verifies with its native ASOF
+# LEFT JOIN. Clicks are pre-collapsed per (user, ts) so ties are
+# deterministic on both engines.
+# --------------------------------------------------------------------------
+
+
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.operators.temporal import asof_join
+
+    events = _events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(
+        purchases, clicks, "ts", ["user_id"], tolerance_s=7200
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+        F.round("click_value", 4).alias("click_value"),
+        F.unix_millis("ts_right").alias("click_ts_ms"),
+    )
+
+
+SQL_ASOF_ATTRIBUTION = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), matched AS (
+  SELECT p.event_id, p.user_id, p.ts, p.value, c.click_value, c.ts AS click_ts
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT event_id, user_id, epoch_ms(ts)::BIGINT AS ts_ms,
+       round(value, 4) AS purchase_value,
+       CASE WHEN click_ts IS NOT NULL AND ts - click_ts <= INTERVAL 2 HOUR
+            THEN round(click_value, 4) END AS click_value,
+       CASE WHEN click_ts IS NOT NULL AND ts - click_ts <= INTERVAL 2 HOUR
+            THEN epoch_ms(click_ts)::BIGINT END AS click_ts_ms
+FROM matched
+"""
+
+
+# --------------------------------------------------------------------------
 # J8 — geometry join (reference map_drawer.py:27-43 add_geometry): per-area
 # aggregate + broadcast WKT-dimension left join; areas without a geometry
 # keep NULL. The dim is built driver-side from the nation table (admin
@@ -2102,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4b_weighted_approx_decile": q_weighted_approx_decile,
         "s4_upsert_sink": q_upsert_sink,
         "x19_dup_clusters": q_dup_clusters,
+        "x21_asof_attribution": q_asof_attribution,
         # -- veterans (green r1-r3) --
         "a1_groupby_sum": q_groupby_sum,
         "p7_computed_column": q_computed_column,
@@ -2142,10 +2198,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x10_multimodal_features": q_multimodal_features,
         "x11_bpe_token_count": q_bpe_token_count,
         "x12_embedding_dedup": q_embedding_dedup,
-        "g1_dsl_pipeline": q_dsl_pipeline,
         # -- rotated past position 50 this round: every gate below has green
         # driver rows in CORRECTNESS_r01/r02/r03 and full coverage in
         # tests/test_oracle_parity.py --
+        "g1_dsl_pipeline": q_dsl_pipeline,
         "l1_form_raw_vs_cleaned": q_form_raw_vs_cleaned,
         "p4_string_scrub": q_string_scrub,
         "p11_season_derivation": q_season_derivation,
@@ -2222,4 +2278,5 @@ def oracle_sql() -> dict[str, str]:
         # in tests/test_approx_quality.py).
         "s4_upsert_sink": SQL_UPSERT_SINK,
         "x19_dup_clusters": SQL_DUP_CLUSTERS,
+        "x21_asof_attribution": SQL_ASOF_ATTRIBUTION,
     }

@@ -1,0 +1,128 @@
+"""Temporal joins Spark lacks natively: as-of join.
+
+An as-of join attaches to each left row the single right row with the
+greatest (backward) / smallest (forward) timestamp not beyond the left
+row's, per key — the attribution/"state at time t" primitive (DuckDB and
+pandas ``merge_asof`` ship it; Spark has no built-in).
+
+Scale design: the classic sorted-merge formulation — union the two tagged
+sides, one shuffle on the key, one in-partition sort on (ts, side), then a
+running ``last(..., ignorenulls)`` window picks the most recent right
+values for every left row. Cost is identical to any per-key window (single
+Exchange + sort, no join explosion, no range-condition cross product);
+both sides stream through in one pass. Hot keys behave like any skewed
+window partition — pre-aggregate the right side per (key, ts) first, which
+also makes ties deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by_cols: Sequence[str],
+    value_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance_s: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the ``value_cols`` of the
+    matching right row (NULL where no right row qualifies).
+
+    ``direction="backward"`` matches the latest right ts <= left ts
+    (inclusive, like DuckDB ASOF and pandas merge_asof); ``"forward"``
+    matches the earliest right ts >= left ts. ``tolerance_s`` voids
+    matches farther than that many seconds from the left timestamp.
+    Right value columns that collide with a left column name get
+    ``suffix``; the matched right timestamp is exposed as
+    ``ts_col + suffix``.
+
+    Ties on (key, ts) within the right side resolve to the row the sort
+    places last — pre-aggregate the right side per (key, ts) for
+    deterministic output.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    by_cols = list(by_cols)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*by_cols, ts_col)]
+    out_names = {
+        c: f"{c}{suffix}" if c in left.columns else c for c in value_cols
+    }
+    rts = f"{ts_col}{suffix}"
+
+    # union the tagged sides on an aligned schema: left rows carry their
+    # payload and NULL right-values, right rows the reverse
+    null = F.lit(None)
+    l_tagged = left.select(
+        *by_cols,
+        F.col(ts_col).alias("__ts__"),
+        F.lit(1).alias("__side__"),
+        *[F.col(c) for c in left.columns if c not in (*by_cols, ts_col)],
+        *[null.cast(right.schema[c].dataType).alias(out_names[c]) for c in value_cols],
+        null.cast(right.schema[ts_col].dataType).alias(rts),
+    )
+    r_tagged = right.select(
+        *by_cols,
+        F.col(ts_col).alias("__ts__"),
+        F.lit(0).alias("__side__"),
+        *[
+            null.cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in (*by_cols, ts_col)
+        ],
+        *[F.col(c).alias(out_names[c]) for c in value_cols],
+        F.col(ts_col).alias(rts),
+    )
+    combined = l_tagged.unionByName(r_tagged)
+
+    # backward: ascending ts, right (side 0) sorts before left at equal ts,
+    # so the inclusive match is the running last non-null right value;
+    # forward is the mirror image
+    order: list[Column] = (
+        [F.col("__ts__").asc(), F.col("__side__").asc()]
+        if direction == "backward"
+        else [F.col("__ts__").desc(), F.col("__side__").asc()]
+    )
+    win = (
+        Window.partitionBy(*by_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = combined.select(
+        "*",
+        *[
+            F.last(out_names[c], ignorenulls=True).over(win).alias(f"__m_{c}__")
+            for c in value_cols
+        ],
+        F.last(rts, ignorenulls=True).over(win).alias("__m_ts__"),
+    )
+    result = matched.filter(F.col("__side__") == 1)
+    within = (
+        F.lit(True)
+        if tolerance_s is None
+        else (
+            F.abs(
+                F.unix_millis(F.col("__ts__")) - F.unix_millis(F.col("__m_ts__"))
+            )
+            <= F.lit(int(tolerance_s * 1000))
+        )
+    )
+    keep_left = [c for c in left.columns if c not in (*by_cols, ts_col)]
+    return result.select(
+        *by_cols,
+        F.col("__ts__").alias(ts_col),
+        *keep_left,
+        *[
+            F.when(within, F.col(f"__m_{c}__")).alias(out_names[c])
+            for c in value_cols
+        ],
+        F.when(within, F.col("__m_ts__")).alias(rts),
+    )
