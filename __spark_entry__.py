@@ -1990,6 +1990,46 @@ FROM reach GROUP BY u
 
 
 # --------------------------------------------------------------------------
+# X20 — per-document TF-IDF top terms (functions/text.py tfidf_top_terms):
+# smoothed idf = ln((N+1)/(df+1)) + 1, deterministic term-asc tiebreak.
+# Full DuckDB oracle — identical tokenization, identical formula, 6dp
+# rounding on both engines.
+# --------------------------------------------------------------------------
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM toks WHERE term <> '' GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*)::BIGINT AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((n.n_docs + 1) / (df.df + 1.0)) + 1), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, rank::INT AS rank, score FROM ranked WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
 # X21 — as-of join (operators/temporal.py): purchase -> latest prior click
 # attribution per user, 2h tolerance. Sorted-merge-over-window formulation
 # (one shuffle, no join operator); DuckDB verifies with its native ASOF
@@ -2157,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4b_weighted_approx_decile": q_weighted_approx_decile,
         "s4_upsert_sink": q_upsert_sink,
         "x19_dup_clusters": q_dup_clusters,
+        "x20_tfidf_top_terms": q_tfidf_top_terms,
         "x21_asof_attribution": q_asof_attribution,
         # -- veterans (green r1-r3) --
         "a1_groupby_sum": q_groupby_sum,
@@ -2197,10 +2238,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_ivf_topk": q_ivf_topk,
         "x10_multimodal_features": q_multimodal_features,
         "x11_bpe_token_count": q_bpe_token_count,
-        "x12_embedding_dedup": q_embedding_dedup,
         # -- rotated past position 50 this round: every gate below has green
         # driver rows in CORRECTNESS_r01/r02/r03 and full coverage in
         # tests/test_oracle_parity.py --
+        "x12_embedding_dedup": q_embedding_dedup,
         "g1_dsl_pipeline": q_dsl_pipeline,
         "l1_form_raw_vs_cleaned": q_form_raw_vs_cleaned,
         "p4_string_scrub": q_string_scrub,
@@ -2278,5 +2319,6 @@ def oracle_sql() -> dict[str, str]:
         # in tests/test_approx_quality.py).
         "s4_upsert_sink": SQL_UPSERT_SINK,
         "x19_dup_clusters": SQL_DUP_CLUSTERS,
+        "x20_tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "x21_asof_attribution": SQL_ASOF_ATTRIBUTION,
     }

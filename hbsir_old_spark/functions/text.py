@@ -184,6 +184,53 @@ def token_frequencies(df, text_col: str = "text") -> "DataFrame":
     )
 
 
+def tfidf_top_terms(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> "DataFrame":
+    """Top-k characteristic terms per document by smoothed TF-IDF:
+    ``tf * (ln((N+1)/(df+1)) + 1)``, ties broken by term ascending.
+    Returns (id, term, rank, score).
+
+    Shuffle budget at corpus scale: one partial-aggregable (doc, term)
+    count, one partial-aggregable document-frequency count over it, a
+    term-keyed join to attach idf (vocabulary-sized — shuffle join; at
+    gate scale AQE broadcasts it), and a per-document window for the
+    top-k (documents are tiny partitions). The corpus document count
+    rides in as a broadcast single row, never a driver scalar."""
+    from pyspark.sql import Window
+
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    term_counts = (
+        df.select(F.col(id_col), F.explode(tokens).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    doc_freq = term_counts.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("__n__"))
+    scored = (
+        term_counts.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n__") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "rank", "score")
+    )
+
+
 def top_k_tokens(df, text_col: str = "text", k: int = 20) -> "DataFrame":
     """The k most frequent corpus tokens (vocabulary head), deterministic
     tiebreak on the token string. A single global top-k over the (small)
