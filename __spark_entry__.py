@@ -1990,6 +1990,40 @@ FROM reach GROUP BY u
 
 
 # --------------------------------------------------------------------------
+# X22 — incremental dedup (functions/dedup.py dedup_against): odd-id docs
+# arrive as the new batch, even-id docs are the existing store; survivors
+# are odd-id docs whose fingerprint is absent from the store, one per
+# in-batch duplicate group. Full DuckDB oracle over the same md5
+# fingerprint.
+# --------------------------------------------------------------------------
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.dedup import dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    out = dedup_against(incoming, seen)
+    return out.select("doc_id", "lang", "source")
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH fp AS (
+  SELECT doc_id, lang, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM documents
+), seen AS (
+  SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0
+), fresh AS (
+  SELECT * FROM fp WHERE doc_id % 2 = 1 AND f NOT IN (SELECT f FROM seen)
+)
+SELECT doc_id, lang, source FROM fresh
+QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # X20 — per-document TF-IDF top terms (functions/text.py tfidf_top_terms):
 # smoothed idf = ln((N+1)/(df+1)) + 1, deterministic term-asc tiebreak.
 # Full DuckDB oracle — identical tokenization, identical formula, 6dp
@@ -2199,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x19_dup_clusters": q_dup_clusters,
         "x20_tfidf_top_terms": q_tfidf_top_terms,
         "x21_asof_attribution": q_asof_attribution,
+        "x22_incremental_dedup": q_incremental_dedup,
         # -- veterans (green r1-r3) --
         "a1_groupby_sum": q_groupby_sum,
         "p7_computed_column": q_computed_column,
@@ -2237,10 +2272,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_ann_lsh": q_ann_lsh,
         "x13_ivf_topk": q_ivf_topk,
         "x10_multimodal_features": q_multimodal_features,
-        "x11_bpe_token_count": q_bpe_token_count,
         # -- rotated past position 50 this round: every gate below has green
         # driver rows in CORRECTNESS_r01/r02/r03 and full coverage in
         # tests/test_oracle_parity.py --
+        "x11_bpe_token_count": q_bpe_token_count,
         "x12_embedding_dedup": q_embedding_dedup,
         "g1_dsl_pipeline": q_dsl_pipeline,
         "l1_form_raw_vs_cleaned": q_form_raw_vs_cleaned,
@@ -2321,4 +2356,5 @@ def oracle_sql() -> dict[str, str]:
         "x19_dup_clusters": SQL_DUP_CLUSTERS,
         "x20_tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "x21_asof_attribution": SQL_ASOF_ATTRIBUTION,
+        "x22_incremental_dedup": SQL_INCREMENTAL_DEDUP,
     }

@@ -183,6 +183,41 @@ def minhash_signature(col: Column | str, n: int = 3, num_perm: int = 16) -> Colu
     return minhash_signature_from_shingles(word_shingles(col, n), num_perm)
 
 
+def dedup_against(
+    incoming: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seen_text_col: str | None = None,
+    keep: str = "min",
+) -> DataFrame:
+    """Incremental exact dedup: from ``incoming``, drop every document whose
+    normalized-text fingerprint already exists in ``seen``, then collapse
+    in-batch duplicates (keep the min/max id). This is the production shape
+    at corpus scale — new data dedups against the existing store without
+    ever re-touching the store's payloads:
+
+    * the ``seen`` side reduces to a distinct fingerprint column before the
+      join (project + partial-aggregable distinct — the store's documents
+      themselves never move);
+    * the anti join shuffles only (fingerprint) against (fingerprint, row).
+      Keep the persistent store bucketed by fingerprint
+      (``sources/writer.py``) and the store side of the shuffle disappears
+      entirely on a real cluster;
+    * in-batch collapse reuses :func:`exact_dedup` (batch-sized, cheap).
+    """
+    seen_fp = (
+        seen.select(doc_fingerprint(seen_text_col or text_col).alias("__fp__"))
+        .distinct()
+    )
+    fresh = incoming.join(
+        seen_fp,
+        doc_fingerprint(text_col) == seen_fp["__fp__"],
+        "left_anti",
+    )
+    return exact_dedup(fresh, text_col=text_col, id_col=id_col, keep=keep)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

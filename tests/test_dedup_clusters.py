@@ -52,6 +52,45 @@ def test_representatives_keep_min_and_singletons(spark):
     assert kept == [1, 4, 5, 7]
 
 
+def test_dedup_against_drops_seen_and_in_batch_dups(spark):
+    from hbsir_old_spark.functions.dedup import dedup_against
+
+    seen = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], ["doc_id", "text"]
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "ALPHA   text"),  # dup of store doc 1 after normalization
+            (11, "gamma text"),
+            (12, "gamma  TEXT"),  # in-batch dup of 11
+            (13, "delta text"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_against(incoming, seen).select("doc_id").collect()
+    )
+    assert kept == [11, 13]
+
+
+def test_dedup_against_store_side_projects_fingerprint_only(spark):
+    from hbsir_old_spark.functions.dedup import dedup_against
+
+    seen = spark.createDataFrame(
+        [(1, "a", "payload")], ["doc_id", "text", "wide"]
+    )
+    incoming = spark.createDataFrame([(2, "b", "x")], ["doc_id", "text", "wide"])
+    plan = (
+        dedup_against(incoming, seen)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "LeftAnti" in plan
+    # the store side reduces to distinct fingerprints: its payload column
+    # appears nowhere below the anti join's build side
+    store_side = plan.split("LeftAnti")[1]
+    assert "md5" in store_side
+
+
 def test_representative_filter_is_anti_join_only(spark):
     docs = spark.createDataFrame([(i, "t") for i in range(5)], ["doc_id", "text"])
     pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])

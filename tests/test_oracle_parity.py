@@ -122,6 +122,7 @@ NEVER_ROWED_BEFORE_R4 = {
     "x19_dup_clusters",
     "x20_tfidf_top_terms",
     "x21_asof_attribution",
+    "x22_incremental_dedup",
 }
 ROTATED_VETERANS = {
     "p4_string_scrub",
@@ -133,10 +134,11 @@ ROTATED_VETERANS = {
     "u1_union_missing_columns",
     "p23_json_extract",
     "a7_approx_distinct",
-    # rotated in round 4 to fit x19-x21 (green r1-r3, parity-covered)
+    # rotated in round 4 to fit x19-x22 (green r1-r3, parity-covered)
     "l1_form_raw_vs_cleaned",
     "g1_dsl_pipeline",
     "x12_embedding_dedup",
+    "x11_bpe_token_count",
 }
 
 
