@@ -22,6 +22,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hbsir_old_spark.session import ensure_min_partitions
+
 
 def weighted_ecdf(
     df: DataFrame,
@@ -117,6 +119,26 @@ def approx_quantile_breaks(
     return df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
 
 
+def _count_lt(arr: Column, length: int, v: Column) -> Column:
+    """#elements of the sorted ``arr`` (static ``length``) strictly below
+    ``v``, as an UNROLLED binary-search CASE tree — O(log n) comparisons
+    per row inside whole-stage codegen. The higher-order alternative
+    (``size(filter(arr, p -> p < v))``) evaluates its lambda interpreted,
+    element by element — measured ~5x slower end-to-end on a 161-probe
+    array over 600k rows. NULL v falls through every branch and returns
+    ``length``; callers mask NULL values themselves."""
+
+    def first_ge(lo: int, hi: int) -> Column:
+        if lo > hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(
+            F.element_at(arr, mid) >= v, first_ge(lo, mid - 1)
+        ).otherwise(first_ge(mid + 1, hi))
+
+    return first_ge(1, length) - 1
+
+
 def _join_groups_broadcast(
     left: DataFrame, right: DataFrame, group_cols: Sequence[str]
 ) -> DataFrame:
@@ -177,7 +199,7 @@ def weighted_approx_quantile_breaks(
     quantiles without a crossing. NULL group keys form their own group,
     as they do under ``Window.partitionBy`` in the exact path.
     """
-    df = df.filter(F.col(value_col).isNotNull())
+    df = ensure_min_partitions(df).filter(F.col(value_col).isNotNull())
     n_probes = probes or max(64, bins * 16)
     probe_qs = [i / n_probes for i in range(1, n_probes)]
     sketch = F.expr(
@@ -197,25 +219,46 @@ def weighted_approx_quantile_breaks(
     joined = _join_groups_broadcast(df, grid, group_cols)
     w = F.col(weight_col).cast("double")
     n_cols = n_probes + 1  # min + (n_probes-1) sketch points + max
-    cdf_sums = [
-        F.sum(
-            F.when(F.col(value_col) <= F.element_at("__probes__", j + 1), w).otherwise(
-                F.lit(0.0)
-            )
-        ).alias(f"__c{j}__")
-        for j in range(n_cols)
-    ]
-    # The agg carries only fixed-width doubles — carrying the probes array
-    # through (e.g. first(__probes__)) would demote the whole aggregation
-    # from HashAggregate to SortAggregate (array buffers aren't
-    # hash-aggregable), adding a per-partition sort on the group key. The
-    # grid is re-attached by a second broadcast join instead.
-    aggs = [F.sum(w).alias("__tw__"), *cdf_sums]
-    agg = (
-        joined.groupBy(*group_cols).agg(*aggs) if group_cols else joined.agg(*aggs)
+    # Weighted CDF via a HISTOGRAM aggregation, not one conditional sum per
+    # probe: n_probes+1 sum columns in a single agg blows Spark's generated-
+    # method size limits and drops the whole aggregation to interpreted
+    # evaluation (measured 10x slower). Instead each row computes its
+    # bucket = #probes strictly below the value (one codegen'd array scan),
+    # a narrow (group, bucket) sum shuffles at most probes+1 rows per group
+    # per partition, and the per-group CDF assembles from that tiny
+    # histogram with array expressions on one row per group.
+    bucket = _count_lt(
+        F.col("__probes__"), n_cols, F.col(value_col).cast("double")
     )
-    agg = _join_groups_broadcast(agg, grid, group_cols)
-    cdfs = F.array(*[F.col(f"__c{j}__") / F.col("__tw__") for j in range(n_cols)])
+    hist = joined.groupBy(*group_cols, bucket.alias("__i__")).agg(
+        F.sum(w).alias("__hw__")
+    )
+    gm = (
+        hist.groupBy(*group_cols) if group_cols else hist.groupBy()
+    ).agg(
+        F.map_from_entries(F.collect_list(F.struct("__i__", "__hw__"))).alias("__m__"),
+        F.sum("__hw__").alias("__tw__"),
+    )
+    agg = _join_groups_broadcast(gm, grid, group_cols)
+    # bucket weights 0..n_cols (empty buckets -> 0), then CDF at probe j =
+    # sum of buckets 0..j-1 over total: value <= probes[j] iff fewer than j
+    # probes sit strictly below it
+    agg = agg.withColumn(
+        "__bw__",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_cols)),
+            lambda j: F.coalesce(F.element_at(F.col("__m__"), j), F.lit(0.0)),
+        ),
+    )
+    cdfs = F.transform(
+        F.sequence(F.lit(1), F.lit(n_cols)),
+        lambda j: F.aggregate(
+            F.slice(F.col("__bw__"), F.lit(1), j), F.lit(0.0), lambda a, x: a + x
+        )
+        / F.col("__tw__"),
+    )
+    agg = agg.withColumn("__cdfs__", cdfs)
+    cdfs = F.col("__cdfs__")
     # break for q=i/bins: linearly interpolate between the bracketing probes
     # (p_lo, cdf_lo) and (p_hi, cdf_hi) where the weighted CDF crosses q —
     # snapping to the grid alone leaves a half-probe-gap bias; interpolation
@@ -260,8 +303,8 @@ def add_weighted_approx_bin(
         df, value_col, weight_col, bins, group_cols, probes, relative_error
     )
     joined = _join_groups_broadcast(df, breaks, group_cols)
-    bin_col = F.lit(1) + F.size(
-        F.filter(F.col("breaks"), lambda b: b < F.col(value_col))
+    bin_col = F.lit(1) + _count_lt(
+        F.col("breaks"), bins - 1, F.col(value_col).cast("double")
     )
     # NULL values get a NULL bin (the exact path drops those rows; a
     # row-preserving operator flags them instead of silently binning to 1)
@@ -283,9 +326,11 @@ def add_approx_bin(
     shuffles beyond the sketch's own partial aggregation."""
     breaks = approx_quantile_breaks(df, value_col, bins, group_cols, relative_error)
     joined = _join_groups_broadcast(df, breaks, group_cols)
-    # bin = 1 + number of breaks strictly below the value (array expression,
-    # codegen-friendly, no per-row loop in Python)
-    bin_col = F.lit(1) + F.size(
-        F.filter(F.col("breaks"), lambda b: b < F.col(value_col))
+    # bin = 1 + number of breaks strictly below the value (unrolled
+    # codegen'd binary search, no per-row loop anywhere); NULL values get a
+    # NULL bin, matching the weighted twin
+    bin_col = F.lit(1) + _count_lt(
+        F.col("breaks"), bins - 1, F.col(value_col).cast("double")
     )
-    return joined.withColumn(out_col, bin_col.cast("int")).drop("breaks")
+    bin_col = F.when(F.col(value_col).isNotNull(), bin_col.cast("int"))
+    return joined.withColumn(out_col, bin_col).drop("breaks")
