@@ -49,6 +49,13 @@ HEADLINE = [
     "x16_hash_split",
     "x17_group_quota",
     "x18_token_freq",
+    # round 4 additions (cheap enough for the timed loop; s4/x19 are gate-
+    # only — partitioned-sink writes and pair-generation dominate their
+    # wall time and belong to correctness, not the throughput suite)
+    "w4b_weighted_approx_decile",
+    "x20_tfidf_top_terms",
+    "x21_asof_attribution",
+    "x22_incremental_dedup",
 ]
 
 
