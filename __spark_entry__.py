@@ -1876,6 +1876,7 @@ def q_weighted_approx_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
+    import os
     import shutil
     import tempfile
 
@@ -1905,7 +1906,11 @@ def q_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # completion marker: re-running the writes IS the gate, and stale
     # window partitions from older test data must not survive, so the tree
     # is rebuilt from empty every call.
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # per-process tag: deterministic within a process (repeat calls reuse
+    # and rebuild one tree — no /tmp accumulation) but disjoint across
+    # concurrent runners (pytest parity vs the driver on the same sf_dir
+    # would otherwise rmtree each other mid-write)
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
     target = f"{tempfile.gettempdir()}/s4_upsert_{tag}"
     shutil.rmtree(target, ignore_errors=True)
     writer = upsert_batch_writer(target, ["window_start_ms"])
@@ -2016,7 +2021,11 @@ WITH fp AS (
 ), seen AS (
   SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0
 ), fresh AS (
-  SELECT * FROM fp WHERE doc_id % 2 = 1 AND f NOT IN (SELECT f FROM seen)
+  -- NOT EXISTS, not NOT IN: a NULL fingerprint (NULL text) must be KEPT,
+  -- matching Spark's left_anti equi-join where NULL never matches
+  SELECT * FROM fp
+  WHERE doc_id % 2 = 1
+    AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.f = fp.f)
 )
 SELECT doc_id, lang, source FROM fresh
 QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
@@ -2026,8 +2035,8 @@ QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
 # --------------------------------------------------------------------------
 # X20 — per-document TF-IDF top terms (functions/text.py tfidf_top_terms):
 # smoothed idf = ln((N+1)/(df+1)) + 1, deterministic term-asc tiebreak.
-# Full DuckDB oracle — identical tokenization, identical formula, 6dp
-# rounding on both engines.
+# Full DuckDB oracle — identical tokenization and formula; ranks compare
+# raw doubles, only the emitted score rounds (4dp).
 # --------------------------------------------------------------------------
 
 
@@ -2035,7 +2044,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.text import tfidf_top_terms
 
     docs = _t(spark, sf_dir, "documents")
-    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+    out = tfidf_top_terms(docs, "doc_id", "text", k=3)
+    # rank on the raw doubles (identical relative order on both engines),
+    # round only at the comparison boundary — 4dp leaves a wide margin
+    # against last-ulp ln() differences between Java Math.log and libm
+    return out.withColumn("score", F.round("score", 4))
 
 
 SQL_TFIDF_TOP_TERMS = """
@@ -2052,14 +2065,15 @@ WITH toks AS (
   SELECT count(*)::BIGINT AS n_docs FROM documents
 ), scored AS (
   SELECT tf.doc_id, tf.term,
-         round(tf.tf * (ln((n.n_docs + 1) / (df.df + 1.0)) + 1), 6) AS score
+         tf.tf * (ln((n.n_docs + 1) / (df.df + 1.0)) + 1) AS score
   FROM tf JOIN df USING (term) CROSS JOIN n
 ), ranked AS (
   SELECT doc_id, term, score,
          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
   FROM scored
 )
-SELECT doc_id, term, rank::INT AS rank, score FROM ranked WHERE rank <= 3
+SELECT doc_id, term, rank::INT AS rank, round(score, 4) AS score
+FROM ranked WHERE rank <= 3
 """
 
 

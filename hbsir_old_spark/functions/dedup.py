@@ -51,6 +51,7 @@ def exact_dedup(
     id_col: str = "doc_id",
     keep: str = "min",
     strategy: str = "agg",
+    fingerprint_col: str | None = None,
 ) -> DataFrame:
     """Keep one row per exact (normalized) duplicate group — the row with the
     min (or max) id. Rows whose id is NULL are dropped up front (the window
@@ -69,11 +70,15 @@ def exact_dedup(
       pairs, at the cost of a second (id-keyed) shuffle of the surviving
       rows. Best when duplicates are rare and payload rows are wide.
 
-    Deterministic either way (ids are unique per document)."""
+    Deterministic either way (ids are unique per document).
+    ``fingerprint_col`` reuses an already-computed fingerprint column
+    instead of re-deriving it from the text (Catalyst does not CSE the
+    normalize+md5 expression across operators, so callers that already
+    paid for it — e.g. :func:`dedup_against` — pass it in)."""
     if strategy not in ("agg", "semi"):
         raise ValueError(f"strategy must be 'agg' or 'semi', got {strategy!r}")
     df = ensure_min_partitions(df).filter(F.col(id_col).isNotNull())
-    fp = doc_fingerprint(text_col)
+    fp = F.col(fingerprint_col) if fingerprint_col else doc_fingerprint(text_col)
     if strategy == "semi":
         pick_id = F.min if keep == "min" else F.max
         keepers = (
@@ -207,15 +212,19 @@ def dedup_against(
     * in-batch collapse reuses :func:`exact_dedup` (batch-sized, cheap).
     """
     seen_fp = (
-        seen.select(doc_fingerprint(seen_text_col or text_col).alias("__fp__"))
+        seen.select(doc_fingerprint(seen_text_col or text_col).alias("__sfp__"))
         .distinct()
     )
-    fresh = incoming.join(
-        seen_fp,
-        doc_fingerprint(text_col) == seen_fp["__fp__"],
-        "left_anti",
+    # fingerprint each incoming row ONCE: Catalyst does not CSE the
+    # normalize+md5 expression between the join condition and the
+    # downstream collapse aggregation
+    tagged = incoming.withColumn("__fp__", doc_fingerprint(text_col))
+    fresh = tagged.join(
+        seen_fp, F.col("__fp__") == F.col("__sfp__"), "left_anti"
     )
-    return exact_dedup(fresh, text_col=text_col, id_col=id_col, keep=keep)
+    return exact_dedup(
+        fresh, text_col=text_col, id_col=id_col, keep=keep, fingerprint_col="__fp__"
+    ).drop("__fp__")
 
 
 def connected_components(

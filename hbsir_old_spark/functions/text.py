@@ -216,11 +216,7 @@ def tfidf_top_terms(
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
-            F.round(
-                F.col("tf")
-                * (F.log((F.col("__n__") + 1) / (F.col("df") + 1)) + 1),
-                6,
-            ),
+            F.col("tf") * (F.log((F.col("__n__") + 1) / (F.col("df") + 1)) + 1),
         )
     )
     win = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))

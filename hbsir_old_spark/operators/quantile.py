@@ -140,7 +140,7 @@ def _count_lt(arr: Column, length: int, v: Column) -> Column:
 
 
 def _join_groups_broadcast(
-    left: DataFrame, right: DataFrame, group_cols: Sequence[str]
+    left: DataFrame, right: DataFrame, group_cols: Sequence[str], how: str = "inner"
 ) -> DataFrame:
     """Broadcast-join per-group rows back onto the fact side, NULL-safely:
     ``on=group_cols`` uses null-rejecting equality and would silently drop
@@ -148,7 +148,10 @@ def _join_groups_broadcast(
     treats NULL as an ordinary group. ``eqNullSafe`` keys keep the
     broadcast hash join."""
     if not group_cols:
-        return left.crossJoin(F.broadcast(right))
+        how_cross = "cross" if how == "inner" else how
+        if how_cross == "cross":
+            return left.crossJoin(F.broadcast(right))
+        return left.join(F.broadcast(right), F.lit(True), how)
     # rename the right-side keys first: right derives from left, so
     # left[c]/right[c] references trip the ambiguous-self-join check
     for c in group_cols:
@@ -157,7 +160,7 @@ def _join_groups_broadcast(
     for c in group_cols:
         clause = F.col(c).eqNullSafe(F.col(f"__g_{c}__"))
         cond = clause if cond is None else cond & clause
-    return left.join(F.broadcast(right), cond).drop(
+    return left.join(F.broadcast(right), cond, how).drop(
         *[f"__g_{c}__" for c in group_cols]
     )
 
@@ -302,13 +305,19 @@ def add_weighted_approx_bin(
     breaks = weighted_approx_quantile_breaks(
         df, value_col, weight_col, bins, group_cols, probes, relative_error
     )
-    joined = _join_groups_broadcast(df, breaks, group_cols)
+    # left join: a group whose values are ALL NULL has no breaks row
+    # (NULLs are dropped before the sketch) — its rows must still come
+    # back, with a NULL bin, to keep the operator row-preserving
+    joined = _join_groups_broadcast(df, breaks, group_cols, how="left")
     bin_col = F.lit(1) + _count_lt(
         F.col("breaks"), bins - 1, F.col(value_col).cast("double")
     )
     # NULL values get a NULL bin (the exact path drops those rows; a
     # row-preserving operator flags them instead of silently binning to 1)
-    bin_col = F.when(F.col(value_col).isNotNull(), bin_col.cast("int"))
+    bin_col = F.when(
+        F.col(value_col).isNotNull() & F.col("breaks").isNotNull(),
+        bin_col.cast("int"),
+    )
     return joined.withColumn(out_col, bin_col).drop("breaks")
 
 

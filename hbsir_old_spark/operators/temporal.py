@@ -59,15 +59,26 @@ def asof_join(
     rts = f"{ts_col}{suffix}"
 
     # union the tagged sides on an aligned schema: left rows carry their
-    # payload and NULL right-values, right rows the reverse
+    # payload and a NULL right-row struct, right rows the reverse. The
+    # right values ride as ONE struct so the window picks a whole right row
+    # atomically — per-column last(ignorenulls) would skip a NULL field of
+    # the nearest right row and stitch it together with an older row's
+    # value (a row that never existed).
     null = F.lit(None)
+    rrow_type = (
+        "struct<"
+        + ", ".join(
+            [f"`{out_names[c]}`:{right.schema[c].dataType.simpleString()}" for c in value_cols]
+            + [f"`{rts}`:{right.schema[ts_col].dataType.simpleString()}"]
+        )
+        + ">"
+    )
     l_tagged = left.select(
         *by_cols,
         F.col(ts_col).alias("__ts__"),
         F.lit(1).alias("__side__"),
         *[F.col(c) for c in left.columns if c not in (*by_cols, ts_col)],
-        *[null.cast(right.schema[c].dataType).alias(out_names[c]) for c in value_cols],
-        null.cast(right.schema[ts_col].dataType).alias(rts),
+        null.cast(rrow_type).alias("__rrow__"),
     )
     r_tagged = right.select(
         *by_cols,
@@ -78,13 +89,15 @@ def asof_join(
             for c in left.columns
             if c not in (*by_cols, ts_col)
         ],
-        *[F.col(c).alias(out_names[c]) for c in value_cols],
-        F.col(ts_col).alias(rts),
+        F.struct(
+            *[F.col(c).alias(out_names[c]) for c in value_cols],
+            F.col(ts_col).alias(rts),
+        ).cast(rrow_type).alias("__rrow__"),
     )
     combined = l_tagged.unionByName(r_tagged)
 
     # backward: ascending ts, right (side 0) sorts before left at equal ts,
-    # so the inclusive match is the running last non-null right value;
+    # so the inclusive match is the running last non-null right row struct;
     # forward is the mirror image
     order: list[Column] = (
         [F.col("__ts__").asc(), F.col("__side__").asc()]
@@ -97,12 +110,7 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = combined.select(
-        "*",
-        *[
-            F.last(out_names[c], ignorenulls=True).over(win).alias(f"__m_{c}__")
-            for c in value_cols
-        ],
-        F.last(rts, ignorenulls=True).over(win).alias("__m_ts__"),
+        "*", F.last("__rrow__", ignorenulls=True).over(win).alias("__m__")
     )
     result = matched.filter(F.col("__side__") == 1)
     within = (
@@ -110,7 +118,8 @@ def asof_join(
         if tolerance_s is None
         else (
             F.abs(
-                F.unix_millis(F.col("__ts__")) - F.unix_millis(F.col("__m_ts__"))
+                F.unix_millis(F.col("__ts__"))
+                - F.unix_millis(F.col("__m__")[rts])
             )
             <= F.lit(int(tolerance_s * 1000))
         )
@@ -121,8 +130,8 @@ def asof_join(
         F.col("__ts__").alias(ts_col),
         *keep_left,
         *[
-            F.when(within, F.col(f"__m_{c}__")).alias(out_names[c])
+            F.when(within, F.col("__m__")[out_names[c]]).alias(out_names[c])
             for c in value_cols
         ],
-        F.when(within, F.col("__m_ts__")).alias(rts),
+        F.when(within, F.col("__m__")[rts]).alias(rts),
     )

@@ -34,13 +34,20 @@ def ensure_min_partitions(df, minimum: int | None = None):
     # are small local constructions where the compile is cheap, and skipping
     # them entirely would leave exactly the 1-2-partition inputs this
     # function exists to widen.
+    if df.isStreaming:
+        # streaming plans have no .rdd and no input files; micro-batch
+        # parallelism is the source's concern — leave untouched
+        return df
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
     if n_files == 0:
-        if df.rdd.getNumPartitions() < minimum:
-            return df.repartition(minimum)
+        try:
+            if df.rdd.getNumPartitions() < minimum:
+                return df.repartition(minimum)
+        except Exception:  # exotic sources with no RDD view — leave as-is
+            pass
         return df
     if n_files < minimum:
         return df.repartition(minimum)

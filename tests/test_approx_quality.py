@@ -187,6 +187,21 @@ class TestApproxDecile:
         assert all(got[1000 + i] is None for i in range(10))  # NULL val -> NULL bin
         assert {got[i] for i in range(1, 101)} == {1, 2, 3, 4}
 
+    def test_all_null_group_rows_survive_with_null_bin(self, spark):
+        from pyspark.sql import functions as F
+
+        from hbsir_old_spark.operators.quantile import add_weighted_approx_bin
+
+        rows = [(i, "g", float(i), 1.0) for i in range(1, 21)]
+        rows += [(100 + i, "h", None, 1.0) for i in range(5)]  # all-NULL group
+        df = spark.createDataFrame(rows, ["id", "grp", "val", "w"])
+        out = add_weighted_approx_bin(
+            df, "val", "w", bins=4, group_cols=("grp",), out_col="b"
+        )
+        assert out.count() == 25  # group h not dropped
+        h_bins = [r["b"] for r in out.filter(F.col("grp") == "h").collect()]
+        assert h_bins == [None] * 5
+
     def test_weighted_single_bin_has_no_breaks(self, spark):
         from hbsir_old_spark.operators.quantile import (
             add_weighted_approx_bin,

@@ -61,6 +61,24 @@ def test_colliding_value_column_gets_suffix(spark):
     assert {r["order"]: r["order_right"] for r in out}["p2"] == 300.0
 
 
+def test_null_right_value_matches_atomically(spark):
+    # the nearest right row wins AS A WHOLE: a NULL value field must come
+    # through as NULL with that row's ts — not stitched together with an
+    # older row's non-NULL value (per-column last(ignorenulls) would)
+    left = spark.createDataFrame([(1, _t(10), "p1")], ["uid", "ts", "order"])
+    right = spark.createDataFrame(
+        [(1, _t(5), 100.0), (1, _t(8), None)], ["uid", "ts", "price"]
+    )
+    out = asof_join(left, right, "ts", ["uid"]).collect()
+    assert len(out) == 1
+    assert out[0]["price"] is None
+    assert out[0]["ts_right"] == _t(8)
+    # with a tolerance excluding ts=5 but not ts=8, the stale 100.0 must
+    # not leak through either
+    out = asof_join(left, right, "ts", ["uid"], tolerance_s=3).collect()
+    assert out[0]["price"] is None and out[0]["ts_right"] == _t(8)
+
+
 def test_single_shuffle_plan(spark):
     left, right = _fixtures(spark)
     plan = (

@@ -85,10 +85,15 @@ def test_dedup_against_store_side_projects_fingerprint_only(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "LeftAnti" in plan
-    # the store side reduces to distinct fingerprints: its payload column
-    # appears nowhere below the anti join's build side
+    # the store side reduces to distinct fingerprints before the join: the
+    # projection that computes __sfp__ must not carry the payload column,
+    # and the build-side aggregate groups on the fingerprint alone
     store_side = plan.split("LeftAnti")[1]
-    assert "md5" in store_side
+    assert "Aggregate [__sfp__" in store_side
+    sfp_project = next(
+        line for line in store_side.splitlines() if "AS __sfp__" in line
+    )
+    assert "wide" not in sfp_project
 
 
 def test_representative_filter_is_anti_join_only(spark):
