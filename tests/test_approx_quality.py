@@ -217,6 +217,29 @@ class TestApproxDecile:
         bins = {r["b"] for r in add_weighted_approx_bin(df, "val", "w", bins=1, out_col="b").collect()}
         assert bins == {1}
 
+    def test_count_lt_matches_linear_scan(self, spark):
+        # the unrolled binary search must agree with a naive strict count
+        # for every (sorted array, probe) combination, including dupes,
+        # values below/above the range, and exact hits
+        from hypothesis import given, settings, strategies as st
+
+        from hbsir_old_spark.operators.quantile import _count_lt
+        from pyspark.sql import functions as F
+
+        @settings(max_examples=30, deadline=None)
+        @given(
+            st.lists(st.integers(-50, 50), min_size=1, max_size=12).map(sorted),
+            st.integers(-60, 60),
+        )
+        def check(arr, v):
+            expr = _count_lt(
+                F.array(*[F.lit(float(x)) for x in arr]), len(arr), F.lit(float(v))
+            )
+            got = spark.range(1).select(expr.alias("c")).collect()[0]["c"]
+            assert got == sum(1 for x in arr if x < v), (arr, v)
+
+        check()
+
     def test_grouped_breaks_monotone(self, spark, sf_dir):
         from hbsir_old_spark.operators.quantile import approx_quantile_breaks
 
