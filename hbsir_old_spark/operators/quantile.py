@@ -203,7 +203,12 @@ def weighted_approx_quantile_breaks(
     as they do under ``Window.partitionBy`` in the exact path.
     """
     df = ensure_min_partitions(df).filter(F.col(value_col).isNotNull())
-    n_probes = probes or max(64, bins * 16)
+    # default grid: 16 probes per requested bin, floored at 64 and capped
+    # at 512 — the per-group CDF assembly is O(probes^2) array work on ONE
+    # row per group (trivial at 161 for deciles, but quadratic growth would
+    # bite a bins=100 percentile call at 1600 probes). 512 probes still
+    # gives ~5 probes per percentile boundary.
+    n_probes = probes or max(64, min(bins * 16, 512))
     probe_qs = [i / n_probes for i in range(1, n_probes)]
     sketch = F.expr(
         f"approx_percentile({value_col}, array({', '.join(map(str, probe_qs))}), "
