@@ -970,6 +970,30 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # arbitrary grouping-set combinations in one pass (a8's rollup is the
+    # hierarchical special case): per-flag, per-status, and grand total —
+    # but NOT the (flag, status) cross — one Expand + one aggregation
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem__")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_rows
+        FROM __gs_lineitem__
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*)::BIGINT AS n_rows
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # existence joins: customers with / without orders — no payload from the
     # right side ever moves (semi/anti short-circuit at the join)
@@ -2248,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x20_tfidf_top_terms": q_tfidf_top_terms,
         "x21_asof_attribution": q_asof_attribution,
         "x22_incremental_dedup": q_incremental_dedup,
+        "a9_grouping_sets": q_grouping_sets,
         # -- veterans (green r1-r3) --
         "a1_groupby_sum": q_groupby_sum,
         "p7_computed_column": q_computed_column,
@@ -2285,10 +2310,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_cosine_topk": q_cosine_topk,
         "x9_ann_lsh": q_ann_lsh,
         "x13_ivf_topk": q_ivf_topk,
-        "x10_multimodal_features": q_multimodal_features,
         # -- rotated past position 50 this round: every gate below has green
         # driver rows in CORRECTNESS_r01/r02/r03 and full coverage in
         # tests/test_oracle_parity.py --
+        "x10_multimodal_features": q_multimodal_features,
         "x11_bpe_token_count": q_bpe_token_count,
         "x12_embedding_dedup": q_embedding_dedup,
         "g1_dsl_pipeline": q_dsl_pipeline,
@@ -2371,4 +2396,5 @@ def oracle_sql() -> dict[str, str]:
         "x20_tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "x21_asof_attribution": SQL_ASOF_ATTRIBUTION,
         "x22_incremental_dedup": SQL_INCREMENTAL_DEDUP,
+        "a9_grouping_sets": SQL_GROUPING_SETS,
     }

@@ -123,6 +123,7 @@ NEVER_ROWED_BEFORE_R4 = {
     "x20_tfidf_top_terms",
     "x21_asof_attribution",
     "x22_incremental_dedup",
+    "a9_grouping_sets",
 }
 ROTATED_VETERANS = {
     "p4_string_scrub",
@@ -134,11 +135,12 @@ ROTATED_VETERANS = {
     "u1_union_missing_columns",
     "p23_json_extract",
     "a7_approx_distinct",
-    # rotated in round 4 to fit x19-x22 (green r1-r3, parity-covered)
+    # rotated in round 4 to fit the new gates (green r1-r3, parity-covered)
     "l1_form_raw_vs_cleaned",
     "g1_dsl_pipeline",
     "x12_embedding_dedup",
     "x11_bpe_token_count",
+    "x10_multimodal_features",
 }
 
 
