@@ -250,6 +250,11 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # materialize the edge list once: every iteration joins against it, and
+    # without this each round would re-execute the caller's whole
+    # pair-generation pipeline (measured 20s -> ~6s on the x19 gate). Dup
+    # pairs are small relative to the corpus by construction.
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select("u").distinct().withColumn("comp", F.col("u"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iterations):
