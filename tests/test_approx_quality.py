@@ -217,6 +217,35 @@ class TestApproxDecile:
         bins = {r["b"] for r in add_weighted_approx_bin(df, "val", "w", bins=1, out_col="b").collect()}
         assert bins == {1}
 
+    def test_weighted_percentile_cap_path_agrees(self, spark):
+        # bins=100 activates the 512-probe cap; agreement must hold there
+        from pyspark.sql import functions as F
+
+        from hbsir_old_spark.operators.quantile import (
+            add_percentile,
+            add_weighted_approx_bin,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float((i * 7919) % 104729) + i / 1000, 1.0 + (i % 13)) for i in range(4000)],
+            ["id", "val", "w"],
+        )
+        both = add_weighted_approx_bin(
+            add_percentile(df, "val", "w", out_col="p_exact", tiebreaker_cols=("id",)),
+            "val",
+            "w",
+            bins=100,
+            out_col="p_approx",
+        )
+        agree = both.select(
+            F.avg((F.col("p_exact") == F.col("p_approx")).cast("double"))
+        ).collect()[0][0]
+        # ~5 probes per percentile boundary at the cap: boundary-adjacent
+        # rows can land one bin off, so the floor is looser than the
+        # decile tests' 0.99 (measured 0.962 on this synthetic, 0.994 on
+        # sf0.01 lineitem); pass probes= explicitly for tighter needs
+        assert agree >= 0.95, f"percentile agreement {agree:.4f}"
+
     def test_count_lt_matches_linear_scan(self, spark):
         # the unrolled binary search must agree with a naive strict count
         # for every (sorted array, probe) combination, including dupes,
