@@ -1946,7 +1946,11 @@ def q_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch2 = hourly_agg(events).filter(F.col("window_start_ms") >= cut_hour_ms)
     writer(batch2, 1)
     writer(batch2, 1)  # replayed epoch — must be a no-op on the final state
-    out = spark.read.parquet(target)
+    # checkpoint the read-back into Spark's block manager so the /tmp tree
+    # can be deleted immediately — otherwise every process leaks one
+    # workspace per run (the result is gate-scale tiny)
+    out = spark.read.parquet(target).localCheckpoint(eager=True)
+    shutil.rmtree(target, ignore_errors=True)
     return out.select(
         F.col("window_start_ms").cast("long").alias("window_start_ms"),
         "event_type",

@@ -203,12 +203,10 @@ def weighted_approx_quantile_breaks(
     as they do under ``Window.partitionBy`` in the exact path.
     """
     df = ensure_min_partitions(df).filter(F.col(value_col).isNotNull())
-    # default grid: 16 probes per requested bin, floored at 64 and capped
-    # at 512 — the per-group CDF assembly is O(probes^2) array work on ONE
-    # row per group (trivial at 161 for deciles, but quadratic growth would
-    # bite a bins=100 percentile call at 1600 probes). 512 probes still
-    # gives ~5 probes per percentile boundary.
-    n_probes = probes or max(64, min(bins * 16, 512))
+    # default grid: 16 probes per requested bin, floored at 64; capped only
+    # as a guard against absurd bins values (the per-group CDF assembly is
+    # a linear running-sum fold on ONE row per group)
+    n_probes = probes or max(64, min(bins * 16, 2048))
     probe_qs = [i / n_probes for i in range(1, n_probes)]
     sketch = F.expr(
         f"approx_percentile({value_col}, array({', '.join(map(str, probe_qs))}), "
@@ -258,12 +256,18 @@ def weighted_approx_quantile_breaks(
             lambda j: F.coalesce(F.element_at(F.col("__m__"), j), F.lit(0.0)),
         ),
     )
+    # one linear fold builds the prefix sums (a per-j slice+fold would be
+    # O(probes^2) per group); prefix[j+1] = sum of buckets 0..j-1, so
+    # CDF at probe j = prefix[j+1] / total
+    prefix = F.aggregate(
+        F.col("__bw__"),
+        F.array(F.lit(0.0)),
+        lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) + x)),
+    )
+    agg = agg.withColumn("__prefix__", prefix)
     cdfs = F.transform(
         F.sequence(F.lit(1), F.lit(n_cols)),
-        lambda j: F.aggregate(
-            F.slice(F.col("__bw__"), F.lit(1), j), F.lit(0.0), lambda a, x: a + x
-        )
-        / F.col("__tw__"),
+        lambda j: F.element_at(F.col("__prefix__"), j + 1) / F.col("__tw__"),
     )
     agg = agg.withColumn("__cdfs__", cdfs)
     cdfs = F.col("__cdfs__")

@@ -57,6 +57,14 @@ def asof_join(
         c: f"{c}{suffix}" if c in left.columns else c for c in value_cols
     }
     rts = f"{ts_col}{suffix}"
+    if rts in out_names.values():
+        # the matched-row struct would carry two fields of this name and
+        # every downstream reference would be ambiguous
+        raise ValueError(
+            f"right column {rts!r} collides with the matched-timestamp output "
+            f"column (ts_col {ts_col!r} + suffix {suffix!r}); rename it or "
+            "pass a different suffix"
+        )
 
     # union the tagged sides on an aligned schema: left rows carry their
     # payload and a NULL right-row struct, right rows the reverse. The

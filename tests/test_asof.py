@@ -79,6 +79,15 @@ def test_null_right_value_matches_atomically(spark):
     assert out[0]["price"] is None and out[0]["ts_right"] == _t(8)
 
 
+def test_matched_ts_name_collision_raises(spark):
+    import pytest
+
+    left, right = _fixtures(spark)
+    right2 = right.withColumnRenamed("price", "ts_right")
+    with pytest.raises(ValueError, match="ts_right"):
+        asof_join(left, right2, "ts", ["uid"])
+
+
 def test_single_shuffle_plan(spark):
     left, right = _fixtures(spark)
     plan = (
