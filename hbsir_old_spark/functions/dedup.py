@@ -157,7 +157,21 @@ def _shingle_base_hash(s: Column) -> Column:
     — hashing the string once instead of k times is the dominant cost at
     corpus scale, and the tiny generated code keeps whole-stage-codegen JIT
     cheap (k inlined xxhash64(lit(j), s) calls were measurably slow to
-    compile on first run)."""
+    compile on first run).
+
+    Tradeoff: the effective shingle universe is 2^31, not 2^64 — a base-hash
+    collision aliases two shingles in EVERY permutation simultaneously
+    (independent per-perm seeds would only alias them in perms that
+    individually collide). A doc with m distinct shingles expects
+    ~m^2/2^32 aliased pairs: ~2e-4 for m=1000, ~2e-2 for m=10k — each
+    aliased pair shrinks that doc's shingle set by at most one element, a
+    Jaccard bias of O(1/m), well under the sketch's own 1/sqrt(k) noise at
+    k=16-128. The bias only ever merges shingles, so it can only *raise*
+    estimated similarity — the exact-Jaccard verify stage removes any false
+    positive, and the false-negative risk is the O(1/m) undercount of the
+    union, negligible against band-selection variance. If recall at
+    extreme corpus scale ever matters more than hash cost, swap this for a
+    2^61-1 field with split multiply-add (4 mults/perm instead of 1)."""
     return F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
 
 

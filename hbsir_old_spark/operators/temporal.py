@@ -47,10 +47,20 @@ def asof_join(
     Ties on (key, ts) within the right side resolve to the row the sort
     places last — pre-aggregate the right side per (key, ts) for
     deterministic output.
+
+    NULL keys never match (DuckDB ASOF / pandas merge_asof equi-join
+    semantics): right rows with a NULL in any ``by_cols`` column are
+    dropped, and left rows with a NULL key come through with NULL match
+    columns. (``Window.partitionBy`` alone would group NULLs together and
+    happily match NULL to NULL.)
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     by_cols = list(by_cols)
+    for c in by_cols:
+        # NULL-key right rows can only ever produce the NULL==NULL matches
+        # we must not emit, so remove them before the union
+        right = right.filter(F.col(c).isNotNull())
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*by_cols, ts_col)]
     out_names = {

@@ -18,6 +18,16 @@ def ensure_min_partitions(df, minimum: int | None = None):
     the cluster (e.g. one small parquet file) so expensive per-row
     expressions actually parallelize. No-op for already-parallel inputs —
     at real scale the scan yields thousands of splits and this never fires.
+
+    Contract note: parallelism is *estimated* from ``inputFiles()`` (probing
+    ``.rdd`` would force a full pre-AQE physical compile per call). This is a
+    heuristic, not a guarantee — a plan that explicitly narrows itself after
+    a many-file scan (``coalesce(1)``, ``repartition(1)``) reports many leaf
+    files and is left untouched. That is deliberate: an explicit user
+    coalesce is a statement of intent this helper should not fight, and the
+    engine's own call sites pass freshly-scanned or freshly-created frames.
+    Callers who narrow a plan and then want it widened should call
+    ``df.repartition(n)`` themselves.
     """
     spark = df.sparkSession
     if minimum is None:

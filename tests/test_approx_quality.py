@@ -218,7 +218,12 @@ class TestApproxDecile:
         assert bins == {1}
 
     def test_weighted_percentile_cap_path_agrees(self, spark):
-        # bins=100 activates the 512-probe cap; agreement must hold there
+        # pin the sparse-probe regime explicitly: probes=512 with bins=100
+        # gives ~5 probes per percentile boundary, the setting the 0.95
+        # floor below was measured on. (The default grid cap moved from 512
+        # to 2048 in e0bf246, so bins=100 alone no longer hits a cap —
+        # without the explicit probes= this test would silently run the
+        # dense 1600-probe grid and stop exercising probe starvation.)
         from pyspark.sql import functions as F
 
         from hbsir_old_spark.operators.quantile import (
@@ -235,15 +240,16 @@ class TestApproxDecile:
             "val",
             "w",
             bins=100,
+            probes=512,
             out_col="p_approx",
         )
         agree = both.select(
             F.avg((F.col("p_exact") == F.col("p_approx")).cast("double"))
         ).collect()[0][0]
-        # ~5 probes per percentile boundary at the cap: boundary-adjacent
-        # rows can land one bin off, so the floor is looser than the
-        # decile tests' 0.99 (measured 0.962 on this synthetic, 0.994 on
-        # sf0.01 lineitem); pass probes= explicitly for tighter needs
+        # ~5 probes per percentile boundary: boundary-adjacent rows can
+        # land one bin off, so the floor is looser than the decile tests'
+        # 0.99 (measured 0.962 on this synthetic, 0.994 on sf0.01
+        # lineitem); raise probes= for tighter needs
         assert agree >= 0.95, f"percentile agreement {agree:.4f}"
 
     def test_count_lt_matches_linear_scan(self, spark):

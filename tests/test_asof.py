@@ -97,3 +97,19 @@ def test_single_shuffle_plan(spark):
     # one Exchange for the window, no join operator at all
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_null_keys_never_match(spark):
+    # DuckDB ASOF / pandas merge_asof semantics: a NULL equi-key matches
+    # nothing. Window.partitionBy alone would group NULLs together and
+    # match the NULL-uid left row to the NULL-uid right row.
+    left = spark.createDataFrame(
+        [(None, _t(10), "pX"), (1, _t(10), "p1")], ["uid", "ts", "order"]
+    )
+    right = spark.createDataFrame(
+        [(None, _t(5), 666.0), (1, _t(5), 100.0)], ["uid", "ts", "price"]
+    )
+    out = {r["order"]: r for r in asof_join(left, right, "ts", ["uid"]).collect()}
+    assert len(out) == 2  # NULL-key left row survives, unmatched
+    assert out["pX"]["price"] is None and out["pX"]["ts_right"] is None
+    assert out["p1"]["price"] == 100.0
