@@ -222,6 +222,15 @@ def weighted_approx_quantile_breaks(
     grid = (
         df.groupBy(*group_cols).agg(*grid_aggs) if group_cols else df.agg(*grid_aggs)
     )
+    # The grid feeds TWO broadcast joins below (row binning + CDF assembly).
+    # Left lazy, each join embeds its own copy of the GK subtree and the
+    # dominant full-data sketch pass runs twice — canonicalized-exchange
+    # reuse is not guaranteed (measured ReusedExchange=0 on this shape).
+    # The grid is one short row per group, so materializing it eagerly is
+    # ~free and pins exactly one sketch pass + one histogram pass over the
+    # fact. Same executor-loss caveat as the dedup band table
+    # (dedup.py:399-401): use a reliable checkpoint dir on real clusters.
+    grid = grid.localCheckpoint(eager=True)
     joined = _join_groups_broadcast(df, grid, group_cols)
     w = F.col(weight_col).cast("double")
     n_cols = n_probes + 1  # min + (n_probes-1) sketch points + max

@@ -160,3 +160,21 @@ def test_group_quota_single_exchange(spark, sf_dir):
     df = entry_mod.q_group_quota(spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("Exchange hashpartitioning") <= 2  # quota window + final agg
+
+
+def test_weighted_breaks_single_sketch_pass(spark, sf_dir):
+    # w4b: the GK probe grid feeds two broadcast joins; without the eager
+    # localCheckpoint each embeds its own copy of the sketch subtree and
+    # the dominant full-data pass runs twice (ReusedExchange is NOT
+    # guaranteed — measured 0 on this shape). Pinned: the breaks plan
+    # scans the fact exactly once (the histogram pass) and reads the
+    # materialized grid as an RDD.
+    from hbsir_old_spark.operators.quantile import weighted_approx_quantile_breaks
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    b = weighted_approx_quantile_breaks(
+        li, "l_extendedprice", "l_quantity", bins=10, group_cols=("l_returnflag",)
+    )
+    plan = plan_of(b)
+    assert plan.count("FileScan") == 1, plan
+    assert "ExistingRDD" in plan, plan
