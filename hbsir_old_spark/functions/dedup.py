@@ -259,8 +259,10 @@ def connected_components(
     on (node, label) longs; ``localCheckpoint`` truncates the plan each
     round (iterative DataFrame lineage otherwise grows unboundedly and
     re-executes from scratch). Driver-side loop is control flow only — all
-    data stays distributed; the per-round convergence check is a count on
-    the checkpointed labels.
+    data stays distributed; the convergence flag (did ANY label move this
+    round) rides along as a column of the checkpointed frame, so checking
+    it is one cheap scan of the already-materialized RDD — no extra join
+    job per round.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -281,27 +283,27 @@ def connected_components(
             labels.join(nbr_min, "u", "left")
             .select(
                 "u",
+                F.col("comp").alias("__old__"),
                 F.least(F.col("comp"), F.coalesce("__nmin__", F.col("comp"))).alias("comp"),
             )
         )
         # pointer jump: labels are node ids, so comp's own label exists
         jump = stepped.select(F.col("u").alias("comp"), F.col("comp").alias("__jmp__"))
+        new_comp = F.least(F.col("comp"), F.coalesce("__jmp__", F.col("comp")))
         jumped = (
             stepped.join(jump, "comp", "left")
             .select(
                 "u",
-                F.least(F.col("comp"), F.coalesce("__jmp__", F.col("comp"))).alias("comp"),
+                new_comp.alias("comp"),
+                # convergence flag folded into the same pass: any label
+                # that moved this round (vs the round-start value)
+                (new_comp != F.col("__old__")).cast("int").alias("__chg__"),
             )
         )
         new_labels = jumped.localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("comp", "__old__"), "u")
-            .filter(F.col("comp") != F.col("__old__"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.max("__chg__")).collect()[0][0]
+        labels = new_labels.select("u", "comp")
+        if not changed:
             break
     return labels.select(F.col("u").alias("node"), F.col("comp").alias("component"))
 
