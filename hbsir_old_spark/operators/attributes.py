@@ -48,22 +48,35 @@ def map_codes(
 def attribute_column(
     id_col: str,
     year_col: str,
-    positions_by_year: Mapping[int, tuple[int, int, int]],
+    positions_by_year: Mapping[int, tuple],
     mapping: Mapping[int, str] | None = None,
     default: str | None = None,
 ) -> Column:
     """Year-versioned attribute decode: ``positions_by_year`` maps a starting
-    year to ``(id_length, start, end)``; the applicable entry is the greatest
-    key <= Year (simple versioning). Produces a single when-chain Column.
+    year to ``(id_length, start, end)`` or ``(id_length, start, end,
+    mapping)``; the applicable entry is the greatest key <= Year (simple
+    versioning). Produces a single when-chain Column.
+
+    The optional 4th element carries a per-boundary code->name mapping for
+    attributes whose labels change over time (the reference's Urban_Rural
+    codes flip meaning at 1387, household.yaml:16-21); it overrides the
+    function-level ``mapping``. A boundary whose ``start`` is None decodes
+    to null over its span — the reference's "attribute not in the ID these
+    years" (County, household.yaml:183-188).
     """
     years = sorted(positions_by_year)
     expr: Column | None = None
     # ascending fold => the HIGHEST applicable boundary wraps outermost and
     # is checked first (simple-versioning: greatest key <= Year wins)
     for boundary in years:
-        id_length, start, end = positions_by_year[boundary]
-        code = extract_id_digits(id_col, id_length, start, end)
-        piece = map_codes(code, mapping, default) if mapping else code
+        entry = positions_by_year[boundary]
+        id_length, start, end = entry[:3]
+        m = entry[3] if len(entry) > 3 else mapping
+        if start is None or end is None:
+            piece = F.lit(None).cast("string" if (m or mapping) else "long")
+        else:
+            code = extract_id_digits(id_col, id_length, start, end)
+            piece = map_codes(code, m, default) if m else code
         cond = F.col(year_col) >= boundary
         expr = piece if expr is None else F.when(cond, piece).otherwise(expr)
     if expr is None:

@@ -51,11 +51,40 @@ class ClassificationDim:
                         f"[{s1},{e1}) {l1} overlaps [{s2},{e2}) {l2}"
                     )
 
+    def aspect_type(self, aspect: str) -> str:
+        """Spark type for an aspect's values: the real corpus carries
+        non-string aspects (e.g. the Duration classification's integer
+        ``duration``, commodities.yaml Duration section) — all-int values
+        compile to long, all-numeric to double, anything else to string."""
+        values = [r.get(aspect) for r in self.rows if r.get(aspect) is not None]
+        if values and all(
+            isinstance(v, int) and not isinstance(v, bool) for v in values
+        ):
+            return "long"
+        if values and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in values
+        ):
+            return "double"
+        return "string"
+
     def to_spark(self, spark: SparkSession) -> DataFrame:
         cols = ["year", "level", "code_start", "code_end", *self.aspects]
-        data = [tuple(r.get(c) for c in cols) for r in self.rows]
+        types = {a: self.aspect_type(a) for a in self.aspects}
+
+        def coerce(aspect, value):
+            if value is None or types[aspect] != "string":
+                return value
+            return str(value)
+
+        data = [
+            tuple(
+                coerce(c, r.get(c)) if c in types else r.get(c) for c in cols
+            )
+            for r in self.rows
+        ]
         schema = "year int, level int, code_start long, code_end long, " + ", ".join(
-            f"`{a}` string" for a in self.aspects
+            f"`{a}` {types[a]}" for a in self.aspects
         )
         return spark.createDataFrame(data, schema=schema)
 
@@ -105,15 +134,21 @@ def _expression_lookup(
     code_col: str,
     year_col: str | None,
     aspect: str,
+    aspect_type: str = "string",
 ) -> Column:
     """Compile interval rows into one when-chain Column: intervals within a
-    (year, level) slice are disjoint (validated), so order is free."""
-    expr = F.lit(None).cast("string")
+    (year, level) slice are disjoint (validated), so order is free.
+    ``aspect_type`` keeps the output dtype identical to the join strategy's
+    dimension column (typed aspects like Duration's integer payload)."""
+    expr = F.lit(None).cast(aspect_type)
     for r in rows:
         cond = (F.col(code_col) >= r["code_start"]) & (F.col(code_col) < r["code_end"])
         if year_col is not None and r.get("year") is not None:
             cond = cond & (F.col(year_col) == r["year"])
-        expr = F.when(cond, F.lit(r.get(aspect))).otherwise(expr)
+        value = r.get(aspect)
+        if value is not None and aspect_type == "string":
+            value = str(value)
+        expr = F.when(cond, F.lit(value).cast(aspect_type)).otherwise(expr)
     return expr
 
 
@@ -165,7 +200,11 @@ def add_classification(
                 out = out.withColumn(
                     out_name(aspect, level),
                     _expression_lookup(
-                        rows, code_col, year_col if year_aware else None, aspect
+                        rows,
+                        code_col,
+                        year_col if year_aware else None,
+                        aspect,
+                        dim.aspect_type(aspect),
                     ),
                 )
         if remaining_levels:

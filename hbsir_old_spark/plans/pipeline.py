@@ -207,6 +207,79 @@ class PipelineCompiler:
             drop_nulls=arg.get("drop_nulls", False),
         )
 
+    # -- pandas-idiom recognizer ------------------------------------------
+    # The real schema.yaml embeds seven pandas method chains
+    # (apply_pandas_function steps), all of exactly two shapes: a
+    # groupby-sum and a stack/melt chain. Rather than evaluate pandas code
+    # (eager, driver-side, the reference's eval path data_engine.py:427-437),
+    # the shapes are RECOGNIZED and compiled to the declarative aggregate /
+    # melt instructions — same lazy single-plan result as the rest of the
+    # DSL. Anything outside the two shapes raises: an unrecognized chain
+    # must fail loudly, not silently skip.
+    _GROUPBY_SUM = re.compile(
+        r"^\s*\.groupby\(\s*(\[[^\]]*\])\s*(?:,[^)]*)?\)\s*"
+        r"(?:\[\[([^\]]*)\]\]\s*)?\.sum\(\s*[^)]*\)\s*$",
+        re.S,
+    )
+    _STACK_MELT = re.compile(
+        r"^\s*\.drop\(\s*columns\s*=\s*(\[[^\]]*\])\s*\)\s*"
+        r"\.set_index\(\s*(\[[^\]]*\])\s*\)\s*"
+        r"\.stack\(\s*\)\s*\.to_frame\(\s*\)\s*\.reset_index\(\s*\)\s*"
+        r"\.set_axis\(\s*(\[[^\]]*\])\s*,\s*axis\s*=\s*['\"]columns['\"]\s*\)\s*$",
+        re.S,
+    )
+
+    def _op_apply_pandas_function(self, df, arg, year, table_name):
+        if arg is None:
+            return df
+        import ast
+
+        text = str(arg).strip()
+        m = self._GROUPBY_SUM.match(text)
+        if m:
+            group = ast.literal_eval(m.group(1))
+            columns = (
+                ast.literal_eval(f"[{m.group(2)}]") if m.group(2) else None
+            )
+            return self._op_aggregate(
+                df,
+                {"groupby": group, "columns": columns, "agg": "sum"},
+                year,
+                table_name,
+            )
+        m = self._STACK_MELT.match(text)
+        if m:
+            dropped = ast.literal_eval(m.group(1))
+            id_cols = ast.literal_eval(m.group(2))
+            axis = ast.literal_eval(m.group(3))
+            if axis[: len(id_cols)] != id_cols or len(axis) != len(id_cols) + 2:
+                raise ValueError(
+                    f"set_axis names {axis!r} do not extend the index "
+                    f"{id_cols!r} with (variable, value)"
+                )
+            value_cols = [
+                c for c in df.columns if c not in (*id_cols, *dropped)
+            ]
+            # pandas .stack() drops NaN cells by default -> drop_nulls
+            return self._op_melt(
+                df,
+                {
+                    "id_columns": id_cols,
+                    "value_columns": value_cols,
+                    "variable_name": axis[-2],
+                    "value_name": axis[-1],
+                    "drop_nulls": True,
+                },
+                year,
+                table_name,
+            )
+        raise ValueError(
+            f"unrecognized apply_pandas_function chain for {table_name!r}: "
+            f"{text[:120]!r} — supported shapes are "
+            ".groupby([...])[[...]].sum() and the drop/set_index/stack/"
+            "set_axis melt (schema.yaml:704,873,919,1113,1131,1149,1172)"
+        )
+
     # -- cross-table ------------------------------------------------------
     def _op_join(self, df, arg, year, table_name):
         if arg is None:

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hbsir_old_spark.metadata.ranges import CodeRangeSet
-from hbsir_old_spark.metadata.versioning import resolve_versioned
+from hbsir_old_spark.metadata.versioning import is_versioned, resolve_versioned
 from hbsir_old_spark.operators.attributes import attribute_column
 from hbsir_old_spark.operators.classification import (
     add_classification as add_classification_op,
@@ -31,6 +31,41 @@ from hbsir_old_spark.plans.pipeline import PipelineCompiler
 from hbsir_old_spark.sources.cache import FingerprintCache, stable_fingerprint
 
 BaseLoader = Callable[[str, int], "DataFrame | None"]
+
+
+def _reference_column_names(
+    aspects: Sequence[str],
+    levels: Sequence[int],
+    names: Sequence[str] | None,
+) -> dict[str, str]:
+    """Translate the reference's positional ``column_names`` /
+    ``output_column_names`` list (DecoderSettings._resolve_column_names,
+    decoder.py:290-307: aspect-major ``product(aspects, levels)`` order,
+    with an ``{name}_{level}`` expansion when one name is given per aspect)
+    into the engine's ``{default_name: new_name}`` dict."""
+    if not names:
+        return {}
+    from itertools import product
+
+    names = list(names)
+    if len(names) == len(aspects) * len(levels):
+        flat = names
+    elif len(names) == len(aspects):
+        flat = [f"{n}_{lvl}" for n, lvl in product(names, levels)]
+    else:
+        return {}
+
+    def default_name(aspect: str, level: int) -> str:
+        return (
+            f"{aspect}_{level}"
+            if len(levels) > 1 or len(aspects) > 1
+            else aspect
+        )
+
+    return {
+        default_name(a, lvl): new
+        for (a, lvl), new in zip(product(aspects, levels), flat)
+    }
 
 
 class TableRegistry:
@@ -342,20 +377,41 @@ class TableRegistry:
         years: Sequence[int] | None = None,
         levels: Sequence[int] | None = None,
         aspects: Sequence[str] | None = None,
-        code_col: str = "Code",
+        code_col: str | None = None,
         year_col: str = "Year",
         column_names: Mapping[str, str] | None = None,
         drop_value: bool = False,
+        classification_type: str = "commodity",
     ) -> DataFrame:
         """J1: classification labels via the broadcast range-join decoder.
-        Defaults (levels/aspects/missing replacements) come from the
-        classification's own metadata, like DecoderSettings
-        (reference decoder.py:226-323)."""
-        meta = self.metadata["classifications"][name]
+        Defaults (levels/aspects/column names/missing replacements) come
+        from the classification's own metadata, like DecoderSettings
+        (reference decoder.py:226-323). ``classification_type`` picks the
+        family — ``"commodity"`` (commodities.yaml, default code column
+        ``Code``) or ``"occupation"`` (occupations.yaml, default
+        ``Job_Code``) — mirroring decoder.py:65-105,254-275."""
+        if classification_type == "commodity":
+            meta = self.metadata["classifications"][name]
+            code_col = code_col or "Code"
+        elif classification_type == "occupation":
+            meta = self.metadata["occupation_classifications"][name]
+            code_col = code_col or "Job_Code"
+        else:
+            raise ValueError(
+                f"classification_type must be 'commodity' or 'occupation', "
+                f"got {classification_type!r}"
+            )
         defaults = meta.get("defaults", {})
         levels = tuple(levels or defaults.get("levels") or (1,))
         aspects = tuple(aspects or defaults.get("aspects") or ("item_key",))
         missing = defaults.get("missing_value_replacements") or {}
+        if not column_names:
+            column_names = _reference_column_names(
+                aspects,
+                levels,
+                defaults.get("column_names")
+                or defaults.get("output_column_names"),
+            )
         if years is None:
             years = [r[0] for r in df.select(year_col).distinct().collect()]
         dim = build_classification_dim(meta, years=sorted(years), aspects=aspects)
@@ -372,15 +428,37 @@ class TableRegistry:
         return out.drop(code_col) if drop_value else out
 
     def _household_positions(self, attribute: str):
+        """Fold id-length drift, digit-position drift, and (for the real
+        household.yaml) label-mapping drift into one boundary->tuple dict
+        for :func:`attribute_column`. A position version of ``None`` (the
+        attribute is absent from the ID those years) yields (len, None,
+        None, mapping) — the decoder emits null over that span."""
         household = self.metadata["household"]
         lengths: Mapping[int, int] = household["id_length"]
-        positions: Mapping[int, Mapping[str, int]] = household["attributes"][attribute]["position"]
-        boundaries = sorted(set(lengths) | set(positions))
+        spec = household["attributes"][attribute]
+        positions: Mapping[int, Mapping[str, int] | None] = spec["position"]
+        mapping = spec.get("mapping")
+        mapping_versioned = is_versioned(mapping) if isinstance(mapping, Mapping) else False
+        boundaries = set(lengths) | set(positions)
+        if mapping_versioned:
+            boundaries |= set(mapping)
         out = {}
-        for boundary in boundaries:
-            id_length = lengths[max(k for k in lengths if k <= boundary)]
-            pos = positions[max(k for k in positions if k <= boundary)]
-            out[boundary] = (id_length, pos["start"], pos["end"])
+        for boundary in sorted(boundaries):
+            applicable = [k for k in lengths if k <= boundary]
+            if not applicable:
+                continue  # before the survey's first ID layout
+            id_length = lengths[max(applicable)]
+            pos_keys = [k for k in positions if k <= boundary]
+            pos = positions[max(pos_keys)] if pos_keys else None
+            m = (
+                resolve_versioned(mapping, boundary)
+                if mapping_versioned
+                else mapping
+            )
+            if pos is None:
+                out[boundary] = (id_length, None, None, m)
+            else:
+                out[boundary] = (id_length, pos["start"], pos["end"], m)
         return out
 
     def add_attribute(
@@ -393,10 +471,9 @@ class TableRegistry:
     ) -> DataFrame:
         """J2: decode a household attribute from ID digits — one vectorized
         year-branched expression, no join, no UDF."""
-        mapping = self.metadata["household"]["attributes"][name].get("mapping")
-        col = attribute_column(
-            id_col, year_col, self._household_positions(name), mapping
-        )
+        # per-boundary mappings ride in the position tuples (they may be
+        # year-versioned in the real household.yaml)
+        col = attribute_column(id_col, year_col, self._household_positions(name))
         return df.withColumn(column_name or name, col)
 
     def select_by_attribute(
@@ -404,6 +481,5 @@ class TableRegistry:
     ) -> DataFrame:
         """F2: decode-filter-drop, with the predicate left as pure ID/Year
         arithmetic so it can push toward the scan."""
-        mapping = self.metadata["household"]["attributes"][name].get("mapping")
-        col = attribute_column("ID", "Year", self._household_positions(name), mapping)
+        col = attribute_column("ID", "Year", self._household_positions(name))
         return df.filter(col.isin(list(values)))

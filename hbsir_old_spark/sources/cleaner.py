@@ -80,6 +80,12 @@ def _typed_column(raw: Column, meta: Mapping) -> Column:
     raise ValueError(f"unknown column type {ctype!r}")
 
 
+#: engine-provenance columns the S1 raw loader adds; they are not survey
+#: columns, so table metadata doesn't declare them — always passed through
+#: (unless the metadata explicitly mentions them, which then wins)
+PROVENANCE_COLUMNS = ("Urban_Rural",)
+
+
 def clean_table(
     df: DataFrame,
     table_meta: Mapping,
@@ -103,6 +109,9 @@ def clean_table(
     for name in df.columns:
         key = name.lower()
         if key not in meta_by_lower:
+            if name in PROVENANCE_COLUMNS:
+                exprs.append(F.col(name))
+                continue
             if missings == "error":
                 raise KeyError(
                     f"column {name!r} not declared in metadata (missings=error)"
