@@ -153,3 +153,80 @@ def asof_join(
         ],
         F.when(within, F.col("__m__")[rts]).alias(rts),
     )
+
+
+_ROLLING_AGGS = {
+    "avg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+}
+
+
+def rolling_aggregate(
+    df: DataFrame,
+    partition_by: str | Sequence[str],
+    order_by: str,
+    value_col: str,
+    window: int,
+    agg: str = "avg",
+    tiebreakers: Sequence[str] = (),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Trailing rolling aggregate over the last ``window`` rows per key —
+    the time-series smoothing primitive (pandas ``rolling(window)``; the
+    reference's pandas post-processing idiom, e.g. api.py consumers
+    smoothing yearly series).
+
+    One Exchange on ``partition_by`` + one in-partition sort; the frame is
+    ``rowsBetween(-(window-1), 0)`` so Spark keeps a bounded ring buffer
+    per partition — no unbounded state, no second shuffle. Pass
+    ``tiebreakers`` (e.g. the event id) whenever ``order_by`` can tie:
+    a non-deterministic frame order makes the result run-dependent.
+    """
+    if agg not in _ROLLING_AGGS:
+        raise ValueError(f"unknown rolling agg {agg!r}")
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_by, *tiebreakers)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    name = out_col or f"rolling_{agg}_{value_col}"
+    return df.withColumn(name, _ROLLING_AGGS[agg](value_col).over(w))
+
+
+def sessionize_batch(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    tiebreakers: Sequence[str] = (),
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): assign each row a per-user
+    session ordinal, where a new session starts when the gap to the
+    previous event exceeds ``gap``. The batch twin of the engine's
+    streaming ``sessionize`` (streaming/events.py) — same session
+    semantics, replayable over history.
+
+    Classic two-window formulation over ONE shuffle: both windows hash by
+    ``user_col`` and sort by (ts, tiebreakers), so Catalyst reuses a single
+    Exchange + sort for the lag and the running sum. ``gap`` is any Spark
+    INTERVAL literal; the boundary is exclusive (gap strictly greater
+    starts a new session), matching Spark's session_window semantics.
+    """
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    order = [ts_col, *tiebreakers]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev_ts = F.lag(ts_col).over(w)
+    new_session = F.when(
+        prev_ts.isNull() | (F.col(ts_col) > prev_ts + gap_expr), 1
+    ).otherwise(0)
+    running = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(session_col, F.sum(new_session).over(running).cast("long"))

@@ -106,26 +106,17 @@ def test_every_oracle_key_has_a_query():
 
 # The correctness driver records rows for only the first 50 entries of
 # queries() (r2: 51 registered -> 50 rows; r3: 57 -> first 50). These pins
-# keep never-yet-rowed gates inside the recorded window and only allow
-# multi-round-green gates past position 50.
-NEVER_ROWED_BEFORE_R4 = {
-    "g3_report_pivot_totals",
-    "j8_geometry_join",
-    "l2_setup_roundtrip",
-    "w4_approx_decile",
-    "x16_hash_split",
-    "x17_group_quota",
-    "x18_token_freq",
-    # new in round 4
-    "w4b_weighted_approx_decile",
-    "s4_upsert_sink",
-    "x19_dup_clusters",
-    "x20_tfidf_top_terms",
-    "x21_asof_attribution",
-    "x22_incremental_dedup",
-    "a9_grouping_sets",
-}
-ROTATED_VETERANS = {
+# enforce the round-robin rotation policy: gates WITHOUT a row in the
+# previous round's CORRECTNESS file (plus brand-new gates) sit inside the
+# recorded window, and only gates WITH a green previous-round row may sit
+# past position 50.
+NO_R4_ROW_OR_NEW = {
+    # rotated out in round 4 (green r1-r3) — rowed again this round
+    "x10_multimodal_features",
+    "x11_bpe_token_count",
+    "x12_embedding_dedup",
+    "g1_dsl_pipeline",
+    "l1_form_raw_vs_cleaned",
     "p4_string_scrub",
     "p11_season_derivation",
     "p16_id_digit_extraction",
@@ -135,19 +126,39 @@ ROTATED_VETERANS = {
     "u1_union_missing_columns",
     "p23_json_extract",
     "a7_approx_distinct",
-    # rotated in round 4 to fit the new gates (green r1-r3, parity-covered)
-    "l1_form_raw_vs_cleaned",
-    "g1_dsl_pipeline",
-    "x12_embedding_dedup",
-    "x11_bpe_token_count",
-    "x10_multimodal_features",
+    # new in round 5
+    "l3_real_corpus_food",
+    "a10_cube",
+    "o2_rolling_window",
+    "s5_batch_sessions",
+}
+# every gate here has a green row in CORRECTNESS_r04.json
+ROTATED_VETERANS = {
+    "g3_report_pivot_totals",
+    "j8_geometry_join",
+    "l2_setup_roundtrip",
+    "w4_approx_decile",
+    "x16_hash_split",
+    "x17_group_quota",
+    "x18_token_freq",
+    "w4b_weighted_approx_decile",
+    "s4_upsert_sink",
+    "x19_dup_clusters",
+    "x20_tfidf_top_terms",
+    "x21_asof_attribution",
+    "x22_incremental_dedup",
+    "a9_grouping_sets",
+    "s1_events_tumbling",
+    "s2_events_sessions",
+    "s3_events_sliding",
+    "x8_cosine_topk",
 }
 
 
 def test_driver_cap_ordering():
     first50 = set(list(QUERIES)[:50])
-    missing = NEVER_ROWED_BEFORE_R4 - first50
-    assert not missing, f"never-rowed gates outside the driver's 50-row window: {missing}"
+    missing = NO_R4_ROW_OR_NEW - first50
+    assert not missing, f"unrowed gates outside the driver's 50-row window: {missing}"
     tail = set(list(QUERIES)[50:])
     assert tail <= ROTATED_VETERANS, (
         f"only documented multi-round-green gates may sit past position 50: "
