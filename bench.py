@@ -56,6 +56,12 @@ HEADLINE = [
     "x20_tfidf_top_terms",
     "x21_asof_attribution",
     "x22_incremental_dedup",
+    # round 5 additions: the real-metadata-corpus pipeline, the cube
+    # lattice, and the two single-shuffle window primitives
+    "l3_real_corpus_food",
+    "a10_cube",
+    "o2_rolling_window",
+    "s5_batch_sessions",
 ]
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import copy
 import re
+from functools import lru_cache
 from dataclasses import dataclass, fields
 from pathlib import Path
 from typing import Any, Callable, Mapping
@@ -113,6 +114,16 @@ class MetadataCorpus:
 _INTERPRETED = {"commodities"}
 
 
+@lru_cache(maxsize=64)
+def _parse_package_yaml(path: str, interpreted: bool) -> dict:
+    """Parse-once cache for the PACKAGE corpus files (static data shipped
+    with the wheel — ~30k YAML lines; re-parsing per registry construction
+    costs seconds of driver time). Callers deepcopy before mutating, so the
+    cached master stays pristine. Local override files are NOT cached: they
+    are user-editable and small."""
+    return open_yaml(path, interpreter=interpret_placeholders if interpreted else None)
+
+
 def load_corpus(
     package_dir: str | Path | None = None,
     local_dir: str | Path | None = None,
@@ -127,8 +138,11 @@ def load_corpus(
     for f in fields(MetadataCorpus):
         name = f.name
         file_name = "_instruction" if name == "instruction" else name
-        interp = interpret_placeholders if name in _INTERPRETED else None
-        data = open_yaml(package_dir / f"{file_name}.yaml", interpreter=interp)
+        data = copy.deepcopy(
+            _parse_package_yaml(
+                str(package_dir / f"{file_name}.yaml"), name in _INTERPRETED
+            )
+        )
         if local_dir is not None:
             local_path = local_dir / f"{file_name}.yaml"
             if local_path.exists():
