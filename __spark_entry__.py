@@ -1985,6 +1985,72 @@ ORDER BY Provision_Method
 
 
 # --------------------------------------------------------------------------
+# L4 — household-ID attribute decode against the REAL household.yaml: at
+# year 1400 the ID is 11 digits (1392+ layout), Urban_Rural is digit 0
+# under the post-1387 {1: Urban, 2: Rural} mapping (the label flip the
+# corpus port pins), Province is digits 1-2. IDs are composed
+# deterministically FROM c_custkey, and the oracle recomputes the codes
+# directly from c_custkey — so a wrong digit-extraction in the engine
+# (wrong power of ten, wrong mapping version) mismatches. Reference:
+# household.yaml ID_Length/Urban_Rural/Province + metadata_reader.py
+# Attribute handling; engine decode is pure year-branched arithmetic
+# (operators/attributes.py), no join, no UDF.
+# --------------------------------------------------------------------------
+
+
+def q_real_household_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.metadata.corpus import build_reference_registry
+
+    registry = build_reference_registry(spark)
+    cust = _t(spark, sf_dir, "customer")
+    ids = cust.select(
+        (
+            (F.lit(1) + F.col("c_custkey") % 2) * F.lit(10**10)
+            + (F.col("c_custkey") % 10) * F.lit(10**8)
+            + F.col("c_custkey") % F.lit(10**8)
+        ).alias("ID"),
+        F.lit(1400).alias("Year"),
+        "c_acctbal",
+    )
+    out = registry.add_attribute(ids, "Urban_Rural")
+    out = registry.add_attribute(out, "Province")
+    return (
+        out.groupBy("Urban_Rural", "Province")
+        .agg(
+            F.count("*").cast("long").alias("n_households"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .orderBy("Urban_Rural", "Province")
+    )
+
+
+SQL_REAL_HOUSEHOLD_DECODE = """
+WITH ids AS (
+  SELECT 1 + c_custkey % 2 AS ur_code,
+         c_custkey % 10    AS prov_code,
+         c_acctbal
+  FROM customer
+)
+SELECT CASE ur_code WHEN 1 THEN 'Urban' WHEN 2 THEN 'Rural' END AS Urban_Rural,
+       CASE prov_code WHEN 0 THEN 'Markazi'
+                      WHEN 1 THEN 'Gilan'
+                      WHEN 2 THEN 'Mazandaran'
+                      WHEN 3 THEN 'East_Azerbaijan'
+                      WHEN 4 THEN 'West_Azerbaijan'
+                      WHEN 5 THEN 'Kermanshah'
+                      WHEN 6 THEN 'Khuzestan'
+                      WHEN 7 THEN 'Fars'
+                      WHEN 8 THEN 'Kerman'
+                      WHEN 9 THEN 'Razavi_Khorasan' END AS Province,
+       count(*)::BIGINT         AS n_households,
+       round(sum(c_acctbal), 2) AS total_balance
+FROM ids
+GROUP BY Urban_Rural, Province
+ORDER BY Urban_Rural, Province
+"""
+
+
+# --------------------------------------------------------------------------
 # X16/X17/X18 — deterministic corpus sampling + vocabulary (training-data
 # pipeline primitives beyond the reference): stable hash train/test split
 # (pure key function, map-side), per-group document quotas (window topK),
@@ -2509,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_cube": q_cube,
         "o2_rolling_window": q_rolling_window,
         "s5_batch_sessions": q_batch_sessions,
+        "l4_real_household_decode": q_real_household_decode,
         # -- veterans with green r4 rows --
         "a1_groupby_sum": q_groupby_sum,
         "p7_computed_column": q_computed_column,
@@ -2638,4 +2705,5 @@ def oracle_sql() -> dict[str, str]:
         "a10_cube": SQL_CUBE,
         "o2_rolling_window": SQL_ROLLING_WINDOW,
         "s5_batch_sessions": SQL_BATCH_SESSIONS,
+        "l4_real_household_decode": SQL_REAL_HOUSEHOLD_DECODE,
     }

@@ -128,12 +128,14 @@ NO_R4_ROW_OR_NEW = {
     "a7_approx_distinct",
     # new in round 5
     "l3_real_corpus_food",
+    "l4_real_household_decode",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
 }
 # every gate here has a green row in CORRECTNESS_r04.json
 ROTATED_VETERANS = {
+    "x13_ivf_topk",
     "g3_report_pivot_totals",
     "j8_geometry_join",
     "l2_setup_roundtrip",
