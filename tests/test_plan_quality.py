@@ -178,3 +178,25 @@ def test_weighted_breaks_single_sketch_pass(spark, sf_dir):
     plan = plan_of(b)
     assert plan.count("FileScan") == 1, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_real_corpus_food_plan(spark, sf_dir):
+    # l3: the real-corpus cleaning pipeline must stay a pure expression
+    # layer — one pruned scan of lineitem (only the 5 consumed columns),
+    # one hash aggregation, no join, no Python UDF. The year-resolved
+    # category mapping compiles to a literal-map lookup, not a dim join.
+    df = entry_mod.q_real_corpus_food(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan and "BatchEvalPython" not in plan, plan
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_orderkey" not in scan, "ID is aggregated away; must be pruned"
+
+
+def test_real_household_decode_plan(spark, sf_dir):
+    # l4: attribute decode is year-branched integer arithmetic — one scan
+    # of customer, no join against any mapping table, no UDF.
+    df = entry_mod.q_real_household_decode(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan and "BatchEvalPython" not in plan, plan
