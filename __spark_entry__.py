@@ -2318,6 +2318,74 @@ FROM reach GROUP BY u
 
 
 # --------------------------------------------------------------------------
+# X23 — quality-prior near-dup curation: the x19 duplicate clusters, but
+# keeping each cluster's BEST member (highest n_chars, min-id tiebreak)
+# instead of an arbitrary one — the production curation shape. Only the
+# clustered ids join back for priorities; the corpus moves once, through
+# the final left-anti join (functions/dedup.py:keep_cluster_representatives).
+# Full DuckDB oracle: recursive-CTE components + row_number argmax.
+# --------------------------------------------------------------------------
+
+
+def q_best_rep_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.dedup import keep_cluster_representatives
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+    kept = keep_cluster_representatives(docs, pairs, priority_col="n_chars")
+    return kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+SQL_BEST_REP_DEDUP = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                                      i -> array_to_string(t[i:i+1], ' '))) AS s
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS c
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+  WHERE round(c / (len(sa.s) + len(sb.s) - c), 6) >= 0.5
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT u, u AS comp FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.u
+), members AS (
+  SELECT u AS doc_id, min(comp) AS component FROM reach GROUP BY u
+), ranked AS (
+  SELECT m.doc_id,
+         row_number() OVER (PARTITION BY m.component
+                            ORDER BY d.n_chars DESC, m.doc_id ASC) AS rn
+  FROM members m JOIN documents d USING (doc_id)
+)
+SELECT d.doc_id::BIGINT AS doc_id, d.lang, d.n_chars::BIGINT AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+ORDER BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # X22 — incremental dedup (functions/dedup.py dedup_against): odd-id docs
 # arrive as the new batch, even-id docs are the existing store; survivors
 # are odd-id docs whose fingerprint is absent from the store, one per
@@ -2576,6 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2_rolling_window": q_rolling_window,
         "s5_batch_sessions": q_batch_sessions,
         "l4_real_household_decode": q_real_household_decode,
+        "x23_best_rep_dedup": q_best_rep_dedup,
         # -- veterans with green r4 rows --
         "a1_groupby_sum": q_groupby_sum,
         "p7_computed_column": q_computed_column,
@@ -2706,4 +2775,5 @@ def oracle_sql() -> dict[str, str]:
         "o2_rolling_window": SQL_ROLLING_WINDOW,
         "s5_batch_sessions": SQL_BATCH_SESSIONS,
         "l4_real_household_decode": SQL_REAL_HOUSEHOLD_DECODE,
+        "x23_best_rep_dedup": SQL_BEST_REP_DEDUP,
     }

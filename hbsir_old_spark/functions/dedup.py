@@ -314,16 +314,43 @@ def keep_cluster_representatives(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    priority_col: str | None = None,
 ) -> DataFrame:
     """Corpus-level near-dup removal: given duplicate PAIRS (from
     minhash_lsh_pairs / ngram_jaccard_pairs / simhash_pairs), keep exactly
-    one document per connected duplicate cluster — the min-id member — and
-    every document that appears in no pair. A left-anti join against the
-    (small) non-representative id set; the corpus never shuffles."""
+    one document per connected duplicate cluster and every document that
+    appears in no pair. A left-anti join against the (small)
+    non-representative id set; the corpus never shuffles.
+
+    Default representative is the min-id member (pure graph labels, no
+    corpus access). With ``priority_col``, the representative is the
+    cluster member with the HIGHEST priority (quality score, length,
+    recency — the production curation shape: near-dup groups keep their
+    best exemplar, not an arbitrary one), ties broken by min id. Only the
+    clustered ids — bounded by pair count, tiny next to the corpus — join
+    back to fetch priorities; the corpus itself still moves only through
+    the final anti join."""
     comps = connected_components(pairs, src=src, dst=dst)
-    non_reps = comps.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
-    )
+    if priority_col is None:
+        non_reps = comps.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        prio = df.select(
+            F.col(id_col).alias("node"), F.col(priority_col).alias("__p__")
+        )
+        members = comps.join(prio, "node")
+        # max_by over (priority, -id): highest priority wins, min id on ties
+        reps = members.groupBy("component").agg(
+            F.max_by(
+                "node", F.struct(F.col("__p__"), (-F.col("node")).alias("__n__"))
+            ).alias("__rep__")
+        )
+        non_reps = (
+            members.join(reps, "component")
+            .filter(F.col("node") != F.col("__rep__"))
+            .select(F.col("node").alias(id_col))
+        )
     return df.join(non_reps, id_col, "left_anti")
 
 

@@ -104,3 +104,40 @@ def test_representative_filter_is_anti_join_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "LeftAnti" in plan
+
+
+def test_priority_representatives_keep_best_member(spark):
+    # cluster {1,2,3} (chain), cluster {10,11}, singleton 20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, 5.0),
+            (2, 9.0),   # best of {1,2,3}
+            (3, 7.0),
+            (10, 4.0),
+            (11, 4.0),  # ties with 10 -> min id 10 wins
+            (20, 1.0),  # no pair: always kept
+        ],
+        ["doc_id", "quality"],
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in keep_cluster_representatives(
+            docs, pairs, priority_col="quality"
+        ).collect()
+    )
+    assert kept == [2, 10, 20]
+
+
+def test_priority_representatives_corpus_moves_once(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", float(i)) for i in range(6)], ["doc_id", "text", "q"]
+    )
+    pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    plan = (
+        keep_cluster_representatives(docs, pairs, priority_col="q")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in plan

@@ -129,12 +129,14 @@ NO_R4_ROW_OR_NEW = {
     # new in round 5
     "l3_real_corpus_food",
     "l4_real_household_decode",
+    "x23_best_rep_dedup",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
 }
 # every gate here has a green row in CORRECTNESS_r04.json
 ROTATED_VETERANS = {
+    "x9_ann_lsh",
     "x13_ivf_topk",
     "g3_report_pivot_totals",
     "j8_geometry_join",
