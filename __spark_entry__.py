@@ -2051,6 +2051,70 @@ ORDER BY Urban_Rural, Province
 
 
 # --------------------------------------------------------------------------
+# L5 — occupation classification against the REAL occupations.yaml: the
+# multi-thousand-interval isco dimension (far above the CASE-chain cutoff)
+# must resolve through the broadcast range-join strategy with the genuine
+# level-4 labels. Job codes cycle through five real ISCO-08 codes spanning
+# major groups 1/2/3/5/9 plus one unmapped code (NULL label); the oracle
+# maps code->label with literals read from occupations.yaml itself
+# (verified at yaml lines 13477-13481, 11409-11413, 22662-22666), so a
+# wrong range resolution or year-version pick mismatches.
+# --------------------------------------------------------------------------
+
+
+def q_real_occupation_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.metadata.corpus import build_reference_registry
+
+    registry = build_reference_registry(spark)
+    orders = _t(spark, sf_dir, "orders")
+    codes = F.array(
+        F.lit(1120), F.lit(2211), F.lit(3434), F.lit(5141), F.lit(9333), F.lit(42)
+    )
+    df = orders.select(
+        F.lit(1400).alias("Year"),
+        F.element_at(codes, (F.col("o_orderkey") % 6 + 1).cast("int")).alias(
+            "Job_Code"
+        ),
+        "o_totalprice",
+    )
+    out = registry.add_classification(
+        df, "isco", years=[1400], levels=(4,), classification_type="occupation"
+    )
+    return (
+        out.groupBy(
+            F.col("Job_Code").cast("long").alias("Job_Code"), "Occupation"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("Job_Code")
+    )
+
+
+SQL_REAL_OCCUPATION_CLASSIFICATION = """
+WITH coded AS (
+  SELECT [1120, 2211, 3434, 5141, 9333, 42][(o_orderkey % 6 + 1)::INTEGER]
+           AS Job_Code,
+         o_totalprice
+  FROM orders
+)
+SELECT Job_Code::BIGINT AS Job_Code,
+       CASE Job_Code
+            WHEN 1120 THEN 'managing_directors_and_chief_executives'
+            WHEN 2211 THEN 'generalist_medical_practitioners'
+            WHEN 3434 THEN 'chefs'
+            WHEN 5141 THEN 'hairdressers'
+            WHEN 9333 THEN 'freight_handlers' END AS Occupation,
+       count(*)::BIGINT            AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM coded
+GROUP BY Job_Code
+ORDER BY Job_Code
+"""
+
+
+# --------------------------------------------------------------------------
 # X16/X17/X18 — deterministic corpus sampling + vocabulary (training-data
 # pipeline primitives beyond the reference): stable hash train/test split
 # (pure key function, map-side), per-group document quotas (window topK),
@@ -2645,6 +2709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_batch_sessions": q_batch_sessions,
         "l4_real_household_decode": q_real_household_decode,
         "x23_best_rep_dedup": q_best_rep_dedup,
+        "l5_real_occupation_classification": q_real_occupation_classification,
         # -- veterans with green r4 rows --
         "a1_groupby_sum": q_groupby_sum,
         "p7_computed_column": q_computed_column,
@@ -2776,4 +2841,5 @@ def oracle_sql() -> dict[str, str]:
         "s5_batch_sessions": SQL_BATCH_SESSIONS,
         "l4_real_household_decode": SQL_REAL_HOUSEHOLD_DECODE,
         "x23_best_rep_dedup": SQL_BEST_REP_DEDUP,
+        "l5_real_occupation_classification": SQL_REAL_OCCUPATION_CLASSIFICATION,
     }

@@ -130,12 +130,14 @@ NO_R4_ROW_OR_NEW = {
     "l3_real_corpus_food",
     "l4_real_household_decode",
     "x23_best_rep_dedup",
+    "l5_real_occupation_classification",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
 }
 # every gate here has a green row in CORRECTNESS_r04.json
 ROTATED_VETERANS = {
+    "x7_rolling_fingerprint",
     "x9_ann_lsh",
     "x13_ivf_topk",
     "g3_report_pivot_totals",
