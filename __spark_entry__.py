@@ -785,6 +785,60 @@ FROM numbered GROUP BY user_id, session_no
 # --------------------------------------------------------------------------
 # Extensions: dedup / text / similarity / multimodal on documents+embeddings
 # --------------------------------------------------------------------------
+# S6 — stream-stream interval join (streaming/events.py interval_join):
+# click -> purchase attribution, purchases within 30 minutes after a click
+# by the same user. Batch and streaming run the SAME call; on streams the
+# two watermarks + the closed time-range bound the join state (canonical
+# Structured Streaming stream-stream join). The gate runs batch mode so
+# DuckDB oracles the identical equi+range join; the lag histogram (minute
+# buckets, exact integer ms arithmetic) pins the range boundaries sharply.
+# --------------------------------------------------------------------------
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.streaming.events import interval_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    pairs = interval_join(clicks, purchases, within="30 minutes")
+    lag_min = F.floor(
+        (F.unix_millis(F.col("ts_r").cast("timestamp"))
+         - F.unix_millis(F.col("ts").cast("timestamp"))) / 60000
+    )
+    return (
+        pairs.select(lag_min.cast("long").alias("lag_minute"), "value_r")
+        .groupBy("lag_minute")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.sum("value_r"), 2).alias("attributed_value"),
+        )
+        .orderBy("lag_minute")
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT (floor((epoch_ms(p.ts) - epoch_ms(c.ts)) / 60000))::BIGINT AS lag_minute,
+       count(*)::BIGINT          AS n_pairs,
+       round(sum(p.value), 2)    AS attributed_value
+FROM c JOIN p ON c.user_id = p.user_id
+              AND p.ts > c.ts
+              AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY lag_minute
+ORDER BY lag_minute
+"""
+
+
+# --------------------------------------------------------------------------
 
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.streaming.events import sliding_counts
@@ -2710,6 +2764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l4_real_household_decode": q_real_household_decode,
         "x23_best_rep_dedup": q_best_rep_dedup,
         "l5_real_occupation_classification": q_real_occupation_classification,
+        "s6_interval_join": q_interval_join,
         # -- veterans with green r4 rows --
         "a1_groupby_sum": q_groupby_sum,
         "p7_computed_column": q_computed_column,
@@ -2842,4 +2897,5 @@ def oracle_sql() -> dict[str, str]:
         "l4_real_household_decode": SQL_REAL_HOUSEHOLD_DECODE,
         "x23_best_rep_dedup": SQL_BEST_REP_DEDUP,
         "l5_real_occupation_classification": SQL_REAL_OCCUPATION_CLASSIFICATION,
+        "s6_interval_join": SQL_INTERVAL_JOIN,
     }

@@ -83,3 +83,41 @@ def sessionize(
             "sum_value",
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "30 minutes",
+    left_watermark: str | None = None,
+    right_watermark: str | None = None,
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Event-pair (stream-stream capable) interval join: each left event
+    pairs with the right events of the same key whose timestamp falls in
+    ``(left.ts, left.ts + within]`` — the click→conversion attribution
+    primitive.
+
+    The same call runs in batch (equi+range join; Spark plans a hash join
+    on the key with the range as a post-filter — no cross product) and on
+    two ``readStream`` sources, where BOTH watermarks plus the closed
+    time-range condition let Spark bound join state and evict rows older
+    than the watermark (the canonical stream-stream join recipe from the
+    Structured Streaming guide). Right columns (except the key) come back
+    suffixed with ``right_suffix``.
+    """
+    l = _maybe_watermark(left, ts_col, left_watermark)
+    r = _maybe_watermark(right, ts_col, right_watermark)
+    renames = {c: c + right_suffix for c in r.columns if c != key_col}
+    r = r.select(
+        key_col, *[F.col(c).alias(n) for c, n in renames.items()]
+    )
+    rts = ts_col + right_suffix
+    cond = (
+        (l[key_col] == r[key_col])
+        & (F.col(rts) > F.col(ts_col))
+        & (F.col(rts) <= F.col(ts_col) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond).drop(r[key_col])

@@ -131,12 +131,14 @@ NO_R4_ROW_OR_NEW = {
     "l4_real_household_decode",
     "x23_best_rep_dedup",
     "l5_real_occupation_classification",
+    "s6_interval_join",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
 }
 # every gate here has a green row in CORRECTNESS_r04.json
 ROTATED_VETERANS = {
+    "x6_lang_id",
     "x7_rolling_fingerprint",
     "x9_ann_lsh",
     "x13_ivf_topk",

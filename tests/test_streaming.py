@@ -143,3 +143,56 @@ class TestUpsertSink:
         # not duplicate or clobber existing partitions
         self._start(spark, event_stream_dir, target, ckpt)
         assert spark.read.parquet(target).count() == first
+
+
+def test_interval_join_stream_matches_batch(spark, event_stream_dir):
+    """Stream-stream interval join: two watermarked readStream sources join
+    on (key, time-range); append mode emits exactly the batch pairs once
+    the availableNow trigger drains the source."""
+    from hbsir_old_spark.streaming.events import interval_join
+
+    schema = spark.read.parquet(event_stream_dir).schema
+
+    def sides(df):
+        clicks = df.filter(df["event_type"] == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        purchases = df.filter(df["event_type"] == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        return clicks, purchases
+
+    sc, sp = sides(spark.readStream.schema(schema).parquet(event_stream_dir))
+    joined = interval_join(
+        sc,
+        sp,
+        within="30 minutes",
+        left_watermark="2 hours",
+        right_watermark="2 hours",
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("ij_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120 * 1000)
+    import time as _t
+
+    deadline = _t.time() + 120
+    while query.isActive and _t.time() < deadline:
+        _t.sleep(0.5)
+    streamed = spark.sql("SELECT event_id, event_id_r FROM ij_mem").toPandas()
+
+    bc, bp = sides(spark.read.parquet(event_stream_dir))
+    batch = (
+        interval_join(bc, bp, within="30 minutes")
+        .select("event_id", "event_id_r")
+        .toPandas()
+    )
+    key = ["event_id", "event_id_r"]
+    left = streamed.sort_values(key).reset_index(drop=True)
+    right = batch.sort_values(key).reset_index(drop=True)
+    assert len(left) == len(right) > 0
+    assert (left[key].values == right[key].values).all()
