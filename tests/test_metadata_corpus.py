@@ -400,3 +400,38 @@ class TestPandasIdioms:
                 1400,
                 "t",
             )
+
+
+class TestRealExternalData:
+    """The REAL external_data.yaml drives the S9 resolver: goto chains,
+    aliases, and `from` composition nodes resolve exactly as the reference
+    navigates them (external_data.yaml + reference data loading layer).
+    Resolution only — no network."""
+
+    def test_cpi_goto_alias_chain(self, spark, corpus):
+        from hbsir_old_spark.sources.external import ExternalDataRegistry
+
+        reg = ExternalDataRegistry(spark, corpus.external_data)
+        # cpi -> goto cpi_1400 -> goto sci.cpi_1400 -> alias annual
+        resolved, meta = reg._navigate("cpi")
+        assert resolved == "sci.cpi_1400.annual"
+        assert "urban_rural" in meta
+        # ...and the urban_rural sub-table aliases to the `from` composition
+        resolved, meta = reg._navigate("cpi.urban_rural")
+        assert resolved == "sci.cpi_1400.annual.urban_rural"
+        assert meta["from"] == [
+            "sci.cpi_1400_urban_singleindex.annual",
+            "sci.cpi_1400_rural_maingroups.annual",
+        ]
+
+    def test_gini_goto_lands_on_url(self, spark, corpus):
+        from hbsir_old_spark.sources.external import ExternalDataRegistry
+
+        reg = ExternalDataRegistry(spark, corpus.external_data)
+        resolved, meta = reg._navigate("gini.annual")
+        assert resolved == "sci.gini.annual"
+        assert str(meta["url"]).startswith("https://www.amar.org.ir/")
+
+    def test_manual_datasets_declared(self, corpus):
+        assert corpus.external_data["counties"] == "manual"
+        assert corpus.external_data["weights"] == "manual"
