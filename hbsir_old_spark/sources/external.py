@@ -73,7 +73,12 @@ class ExternalDataRegistry:
                 target = meta["goto"].split(".") + parts
                 return self._navigate(".".join(target))
         if isinstance(meta, Mapping) and "alias" in meta:
-            return self._navigate(".".join(walked + [meta["alias"]]))
+            alias = meta["alias"]
+            # a dotted alias is an ABSOLUTE address, a bare one is relative
+            # to the current node (reference external_data_cleaner.py:57-60)
+            if "." in alias:
+                return self._navigate(alias)
+            return self._navigate(".".join(walked + [alias]))
         return ".".join(walked), meta
 
     def _cleaner(self, name: str) -> Cleaner:
