@@ -62,6 +62,8 @@ HEADLINE = [
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
+    "x23_best_rep_dedup",
+    "s6_interval_join",
 ]
 
 

@@ -200,3 +200,15 @@ def test_real_household_decode_plan(spark, sf_dir):
     plan = plan_of(df)
     assert plan.count("FileScan") == 1, plan
     assert "Join" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_interval_join_is_hash_join_on_key(spark, sf_dir):
+    # s6: the interval join must extract user_id as the hash-join key with
+    # the time range as a join-side filter — a nested-loop join over the
+    # range condition alone would be quadratic at corpus scale. Pushed
+    # event_type filters must reach both scans.
+    df = entry_mod.q_interval_join(spark, sf_dir)
+    plan = plan_of(df)
+    assert "HashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("event_type") >= 2  # filter pushed into both scans
