@@ -62,8 +62,10 @@ HEADLINE = [
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
-    "x23_best_rep_dedup",
     "s6_interval_join",
+    # x23_best_rep_dedup stays gate-only like x19: exact all-pairs n-gram
+    # generation dominates its wall time (the scale path is x3's MinHash),
+    # so it belongs to correctness, not the throughput suite.
 ]
 
 
