@@ -189,3 +189,23 @@ def test_stubs_raise_with_guidance(tmp_path):
         extract_access_tables("x.mdb", str(tmp_path))
     with pytest.raises(ValueError):
         extract_archive(str(tmp_path / "y.tar"), str(tmp_path / "o2"))
+
+
+def test_real_1380_rename_map_plugs_into_extraction(tmp_path):
+    """The corpus' unusual_names_of_1380 (other.yaml) is exactly the
+    table_renames seam of extract_access_tables (reference
+    archive_handler.py:364-369): the Farsi-suffixed 1380 catalog names
+    come out as their canonical R80* file names."""
+    from hbsir_old_spark.metadata.corpus import load_corpus
+
+    renames = load_corpus().other["unusual_names_of_1380"]
+    farsi_name = next(iter(renames))
+    tables = {farsi_name: (["A"], [[1]])}
+    written = extract_access_tables(
+        "y1380.mdb",
+        str(tmp_path),
+        connect=lambda path: FakeConnection(tables),
+        table_renames=renames,
+    )
+    assert [os.path.basename(p) for p in written] == [f"{renames[farsi_name]}.csv"]
+    assert renames[farsi_name] == "R80P1"

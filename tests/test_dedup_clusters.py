@@ -141,3 +141,71 @@ def test_priority_representatives_corpus_moves_once(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "LeftAnti" in plan
+
+
+class TestComponentsPropertyBased:
+    """Pointer-jumping connected components vs a plain union-find oracle on
+    randomized graphs — pins the iterative distributed algorithm (round
+    count, convergence-flag fold, label minimality) against an independent
+    sequential implementation."""
+
+    @staticmethod
+    def _union_find_components(edges):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # min-label per component over nodes that appear in any edge
+        comp: dict = {}
+        for n in list(parent):
+            comp[n] = find(n)
+        # find() roots are not guaranteed min under arbitrary union order;
+        # normalize: min node id per root
+        by_root: dict = {}
+        for n, r in comp.items():
+            by_root.setdefault(r, set()).add(n)
+        out = {}
+        for members in by_root.values():
+            m = min(members)
+            for n in members:
+                out[n] = m
+        return out
+
+    def test_random_graphs_match_union_find(self, spark):
+        import random
+
+        rng = random.Random(20260814)
+        for trial in range(4):
+            n_nodes = rng.choice([8, 40, 120])
+            n_edges = rng.randint(1, n_nodes * 2)
+            edges = [
+                (rng.randrange(n_nodes), rng.randrange(n_nodes))
+                for _ in range(n_edges)
+            ]
+            edges = [(u, v) for u, v in edges if u != v] or [(0, 1)]
+            expected = self._union_find_components(edges)
+            pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+            got = {
+                r["node"]: r["component"]
+                for r in connected_components(pairs).collect()
+            }
+            assert got == expected, f"trial {trial}: {sorted(edges)[:20]}"
+
+    def test_long_chain_exercises_multiple_rounds(self, spark):
+        # a 64-node path graph needs ~log2(64) pointer-jump rounds; the
+        # min label must still propagate to the far end
+        edges = [(i, i + 1) for i in range(63)]
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+        assert set(got.values()) == {0}
+        assert len(got) == 64
