@@ -2105,6 +2105,75 @@ ORDER BY Urban_Rural, Province
 
 
 # --------------------------------------------------------------------------
+# L6 — the local-metadata override hook end-to-end (reference
+# metadata_reader.py:338-353): a user-directory household.yaml replaces the
+# Urban_Rural top-level key with custom labels; the registry built with
+# local_metadata_dir decodes the SAME ids into the overridden labels. The
+# oracle hard-codes the custom labels, so a registry that ignored the
+# local file (or merged at the wrong depth) mismatches.
+# --------------------------------------------------------------------------
+
+_L6_LOCAL_HOUSEHOLD = """\
+Urban_Rural:
+  code:
+    position:
+      start: 0
+      end: 1
+  name:
+    1363:
+      0: "Countryside"
+      1: "City"
+    1387:
+      1: "City"
+      2: "Countryside"
+"""
+
+
+def q_local_override_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from hbsir_old_spark.metadata.corpus import build_reference_registry
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    local_dir = os.path.join(tempfile.gettempdir(), f"hbsir_l6_meta_{tag}")
+    os.makedirs(local_dir, exist_ok=True)
+    with open(os.path.join(local_dir, "household.yaml"), "w") as fh:
+        fh.write(_L6_LOCAL_HOUSEHOLD)
+    registry = build_reference_registry(spark, local_metadata_dir=local_dir)
+    cust = _t(spark, sf_dir, "customer")
+    ids = cust.select(
+        (
+            (F.lit(1) + F.col("c_custkey") % 2) * F.lit(10**10)
+            + F.col("c_custkey") % F.lit(10**10)
+        ).alias("ID"),
+        F.lit(1400).alias("Year"),
+        "c_acctbal",
+    )
+    out = registry.add_attribute(ids, "Urban_Rural")
+    return (
+        out.groupBy("Urban_Rural")
+        .agg(
+            F.count("*").cast("long").alias("n_households"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .orderBy("Urban_Rural")
+    )
+
+
+SQL_LOCAL_OVERRIDE_DECODE = """
+SELECT CASE 1 + c_custkey % 2 WHEN 1 THEN 'City'
+                              WHEN 2 THEN 'Countryside' END AS Urban_Rural,
+       count(*)::BIGINT         AS n_households,
+       round(sum(c_acctbal), 2) AS total_balance
+FROM customer
+GROUP BY Urban_Rural
+ORDER BY Urban_Rural
+"""
+
+
+# --------------------------------------------------------------------------
 # L5 — occupation classification against the REAL occupations.yaml: the
 # multi-thousand-interval isco dimension (far above the CASE-chain cutoff)
 # must resolve through the broadcast range-join strategy with the genuine
@@ -2765,6 +2834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x23_best_rep_dedup": q_best_rep_dedup,
         "l5_real_occupation_classification": q_real_occupation_classification,
         "s6_interval_join": q_interval_join,
+        "l6_local_override_decode": q_local_override_decode,
         # -- veterans with green r4 rows --
         "a1_groupby_sum": q_groupby_sum,
         "p7_computed_column": q_computed_column,
@@ -2898,4 +2968,5 @@ def oracle_sql() -> dict[str, str]:
         "x23_best_rep_dedup": SQL_BEST_REP_DEDUP,
         "l5_real_occupation_classification": SQL_REAL_OCCUPATION_CLASSIFICATION,
         "s6_interval_join": SQL_INTERVAL_JOIN,
+        "l6_local_override_decode": SQL_LOCAL_OVERRIDE_DECODE,
     }

@@ -132,12 +132,14 @@ NO_R4_ROW_OR_NEW = {
     "x23_best_rep_dedup",
     "l5_real_occupation_classification",
     "s6_interval_join",
+    "l6_local_override_decode",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
 }
 # every gate here has a green row in CORRECTNESS_r04.json
 ROTATED_VETERANS = {
+    "x5_text_stats",
     "x6_lang_id",
     "x7_rolling_fingerprint",
     "x9_ann_lsh",
