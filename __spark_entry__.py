@@ -1966,7 +1966,9 @@ ORDER BY Year, Urban_Rural
 # --------------------------------------------------------------------------
 
 
-def q_real_corpus_food(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _l3_food_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The processed `food` table at 1400 through the REAL corpus, raw rows
+    derived deterministically from lineitem (shared by l3 and g4)."""
     from hbsir_old_spark.metadata.corpus import build_reference_registry
 
     def raw_loader(name: str, year: int):
@@ -1990,7 +1992,11 @@ def q_real_corpus_food(spark: SparkSession, sf_dir: str) -> DataFrame:
         return raw.select([F.col(c).cast("string").alias(c) for c in raw.columns])
 
     registry = build_reference_registry(spark, raw_loader=raw_loader)
-    df = registry.load_table("food", [1400], form="processed")
+    return registry.load_table("food", [1400], form="processed")
+
+
+def q_real_corpus_food(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _l3_food_table(spark, sf_dir)
     return (
         df.groupBy("Provision_Method")
         .agg(
@@ -2032,6 +2038,65 @@ SELECT Provision_Method,
        round(avg(amount), 6)          AS avg_amount,
        30::BIGINT                     AS duration,
        min(code)::BIGINT              AS min_code
+FROM cleaned
+GROUP BY Provision_Method
+ORDER BY Provision_Method
+"""
+
+
+# --------------------------------------------------------------------------
+# G4 — real-corpus analytics composition: the l3 pipeline (load_table
+# "food" 1400 through the genuine 39-year metadata) feeds the A3/A4
+# survey-weighted average calculator — the reference's flagship usage
+# shape (load_table -> add_weight -> average_table) with a deterministic
+# weight derived from the household ID so DuckDB can oracle
+# sum(x*w)/sum(w) per Provision_Method exactly.
+# --------------------------------------------------------------------------
+
+
+def q_real_weighted_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.operators.weighted import weighted_average
+
+    df = _l3_food_table(spark, sf_dir)
+    df = df.withColumn("Weight", (F.col("ID") % 7 + 1).cast("double"))
+    out = weighted_average(
+        df,
+        weight_col="Weight",
+        value_cols=["Expenditure", "Amount"],
+        group_cols=["Provision_Method"],
+    )
+    return out.select(
+        "Provision_Method",
+        F.round("Expenditure", 4).alias("wavg_expenditure"),
+        F.round("Amount", 6).alias("wavg_amount"),
+    ).orderBy("Provision_Method")
+
+
+SQL_REAL_WEIGHTED_REPORT = """
+WITH raw AS (
+  SELECT l_orderkey                               AS id,
+         1 + l_suppkey % 8                         AS pm,
+         l_discount * 1000                         AS grams,
+         l_quantity                                AS kilos,
+         l_extendedprice * (1 - l_discount)        AS expenditure
+  FROM lineitem
+), cleaned AS (
+  SELECT CASE pm WHEN 1 THEN 'Purchase'
+                 WHEN 2 THEN 'Home_Production'
+                 WHEN 3 THEN 'Instead_of_Public_Service'
+                 WHEN 4 THEN 'Instead_of_Cooperative_Service'
+                 WHEN 5 THEN 'Instead_of_Private_Service'
+                 WHEN 6 THEN 'Agricultural_Work'
+                 WHEN 7 THEN 'Non_Agricultural_Work'
+                 WHEN 8 THEN 'Donation' END        AS Provision_Method,
+         (id % 7 + 1)::DOUBLE                      AS w,
+         kilos + 0.001::DOUBLE * grams             AS amount,
+         expenditure
+  FROM raw
+)
+SELECT Provision_Method,
+       round(sum(expenditure * w) / sum(w), 4) AS wavg_expenditure,
+       round(sum(amount * w) / sum(w), 6)      AS wavg_amount
 FROM cleaned
 GROUP BY Provision_Method
 ORDER BY Provision_Method
@@ -2835,6 +2900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l5_real_occupation_classification": q_real_occupation_classification,
         "s6_interval_join": q_interval_join,
         "l6_local_override_decode": q_local_override_decode,
+        "g4_real_weighted_report": q_real_weighted_report,
         # -- veterans with green r4 rows --
         "a1_groupby_sum": q_groupby_sum,
         "p7_computed_column": q_computed_column,
@@ -2969,4 +3035,5 @@ def oracle_sql() -> dict[str, str]:
         "l5_real_occupation_classification": SQL_REAL_OCCUPATION_CLASSIFICATION,
         "s6_interval_join": SQL_INTERVAL_JOIN,
         "l6_local_override_decode": SQL_LOCAL_OVERRIDE_DECODE,
+        "g4_real_weighted_report": SQL_REAL_WEIGHTED_REPORT,
     }

@@ -133,12 +133,14 @@ NO_R4_ROW_OR_NEW = {
     "l5_real_occupation_classification",
     "s6_interval_join",
     "l6_local_override_decode",
+    "g4_real_weighted_report",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
 }
 # every gate here has a green row in CORRECTNESS_r04.json
 ROTATED_VETERANS = {
+    "x4_simhash_pairs",
     "x5_text_stats",
     "x6_lang_id",
     "x7_rolling_fingerprint",
