@@ -339,7 +339,11 @@ def keep_cluster_representatives(
         prio = df.select(
             F.col(id_col).alias("node"), F.col(priority_col).alias("__p__")
         )
-        members = comps.join(prio, "node")
+        # members is consumed twice below (reps aggregation + non-reps
+        # join); materialize it — bounded by pair count, tiny next to the
+        # corpus — so the corpus is scanned once for priorities (same
+        # pattern and executor-loss caveat as the band table above)
+        members = comps.join(prio, "node").localCheckpoint(eager=True)
         # max_by over (priority, -id): highest priority wins, min id on ties
         reps = members.groupBy("component").agg(
             F.max_by(

@@ -156,6 +156,19 @@ def load_corpus(
     return MetadataCorpus(**loaded)
 
 
+@lru_cache(maxsize=1)
+def _shared_default_corpus() -> MetadataCorpus:
+    """Process-wide SHARED default corpus (packaged files, no local
+    overrides) for :func:`build_reference_registry`: deepcopying all nine
+    parsed dicts per registry build costs more driver time than the YAML
+    parse the lru_cache already removed. Safe to share because nothing
+    downstream mutates raw metadata — ``resolve_versioned`` returns
+    independent structures by contract (versioning.py:66) and the adapters
+    copy what they reshape. Callers who want a private, mutable corpus use
+    :func:`load_corpus` directly."""
+    return load_corpus()
+
+
 # -- adapters: reference layout -> engine dict shapes -----------------------
 
 
@@ -294,7 +307,11 @@ def build_reference_registry(
     from hbsir_old_spark.plans.registry import TableRegistry
 
     if corpus is None:
-        corpus = load_corpus(local_dir=local_metadata_dir)
+        corpus = (
+            _shared_default_corpus()
+            if local_metadata_dir is None
+            else load_corpus(local_dir=local_metadata_dir)
+        )
     metadata = {
         "household": engine_household(corpus.household),
         "classifications": engine_classifications(corpus.commodities),

@@ -65,6 +65,16 @@ def attribute_column(
     years" (County, household.yaml:183-188).
     """
     years = sorted(positions_by_year)
+    # if ANY boundary maps codes to labels, the whole column is a string
+    # column and unmapped boundaries stringify their raw code — mixing
+    # string and bigint branches in one when-chain would make Spark force
+    # the chain to BIGINT and crash casting a label at runtime (reachable
+    # via a local-override mapping that starts later than the first
+    # ID_Length year; matches pandas object-dtype semantics)
+    any_mapped = mapping is not None or any(
+        len(positions_by_year[b]) > 3 and positions_by_year[b][3]
+        for b in years
+    )
     expr: Column | None = None
     # ascending fold => the HIGHEST applicable boundary wraps outermost and
     # is checked first (simple-versioning: greatest key <= Year wins)
@@ -73,10 +83,15 @@ def attribute_column(
         id_length, start, end = entry[:3]
         m = entry[3] if len(entry) > 3 else mapping
         if start is None or end is None:
-            piece = F.lit(None).cast("string" if (m or mapping) else "long")
+            piece = F.lit(None).cast("string" if any_mapped else "long")
         else:
             code = extract_id_digits(id_col, id_length, start, end)
-            piece = map_codes(code, m, default) if m else code
+            if m:
+                piece = map_codes(code, m, default)
+            elif any_mapped:
+                piece = code.cast("string")
+            else:
+                piece = code
         cond = F.col(year_col) >= boundary
         expr = piece if expr is None else F.when(cond, piece).otherwise(expr)
     if expr is None:

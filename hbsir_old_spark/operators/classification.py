@@ -73,9 +73,15 @@ class ClassificationDim:
         types = {a: self.aspect_type(a) for a in self.aspects}
 
         def coerce(aspect, value):
-            if value is None or types[aspect] != "string":
+            if value is None:
                 return value
-            return str(value)
+            if types[aspect] == "string":
+                return str(value)
+            if types[aspect] == "double":
+                # a 'double' aspect may mix ints and floats; PySpark's
+                # DoubleType verifier accepts float only
+                return float(value)
+            return value
 
         data = [
             tuple(
@@ -188,6 +194,8 @@ def add_classification(
         rows_by_level: dict[int, list[dict]] = {}
         for r in dim.rows:
             rows_by_level.setdefault(r["level"], []).append(r)
+        # one pass over the dim per aspect, not per (level, aspect)
+        aspect_types = {a: dim.aspect_type(a) for a in aspects}
         remaining_levels = []
         for level in levels:
             rows = rows_by_level.get(level, [])
@@ -204,7 +212,7 @@ def add_classification(
                         code_col,
                         year_col if year_aware else None,
                         aspect,
-                        dim.aspect_type(aspect),
+                        aspect_types[aspect],
                     ),
                 )
         if remaining_levels:

@@ -173,3 +173,73 @@ def test_weights_join_has_no_forced_broadcast(engine):
     te = engine.load_table("Total_Expenditure", [1400])
     plan = engine.add_weight(te)._jdf.queryExecution().logical().toString()
     assert "broadcast" not in plan.lower()
+
+
+class TestRound5ReviewFixes:
+    def test_mixed_mapped_unmapped_boundaries_decode_as_strings(self, spark):
+        """A mapping that starts later than the first boundary must not mix
+        bigint and string branches in one when-chain (Spark would force
+        BIGINT and crash casting a label); unmapped years stringify the raw
+        code, matching pandas object-dtype semantics."""
+        from hbsir_old_spark.operators.attributes import attribute_column
+
+        df = spark.createDataFrame(
+            [(1370, 112345678), (1400, 21234567890)], ["Year", "ID"]
+        )
+        col = attribute_column(
+            "ID",
+            "Year",
+            {
+                1363: (9, 0, 1, None),
+                1387: (11, 0, 1, {1: "Urban", 2: "Rurale"}),
+            },
+        )
+        rows = {r["Year"]: r["out"] for r in df.select("Year", col.alias("out")).collect()}
+        assert rows[1370] == "1"  # raw code, stringified
+        assert rows[1400] == "Rurale"
+
+    def test_all_unmapped_boundaries_stay_bigint(self, spark):
+        from hbsir_old_spark.operators.attributes import attribute_column
+
+        df = spark.createDataFrame([(1400, 21234567890)], ["Year", "ID"])
+        col = attribute_column("ID", "Year", {1363: (11, 0, 1)})
+        out = df.select(col.alias("out"))
+        assert dict(out.dtypes)["out"] == "bigint"
+        assert out.collect()[0]["out"] == 2
+
+    def test_double_aspect_dim_mixing_int_and_float(self, spark):
+        """aspect_type 'double' (mixed int/float values) must coerce ints to
+        float for createDataFrame's DoubleType verifier."""
+        from hbsir_old_spark.operators.classification import ClassificationDim
+
+        dim = ClassificationDim(
+            rows=[
+                {"year": 1400, "level": 1, "code_start": 0, "code_end": 10,
+                 "duration": 2},
+                {"year": 1400, "level": 1, "code_start": 10, "code_end": 20,
+                 "duration": 2.5},
+            ],
+            aspects=("duration",),
+        )
+        sdf = dim.to_spark(spark)
+        assert dict(sdf.dtypes)["duration"] == "double"
+        assert sorted(r["duration"] for r in sdf.collect()) == [2.0, 2.5]
+
+    def test_shared_default_corpus_is_not_poisoned_by_registry_builds(self, spark):
+        """build_reference_registry shares one parsed corpus; building a
+        registry (and resolving classifications through it) must leave the
+        shared corpus untouched for the next build."""
+        from hbsir_old_spark.metadata.corpus import (
+            _shared_default_corpus,
+            build_reference_registry,
+        )
+        import copy
+
+        before = copy.deepcopy(_shared_default_corpus().household["ID_Length"])
+        r1 = build_reference_registry(spark)
+        df = spark.createDataFrame([(1400, 21234567890)], ["Year", "ID"])
+        r1.add_attribute(df, "Urban_Rural").collect()
+        assert _shared_default_corpus().household["ID_Length"] == before
+        r2 = build_reference_registry(spark)
+        out = r2.add_attribute(df, "Urban_Rural").collect()
+        assert out[0]["Urban_Rural"] == "Rural"

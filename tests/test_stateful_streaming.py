@@ -41,7 +41,7 @@ def test_stateful_totals_match_batch(spark, multi_file_events):
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(120 * 1000)
+    query.awaitTermination(120)  # seconds, not ms
     deadline = time.time() + 120
     while query.isActive and time.time() < deadline:
         time.sleep(0.5)

@@ -34,7 +34,7 @@ def _run_stream_to_memory(spark, stream_df, name: str, timeout_s: int = 60):
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_s * 1000)
+    query.awaitTermination(timeout_s)  # seconds, not ms
     deadline = time.time() + timeout_s
     while query.isActive and time.time() < deadline:
         time.sleep(0.5)
@@ -77,7 +77,7 @@ def test_streaming_dedup_within_watermark(spark, event_stream_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(60 * 1000)
+    query.awaitTermination(60)  # seconds, not ms
     deadline = time.time() + 60
     while query.isActive and time.time() < deadline:
         time.sleep(0.5)
@@ -114,7 +114,7 @@ class TestUpsertSink:
         q = run_windowed_upsert(
             agg, target, ckpt, partition_cols=["event_type"]
         )
-        q.awaitTermination(60_000)
+        q.awaitTermination(60)  # seconds, not ms
         deadline = time.time() + 60
         while q.isActive and time.time() < deadline:
             time.sleep(0.5)
@@ -177,7 +177,7 @@ def test_interval_join_stream_matches_batch(spark, event_stream_dir):
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(120 * 1000)
+    query.awaitTermination(120)  # seconds, not ms
     import time as _t
 
     deadline = _t.time() + 120
