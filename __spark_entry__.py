@@ -2333,6 +2333,64 @@ ORDER BY lang, split
 """
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # x24: per-language TOKEN-budget corpus mixing — keep docs in stable
+    # md5-hash order until each language's cumulative whitespace-token
+    # count reaches 5000; the doc that crosses the budget is included.
+    # One Exchange + in-partition sort, the same shape as x17's count
+    # quota — but bounding token MASS, which is what an LLM data mixture
+    # actually budgets.
+    from hbsir_old_spark.functions.sampling import token_budget_sample
+    from hbsir_old_spark.functions.text import token_count
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .withColumn("n_tokens", token_count("text").cast("long"))
+        .withColumn(
+            "h", F.md5(F.concat(F.lit("tb|"), F.col("doc_id").cast("string")))
+        )
+    )
+    kept = token_budget_sample(
+        docs, group_col="lang", budget=5000, token_col="n_tokens", order_col="h"
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TOKEN_BUDGET = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT
+           AS n_tokens,
+         md5('tb|' || doc_id::VARCHAR) AS h
+  FROM documents
+), cum AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY h
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS before_tokens
+  FROM toks
+)
+SELECT lang,
+       count(*)::BIGINT      AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       min(doc_id)::BIGINT   AS min_doc_id
+FROM cum
+WHERE before_tokens < 5000
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_group_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.sampling import group_quota
 
@@ -2901,6 +2959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_interval_join": q_interval_join,
         "l6_local_override_decode": q_local_override_decode,
         "g4_real_weighted_report": q_real_weighted_report,
+        "x24_token_budget": q_token_budget,
         # -- veterans with green r4 rows --
         "a1_groupby_sum": q_groupby_sum,
         "p7_computed_column": q_computed_column,
@@ -3036,4 +3095,5 @@ def oracle_sql() -> dict[str, str]:
         "s6_interval_join": SQL_INTERVAL_JOIN,
         "l6_local_override_decode": SQL_LOCAL_OVERRIDE_DECODE,
         "g4_real_weighted_report": SQL_REAL_WEIGHTED_REPORT,
+        "x24_token_budget": SQL_TOKEN_BUDGET,
     }

@@ -80,3 +80,39 @@ def group_quota(
         .filter(F.col("__rn__") <= quota)
         .drop("__rn__")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    token_col: str,
+    order_col: str,
+    ascending: bool = True,
+) -> DataFrame:
+    """Per-group TOKEN-budget sampling — the corpus-mixing primitive: keep
+    documents in deterministic order until the group's cumulative token
+    count reaches ``budget``. A document is kept when the tokens BEFORE it
+    are under budget, so the first crossing document is included and every
+    group with any data yields at least one document (budget > 0).
+
+    One Exchange + in-partition sort per group (same shape as
+    :func:`group_quota`, which bounds document COUNT; this bounds token
+    mass — what an LLM data mixture actually budgets). Pass a unique
+    ``order_col`` (id or stable hash) for run-independent results.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    order = F.col(order_col) if ascending else F.col(order_col).desc()
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    before = cum - F.col(token_col)
+    return (
+        df.withColumn("__before__", before)
+        .filter(F.col("__before__") < budget)
+        .drop("__before__")
+    )

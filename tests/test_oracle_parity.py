@@ -134,12 +134,14 @@ NO_R4_ROW_OR_NEW = {
     "s6_interval_join",
     "l6_local_override_decode",
     "g4_real_weighted_report",
+    "x24_token_budget",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
 }
 # every gate here has a green row in CORRECTNESS_r04.json
 ROTATED_VETERANS = {
+    "x3_minhash_lsh",
     "x4_simhash_pairs",
     "x5_text_stats",
     "x6_lang_id",

@@ -87,3 +87,44 @@ def test_external_url_dataset_fetches_file_scheme(spark, tmp_path):
     )
     out = reg.load("cpi").collect()
     assert {(r["Year"], r["CPI"]) for r in out} == {(1400, 100.0), (1401, 140.0)}
+
+
+class TestTokenBudget:
+    def test_budget_boundary_includes_crossing_doc(self, spark):
+        from hbsir_old_spark.functions.sampling import token_budget_sample
+
+        rows = [
+            # lang a, hash order == id order for fixed order_col
+            ("a", 1, 40),
+            ("a", 2, 40),   # cumulative before = 40 < 100 -> kept (crosses 80)
+            ("a", 3, 40),   # before = 80 < 100 -> kept (crosses 120)
+            ("a", 4, 40),   # before = 120 >= 100 -> dropped
+            ("b", 5, 500),  # single huge doc: before = 0 -> kept
+            ("b", 6, 1),    # before = 500 -> dropped
+        ]
+        df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+        kept = token_budget_sample(
+            df, group_col="lang", budget=100, token_col="n_tokens",
+            order_col="doc_id",
+        )
+        ids = sorted(r["doc_id"] for r in kept.collect())
+        assert ids == [1, 2, 3, 5]
+
+    def test_invalid_budget_raises(self, spark):
+        from hbsir_old_spark.functions.sampling import token_budget_sample
+
+        df = spark.createDataFrame([("a", 1, 1)], "lang string, doc_id long, n long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="budget must be > 0"):
+            token_budget_sample(df, "lang", 0, "n", "doc_id")
+
+    def test_single_exchange(self, spark):
+        from hbsir_old_spark.functions.sampling import token_budget_sample
+
+        df = spark.createDataFrame(
+            [("a", i, 10) for i in range(20)], "lang string, doc_id long, n long"
+        )
+        kept = token_budget_sample(df, "lang", 50, "n", "doc_id")
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") <= 1
