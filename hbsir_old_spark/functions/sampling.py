@@ -109,8 +109,12 @@ def token_budget_sample(
         .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(F.col(token_col)).over(w)
-    before = cum - F.col(token_col)
+    # NULL token counts are treated as 0: the document is kept (it cannot
+    # overshoot the budget) and consumes nothing; callers who would rather
+    # drop unmeasured documents should filter them first
+    tokens = F.coalesce(F.col(token_col), F.lit(0))
+    cum = F.sum(tokens).over(w)
+    before = cum - tokens
     return (
         df.withColumn("__before__", before)
         .filter(F.col("__before__") < budget)

@@ -106,10 +106,15 @@ def test_every_oracle_key_has_a_query():
 
 # The correctness driver records rows for only the first 50 entries of
 # queries() (r2: 51 registered -> 50 rows; r3: 57 -> first 50). These pins
-# enforce the round-robin rotation policy: gates WITHOUT a row in the
-# previous round's CORRECTNESS file (plus brand-new gates) sit inside the
-# recorded window, and only gates WITH a green previous-round row may sit
-# past position 50.
+# enforce the rotation policy:
+#  (a) gates WITHOUT a row in the previous round's CORRECTNESS file, plus
+#      brand-new gates, sit inside the recorded window;
+#  (b) rows-only gates (approximate by design, no oracle) NEVER rotate out
+#      -- the driver's only evidence for them is the per-round spark_rows
+#      record, so parking them past the cap would erase all driver
+#      evidence for them;
+#  (c) only FULL-ORACLE gates with a green (hash-matched) previous-round
+#      row may sit past position 50.
 NO_R4_ROW_OR_NEW = {
     # rotated out in round 4 (green r1-r3) — rowed again this round
     "x10_multimodal_features",
@@ -129,33 +134,44 @@ NO_R4_ROW_OR_NEW = {
     # new in round 5
     "l3_real_corpus_food",
     "l4_real_household_decode",
-    "x23_best_rep_dedup",
     "l5_real_occupation_classification",
-    "s6_interval_join",
     "l6_local_override_decode",
     "g4_real_weighted_report",
-    "x24_token_budget",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
+    "s6_interval_join",
+    "x23_best_rep_dedup",
+    "x24_token_budget",
 }
-# every gate here has a green row in CORRECTNESS_r04.json
-ROTATED_VETERANS = {
+# approximate-by-design gates: spark_rows is their only driver record
+ROWS_ONLY_PINNED_IN_WINDOW = {
     "x3_minhash_lsh",
     "x4_simhash_pairs",
+    "x9_ann_lsh",
+    "x13_ivf_topk",
+    "a7_approx_distinct",
+    "w4_approx_decile",
+    "w4b_weighted_approx_decile",
+}
+# every gate here is FULL-ORACLE with a green (hash-matched) row in
+# CORRECTNESS_r04.json
+ROTATED_VETERANS = {
+    "a8_rollup",
+    "j9_semi_anti",
+    "x14_text_cleaning",
+    "x15_contamination_flag",
+    "x1_dedup_exact",
+    "x2_ngram_jaccard",
     "x5_text_stats",
     "x6_lang_id",
     "x7_rolling_fingerprint",
-    "x9_ann_lsh",
-    "x13_ivf_topk",
     "g3_report_pivot_totals",
     "j8_geometry_join",
     "l2_setup_roundtrip",
-    "w4_approx_decile",
     "x16_hash_split",
     "x17_group_quota",
     "x18_token_freq",
-    "w4b_weighted_approx_decile",
     "s4_upsert_sink",
     "x19_dup_clusters",
     "x20_tfidf_top_terms",
@@ -173,11 +189,23 @@ def test_driver_cap_ordering():
     first50 = set(list(QUERIES)[:50])
     missing = NO_R4_ROW_OR_NEW - first50
     assert not missing, f"unrowed gates outside the driver's 50-row window: {missing}"
+    ro_missing = ROWS_ONLY_PINNED_IN_WINDOW - first50
+    assert not ro_missing, (
+        f"rows-only gates must never rotate out (spark_rows is their only "
+        f"driver record): {ro_missing}"
+    )
     tail = set(list(QUERIES)[50:])
     assert tail <= ROTATED_VETERANS, (
-        f"only documented multi-round-green gates may sit past position 50: "
-        f"{tail - ROTATED_VETERANS}"
+        f"only full-oracle gates with a green previous-round row may sit "
+        f"past position 50: {tail - ROTATED_VETERANS}"
     )
+
+
+def test_rows_only_pin_matches_oracle_registry():
+    """The pinned rows-only set is exactly the set of gates without an
+    oracle — a new oracle-less gate must be added to the pin (and kept in
+    the window), and a gate that gains an oracle must leave it."""
+    assert ROWS_ONLY_PINNED_IN_WINDOW == set(QUERIES) - set(ORACLES)
 
 
 def test_entry_imports_in_bare_interpreter():
