@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hbsir_old_spark.functions.dedup import (
@@ -2110,6 +2110,140 @@ ORDER BY Provision_Method
 
 
 # --------------------------------------------------------------------------
+# G5 — the reference's golden-example 12-cell ISC summary
+# (tests/test_package/package/test_by_examples.py:7-69) run through the
+# REAL metadata end to end: real Food_NonFood classification from
+# commodities.yaml:1805-1831 (whose Food ranges arrive via
+# {{original_1383.*}} placeholder splices of year-versioned item dicts),
+# real Urban_Rural ID-digit decode from household.yaml, per-household
+# sums, survey weights, the SEPARATE weight-table denominator (customer is
+# the roster; customers without orders still count in the denominator,
+# exactly the reference's weights_sum fixture), pivot to
+# (Urban_Rural x Net/Gross) columns and the "Total" row — 12 cells.
+# Facts are derived from lineitem x orders; commodity codes cycle through
+# six literal codes, three inside the 1400 Food ranges ([10_000, 30_000) u
+# [111_000, 112_000)) and three outside (-> NonFood via the
+# classification's missing_value_replacements), so the oracle can CASE-map
+# them exactly.
+# --------------------------------------------------------------------------
+
+#: 3 Food / 3 NonFood commodity codes under the 1383 item version
+_G5_CODES = [11230, 21300, 111400, 44120, 95210, 121300]
+
+
+def q_real_isc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.metadata.corpus import build_reference_registry
+    from hbsir_old_spark.operators.reshape import melt as melt_op
+
+    registry = build_reference_registry(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    codes = F.array(*[F.lit(c) for c in _G5_CODES])
+
+    def hh_id(key: Column) -> Column:
+        return (F.lit(1) + key % 2) * F.lit(10**10) + key % F.lit(10**10)
+
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.lit(1400).alias("Year"),
+        hh_id(F.col("o_custkey")).alias("ID"),
+        F.element_at(codes, (F.col("l_partkey") % 6 + 1).cast("int")).alias("Code"),
+        F.col("l_extendedprice").alias("Gross_Expenditure"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "Net_Expenditure"
+        ),
+    )
+    fact = registry.add_classification(fact, "Food_NonFood", years=[1400])
+    hh = (
+        fact.groupBy("Year", "ID", "Food_NonFood")
+        .agg(
+            F.sum("Gross_Expenditure").alias("Gross"),
+            F.sum("Net_Expenditure").alias("Net"),
+        )
+        .withColumn("Weight", (F.col("ID") % 7 + 1).cast("double"))
+    )
+    hh = registry.add_attribute(hh, "Urban_Rural")
+    # the denominator comes from the household ROSTER (every customer),
+    # not the spending households — the reference's weights_sum fixture
+    roster = cust.select(
+        F.lit(1400).alias("Year"), hh_id(F.col("c_custkey")).alias("ID")
+    ).withColumn("Weight", (F.col("ID") % 7 + 1).cast("double"))
+    roster = registry.add_attribute(roster, "Urban_Rural")
+    wsum = roster.groupBy("Urban_Rural").agg(F.sum("Weight").alias("ws"))
+    cell = (
+        hh.groupBy("Food_NonFood", "Urban_Rural")
+        .agg(
+            F.sum(F.col("Net") * F.col("Weight")).alias("wnet"),
+            F.sum(F.col("Gross") * F.col("Weight")).alias("wgross"),
+        )
+        .join(F.broadcast(wsum), "Urban_Rural")
+        .select(
+            F.col("Food_NonFood").alias("Category"),
+            F.col("Urban_Rural").alias("UR"),
+            (F.col("wnet") / F.col("ws") / 1000).alias("Net"),
+            (F.col("wgross") / F.col("ws") / 1000).alias("Gross"),
+        )
+    )
+    long = melt_op(cell, ["Category", "UR"], ["Net", "Gross"], var_name="Metric")
+    long = long.withColumn("colname", F.concat_ws("_", "UR", "Metric"))
+    pivoted = pivot_table(
+        long, ["Category"], "colname", "value", agg="sum", pivot_values=_G3_COLS
+    )
+    total = pivoted.agg(*[F.sum(c).alias(c) for c in _G3_COLS]).select(
+        F.lit("Total").alias("Category"), *_G3_COLS
+    )
+    return union_tables([pivoted, total]).select(
+        "Category", *[F.round(c, 4).alias(c) for c in _G3_COLS]
+    )
+
+
+SQL_REAL_ISC_SUMMARY = """
+WITH fact AS (
+  SELECT (1 + o_custkey % 2)::BIGINT * 10000000000 + o_custkey % 10000000000
+           AS id,
+         CASE WHEN [11230, 21300, 111400, 44120, 95210, 121300]
+                     [(l_partkey % 6 + 1)::INTEGER] IN (11230, 21300, 111400)
+              THEN 'Food' ELSE 'NonFood' END AS Category,
+         CASE WHEN o_custkey % 2 = 0 THEN 'Urban' ELSE 'Rural' END AS UR,
+         l_extendedprice AS gross,
+         l_extendedprice * (1 - l_discount) AS net
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), hh AS (
+  SELECT id, Category, UR,
+         ((id % 7 + 1))::DOUBLE AS w,
+         sum(gross) AS gross, sum(net) AS net
+  FROM fact GROUP BY id, Category, UR
+), wsum AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN 'Urban' ELSE 'Rural' END AS UR,
+         sum((((1 + c_custkey % 2)::BIGINT * 10000000000
+               + c_custkey % 10000000000) % 7 + 1)::DOUBLE) AS ws
+  FROM customer GROUP BY 1
+), cell AS (
+  SELECT Category, hh.UR,
+         sum(net * w)   / any_value(ws) / 1000 AS net_pc,
+         sum(gross * w) / any_value(ws) / 1000 AS gross_pc
+  FROM hh JOIN wsum ON hh.UR = wsum.UR
+  GROUP BY 1, 2
+), pivoted AS (
+  SELECT Category,
+         sum(CASE WHEN UR = 'Urban' THEN net_pc   END) AS Urban_Net,
+         sum(CASE WHEN UR = 'Urban' THEN gross_pc END) AS Urban_Gross,
+         sum(CASE WHEN UR = 'Rural' THEN net_pc   END) AS Rural_Net,
+         sum(CASE WHEN UR = 'Rural' THEN gross_pc END) AS Rural_Gross
+  FROM cell GROUP BY Category
+)
+SELECT Category, round(Urban_Net, 4) AS Urban_Net,
+       round(Urban_Gross, 4) AS Urban_Gross,
+       round(Rural_Net, 4) AS Rural_Net, round(Rural_Gross, 4) AS Rural_Gross
+FROM pivoted
+UNION ALL
+SELECT 'Total', round(sum(Urban_Net), 4), round(sum(Urban_Gross), 4),
+       round(sum(Rural_Net), 4), round(sum(Rural_Gross), 4)
+FROM pivoted
+"""
+
+
+# --------------------------------------------------------------------------
 # L4 — household-ID attribute decode against the REAL household.yaml: at
 # year 1400 the ID is 11 digits (1392+ layout), Urban_Rural is digit 0
 # under the post-1387 {1: Urban, 2: Rural} mapping (the label flip the
@@ -2971,9 +3105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_interval_join": q_interval_join,
         "l6_local_override_decode": q_local_override_decode,
         "g4_real_weighted_report": q_real_weighted_report,
+        "g5_real_isc_summary": q_real_isc_summary,
         "x24_token_budget": q_token_budget,
         # -- veterans with green r4 rows --
-        "a1_groupby_sum": q_groupby_sum,
         "p7_computed_column": q_computed_column,
         "p8_category_conditions": q_category_conditions,
         "p18_melt": q_melt,
@@ -3005,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FULL-ORACLE with a green (hash-matched) driver row in
         # CORRECTNESS_r04.json and full coverage in
         # tests/test_oracle_parity.py --
+        "a1_groupby_sum": q_groupby_sum,
         "a8_rollup": q_rollup,
         "j9_semi_anti": q_semi_anti_join,
         "x14_text_cleaning": q_text_cleaning,
@@ -3111,5 +3246,6 @@ def oracle_sql() -> dict[str, str]:
         "s6_interval_join": SQL_INTERVAL_JOIN,
         "l6_local_override_decode": SQL_LOCAL_OVERRIDE_DECODE,
         "g4_real_weighted_report": SQL_REAL_WEIGHTED_REPORT,
+        "g5_real_isc_summary": SQL_REAL_ISC_SUMMARY,
         "x24_token_budget": SQL_TOKEN_BUDGET,
     }

@@ -137,6 +137,7 @@ NO_R4_ROW_OR_NEW = {
     "l5_real_occupation_classification",
     "l6_local_override_decode",
     "g4_real_weighted_report",
+    "g5_real_isc_summary",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
@@ -157,6 +158,7 @@ ROWS_ONLY_PINNED_IN_WINDOW = {
 # every gate here is FULL-ORACLE with a green (hash-matched) row in
 # CORRECTNESS_r04.json
 ROTATED_VETERANS = {
+    "a1_groupby_sum",
     "a8_rollup",
     "j9_semi_anti",
     "x14_text_cleaning",
