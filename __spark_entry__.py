@@ -2244,6 +2244,89 @@ FROM pivoted
 
 
 # --------------------------------------------------------------------------
+# X25 — Gopher repetition rules (Rae et al. 2021 §A1.1): duplicate-line /
+# duplicate-n-gram fractions and the composite keep flag, all per-row
+# native array expressions (map-only — the ideal 100-TB prefilter shape).
+# The synthetic documents are single-line, so a 3-line column with one
+# planted duplicate line (text[0:80] repeated) exercises the line rule;
+# the n-gram rules run on the original text. DuckDB mirrors every step
+# with its list algebra, so the gate is a full oracle.
+# --------------------------------------------------------------------------
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.text import (
+        duplicate_line_fraction,
+        repetition_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    multi = F.concat_ws(
+        "\n",
+        F.substring("text", 1, 80),
+        F.substring("text", 81, 80),
+        F.substring("text", 1, 80),
+    )
+    feats = repetition_filter("text")
+    return docs.select(
+        "doc_id",
+        duplicate_line_fraction(multi).alias("dup_line_frac_planted"),
+        feats["dup_bigram_frac"].alias("dup_bigram_frac"),
+        feats["dup_trigram_frac"].alias("dup_trigram_frac"),
+        feats["repeated_token_ratio"].alias("repeated_token_ratio"),
+        # single-line originals have dup_line_frac = 0, so keep reduces to
+        # the n-gram + token-ratio rules (mirrored literally in the oracle)
+        feats["keep"].alias("keep"),
+    )
+
+
+SQL_REPETITION_FILTER = r"""
+WITH base AS (
+  SELECT doc_id, trim(text) AS t,
+         concat_ws(chr(10), substr(text, 1, 80), substr(text, 81, 80),
+                   substr(text, 1, 80)) AS multi
+  FROM documents
+), tok AS (
+  SELECT doc_id, multi,
+         CASE WHEN length(t) = 0 THEN [] ELSE string_split_regex(t, '\s+') END
+           AS tokens
+  FROM base
+), sized AS (
+  SELECT doc_id, tokens,
+         list_filter(list_transform(string_split(multi, chr(10)),
+                                    x -> trim(x)),
+                     x -> length(x) > 0) AS lines,
+         len(tokens)     AS ntok,
+         len(tokens) - 1 AS m2,
+         len(tokens) - 2 AS m3
+  FROM tok
+), fr AS (
+  SELECT doc_id,
+    round(CASE WHEN len(lines) > 0
+               THEN 1 - len(list_distinct(lines))::DOUBLE / len(lines)
+               ELSE 0 END, 6) AS dup_line_frac_planted,
+    round(CASE WHEN m2 > 0
+               THEN 1 - len(list_distinct(list_transform(range(1, m2 + 1),
+                        i -> array_to_string(tokens[i:i+1], ' '))))::DOUBLE / m2
+               ELSE 0 END, 6) AS dup_bigram_frac,
+    round(CASE WHEN m3 > 0
+               THEN 1 - len(list_distinct(list_transform(range(1, m3 + 1),
+                        i -> array_to_string(tokens[i:i+2], ' '))))::DOUBLE / m3
+               ELSE 0 END, 6) AS dup_trigram_frac,
+    round(CASE WHEN ntok > 0
+               THEN 1 - len(list_distinct(tokens))::DOUBLE / ntok
+               ELSE 0 END, 6) AS repeated_token_ratio
+  FROM sized
+)
+SELECT doc_id, dup_line_frac_planted, dup_bigram_frac, dup_trigram_frac,
+       repeated_token_ratio,
+       (dup_bigram_frac <= 0.18 AND dup_trigram_frac <= 0.16
+        AND repeated_token_ratio <= 0.60) AS keep
+FROM fr
+"""
+
+
+# --------------------------------------------------------------------------
 # L4 — household-ID attribute decode against the REAL household.yaml: at
 # year 1400 the ID is 11 digits (1392+ layout), Urban_Rural is digit 0
 # under the post-1387 {1: Urban, 2: Rural} mapping (the label flip the
@@ -3107,8 +3190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_real_weighted_report": q_real_weighted_report,
         "g5_real_isc_summary": q_real_isc_summary,
         "x24_token_budget": q_token_budget,
+        "x25_repetition_filter": q_repetition_filter,
         # -- veterans with green r4 rows --
-        "p7_computed_column": q_computed_column,
         "p8_category_conditions": q_category_conditions,
         "p18_melt": q_melt,
         "p19_pivot": q_pivot,
@@ -3140,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r04.json and full coverage in
         # tests/test_oracle_parity.py --
         "a1_groupby_sum": q_groupby_sum,
+        "p7_computed_column": q_computed_column,
         "a8_rollup": q_rollup,
         "j9_semi_anti": q_semi_anti_join,
         "x14_text_cleaning": q_text_cleaning,
@@ -3247,5 +3331,6 @@ def oracle_sql() -> dict[str, str]:
         "l6_local_override_decode": SQL_LOCAL_OVERRIDE_DECODE,
         "g4_real_weighted_report": SQL_REAL_WEIGHTED_REPORT,
         "g5_real_isc_summary": SQL_REAL_ISC_SUMMARY,
+        "x25_repetition_filter": SQL_REPETITION_FILTER,
         "x24_token_budget": SQL_TOKEN_BUDGET,
     }

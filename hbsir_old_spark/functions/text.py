@@ -148,6 +148,75 @@ def repeated_token_ratio(col: Column | str) -> Column:
     )
 
 
+def duplicate_line_fraction(col: Column | str) -> Column:
+    """Gopher repetition rule: fraction of non-blank lines that are exact
+    duplicates of an earlier line (Rae et al. 2021 §A1.1, "duplicate line
+    fraction"). 1 - distinct/total over newline-split lines; per-row native
+    array ops, map-only at any scale. Rounded 6dp."""
+    # NB: the one-arg lambda is load-bearing — F.trim passed directly would
+    # be treated as an (element, index) two-arg lambda by transform (trim's
+    # optional second param), silently binding the index as the trim-chars
+    lines = F.filter(
+        F.transform(F.split(_c(col), r"\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    n = F.size(lines)
+    return F.round(
+        F.when(n > 0, 1 - F.size(F.array_distinct(lines)) / n).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+
+
+def duplicate_ngram_fraction(col: Column | str, n: int = 2) -> Column:
+    """Gopher repetition rule: fraction of word n-grams that are duplicates
+    (1 - distinct/total). Token n-grams are built with ``slice`` over the
+    whitespace token array — per-row native expressions, no explode, no
+    shuffle; the same list algebra exists in DuckDB for the oracle."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    tokens = F.split(F.trim(_c(col)), r"\s+")
+    m = F.size(tokens) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    return F.round(
+        F.when(m > 0, 1 - F.size(F.array_distinct(grams)) / m).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+
+
+#: Gopher-style repetition thresholds (Rae et al. 2021 table A1, adapted):
+#: a document failing ANY rule is flagged for removal.
+REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_bigram_frac": 0.18,
+    "dup_trigram_frac": 0.16,
+    "repeated_token_ratio": 0.60,
+}
+
+
+def repetition_filter(col: Column | str) -> dict[str, Column]:
+    """The Gopher repetition-rule feature set plus the composite keep flag.
+    All per-row native expressions — the ideal 100-TB prefilter: map-only,
+    no shuffle, evaluated inside one WholeStageCodegen span."""
+    feats = {
+        "dup_line_frac": duplicate_line_fraction(col),
+        "dup_bigram_frac": duplicate_ngram_fraction(col, 2),
+        "dup_trigram_frac": duplicate_ngram_fraction(col, 3),
+        "repeated_token_ratio": repeated_token_ratio(col),
+    }
+    keep = F.lit(True)
+    for name, bound in REPETITION_THRESHOLDS.items():
+        keep = keep & (feats[name] <= F.lit(bound))
+    feats["keep"] = keep
+    return feats
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lower, collapse whitespace, trim."""
     return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))

@@ -138,6 +138,7 @@ NO_R4_ROW_OR_NEW = {
     "l6_local_override_decode",
     "g4_real_weighted_report",
     "g5_real_isc_summary",
+    "x25_repetition_filter",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
@@ -159,6 +160,7 @@ ROWS_ONLY_PINNED_IN_WINDOW = {
 # CORRECTNESS_r04.json
 ROTATED_VETERANS = {
     "a1_groupby_sum",
+    "p7_computed_column",
     "a8_rollup",
     "j9_semi_anti",
     "x14_text_cleaning",

@@ -1,0 +1,72 @@
+"""Gopher repetition rules (duplicate-line / duplicate-n-gram fractions,
+composite keep flag): hand-computed pins plus the degenerate inputs (empty
+text, single token) that would divide by zero or build descending
+sequences if unguarded."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hbsir_old_spark.functions.text import (  # noqa: E402
+    REPETITION_THRESHOLDS,
+    duplicate_line_fraction,
+    duplicate_ngram_fraction,
+    repetition_filter,
+)
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], schema="text string")
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_duplicate_line_fraction_hand_computed(spark):
+    # 4 non-blank lines, "a b" twice -> 1 - 3/4
+    text = "a b\nc d\n\n  \na b\ne"
+    assert _one(spark, text, duplicate_line_fraction("text")) == pytest.approx(0.25)
+
+
+def test_duplicate_line_fraction_blank_only(spark):
+    assert _one(spark, " \n \n", duplicate_line_fraction("text")) == 0.0
+
+
+def test_duplicate_bigram_fraction_hand_computed(spark):
+    # tokens: a b a b a -> bigrams [a b, b a, a b, b a] -> 1 - 2/4
+    assert _one(
+        spark, "a b a b a", duplicate_ngram_fraction("text", 2)
+    ) == pytest.approx(0.5)
+
+
+def test_duplicate_trigram_all_unique(spark):
+    assert _one(spark, "a b c d e", duplicate_ngram_fraction("text", 3)) == 0.0
+
+
+def test_duplicate_ngram_short_and_empty_inputs(spark):
+    # fewer tokens than n (and empty text) -> 0, not an error/negative
+    assert _one(spark, "solo", duplicate_ngram_fraction("text", 2)) == 0.0
+    assert _one(spark, "", duplicate_ngram_fraction("text", 2)) == 0.0
+    assert _one(spark, "x y", duplicate_ngram_fraction("text", 3)) == 0.0
+
+
+def test_duplicate_ngram_rejects_bad_n():
+    with pytest.raises(ValueError):
+        duplicate_ngram_fraction("text", 0)
+
+
+def test_repetition_filter_keep_flag(spark):
+    clean = "the quick brown fox jumps over one lazy dog near a river bank"
+    spam = " ".join(["buy now"] * 40)
+    df = spark.createDataFrame([(1, clean), (2, spam)], schema="i int, text string")
+    feats = repetition_filter("text")
+    rows = {
+        r["i"]: r
+        for r in df.select("i", *[c.alias(n) for n, c in feats.items()]).collect()
+    }
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False
+    assert rows[2]["dup_bigram_frac"] > REPETITION_THRESHOLDS["dup_bigram_frac"]
