@@ -2327,6 +2327,60 @@ FROM fr
 
 
 # --------------------------------------------------------------------------
+# X26 — distributed k-means (spherical Lloyd's: broadcast centroids,
+# map-side assignment, partial-aggregable (cluster, dim) mean shuffle,
+# k x d model on the driver) pinned by a FULL oracle despite being an
+# iterative algorithm: vectors get a planted one-hot blob offset (+10 at
+# index vec_id % 4, noise = 0.05 * embedding), init supplies one seed per
+# blob, and the separation guarantees Lloyd's converges to exactly the
+# planted partition — which DuckDB recomputes directly from vec_id. A
+# wrong assignment rule, mean update, or convergence test mismatches.
+# --------------------------------------------------------------------------
+
+
+def q_kmeans_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.clustering import kmeans_assign, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    blob = (F.col("vec_id") % 4).cast("int")
+    planted = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double") * 0.05
+            + F.when(i == blob, F.lit(10.0)).otherwise(F.lit(0.0)),
+        ).alias("vec"),
+    )
+    # gate fixture: the 4 seed vectors (vec_id 0..3, one per blob) — 4 rows
+    seeds = planted.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    init = [[float(v) for v in r["vec"]] for r in seeds]
+    cents = kmeans_fit(
+        planted, init=init, id_col="vec_id", vec_col="vec", max_iter=10
+    )
+    out = kmeans_assign(planted, cents, id_col="vec_id", vec_col="vec")
+    return (
+        out.groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.round(F.avg(F.element_at("vec", 1)), 4).alias("avg_c0"),
+        )
+        .orderBy("cluster")
+    )
+
+
+SQL_KMEANS_PLANTED = """
+WITH planted AS (
+  SELECT vec_id, (vec_id % 4)::INT AS cluster,
+         embedding[1]::DOUBLE * 0.05
+           + CASE WHEN vec_id % 4 = 0 THEN 10.0 ELSE 0.0 END AS c0
+  FROM embeddings
+)
+SELECT cluster, count(*)::BIGINT AS n_vectors, round(avg(c0), 4) AS avg_c0
+FROM planted GROUP BY cluster ORDER BY cluster
+"""
+
+
+# --------------------------------------------------------------------------
 # L4 — household-ID attribute decode against the REAL household.yaml: at
 # year 1400 the ID is 11 digits (1392+ layout), Urban_Rural is digit 0
 # under the post-1387 {1: Urban, 2: Rural} mapping (the label flip the
@@ -3191,8 +3245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g5_real_isc_summary": q_real_isc_summary,
         "x24_token_budget": q_token_budget,
         "x25_repetition_filter": q_repetition_filter,
+        "x26_kmeans_planted": q_kmeans_planted,
         # -- veterans with green r4 rows --
-        "p8_category_conditions": q_category_conditions,
         "p18_melt": q_melt,
         "p19_pivot": q_pivot,
         "f1_filter_predicates": q_filter_predicates,
@@ -3224,6 +3278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_oracle_parity.py --
         "a1_groupby_sum": q_groupby_sum,
         "p7_computed_column": q_computed_column,
+        "p8_category_conditions": q_category_conditions,
         "a8_rollup": q_rollup,
         "j9_semi_anti": q_semi_anti_join,
         "x14_text_cleaning": q_text_cleaning,
@@ -3332,5 +3387,6 @@ def oracle_sql() -> dict[str, str]:
         "g4_real_weighted_report": SQL_REAL_WEIGHTED_REPORT,
         "g5_real_isc_summary": SQL_REAL_ISC_SUMMARY,
         "x25_repetition_filter": SQL_REPETITION_FILTER,
+        "x26_kmeans_planted": SQL_KMEANS_PLANTED,
         "x24_token_budget": SQL_TOKEN_BUDGET,
     }

@@ -1,0 +1,178 @@
+"""Distributed k-means over embedding columns (spherical / cosine variant).
+
+Lloyd's algorithm in the canonical Spark shape:
+
+* the model (k x d centroid floats) lives on the DRIVER — legitimate model
+  state, like the year lists the registry collects; the DATA never leaves
+  the executors;
+* assignment is map-side: the centroid set rides to every task as one
+  broadcast single-row array (reusing :func:`assign_nearest_centroids`),
+  so the corpus never shuffles for assignment;
+* mean recomputation is a ``posexplode`` + ``groupBy(cluster, dim)``
+  aggregation — partial-aggregable, so the shuffle per iteration is
+  ``O(k * d * partitions)`` combiner output, independent of row count;
+* the input is persisted across iterations (each Lloyd round is one pass).
+
+At 100 TB with k=1024, d=1024 the per-iteration shuffle is a few MB per
+partition and the driver holds 4 MB of model — the same layout Spark
+MLlib's KMeans uses, expressed here purely in DataFrame ops so the whole
+pipeline stays inspectable and oracle-able.
+
+Cosine (spherical) distance is the right metric for text embeddings and
+matches the rest of ``functions/similarity.py`` (IVF probing, SRP-LSH).
+Cluster means are used un-normalized: cosine argmax is scale-invariant,
+so normalizing centroids would not change any assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hbsir_old_spark.functions.similarity import (
+    assign_nearest_centroids,
+    cosine_similarity,
+)
+
+
+def _centroid_literal_df(spark, centroids: list[list[float]]) -> DataFrame:
+    """One-row DataFrame carrying the centroid set in the
+    ``array<struct<__centroid__, __centvec__>>`` layout
+    :func:`assign_nearest_centroids` consumes; centroid ids are the list
+    indexes 0..k-1."""
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("__centroid__"),
+                F.array(*[F.lit(float(v)) for v in vec]).alias("__centvec__"),
+            )
+            for i, vec in enumerate(centroids)
+        ]
+    )
+    return spark.range(1).select(cents.alias("__cents__"))
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Assign every row to its nearest (cosine) centroid — map-side only,
+    no shuffle. Output: (id_col, vec_col, cluster_col)."""
+    cents_df = _centroid_literal_df(df.sparkSession, centroids)
+    assigned = assign_nearest_centroids(df, id_col, vec_col, cents_df, keep=1)
+    return assigned.select(
+        id_col, vec_col, F.col("__centroid__").cast("int").alias(cluster_col)
+    )
+
+
+def _hash_init(
+    df: DataFrame, k: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """Deterministic seed pick: the k corpus vectors with the smallest
+    xxhash64(id) — same convention as ivf_topk's coarse quantizer; no RNG,
+    stable under repartition."""
+    rows = (
+        df.select(F.col(id_col).alias("__i__"), F.col(vec_col).alias("__v__"))
+        .withColumn("__h__", F.xxhash64(F.col("__i__")))
+        .orderBy("__h__", "__i__")
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"k={k} but only {len(rows)} input rows")
+    return [[float(x) for x in r["__v__"]] for r in rows]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    init: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Fit spherical k-means; returns the k centroids (driver-side model).
+
+    ``init`` supplies explicit initial centroids (e.g. one seed per known
+    stratum — also what makes the planted-blob oracle gate deterministic);
+    otherwise the deterministic hash pick is used. Convergence: the max
+    absolute element-wise centroid shift falls to ``tol`` or below, or
+    ``max_iter`` Lloyd rounds. An empty cluster keeps its previous
+    centroid (no re-seeding, keeps the run deterministic)."""
+    if init is not None:
+        centroids = [[float(v) for v in c] for c in init]
+        if k is not None and k != len(centroids):
+            raise ValueError(f"k={k} != len(init)={len(centroids)}")
+    else:
+        if k is None:
+            raise ValueError("either k or init is required")
+        centroids = _hash_init(df, k, id_col, vec_col)
+    k = len(centroids)
+
+    data = df.select(id_col, vec_col).persist()
+    try:
+        for _ in range(max_iter):
+            assigned = kmeans_assign(data, centroids, id_col, vec_col)
+            stats = (
+                assigned.select(
+                    "cluster", F.posexplode(F.col(vec_col)).alias("pos", "val")
+                )
+                .groupBy("cluster", "pos")
+                .agg(
+                    F.sum(F.col("val").cast("double")).alias("s"),
+                    F.count("*").alias("n"),
+                )
+                .collect()  # k*d rows of model state — not data
+            )
+            new_centroids = [list(c) for c in centroids]
+            dims: dict[int, dict[int, float]] = {}
+            for r in stats:
+                dims.setdefault(r["cluster"], {})[r["pos"]] = r["s"] / r["n"]
+            for ci, by_pos in dims.items():
+                for pos, mean in by_pos.items():
+                    new_centroids[ci][pos] = mean
+            shift = max(
+                (
+                    abs(a - b)
+                    for old, new in zip(centroids, new_centroids)
+                    for a, b in zip(old, new)
+                ),
+                default=0.0,
+            )
+            centroids = new_centroids
+            if shift <= tol:
+                break
+        return centroids
+    finally:
+        data.unpersist()
+
+
+def kmeans_inertia(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean cosine similarity of every row to its assigned centroid — the
+    spherical analogue of (negative) inertia; higher is tighter. One
+    map-side pass."""
+    assigned = kmeans_assign(df, centroids, id_col, vec_col)
+    cents_df = _centroid_literal_df(df.sparkSession, centroids)
+    sim = (
+        assigned.crossJoin(F.broadcast(cents_df))
+        .select(
+            cosine_similarity(
+                F.col(vec_col),
+                F.element_at(F.col("__cents__"), F.col("cluster") + 1)[
+                    "__centvec__"
+                ],
+            ).alias("__sim__")
+        )
+        .agg(F.avg("__sim__").alias("m"))
+        .collect()[0]["m"]
+    )
+    return float(sim)

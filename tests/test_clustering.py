@@ -1,0 +1,88 @@
+"""Distributed spherical k-means: planted-blob recovery, Lloyd
+monotonicity on unstructured data, empty-cluster and validation paths."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hbsir_old_spark.functions.clustering import (  # noqa: E402
+    kmeans_assign,
+    kmeans_fit,
+    kmeans_inertia,
+)
+
+
+def _blob_df(spark, n_per_blob=10, dim=6, k=3):
+    """Well-separated one-hot blobs with deterministic hash noise."""
+    rows = []
+    for b in range(k):
+        for j in range(n_per_blob):
+            vec = [
+                10.0 * (i == b) + 0.01 * ((b * 31 + j * 7 + i) % 5)
+                for i in range(dim)
+            ]
+            rows.append((b * n_per_blob + j, vec))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_kmeans_recovers_planted_blobs_with_seeded_init(spark):
+    df = _blob_df(spark)
+    init = [
+        [float(v) for v in r["embedding"]]
+        for r in df.filter(F.col("vec_id").isin(0, 10, 20)).orderBy("vec_id").collect()
+    ]
+    cents = kmeans_fit(df, init=init, max_iter=10)
+    out = kmeans_assign(df, cents).collect()
+    assert all(r["cluster"] == r["vec_id"] // 10 for r in out)
+    # centroid c's dominant dimension is its blob's one-hot axis
+    for c, vec in enumerate(cents):
+        assert max(range(len(vec)), key=lambda i: vec[i]) == c
+
+
+def test_kmeans_hash_init_improves_inertia(spark):
+    df = _blob_df(spark, n_per_blob=12, k=4, dim=8)
+    from hbsir_old_spark.functions.clustering import _hash_init
+
+    init = _hash_init(df, 4, "vec_id", "embedding")
+    fitted = kmeans_fit(df, k=4, max_iter=10)
+    # Lloyd's never decreases the spherical objective
+    assert kmeans_inertia(df, fitted) >= kmeans_inertia(df, init) - 1e-9
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # all data near +e0; the second centroid points the opposite way and
+    # captures nothing — it must survive unchanged, deterministically
+    df = _blob_df(spark, n_per_blob=8, k=1, dim=4)
+    far = [-10.0, 0.0, 0.0, 0.0]
+    cents = kmeans_fit(df, init=[[10.0, 0.0, 0.0, 0.0], far], max_iter=5)
+    assert cents[1] == far
+    assert {r["cluster"] for r in kmeans_assign(df, cents).collect()} == {0}
+
+
+def test_kmeans_validation_errors(spark):
+    df = _blob_df(spark, n_per_blob=2, k=1, dim=3)
+    with pytest.raises(ValueError, match="only"):
+        kmeans_fit(df, k=50)
+    with pytest.raises(ValueError, match="len\\(init\\)"):
+        kmeans_fit(df, k=3, init=[[1.0, 0.0, 0.0]])
+    with pytest.raises(ValueError, match="either"):
+        kmeans_fit(df)
+
+
+def test_kmeans_converges_early_and_assignment_is_stable(spark):
+    df = _blob_df(spark)
+    init = [
+        [float(v) for v in r["embedding"]]
+        for r in df.filter(F.col("vec_id").isin(0, 10, 20)).orderBy("vec_id").collect()
+    ]
+    # max_iter far above need: the tol=0-shift early exit must fire, and a
+    # refit from the fitted centroids must be a fixed point
+    cents = kmeans_fit(df, init=init, max_iter=50)
+    refit = kmeans_fit(df, init=cents, max_iter=50)
+    for a, b in zip(refit, cents):
+        assert a == pytest.approx(b)

@@ -139,6 +139,7 @@ NO_R4_ROW_OR_NEW = {
     "g4_real_weighted_report",
     "g5_real_isc_summary",
     "x25_repetition_filter",
+    "x26_kmeans_planted",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
@@ -161,6 +162,7 @@ ROWS_ONLY_PINNED_IN_WINDOW = {
 ROTATED_VETERANS = {
     "a1_groupby_sum",
     "p7_computed_column",
+    "p8_category_conditions",
     "a8_rollup",
     "j9_semi_anti",
     "x14_text_cleaning",
