@@ -31,25 +31,9 @@ from pyspark.sql import functions as F
 
 from hbsir_old_spark.functions.similarity import (
     assign_nearest_centroids,
+    centroid_literal_df,
     cosine_similarity,
 )
-
-
-def _centroid_literal_df(spark, centroids: list[list[float]]) -> DataFrame:
-    """One-row DataFrame carrying the centroid set in the
-    ``array<struct<__centroid__, __centvec__>>`` layout
-    :func:`assign_nearest_centroids` consumes; centroid ids are the list
-    indexes 0..k-1."""
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("__centroid__"),
-                F.array(*[F.lit(float(v)) for v in vec]).alias("__centvec__"),
-            )
-            for i, vec in enumerate(centroids)
-        ]
-    )
-    return spark.range(1).select(cents.alias("__cents__"))
 
 
 def kmeans_assign(
@@ -61,7 +45,7 @@ def kmeans_assign(
 ) -> DataFrame:
     """Assign every row to its nearest (cosine) centroid — map-side only,
     no shuffle. Output: (id_col, vec_col, cluster_col)."""
-    cents_df = _centroid_literal_df(df.sparkSession, centroids)
+    cents_df = centroid_literal_df(df.sparkSession, centroids)
     assigned = assign_nearest_centroids(df, id_col, vec_col, cents_df, keep=1)
     return assigned.select(
         id_col, vec_col, F.col("__centroid__").cast("int").alias(cluster_col)
@@ -161,7 +145,7 @@ def kmeans_inertia(
     spherical analogue of (negative) inertia; higher is tighter. One
     map-side pass."""
     assigned = kmeans_assign(df, centroids, id_col, vec_col)
-    cents_df = _centroid_literal_df(df.sparkSession, centroids)
+    cents_df = centroid_literal_df(df.sparkSession, centroids)
     sim = (
         assigned.crossJoin(F.broadcast(cents_df))
         .select(

@@ -74,6 +74,25 @@ def test_kmeans_validation_errors(spark):
         kmeans_fit(df)
 
 
+def test_ivf_accepts_trained_centroids(spark):
+    from hbsir_old_spark.functions.similarity import ivf_topk
+
+    df = _blob_df(spark, n_per_blob=10, k=3, dim=6)
+    init = [
+        [float(v) for v in r["embedding"]]
+        for r in df.filter(F.col("vec_id").isin(0, 10, 20)).orderBy("vec_id").collect()
+    ]
+    model = kmeans_fit(df, init=init, max_iter=10)
+    queries = df.filter(F.col("vec_id").isin(1, 11)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = ivf_topk(df, queries, k=3, n_probe=1, centroids=model).collect()
+    assert len(hits) == 6
+    # probing ONE trained inverted list keeps every neighbor in-blob
+    for r in hits:
+        assert r["vec_id"] // 10 == r["query_id"] // 10
+
+
 def test_kmeans_converges_early_and_assignment_is_stable(spark):
     df = _blob_df(spark)
     init = [
