@@ -2381,6 +2381,69 @@ FROM planted GROUP BY cluster ORDER BY cluster
 
 
 # --------------------------------------------------------------------------
+# X27 — SemDeDup (cluster-scoped embedding near-dup removal) with a FULL
+# oracle for the composite kmeans_fit -> kmeans_assign -> per-cluster
+# pairwise check -> keep-earliest: every odd vec_id's vector is its even
+# leader's embedding plus 0.1% of its own (cosine ~0.999999 to the
+# leader), while distinct 64-dim corpus embeddings keep cross-pair
+# |cosine| far below the 0.9 threshold — so near-dup pairs can never
+# straddle a cluster boundary and the kept set is exactly the rows with
+# no smaller-id neighbor at >= 0.9, which DuckDB recomputes by brute
+# force (list_cosine_similarity over all pairs, no clustering needed).
+# --------------------------------------------------------------------------
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.clustering import kmeans_fit, semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    leader = emb.select(
+        F.col("vec_id").alias("lid"), F.col("embedding").alias("lvec")
+    )
+    planted = (
+        emb.select(
+            "vec_id",
+            (F.col("vec_id") - F.col("vec_id") % 2).alias("lid"),
+            "embedding",
+        )
+        .join(leader, "lid")
+        .select(
+            "vec_id",
+            F.zip_with(
+                "lvec",
+                "embedding",
+                lambda l, x: l.cast("double") + 0.001 * x.cast("double"),
+            ).alias("vec"),
+        )
+    )
+    model = kmeans_fit(planted, k=8, id_col="vec_id", vec_col="vec", max_iter=5)
+    kept = semantic_dedup(
+        planted, model, threshold=0.9, id_col="vec_id", vec_col="vec"
+    )
+    return kept.select("vec_id").orderBy("vec_id")
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH planted AS (
+  SELECT e.vec_id,
+         list_transform(range(1, len(e.embedding) + 1),
+                        i -> l.embedding[i]::DOUBLE
+                             + 0.001 * e.embedding[i]::DOUBLE) AS vec
+  FROM embeddings e
+  JOIN embeddings l ON l.vec_id = e.vec_id - e.vec_id % 2
+)
+SELECT p1.vec_id
+FROM planted p1
+WHERE NOT EXISTS (
+  SELECT 1 FROM planted p2
+  WHERE p2.vec_id < p1.vec_id
+    AND list_cosine_similarity(p2.vec, p1.vec) >= 0.9
+)
+ORDER BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
 # L4 — household-ID attribute decode against the REAL household.yaml: at
 # year 1400 the ID is 11 digits (1392+ layout), Urban_Rural is digit 0
 # under the post-1387 {1: Urban, 2: Rural} mapping (the label flip the
@@ -3246,8 +3309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x24_token_budget": q_token_budget,
         "x25_repetition_filter": q_repetition_filter,
         "x26_kmeans_planted": q_kmeans_planted,
+        "x27_semantic_dedup": q_semantic_dedup,
         # -- veterans with green r4 rows --
-        "p18_melt": q_melt,
         "p19_pivot": q_pivot,
         "f1_filter_predicates": q_filter_predicates,
         "f2_attribute_select": q_attribute_select,
@@ -3279,6 +3342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_groupby_sum": q_groupby_sum,
         "p7_computed_column": q_computed_column,
         "p8_category_conditions": q_category_conditions,
+        "p18_melt": q_melt,
         "a8_rollup": q_rollup,
         "j9_semi_anti": q_semi_anti_join,
         "x14_text_cleaning": q_text_cleaning,
@@ -3388,5 +3452,6 @@ def oracle_sql() -> dict[str, str]:
         "g5_real_isc_summary": SQL_REAL_ISC_SUMMARY,
         "x25_repetition_filter": SQL_REPETITION_FILTER,
         "x26_kmeans_planted": SQL_KMEANS_PLANTED,
+        "x27_semantic_dedup": SQL_SEMANTIC_DEDUP,
         "x24_token_budget": SQL_TOKEN_BUDGET,
     }

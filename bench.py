@@ -63,9 +63,12 @@ HEADLINE = [
     "o2_rolling_window",
     "s5_batch_sessions",
     "s6_interval_join",
+    "x25_repetition_filter",
     # x23_best_rep_dedup stays gate-only like x19: exact all-pairs n-gram
     # generation dominates its wall time (the scale path is x3's MinHash),
-    # so it belongs to correctness, not the throughput suite.
+    # so it belongs to correctness, not the throughput suite. x26's k-means
+    # is likewise gate-only: its wall time is Lloyd-iteration job latency
+    # (driver round trips), not engine throughput.
 ]
 
 

@@ -135,6 +135,51 @@ def kmeans_fit(
         data.unpersist()
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-level near-duplicate removal
+    scoped to k-means clusters. A row is dropped when a SMALLER-id row in
+    the SAME cluster has cosine similarity >= ``threshold`` (deterministic
+    keep-earliest rule); the survivors of ``df`` are returned unchanged.
+
+    Scale shape: the pairwise check is the per-cluster self-join — the
+    SemDeDup premise is that near-duplicates land in the same cluster, so
+    candidate pairs are bounded by cluster sizes (n^2/k per cluster on
+    balanced clusters) instead of the corpus-level n^2. Assignment is
+    map-side (broadcast centroids); the loser-id set is tiny and feeds a
+    left-anti join, so corpus payloads are never shuffled for the check.
+    Train ``centroids`` with :func:`kmeans_fit` (more clusters => fewer
+    candidate pairs but a higher chance a true near-dup pair straddles a
+    boundary; duplicates at cosine ~1 virtually never straddle)."""
+    assigned = kmeans_assign(df, centroids, id_col, vec_col, cluster_col="__kc__")
+    a = assigned.select(
+        "__kc__",
+        F.col(id_col).alias("__ida__"),
+        F.col(vec_col).alias("__va__"),
+    )
+    b = assigned.select(
+        "__kc__",
+        F.col(id_col).alias("__idb__"),
+        F.col(vec_col).alias("__vb__"),
+    )
+    losers = (
+        a.join(b, "__kc__")
+        .filter(F.col("__ida__") < F.col("__idb__"))
+        .filter(
+            cosine_similarity(F.col("__va__"), F.col("__vb__"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("__idb__").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def kmeans_inertia(
     df: DataFrame,
     centroids: list[list[float]],

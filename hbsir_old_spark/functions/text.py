@@ -178,10 +178,16 @@ def duplicate_ngram_fraction(col: Column | str, n: int = 2) -> Column:
         raise ValueError(f"n must be >= 1, got {n}")
     tokens = F.split(F.trim(_c(col)), r"\s+")
     m = F.size(tokens) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(m, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-    )
+    # n-grams as a fold of zip_with over n shifted slices — O(tokens) array
+    # work per row (the sequence+slice formulation re-walks the token array
+    # per gram, O(tokens^2), and was the bottleneck at bench scale)
+    grams = F.slice(tokens, 1, m)
+    for j in range(2, n + 1):
+        grams = F.zip_with(
+            grams,
+            F.slice(tokens, j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.round(
         F.when(m > 0, 1 - F.size(F.array_distinct(grams)) / m).otherwise(
             F.lit(0.0)

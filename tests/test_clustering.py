@@ -93,6 +93,36 @@ def test_ivf_accepts_trained_centroids(spark):
         assert r["vec_id"] // 10 == r["query_id"] // 10
 
 
+def test_semantic_dedup_removes_planted_near_dups(spark):
+    from hbsir_old_spark.functions.clustering import semantic_dedup
+
+    # 6 mutually-orthogonal leaders (cross cosine ~0); follower i+100 is a
+    # scaled copy of leader i with a tiny off-axis nudge (cosine ~1)
+    dim = 8
+    rows = []
+    for i in range(6):
+        leader = [10.0 if j == i else 0.0 for j in range(dim)]
+        follower = [v * 1.001 for v in leader]
+        follower[(i + 1) % dim] += 0.001
+        rows.append((i, leader))
+        rows.append((i + 100, follower))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    model = kmeans_fit(df, k=2, max_iter=5)
+    kept = semantic_dedup(df, model, threshold=0.9)
+    kept_ids = sorted(r["vec_id"] for r in kept.select("vec_id").collect())
+    # every follower drops (its smaller-id leader co-clusters at cosine
+    # ~1); orthogonal leaders all survive
+    assert kept_ids == list(range(6))
+
+
+def test_semantic_dedup_high_threshold_keeps_all(spark):
+    from hbsir_old_spark.functions.clustering import semantic_dedup
+
+    df = _blob_df(spark, n_per_blob=5, k=2, dim=4)
+    model = kmeans_fit(df, k=2, max_iter=5)
+    assert semantic_dedup(df, model, threshold=1.0000001).count() == df.count()
+
+
 def test_kmeans_converges_early_and_assignment_is_stable(spark):
     df = _blob_df(spark)
     init = [

@@ -140,6 +140,7 @@ NO_R4_ROW_OR_NEW = {
     "g5_real_isc_summary",
     "x25_repetition_filter",
     "x26_kmeans_planted",
+    "x27_semantic_dedup",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
@@ -163,6 +164,7 @@ ROTATED_VETERANS = {
     "a1_groupby_sum",
     "p7_computed_column",
     "p8_category_conditions",
+    "p18_melt",
     "a8_rollup",
     "j9_semi_anti",
     "x14_text_cleaning",
