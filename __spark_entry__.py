@@ -2917,6 +2917,74 @@ SQL_UPSERT_SINK = SQL_EVENTS_TUMBLING
 
 
 # --------------------------------------------------------------------------
+# S7 — streaming exactly-once dedup: the events table is doubled, streamed
+# through withWatermark + dropDuplicatesWithinWatermark(event_id) on a
+# REAL readStream (availableNow), and the deduped stream must equal the
+# ORIGINAL table — DuckDB aggregates events directly. The doubled input is
+# written as ONE file so the run is a single micro-batch: the first
+# batch's watermark is unset, so no copy can be late-filtered and no
+# dedup state can be evicted mid-run — the result is exact, not
+# best-effort (multi-batch arrival-order caveats are the documented
+# production tradeoff of the operator itself).
+# --------------------------------------------------------------------------
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    events = _events(spark, sf_dir)
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
+    workdir = f"{tempfile.gettempdir()}/s7_dedup_{tag}"
+    shutil.rmtree(workdir, ignore_errors=True)
+    dup_dir = f"{workdir}/in"
+    events.unionByName(events).coalesce(1).write.mode("overwrite").parquet(
+        dup_dir
+    )
+    schema = spark.read.parquet(dup_dir).schema
+    stream = spark.readStream.schema(schema).parquet(dup_dir)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    qname = f"s7_mem_{tag}"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .start()
+    )
+    query.awaitTermination(120)
+    deadline = _time.time() + 120
+    while query.isActive and _time.time() < deadline:
+        _time.sleep(0.2)
+    out = (
+        spark.table(qname)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("event_id").cast("long").alias("n_distinct_ids"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out.orderBy("event_type")
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       count(DISTINCT event_id)::BIGINT AS n_distinct_ids,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # X19 — near-dup CLUSTERS: pair emission (exact n-gram Jaccard, the oracled
 # x2 path) -> connected components (O(log n)-round pointer-jumping label
 # propagation) -> (doc_id, component=min reachable id). The transitive
@@ -3310,8 +3378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x25_repetition_filter": q_repetition_filter,
         "x26_kmeans_planted": q_kmeans_planted,
         "x27_semantic_dedup": q_semantic_dedup,
+        "s7_stream_dedup": q_stream_dedup,
         # -- veterans with green r4 rows --
-        "p19_pivot": q_pivot,
         "f1_filter_predicates": q_filter_predicates,
         "f2_attribute_select": q_attribute_select,
         "j1_classification_join": q_classification_join,
@@ -3343,6 +3411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_computed_column": q_computed_column,
         "p8_category_conditions": q_category_conditions,
         "p18_melt": q_melt,
+        "p19_pivot": q_pivot,
         "a8_rollup": q_rollup,
         "j9_semi_anti": q_semi_anti_join,
         "x14_text_cleaning": q_text_cleaning,
@@ -3453,5 +3522,6 @@ def oracle_sql() -> dict[str, str]:
         "x25_repetition_filter": SQL_REPETITION_FILTER,
         "x26_kmeans_planted": SQL_KMEANS_PLANTED,
         "x27_semantic_dedup": SQL_SEMANTIC_DEDUP,
+        "s7_stream_dedup": SQL_STREAM_DEDUP,
         "x24_token_budget": SQL_TOKEN_BUDGET,
     }

@@ -141,6 +141,7 @@ NO_R4_ROW_OR_NEW = {
     "x25_repetition_filter",
     "x26_kmeans_planted",
     "x27_semantic_dedup",
+    "s7_stream_dedup",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
@@ -165,6 +166,7 @@ ROTATED_VETERANS = {
     "p7_computed_column",
     "p8_category_conditions",
     "p18_melt",
+    "p19_pivot",
     "a8_rollup",
     "j9_semi_anti",
     "x14_text_cleaning",
