@@ -1669,9 +1669,26 @@ FROM documents
 _G3_COLS = ["Urban_Net", "Urban_Gross", "Rural_Net", "Rural_Gross"]
 
 
-def q_report_pivot_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _report_pivot_tail(cell: DataFrame) -> DataFrame:
+    """Shared g3/g5 report tail: melt the (Category, UR, Net, Gross) cells,
+    pivot to UR x metric columns, append the union-of-totals "Total" row,
+    round 4dp — the reference's `table.loc["Total"] = table.sum()` shape."""
     from hbsir_old_spark.operators.reshape import melt as melt_op
 
+    long = melt_op(cell, ["Category", "UR"], ["Net", "Gross"], var_name="Metric")
+    long = long.withColumn("colname", F.concat_ws("_", "UR", "Metric"))
+    pivoted = pivot_table(
+        long, ["Category"], "colname", "value", agg="sum", pivot_values=_G3_COLS
+    )
+    total = pivoted.agg(*[F.sum(c).alias(c) for c in _G3_COLS]).select(
+        F.lit("Total").alias("Category"), *_G3_COLS
+    )
+    return union_tables([pivoted, total]).select(
+        "Category", *[F.round(c, 4).alias(c) for c in _G3_COLS]
+    )
+
+
+def q_report_pivot_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     fact = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
@@ -1705,17 +1722,7 @@ def q_report_pivot_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("wgross") / F.col("ws") / 1000).alias("Gross"),
         )
     )
-    long = melt_op(cell, ["Category", "UR"], ["Net", "Gross"], var_name="Metric")
-    long = long.withColumn("colname", F.concat_ws("_", "UR", "Metric"))
-    pivoted = pivot_table(
-        long, ["Category"], "colname", "value", agg="sum", pivot_values=_G3_COLS
-    )
-    total = pivoted.agg(*[F.sum(c).alias(c) for c in _G3_COLS]).select(
-        F.lit("Total").alias("Category"), *_G3_COLS
-    )
-    return union_tables([pivoted, total]).select(
-        "Category", *[F.round(c, 4).alias(c) for c in _G3_COLS]
-    )
+    return _report_pivot_tail(cell)
 
 
 SQL_REPORT_PIVOT_TOTALS = """
@@ -2131,22 +2138,26 @@ ORDER BY Provision_Method
 _G5_CODES = [11230, 21300, 111400, 44120, 95210, 121300]
 
 
+def _hh_id_1400(key: Column) -> Column:
+    """Compose a valid 11-digit year-1400 household ID from a surrogate
+    key: leading digit 1|2 (the post-1387 Urban|Rural code per
+    household.yaml's 1392+ layout), remaining 10 digits from the key.
+    Shared by the g5 and l6 gates so the digit layout lives in ONE place —
+    it encodes the metadata contract the decode gates verify."""
+    return (F.lit(1) + key % 2) * F.lit(10**10) + key % F.lit(10**10)
+
+
 def q_real_isc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.metadata.corpus import build_reference_registry
-    from hbsir_old_spark.operators.reshape import melt as melt_op
 
     registry = build_reference_registry(spark)
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     codes = F.array(*[F.lit(c) for c in _G5_CODES])
-
-    def hh_id(key: Column) -> Column:
-        return (F.lit(1) + key % 2) * F.lit(10**10) + key % F.lit(10**10)
-
     fact = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         F.lit(1400).alias("Year"),
-        hh_id(F.col("o_custkey")).alias("ID"),
+        _hh_id_1400(F.col("o_custkey")).alias("ID"),
         F.element_at(codes, (F.col("l_partkey") % 6 + 1).cast("int")).alias("Code"),
         F.col("l_extendedprice").alias("Gross_Expenditure"),
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -2166,7 +2177,7 @@ def q_real_isc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the denominator comes from the household ROSTER (every customer),
     # not the spending households — the reference's weights_sum fixture
     roster = cust.select(
-        F.lit(1400).alias("Year"), hh_id(F.col("c_custkey")).alias("ID")
+        F.lit(1400).alias("Year"), _hh_id_1400(F.col("c_custkey")).alias("ID")
     ).withColumn("Weight", (F.col("ID") % 7 + 1).cast("double"))
     roster = registry.add_attribute(roster, "Urban_Rural")
     wsum = roster.groupBy("Urban_Rural").agg(F.sum("Weight").alias("ws"))
@@ -2184,17 +2195,7 @@ def q_real_isc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("wgross") / F.col("ws") / 1000).alias("Gross"),
         )
     )
-    long = melt_op(cell, ["Category", "UR"], ["Net", "Gross"], var_name="Metric")
-    long = long.withColumn("colname", F.concat_ws("_", "UR", "Metric"))
-    pivoted = pivot_table(
-        long, ["Category"], "colname", "value", agg="sum", pivot_values=_G3_COLS
-    )
-    total = pivoted.agg(*[F.sum(c).alias(c) for c in _G3_COLS]).select(
-        F.lit("Total").alias("Category"), *_G3_COLS
-    )
-    return union_tables([pivoted, total]).select(
-        "Category", *[F.round(c, 4).alias(c) for c in _G3_COLS]
-    )
+    return _report_pivot_tail(cell)
 
 
 SQL_REAL_ISC_SUMMARY = """
@@ -2553,10 +2554,7 @@ def q_local_override_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry = build_reference_registry(spark, local_metadata_dir=local_dir)
     cust = _t(spark, sf_dir, "customer")
     ids = cust.select(
-        (
-            (F.lit(1) + F.col("c_custkey") % 2) * F.lit(10**10)
-            + F.col("c_custkey") % F.lit(10**10)
-        ).alias("ID"),
+        _hh_id_1400(F.col("c_custkey")).alias("ID"),
         F.lit(1400).alias("Year"),
         "c_acctbal",
     )
@@ -2934,7 +2932,6 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import time as _time
 
     events = _events(spark, sf_dir)
     tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
@@ -2958,10 +2955,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", f"{workdir}/ckpt")
         .start()
     )
-    query.awaitTermination(120)
-    deadline = _time.time() + 120
-    while query.isActive and _time.time() < deadline:
-        _time.sleep(0.2)
+    # fail fast on a hung stream: a partial memory table would surface as a
+    # confusing value mismatch, and rmtree under a live query breaks it
+    if not query.awaitTermination(240):
+        query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
+        raise RuntimeError("s7 streaming dedup did not finish within 240s")
     out = (
         spark.table(qname)
         .groupBy("event_type")
@@ -2972,6 +2971,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    spark.catalog.dropTempView(qname)
     shutil.rmtree(workdir, ignore_errors=True)
     return out.orderBy("event_type")
 

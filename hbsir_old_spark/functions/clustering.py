@@ -141,29 +141,45 @@ def semantic_dedup(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 2,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-level near-duplicate removal
-    scoped to k-means clusters. A row is dropped when a SMALLER-id row in
-    the SAME cluster has cosine similarity >= ``threshold`` (deterministic
-    keep-earliest rule); the survivors of ``df`` are returned unchanged.
+    scoped to k-means clusters. A row is dropped when a SMALLER-id row
+    whose primary cluster is among the row's ``n_probe`` nearest clusters
+    has cosine similarity >= ``threshold`` (deterministic keep-earliest
+    rule); the survivors of ``df`` are returned unchanged.
 
     Scale shape: the pairwise check is the per-cluster self-join — the
     SemDeDup premise is that near-duplicates land in the same cluster, so
-    candidate pairs are bounded by cluster sizes (n^2/k per cluster on
-    balanced clusters) instead of the corpus-level n^2. Assignment is
-    map-side (broadcast centroids); the loser-id set is tiny and feeds a
-    left-anti join, so corpus payloads are never shuffled for the check.
-    Train ``centroids`` with :func:`kmeans_fit` (more clusters => fewer
-    candidate pairs but a higher chance a true near-dup pair straddles a
-    boundary; duplicates at cosine ~1 virtually never straddle)."""
+    candidate pairs are bounded by cluster sizes (n_probe * n^2/k per
+    cluster on balanced clusters) instead of the corpus-level n^2.
+    Assignment is map-side (broadcast centroids); the loser-id set is tiny
+    and feeds a left-anti join, so corpus payloads are never shuffled for
+    the check.
+
+    ``n_probe=2`` (multi-probe) closes the boundary-straddle hole of
+    single-assignment SemDeDup: a pair at cosine ~1 has near-identical
+    centroid similarities, so when its members' PRIMARY clusters differ,
+    each member's primary is (essentially by definition) the other's
+    second-nearest — probing 2 clusters recovers the pair. A straddled
+    pair could only escape if a third centroid squeezed inside the pair's
+    ~(1-threshold) similarity gap — with n_probe=1 you get the paper's
+    original (cheaper, boundary-lossy) behavior."""
     assigned = kmeans_assign(df, centroids, id_col, vec_col, cluster_col="__kc__")
     a = assigned.select(
         "__kc__",
         F.col(id_col).alias("__ida__"),
         F.col(vec_col).alias("__va__"),
     )
-    b = assigned.select(
-        "__kc__",
+    probed = assign_nearest_centroids(
+        df,
+        id_col,
+        vec_col,
+        centroid_literal_df(df.sparkSession, centroids),
+        keep=max(1, n_probe),
+    )
+    b = probed.select(
+        F.col("__centroid__").cast("int").alias("__kc__"),
         F.col(id_col).alias("__idb__"),
         F.col(vec_col).alias("__vb__"),
     )

@@ -102,17 +102,21 @@ def centroid_literal_df(spark, centroids: list[list[float]]) -> DataFrame:
     """One-row DataFrame carrying an explicit centroid set (e.g. a trained
     k-means model) in the ``array<struct<__centroid__, __centvec__>>``
     layout :func:`assign_nearest_centroids` consumes; centroid ids are the
-    list indexes 0..k-1."""
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("__centroid__"),
-                F.array(*[F.lit(float(v)) for v in vec]).alias("__centvec__"),
-            )
-            for i, vec in enumerate(centroids)
-        ]
+    list indexes 0..k-1. The model travels as DATA (createDataFrame +
+    collect_list), not as k*d Literal expression nodes — at k=d=1024 a
+    literal tree would be >1M Catalyst nodes re-analyzed on every call."""
+    rows = [(i, [float(v) for v in vec]) for i, vec in enumerate(centroids)]
+    df = spark.createDataFrame(
+        rows, "__centroid__ int, __centvec__ array<double>"
     )
-    return spark.range(1).select(cents.alias("__cents__"))
+    return df.agg(
+        F.collect_list(
+            F.struct(
+                F.col("__centroid__"),
+                F.col("__centvec__"),
+            )
+        ).alias("__cents__")
+    )
 
 
 def assign_nearest_centroids(
@@ -202,9 +206,12 @@ def ivf_topk(
     if centroids is not None:
         centroid_arr = centroid_literal_df(corpus.sparkSession, centroids)
     else:
+        # (hash, id) ordering — the same seed-pick convention as
+        # clustering._hash_init, so kmeans_fit's default init and this
+        # untrained path start from identical centroids
         centroid_arr = (
             c.withColumn("__h__", F.xxhash64(F.col("__cid__")))
-            .orderBy("__h__")
+            .orderBy("__h__", "__cid__")
             .limit(n_centroids)
             .select(F.col("__cid__").alias("__centroid__"), F.col("__cvec__").alias("__centvec__"))
             .agg(F.collect_list(F.struct("__centroid__", "__centvec__")).alias("__cents__"))

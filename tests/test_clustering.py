@@ -115,6 +115,36 @@ def test_semantic_dedup_removes_planted_near_dups(spark):
     assert kept_ids == list(range(6))
 
 
+def test_semantic_dedup_multiprobe_catches_straddled_pair(spark):
+    """The boundary-straddle hole of single-assignment SemDeDup: when BOTH
+    members of a near-dup pair are centroids, each is nearest to itself, so
+    the pair straddles two clusters. n_probe=2 (default) must still drop
+    the follower; n_probe=1 documents the lossy original behavior."""
+    from hbsir_old_spark.functions.clustering import semantic_dedup
+
+    dim = 6
+    leader = [10.0] + [0.0] * (dim - 1)
+    follower = [10.0, 0.001] + [0.0] * (dim - 2)
+    other = [0.0, 0.0, 10.0] + [0.0] * (dim - 3)
+    df = spark.createDataFrame(
+        [(0, leader), (1, follower), (2, other)],
+        "vec_id int, embedding array<double>",
+    )
+    cents = [leader, follower]  # adversarial: the pair IS the centroid set
+    kept2 = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, cents, threshold=0.9).select("vec_id").collect()
+    )
+    assert kept2 == [0, 2]  # follower caught via its second-nearest cluster
+    kept1 = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, cents, threshold=0.9, n_probe=1)
+        .select("vec_id")
+        .collect()
+    )
+    assert kept1 == [0, 1, 2]  # the documented single-probe miss
+
+
 def test_semantic_dedup_high_threshold_keeps_all(spark):
     from hbsir_old_spark.functions.clustering import semantic_dedup
 

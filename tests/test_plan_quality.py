@@ -202,6 +202,43 @@ def test_real_household_decode_plan(spark, sf_dir):
     assert "Join" not in plan and "BatchEvalPython" not in plan, plan
 
 
+def test_repetition_filter_is_map_only(spark, sf_dir):
+    # x25: the Gopher prefilter must stay a single map-only pass — any
+    # Exchange/explode here would be a scale regression for what should be
+    # an embarrassingly parallel scan
+    df = entry_mod.q_repetition_filter(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan  # no explode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_assign_is_map_side(spark, sf_dir):
+    # the Lloyd assignment pass: broadcast single-row centroid array, no
+    # shuffle of the data side, no Python
+    from hbsir_old_spark.functions.clustering import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [[float(i == j) for j in range(64)] for i in range(4)]
+    plan = plan_of(kmeans_assign(emb, cents))
+    # the one-row centroid BroadcastExchange is the design; a shuffle of
+    # the data side is the regression being guarded
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_joins_on_cluster_not_cartesian(spark, sf_dir):
+    # the pairwise check must be keyed on the cluster id; the only
+    # nested-loop join allowed is the one-row centroid broadcast
+    from hbsir_old_spark.functions.clustering import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [[float(i == j) for j in range(64)] for i in range(4)]
+    plan = plan_of(semantic_dedup(emb, cents, threshold=0.9))
+    assert "CartesianProduct" not in plan, plan
+    assert "__kc__" in plan  # pair join keyed on the cluster column
+
+
 def test_interval_join_is_hash_join_on_key(spark, sf_dir):
     # s6: the interval join must extract user_id as the hash-join key with
     # the time range as a join-side filter — a nested-loop join over the
