@@ -2328,6 +2328,66 @@ FROM fr
 
 
 # --------------------------------------------------------------------------
+# X28 — GPT-style sequence packing: docs are concatenated in deterministic
+# order within md5 hash buckets and cut every seq_len tokens (documents
+# span chunk boundaries — standard pretraining packing); each doc gets
+# (bucket, chunk, offset). The window partitions by bucket — one hash
+# Exchange, no global sort. Whitespace token counts + the md5 bucketing
+# and running-sum arithmetic replay identically in DuckDB: full oracle
+# over per-(bucket, chunk) rollups.
+# --------------------------------------------------------------------------
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.sampling import pack_sequences
+    from hbsir_old_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        docs, seq_len=2048, token_col="n_tokens", order_col="doc_id"
+    )
+    return (
+        packed.groupBy("pack_bucket", "pack_chunk")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("pack_offset").cast("long").alias("first_offset"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .orderBy("pack_bucket", "pack_chunk")
+    )
+
+
+SQL_SEQUENCE_PACK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT
+           AS n_tokens,
+         substr(md5('pack' || '|' || doc_id::VARCHAR), 1, 2) AS pack_bucket
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens, pack_bucket,
+         sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS before_tokens
+  FROM toks
+)
+SELECT pack_bucket,
+       (before_tokens // 2048)::BIGINT AS pack_chunk,
+       count(*)::BIGINT                AS n_docs,
+       sum(n_tokens)::BIGINT           AS total_tokens,
+       min(before_tokens % 2048)::BIGINT AS first_offset,
+       min(doc_id)::BIGINT             AS min_doc_id
+FROM cum
+GROUP BY pack_bucket, pack_chunk
+ORDER BY pack_bucket, pack_chunk
+"""
+
+
+# --------------------------------------------------------------------------
 # X26 — distributed k-means (spherical Lloyd's: broadcast centroids,
 # map-side assignment, partial-aggregable (cluster, dim) mean shuffle,
 # k x d model on the driver) pinned by a FULL oracle despite being an
@@ -3379,8 +3439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x26_kmeans_planted": q_kmeans_planted,
         "x27_semantic_dedup": q_semantic_dedup,
         "s7_stream_dedup": q_stream_dedup,
+        "x28_sequence_pack": q_sequence_pack,
         # -- veterans with green r4 rows --
-        "f1_filter_predicates": q_filter_predicates,
         "f2_attribute_select": q_attribute_select,
         "j1_classification_join": q_classification_join,
         "j3_weighted_average": q_weighted_average,
@@ -3412,6 +3472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p8_category_conditions": q_category_conditions,
         "p18_melt": q_melt,
         "p19_pivot": q_pivot,
+        "f1_filter_predicates": q_filter_predicates,
         "a8_rollup": q_rollup,
         "j9_semi_anti": q_semi_anti_join,
         "x14_text_cleaning": q_text_cleaning,
@@ -3523,5 +3584,6 @@ def oracle_sql() -> dict[str, str]:
         "x26_kmeans_planted": SQL_KMEANS_PLANTED,
         "x27_semantic_dedup": SQL_SEMANTIC_DEDUP,
         "s7_stream_dedup": SQL_STREAM_DEDUP,
+        "x28_sequence_pack": SQL_SEQUENCE_PACK,
         "x24_token_budget": SQL_TOKEN_BUDGET,
     }

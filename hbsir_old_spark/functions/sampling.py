@@ -120,3 +120,49 @@ def token_budget_sample(
         .filter(F.col("__before__") < budget)
         .drop("__before__")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str,
+    order_col: str,
+    salt: str = "pack",
+    bucket_hex_digits: int = 2,
+) -> DataFrame:
+    """GPT-style sequence packing assignment: documents are concatenated in
+    deterministic order and cut every ``seq_len`` tokens (documents span
+    chunk boundaries — the standard pretraining packing); each document
+    gets the chunk its FIRST token falls in plus its offset within it.
+
+    Scale shape: packing is scoped to md5 hash buckets of ``order_col``
+    (16^``bucket_hex_digits`` buckets, the :func:`hash_split` convention),
+    so the cumulative-sum window partitions by bucket — one hash Exchange,
+    no global sort, no single-partition window. Buckets are independent
+    pack streams, exactly how a sharded tokenizer run behaves. Adds
+    ``pack_bucket`` (hex string), ``pack_chunk`` (0-based chunk index) and
+    ``pack_offset`` (token offset of the document inside its chunk).
+
+    Deterministic and engine-portable: the same md5-prefix bucketing and
+    running-sum arithmetic run unchanged in DuckDB for the oracle.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be > 0, got {seq_len}")
+    bucket = F.substring(
+        F.md5(
+            F.concat_ws("|", F.lit(salt), F.col(order_col).cast("string"))
+        ),
+        1,
+        bucket_hex_digits,
+    )
+    out = df.withColumn("pack_bucket", bucket)
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tokens = F.coalesce(F.col(token_col), F.lit(0)).cast("long")
+    before = F.sum(tokens).over(w) - tokens
+    return out.withColumn(
+        "pack_chunk", F.floor(before / F.lit(seq_len)).cast("long")
+    ).withColumn("pack_offset", (before % F.lit(seq_len)).cast("long"))

@@ -142,6 +142,7 @@ NO_R4_ROW_OR_NEW = {
     "x26_kmeans_planted",
     "x27_semantic_dedup",
     "s7_stream_dedup",
+    "x28_sequence_pack",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
@@ -167,6 +168,7 @@ ROTATED_VETERANS = {
     "p8_category_conditions",
     "p18_melt",
     "p19_pivot",
+    "f1_filter_predicates",
     "a8_rollup",
     "j9_semi_anti",
     "x14_text_cleaning",

@@ -128,3 +128,66 @@ class TestTokenBudget:
         kept = token_budget_sample(df, "lang", 50, "n", "doc_id")
         plan = kept._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") <= 1
+
+
+class TestPackSequences:
+    def _packed(self, spark, seq_len=100, digits=0):
+        from hbsir_old_spark.functions.sampling import pack_sequences
+
+        # bucket_hex_digits=0 -> substring length 0 -> one bucket: the
+        # chunk math is then fully hand-checkable
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate([40, 40, 40, 90, 10, 250])],
+            "doc_id long, n long",
+        )
+        return pack_sequences(
+            df, seq_len, token_col="n", order_col="doc_id",
+            bucket_hex_digits=digits,
+        )
+
+    def test_chunk_and_offset_hand_computed(self, spark):
+        rows = {
+            r["doc_id"]: (r["pack_chunk"], r["pack_offset"])
+            for r in self._packed(spark).collect()
+        }
+        # cumsum-before: 0, 40, 80, 120, 210, 220
+        assert rows == {
+            0: (0, 0),
+            1: (0, 40),
+            2: (0, 80),   # spans into chunk 1 (doc-spanning by design)
+            3: (1, 20),
+            4: (2, 10),
+            5: (2, 20),   # 250 tokens span chunks 2..4; assigned to start
+        }
+
+    def test_null_tokens_consume_nothing(self, spark):
+        from hbsir_old_spark.functions.sampling import pack_sequences
+
+        df = spark.createDataFrame(
+            [(0, 60), (1, None), (2, 60)], "doc_id long, n long"
+        )
+        rows = {
+            r["doc_id"]: r["pack_chunk"]
+            for r in pack_sequences(
+                df, 100, "n", "doc_id", bucket_hex_digits=0
+            ).collect()
+        }
+        assert rows == {0: 0, 1: 0, 2: 0}  # null doc sits at offset 60
+
+    def test_invalid_seq_len_raises(self, spark):
+        import pytest as _pytest
+
+        from hbsir_old_spark.functions.sampling import pack_sequences
+
+        df = spark.createDataFrame([(1, 1)], "doc_id long, n long")
+        with _pytest.raises(ValueError, match="seq_len"):
+            pack_sequences(df, 0, "n", "doc_id")
+
+    def test_bucketed_window_single_exchange(self, spark):
+        plan = (
+            self._packed(spark, digits=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") <= 1
