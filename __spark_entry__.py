@@ -2328,6 +2328,62 @@ FROM fr
 
 
 # --------------------------------------------------------------------------
+# X29 — temperature mixture resampling (the multilingual/domain-rebalance
+# primitive): per-language quotas proportional to n_lang^0.5 normalized to
+# 300 docs, deterministic md5-ordered keep, quota floored at 1. Completes
+# the corpus-mixing trio (x17 count quota, x24 token budget, x29
+# temperature). DuckDB replays the count -> sqrt-weight -> quota -> ranked
+# keep pipeline exactly; sqrt/mul/div are correctly-rounded IEEE ops on
+# per-group scalars, so the quotas match bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = temperature_sample(
+        docs, "lang", alpha=0.5, target_rows=300, order_col="doc_id"
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TEMPERATURE_SAMPLE = """
+WITH counts AS (
+  SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang
+), tot AS (
+  SELECT sum(pow(n, 0.5)) AS tw FROM counts
+), quota AS (
+  SELECT lang,
+         greatest(1, floor(300 * pow(n, 0.5) / tw))::BIGINT AS q
+  FROM counts, tot
+), ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('temp' || '|' || doc_id::VARCHAR), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT r.lang, count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS min_doc_id,
+       sum(doc_id)::BIGINT AS id_checksum
+FROM ranked r JOIN quota USING (lang)
+WHERE r.rn <= quota.q
+GROUP BY r.lang
+ORDER BY r.lang
+"""
+
+
+# --------------------------------------------------------------------------
 # X28 — GPT-style sequence packing: docs are concatenated in deterministic
 # order within md5 hash buckets and cut every seq_len tokens (documents
 # span chunk boundaries — standard pretraining packing); each doc gets
@@ -3440,8 +3496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x27_semantic_dedup": q_semantic_dedup,
         "s7_stream_dedup": q_stream_dedup,
         "x28_sequence_pack": q_sequence_pack,
+        "x29_temperature_sample": q_temperature_sample,
         # -- veterans with green r4 rows --
-        "f2_attribute_select": q_attribute_select,
         "j1_classification_join": q_classification_join,
         "j3_weighted_average": q_weighted_average,
         "j2_dim_join_chain": q_dim_join_chain,
@@ -3473,6 +3529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p18_melt": q_melt,
         "p19_pivot": q_pivot,
         "f1_filter_predicates": q_filter_predicates,
+        "f2_attribute_select": q_attribute_select,
         "a8_rollup": q_rollup,
         "j9_semi_anti": q_semi_anti_join,
         "x14_text_cleaning": q_text_cleaning,
@@ -3585,5 +3642,6 @@ def oracle_sql() -> dict[str, str]:
         "x27_semantic_dedup": SQL_SEMANTIC_DEDUP,
         "s7_stream_dedup": SQL_STREAM_DEDUP,
         "x28_sequence_pack": SQL_SEQUENCE_PACK,
+        "x29_temperature_sample": SQL_TEMPERATURE_SAMPLE,
         "x24_token_budget": SQL_TOKEN_BUDGET,
     }

@@ -122,6 +122,61 @@ def token_budget_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    alpha: float,
+    target_rows: int,
+    order_col: str,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture resampling: per-group quotas proportional
+    to ``n_group ** alpha`` normalized to ``target_rows`` total (alpha=1
+    keeps natural proportions, alpha=0 uniform across groups, 0<alpha<1
+    the usual multilingual/domain rebalancing), with a deterministic
+    hash-ordered keep (md5(salt|key), key tiebreak) so re-runs and
+    incremental appends keep the same rows.
+
+    Every group keeps at least 1 row (the quota floors at 1, so the actual
+    total can exceed ``target_rows`` by up to the group count; it can fall
+    short of it by up to one row per group from the floor).
+
+    Scale shape: one partial-aggregable count pass, a one-row total
+    broadcast, then the :func:`group_quota` shape — one hash Exchange on
+    the group key + in-partition topK. Quota arithmetic is plain IEEE
+    double (pow/mul/div) on per-group scalars, so the DuckDB oracle
+    reproduces it exactly up to the last ulp of the tiny weight sum.
+    """
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be > 0, got {target_rows}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n__"))
+    weighted = counts.withColumn(
+        "__w__", F.pow(F.col("__n__").cast("double"), F.lit(float(alpha)))
+    )
+    total = weighted.agg(F.sum("__w__").alias("__tw__"))
+    quotas = weighted.crossJoin(F.broadcast(total)).select(
+        group_col,
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(
+                F.lit(int(target_rows)) * F.col("__w__") / F.col("__tw__")
+            ).cast("long"),
+        ).alias("__q__"),
+    )
+    h = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(order_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(h, F.col(order_col))
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .join(F.broadcast(quotas), group_col)
+        .filter(F.col("__rn__") <= F.col("__q__"))
+        .drop("__rn__", "__q__")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int,

@@ -143,6 +143,7 @@ NO_R4_ROW_OR_NEW = {
     "x27_semantic_dedup",
     "s7_stream_dedup",
     "x28_sequence_pack",
+    "x29_temperature_sample",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
@@ -169,6 +170,7 @@ ROTATED_VETERANS = {
     "p18_melt",
     "p19_pivot",
     "f1_filter_predicates",
+    "f2_attribute_select",
     "a8_rollup",
     "j9_semi_anti",
     "x14_text_cleaning",

@@ -191,3 +191,59 @@ class TestPackSequences:
             .toString()
         )
         assert plan.count("Exchange hashpartitioning") <= 1
+
+
+class TestTemperatureSample:
+    def _df(self, spark):
+        rows = [("big", i) for i in range(90)] + [("small", 100 + i) for i in range(10)]
+        return spark.createDataFrame(rows, "lang string, doc_id long")
+
+    def test_alpha_zero_is_uniform(self, spark):
+        from hbsir_old_spark.functions.sampling import temperature_sample
+        from pyspark.sql import functions as F
+
+        kept = temperature_sample(self._df(spark), "lang", 0.0, 20, "doc_id")
+        by = {
+            r["lang"]: r["n"]
+            for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert by == {"big": 10, "small": 10}
+
+    def test_alpha_one_is_proportional(self, spark):
+        from hbsir_old_spark.functions.sampling import temperature_sample
+        from pyspark.sql import functions as F
+
+        kept = temperature_sample(self._df(spark), "lang", 1.0, 50, "doc_id")
+        by = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert by == {"big": 45, "small": 5}
+
+    def test_small_group_floor_keeps_one(self, spark):
+        from hbsir_old_spark.functions.sampling import temperature_sample
+        from pyspark.sql import functions as F
+
+        df = self._df(spark)
+        kept = temperature_sample(df, "lang", 1.0, 5, "doc_id")
+        by = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert by["small"] >= 1  # quota floors at 1
+
+    def test_stable_under_repartition(self, spark):
+        from hbsir_old_spark.functions.sampling import temperature_sample
+
+        df = self._df(spark)
+        a = sorted(r["doc_id"] for r in temperature_sample(df, "lang", 0.5, 30, "doc_id").collect())
+        b = sorted(
+            r["doc_id"]
+            for r in temperature_sample(df.repartition(7), "lang", 0.5, 30, "doc_id").collect()
+        )
+        assert a == b
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from hbsir_old_spark.functions.sampling import temperature_sample
+
+        df = self._df(spark)
+        with _pytest.raises(ValueError, match="target_rows"):
+            temperature_sample(df, "lang", 0.5, 0, "doc_id")
+        with _pytest.raises(ValueError, match="alpha"):
+            temperature_sample(df, "lang", -1.0, 10, "doc_id")
