@@ -2362,8 +2362,10 @@ WITH counts AS (
 ), tot AS (
   SELECT sum(pow(n, 0.5)) AS tw FROM counts
 ), quota AS (
+  -- the 1e-9 epsilon mirrors the engine: it keeps mathematically-integer
+  -- quotas from flipping on the last ulp of the order-dependent weight sum
   SELECT lang,
-         greatest(1, floor(300 * pow(n, 0.5) / tw))::BIGINT AS q
+         greatest(1, floor(300 * pow(n, 0.5) / tw + 1e-9))::BIGINT AS q
   FROM counts, tot
 ), ranked AS (
   SELECT doc_id, lang,

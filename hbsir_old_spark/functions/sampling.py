@@ -36,12 +36,20 @@ def split_threshold_hex(test_frac: float) -> str:
     return format(int(test_frac * _BUCKETS), f"0{_HEX_DIGITS}x")
 
 
-def hash_bucket(key: Column | str, salt: str = "split") -> Column:
-    """First ``_HEX_DIGITS`` lowercase hex chars of md5(salt|key)."""
+def hash_hex(key: Column | str, salt: str) -> Column:
+    """Full lowercase md5(salt|key) hex string — THE portable hash
+    convention of this module (identical expression in DuckDB oracles);
+    every salted-hash consumer derives from this one helper so the
+    delimiter/casing cannot drift between engine and oracle."""
     key = F.col(key) if isinstance(key, str) else key
-    return F.substring(
-        F.md5(F.concat_ws("|", F.lit(salt), key.cast("string"))), 1, _HEX_DIGITS
-    )
+    return F.md5(F.concat_ws("|", F.lit(salt), key.cast("string")))
+
+
+def hash_bucket(
+    key: Column | str, salt: str = "split", digits: int = _HEX_DIGITS
+) -> Column:
+    """First ``digits`` lowercase hex chars of md5(salt|key)."""
+    return F.substring(hash_hex(key, salt), 1, digits)
 
 
 def hash_split(
@@ -139,13 +147,16 @@ def temperature_sample(
 
     Every group keeps at least 1 row (the quota floors at 1, so the actual
     total can exceed ``target_rows`` by up to the group count; it can fall
-    short of it by up to one row per group from the floor).
+    short of it by up to one row per group from the floor). A NULL group
+    is a group like any other (null-safe join), so unlabeled rows are
+    budgeted, not silently dropped.
 
     Scale shape: one partial-aggregable count pass, a one-row total
     broadcast, then the :func:`group_quota` shape — one hash Exchange on
-    the group key + in-partition topK. Quota arithmetic is plain IEEE
-    double (pow/mul/div) on per-group scalars, so the DuckDB oracle
-    reproduces it exactly up to the last ulp of the tiny weight sum.
+    the group key + in-partition topK. The quota floor adds a 1e-9 epsilon
+    before flooring in BOTH engines: mathematically-integer quotas (exact
+    proportional splits) would otherwise flip by one on the last ulp of
+    the order-dependent weight sum.
     """
     if target_rows <= 0:
         raise ValueError(f"target_rows must be > 0, got {target_rows}")
@@ -157,23 +168,26 @@ def temperature_sample(
     )
     total = weighted.agg(F.sum("__w__").alias("__tw__"))
     quotas = weighted.crossJoin(F.broadcast(total)).select(
-        group_col,
+        F.col(group_col).alias("__qg__"),
         F.greatest(
             F.lit(1).cast("long"),
             F.floor(
                 F.lit(int(target_rows)) * F.col("__w__") / F.col("__tw__")
+                + F.lit(1e-9)
             ).cast("long"),
         ).alias("__q__"),
     )
-    h = F.md5(
-        F.concat_ws("|", F.lit(salt), F.col(order_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(
+        hash_hex(order_col, salt), F.col(order_col)
     )
-    w = Window.partitionBy(group_col).orderBy(h, F.col(order_col))
     return (
         df.withColumn("__rn__", F.row_number().over(w))
-        .join(F.broadcast(quotas), group_col)
+        .join(
+            F.broadcast(quotas),
+            F.col(group_col).eqNullSafe(F.col("__qg__")),
+        )
         .filter(F.col("__rn__") <= F.col("__q__"))
-        .drop("__rn__", "__q__")
+        .drop("__rn__", "__q__", "__qg__")
     )
 
 
@@ -203,21 +217,23 @@ def pack_sequences(
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be > 0, got {seq_len}")
-    bucket = F.substring(
-        F.md5(
-            F.concat_ws("|", F.lit(salt), F.col(order_col).cast("string"))
-        ),
-        1,
-        bucket_hex_digits,
+    out = df.withColumn(
+        "pack_bucket", hash_bucket(order_col, salt, bucket_hex_digits)
     )
-    out = df.withColumn("pack_bucket", bucket)
     w = (
         Window.partitionBy("pack_bucket")
         .orderBy(F.col(order_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tokens = F.coalesce(F.col(token_col), F.lit(0)).cast("long")
-    before = F.sum(tokens).over(w) - tokens
-    return out.withColumn(
-        "pack_chunk", F.floor(before / F.lit(seq_len)).cast("long")
-    ).withColumn("pack_offset", (before % F.lit(seq_len)).cast("long"))
+    # pure LONG arithmetic for the chunk index (`div`, not `/`): float
+    # division would round the cumulative sum past 2^53 tokens and could
+    # disagree with the oracle's exact integer division
+    return (
+        out.withColumn("__before__", F.sum(tokens).over(w) - tokens)
+        .withColumn("pack_chunk", F.expr(f"__before__ div {int(seq_len)}"))
+        .withColumn(
+            "pack_offset", (F.col("__before__") % F.lit(seq_len)).cast("long")
+        )
+        .drop("__before__")
+    )

@@ -237,6 +237,21 @@ class TestTemperatureSample:
         )
         assert a == b
 
+    def test_null_group_is_budgeted_not_dropped(self, spark):
+        from hbsir_old_spark.functions.sampling import temperature_sample
+        from pyspark.sql import functions as F
+
+        rows = [("en", i) for i in range(3)] + [(None, 100), (None, 101)]
+        df = spark.createDataFrame(rows, "lang string, doc_id long")
+        kept = temperature_sample(df, "lang", 0.0, 4, "doc_id")
+        by = {
+            r["lang"]: r["n"]
+            for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        # uniform split: 2 per group, the NULL group included (not silently
+        # dropped, not diluting en's quota)
+        assert by == {"en": 2, None: 2}
+
     def test_validation(self, spark):
         import pytest as _pytest
 
