@@ -2328,6 +2328,48 @@ FROM fr
 
 
 # --------------------------------------------------------------------------
+# X30 — corpus-LM perplexity filter (the CCNet/Gopher quality-scoring
+# shape): per-document cross-entropy under an add-one-smoothed word-bigram
+# LM trained on the corpus itself. Training is explode + partial-agg
+# counts, context totals roll up from the bigram table, V is a one-row
+# broadcast, scoring is a hash join on the bigram — the TF-IDF shuffle
+# topology, no UDFs. DuckDB replays the identical count/smooth/log2
+# pipeline: full oracle.
+# --------------------------------------------------------------------------
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.text import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_scores(docs).orderBy("doc_id")
+
+
+SQL_LM_PERPLEXITY = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), bc AS (
+  SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2
+), ct AS (
+  SELECT w1, sum(c2) AS c1 FROM bc GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT w2) AS v FROM bc
+), scored AS (
+  SELECT bc.w1, bc.w2, (c2 + 1)::DOUBLE / (c1 + v) AS p
+  FROM bc JOIN ct USING (w1), v
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(-log2(p)), 4) AS cross_entropy
+FROM pairs JOIN scored USING (w1, w2)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # X29 — temperature mixture resampling (the multilingual/domain-rebalance
 # primitive): per-language quotas proportional to n_lang^0.5 normalized to
 # 300 docs, deterministic md5-ordered keep, quota floored at 1. Completes
@@ -3499,8 +3541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_stream_dedup": q_stream_dedup,
         "x28_sequence_pack": q_sequence_pack,
         "x29_temperature_sample": q_temperature_sample,
+        "x30_lm_perplexity": q_lm_perplexity,
         # -- veterans with green r4 rows --
-        "j1_classification_join": q_classification_join,
         "j3_weighted_average": q_weighted_average,
         "j2_dim_join_chain": q_dim_join_chain,
         "j6_fact_join": q_fact_join,
@@ -3532,6 +3574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p19_pivot": q_pivot,
         "f1_filter_predicates": q_filter_predicates,
         "f2_attribute_select": q_attribute_select,
+        "j1_classification_join": q_classification_join,
         "a8_rollup": q_rollup,
         "j9_semi_anti": q_semi_anti_join,
         "x14_text_cleaning": q_text_cleaning,
@@ -3645,5 +3688,6 @@ def oracle_sql() -> dict[str, str]:
         "s7_stream_dedup": SQL_STREAM_DEDUP,
         "x28_sequence_pack": SQL_SEQUENCE_PACK,
         "x29_temperature_sample": SQL_TEMPERATURE_SAMPLE,
+        "x30_lm_perplexity": SQL_LM_PERPLEXITY,
         "x24_token_budget": SQL_TOKEN_BUDGET,
     }

@@ -223,6 +223,65 @@ def repetition_filter(col: Column | str) -> dict[str, Column]:
     return feats
 
 
+def bigram_lm_scores(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-document cross-entropy under an add-one-smoothed word-bigram LM
+    trained on the corpus itself — the CCNet/Gopher "perplexity filter"
+    shape (score each document by how surprising it is to a LM of the
+    corpus). Output: (id_col, n_bigrams, cross_entropy) where
+    cross_entropy = avg(-log2 P(w2|w1)) over the document's bigrams,
+    P(w2|w1) = (C(w1,w2) + 1) / (C(w1,*) + V), V = distinct bigram
+    continuations corpus-wide. Documents with no bigram (0- or 1-token)
+    yield no row.
+
+    Scale shape: bigram training is one explode + partial-aggregable
+    count; the context total C(w1,*) rolls up from the bigram table (one
+    more partial agg); V is a one-row broadcast; scoring joins each
+    document's bigrams to the scored bigram table — a hash join keyed on
+    the bigram, the same shuffle topology as TF-IDF. No UDFs; log2 and
+    the probability arithmetic are codegen'd expressions with exact
+    DuckDB equivalents.
+    """
+    from pyspark.sql import functions as _F
+
+    tokens = _F.split(_F.trim(_F.col(text_col)), r"\s+")
+    m = _F.size(tokens) - 1
+    grams = _F.zip_with(
+        _F.slice(tokens, 1, m),
+        _F.slice(tokens, 2, m),
+        lambda a, b: _F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        df.where(_F.length(_F.trim(_F.col(text_col))) > 0)
+        .select(_F.col(id_col), _F.explode(grams).alias("__g__"))
+        .select(id_col, _F.col("__g__.w1").alias("w1"), _F.col("__g__.w2").alias("w2"))
+    )
+    bigram_counts = pairs.groupBy("w1", "w2").agg(_F.count("*").alias("c2"))
+    context_totals = bigram_counts.groupBy("w1").agg(_F.sum("c2").alias("c1"))
+    vocab = bigram_counts.select("w2").distinct().agg(
+        _F.count("*").alias("v")
+    )
+    scored = (
+        bigram_counts.join(context_totals, "w1")
+        .crossJoin(_F.broadcast(vocab))
+        .withColumn(
+            "p", (_F.col("c2") + 1) / (_F.col("c1") + _F.col("v"))
+        )
+        .select("w1", "w2", "p")
+    )
+    return (
+        pairs.join(scored, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            _F.count("*").cast("long").alias("n_bigrams"),
+            _F.round(_F.avg(-_F.log2("p")), 4).alias("cross_entropy"),
+        )
+    )
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lower, collapse whitespace, trim."""
     return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))

@@ -144,6 +144,7 @@ NO_R4_ROW_OR_NEW = {
     "s7_stream_dedup",
     "x28_sequence_pack",
     "x29_temperature_sample",
+    "x30_lm_perplexity",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
@@ -171,6 +172,7 @@ ROTATED_VETERANS = {
     "p19_pivot",
     "f1_filter_predicates",
     "f2_attribute_select",
+    "j1_classification_join",
     "a8_rollup",
     "j9_semi_anti",
     "x14_text_cleaning",

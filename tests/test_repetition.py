@@ -58,6 +58,22 @@ def test_duplicate_ngram_rejects_bad_n():
         duplicate_ngram_fraction("text", 0)
 
 
+def test_bigram_lm_scores_hand_computed(spark):
+    from hbsir_old_spark.functions.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, ""), (4, "solo")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    # corpus bigrams: (a,b)x2, (b,a)x1; C(a,*)=2, C(b,*)=1; V=|{a,b}|=2
+    # p(b|a) = 3/4, p(a|b) = 2/3
+    # doc1: avg(-log2(3/4), -log2(2/3)) = avg(0.415037, 0.584963) = 0.5
+    assert rows[1]["n_bigrams"] == 2 and rows[1]["cross_entropy"] == pytest.approx(0.5)
+    assert rows[2]["n_bigrams"] == 1 and rows[2]["cross_entropy"] == pytest.approx(0.415)
+    assert 3 not in rows and 4 not in rows  # no bigram -> no row
+
+
 def test_repetition_filter_keep_flag(spark):
     clean = "the quick brown fox jumps over one lazy dog near a river bank"
     spam = " ".join(["buy now"] * 40)
