@@ -2328,6 +2328,79 @@ FROM fr
 
 
 # --------------------------------------------------------------------------
+# L7 — JSONL ingestion round-trip with corrupt-record capture: the
+# documents table is serialized to newline-delimited JSON (plus two
+# planted malformed lines), read back with an ENFORCED schema in
+# PERMISSIVE mode, and the clean side must aggregate exactly like the
+# original table while the corrupt side counts exactly the planted lines.
+# Pins the production JSONL semantics: no schema inference, one bad shard
+# cannot kill the job, bad lines stay auditable.
+# --------------------------------------------------------------------------
+
+
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from hbsir_old_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    lines = docs.select(
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("value")
+    )
+    corrupt = spark.createDataFrame(
+        [("{oops",), ("not json at all",)], "value string"
+    )
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
+    path = f"{tempfile.gettempdir()}/l7_jsonl_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    lines.unionByName(corrupt).write.mode("overwrite").text(path)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    # cache before splitting: Spark disallows queries that reference ONLY
+    # the corrupt-record column of a raw JSON scan (the corrupt count
+    # below would otherwise prune to exactly that)
+    raw = read_jsonl(spark, path, schema).cache()
+    try:
+        good, bad = split_corrupt(raw)
+        per_lang = good.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        corrupt_row = bad.agg(
+            F.lit("_corrupt").alias("lang"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.lit(None).cast("long").alias("total_chars"),
+        )
+        out = per_lang.unionByName(corrupt_row).orderBy(
+            "lang"
+        ).localCheckpoint(eager=True)
+    finally:
+        raw.unpersist()
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+SQL_JSONL_INGEST = """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY lang
+UNION ALL
+SELECT '_corrupt', 2::BIGINT, NULL::BIGINT
+ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
 # X30 — corpus-LM perplexity filter (the CCNet/Gopher quality-scoring
 # shape): per-document cross-entropy under an add-one-smoothed word-bigram
 # LM trained on the corpus itself. Training is explode + partial-agg
@@ -3542,8 +3615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x28_sequence_pack": q_sequence_pack,
         "x29_temperature_sample": q_temperature_sample,
         "x30_lm_perplexity": q_lm_perplexity,
+        "l7_jsonl_ingest": q_jsonl_ingest,
         # -- veterans with green r4 rows --
-        "j3_weighted_average": q_weighted_average,
         "j2_dim_join_chain": q_dim_join_chain,
         "j6_fact_join": q_fact_join,
         "a2_household_math": q_household_math,
@@ -3575,6 +3648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_filter_predicates": q_filter_predicates,
         "f2_attribute_select": q_attribute_select,
         "j1_classification_join": q_classification_join,
+        "j3_weighted_average": q_weighted_average,
         "a8_rollup": q_rollup,
         "j9_semi_anti": q_semi_anti_join,
         "x14_text_cleaning": q_text_cleaning,
@@ -3689,5 +3763,6 @@ def oracle_sql() -> dict[str, str]:
         "x28_sequence_pack": SQL_SEQUENCE_PACK,
         "x29_temperature_sample": SQL_TEMPERATURE_SAMPLE,
         "x30_lm_perplexity": SQL_LM_PERPLEXITY,
+        "l7_jsonl_ingest": SQL_JSONL_INGEST,
         "x24_token_budget": SQL_TOKEN_BUDGET,
     }

@@ -145,6 +145,7 @@ NO_R4_ROW_OR_NEW = {
     "x28_sequence_pack",
     "x29_temperature_sample",
     "x30_lm_perplexity",
+    "l7_jsonl_ingest",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
@@ -173,6 +174,7 @@ ROTATED_VETERANS = {
     "f1_filter_predicates",
     "f2_attribute_select",
     "j1_classification_join",
+    "j3_weighted_average",
     "a8_rollup",
     "j9_semi_anti",
     "x14_text_cleaning",

@@ -252,3 +252,35 @@ class TestViewSugar:
         assert "item_key" in classified.columns
         classified2 = engine.frame(food).view["original"]
         assert "item_key_1" in classified2.columns
+
+
+def test_jsonl_schema_enforced_corrupt_capture(spark, tmp_path):
+    """read_jsonl: enforced schema (no inference), malformed lines captured
+    in the corrupt column with data columns null, clean rows typed."""
+    from pyspark.sql import types as T
+
+    from hbsir_old_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "lang": "en"}\n'
+        '{"doc_id": 2, "lang": "de"}\n'
+        "{broken\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    raw = read_jsonl(spark, str(p), schema).cache()
+    try:
+        good, bad = split_corrupt(raw)
+        assert {r["doc_id"] for r in good.collect()} == {1, 2}
+        assert good.schema["doc_id"].dataType == T.LongType()
+        bad_rows = bad.collect()
+        assert len(bad_rows) == 1
+        assert bad_rows[0]["_corrupt_record"] == "{broken"
+        assert bad_rows[0]["doc_id"] is None
+    finally:
+        raw.unpersist()
