@@ -66,6 +66,42 @@ class HBSIREngine:
             cleaning_metadata=cleaning_metadata,
         )
 
+    @classmethod
+    def with_reference_corpus(
+        cls,
+        spark: SparkSession,
+        base_loader: BaseLoader | None = None,
+        raw_loader: BaseLoader | None = None,
+        cache_dir: str | None = None,
+        local_metadata_dir: str | None = None,
+        settings: Mapping | None = None,
+    ) -> "HBSIREngine":
+        """The drop-in facade for a reference user: an engine wired to the
+        PORTED 39-year metadata corpus (real tables.yaml cleaning specs,
+        schema.yaml pipelines, household.yaml ID layouts, commodity and
+        occupation classifications, local-override hook) so
+        ``load_table("food", 1400)``, ``add_classification``,
+        ``add_attribute`` etc. behave like the reference package out of
+        the box. Point ``raw_loader``/``base_loader`` at survey files laid
+        out like the original; ``local_metadata_dir`` mirrors the
+        reference's user-metadata override directory."""
+        from hbsir_old_spark.metadata.corpus import build_reference_registry
+        from hbsir_old_spark.metadata.settings import Settings
+
+        self = cls.__new__(cls)
+        self.spark = spark
+        self.settings = Settings.with_defaults(settings)
+        self.first_year = self.settings["years.first"]
+        self.last_year = self.settings["years.last"]
+        self.registry = build_reference_registry(
+            spark,
+            base_loader=base_loader,
+            raw_loader=raw_loader,
+            cache=FingerprintCache(cache_dir) if cache_dir else None,
+            local_metadata_dir=local_metadata_dir,
+        )
+        return self
+
     # -- core loading ----------------------------------------------------
     def parse_years(self, years) -> list[int]:
         return parse_years(years, first_year=self.first_year, last_year=self.last_year)

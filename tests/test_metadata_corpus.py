@@ -435,3 +435,40 @@ class TestRealExternalData:
     def test_manual_datasets_declared(self, corpus):
         assert corpus.external_data["counties"] == "manual"
         assert corpus.external_data["weights"] == "manual"
+
+
+class TestEngineFacadeOverCorpus:
+    def test_with_reference_corpus_decodes_and_classifies(self, spark):
+        """The drop-in facade: HBSIREngine.with_reference_corpus wires the
+        ported 39-year metadata, so a reference user's add_attribute /
+        add_classification calls work without assembling a registry."""
+        from pyspark.sql import functions as F
+
+        from hbsir_old_spark.api import HBSIREngine
+
+        engine = HBSIREngine.with_reference_corpus(spark)
+        df = spark.createDataFrame(
+            [(1400, 1 * 10**10 + 12345678, 11230),   # leading digit 1 = Urban
+             (1400, 2 * 10**10 + 87654321, 44120)],  # leading digit 2 = Rural
+            "Year int, ID long, Code long",
+        )
+        out = engine.add_attribute(df, "Urban_Rural")
+        out = engine.add_classification(out, "Food_NonFood", years=[1400])
+        rows = {r["ID"]: (r["Urban_Rural"], r["Food_NonFood"]) for r in out.collect()}
+        vals = sorted(rows.values())
+        assert vals == [("Rural", "NonFood"), ("Urban", "Food")]
+
+    def test_with_reference_corpus_local_override(self, spark, tmp_path):
+        from hbsir_old_spark.api import HBSIREngine
+
+        (tmp_path / "household.yaml").write_text(
+            "Urban_Rural:\n"
+            "  code:\n    position:\n      start: 0\n      end: 1\n"
+            "  name:\n    1387:\n      1: \"City\"\n      2: \"Countryside\"\n"
+        )
+        engine = HBSIREngine.with_reference_corpus(
+            spark, local_metadata_dir=str(tmp_path)
+        )
+        df = spark.createDataFrame([(1400, 10**10 + 5)], "Year int, ID long")
+        row = engine.add_attribute(df, "Urban_Rural").collect()[0]
+        assert row["Urban_Rural"] == "City"
