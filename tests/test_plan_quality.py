@@ -239,6 +239,16 @@ def test_semantic_dedup_joins_on_cluster_not_cartesian(spark, sf_dir):
     assert "__kc__" in plan  # pair join keyed on the cluster column
 
 
+def test_lm_scores_partial_agg_and_no_python(spark, sf_dir):
+    # x30: bigram counting must partially aggregate (map-side combine
+    # before the shuffle) and the whole score pipeline stays JVM-side
+    df = entry_mod.q_lm_perplexity(spark, sf_dir)
+    plan = plan_of(df)
+    assert "partial_count" in plan or "partial" in plan.lower(), plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_interval_join_is_hash_join_on_key(spark, sf_dir):
     # s6: the interval join must extract user_id as the hash-join key with
     # the time range as a join-side filter — a nested-loop join over the
