@@ -3550,11 +3550,14 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     fact = classified.join(orders, classified.l_orderkey == orders.o_orderkey)
     fact = fact.withColumn("Weight", ((F.col("o_custkey") % 5) + 1).cast("double"))
+    # deciles within each classification group: the window partitions by
+    # name_1, so no single-partition global sort (the reference's deciles
+    # are likewise within-year/within-group)
     binned = add_decile(
         fact,
         value_col="o_totalprice",
         weight_col="Weight",
-        group_cols=(),
+        group_cols=("name_1",),
         out_col="decile",
         tiebreaker_cols=("o_orderkey", "l_linenumber"),
     )
