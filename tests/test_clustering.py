@@ -145,6 +145,26 @@ def test_semantic_dedup_multiprobe_catches_straddled_pair(spark):
     assert kept1 == [0, 1, 2]  # the documented single-probe miss
 
 
+def test_semantic_dedup_unrolled_dim_matches_lambda_path(spark):
+    """dim= switches the verify stage to the unrolled codegen'd dot with
+    precomputed norms — results must match the interpreted path exactly."""
+    from hbsir_old_spark.functions.clustering import semantic_dedup
+
+    df = _blob_df(spark, n_per_blob=8, k=3, dim=6)
+    model = kmeans_fit(df, k=3, max_iter=5)
+    base = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, model, threshold=0.99).select("vec_id").collect()
+    )
+    unrolled = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, model, threshold=0.99, dim=6)
+        .select("vec_id")
+        .collect()
+    )
+    assert base == unrolled
+
+
 def test_semantic_dedup_high_threshold_keeps_all(spark):
     from hbsir_old_spark.functions.clustering import semantic_dedup
 
