@@ -2401,6 +2401,52 @@ ORDER BY lang
 
 
 # --------------------------------------------------------------------------
+# L8 — columnar-format breadth: the documents table round-trips through
+# ORC (Spark's second native columnar format; Zlib default codec) with a
+# lang-partitioned layout, and the read-back — through a partition-pruned
+# scan of TWO langs — must aggregate exactly like the parquet original.
+# Pins that the engine's source layer is format-agnostic and that
+# partition pruning fires on the ORC path too.
+# --------------------------------------------------------------------------
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
+    path = f"{tempfile.gettempdir()}/l8_orc_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    docs.write.mode("overwrite").partitionBy("lang").orc(path)
+    back = spark.read.orc(path).filter(F.col("lang").isin("en", "de"))
+    out = (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .orderBy("lang", "source")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+SQL_ORC_ROUNDTRIP = """
+SELECT lang, source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars, min(doc_id)::BIGINT AS min_doc_id
+FROM documents WHERE lang IN ('en', 'de')
+GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+# --------------------------------------------------------------------------
 # X30 — corpus-LM perplexity filter (the CCNet/Gopher quality-scoring
 # shape): per-document cross-entropy under an add-one-smoothed word-bigram
 # LM trained on the corpus itself. Training is explode + partial-agg
@@ -3622,8 +3668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x29_temperature_sample": q_temperature_sample,
         "x30_lm_perplexity": q_lm_perplexity,
         "l7_jsonl_ingest": q_jsonl_ingest,
+        "l8_orc_roundtrip": q_orc_roundtrip,
         # -- veterans with green r4 rows --
-        "j2_dim_join_chain": q_dim_join_chain,
         "j6_fact_join": q_fact_join,
         "a2_household_math": q_household_math,
         "a4_average_table": q_average_table,
@@ -3655,6 +3701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_attribute_select": q_attribute_select,
         "j1_classification_join": q_classification_join,
         "j3_weighted_average": q_weighted_average,
+        "j2_dim_join_chain": q_dim_join_chain,
         "a8_rollup": q_rollup,
         "j9_semi_anti": q_semi_anti_join,
         "x14_text_cleaning": q_text_cleaning,
@@ -3770,5 +3817,6 @@ def oracle_sql() -> dict[str, str]:
         "x29_temperature_sample": SQL_TEMPERATURE_SAMPLE,
         "x30_lm_perplexity": SQL_LM_PERPLEXITY,
         "l7_jsonl_ingest": SQL_JSONL_INGEST,
+        "l8_orc_roundtrip": SQL_ORC_ROUNDTRIP,
         "x24_token_budget": SQL_TOKEN_BUDGET,
     }

@@ -146,6 +146,7 @@ NO_R4_ROW_OR_NEW = {
     "x29_temperature_sample",
     "x30_lm_perplexity",
     "l7_jsonl_ingest",
+    "l8_orc_roundtrip",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
@@ -175,6 +176,7 @@ ROTATED_VETERANS = {
     "f2_attribute_select",
     "j1_classification_join",
     "j3_weighted_average",
+    "j2_dim_join_chain",
     "a8_rollup",
     "j9_semi_anti",
     "x14_text_cleaning",
