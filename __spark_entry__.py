@@ -2447,6 +2447,68 @@ GROUP BY lang, source ORDER BY lang, source
 
 
 # --------------------------------------------------------------------------
+# L9 — the bucketing scale lever end-to-end: both fact tables are written
+# bucketed+sorted on the join key (8 buckets, catalog tables), broadcast
+# is disabled to expose the 100-TB fact-fact shape, and the co-located
+# SortMergeJoin (zero Exchange — plan-pinned separately in
+# tests/test_scale_operators.py) must aggregate exactly like DuckDB
+# joining the parquet originals.
+# --------------------------------------------------------------------------
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from hbsir_old_spark.operators.scale import bucketed_join, write_bucketed
+
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
+    lt, rt = f"l9_li_{tag}", f"l9_orders_{tag}"
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    write_bucketed(li, lt, ["l_orderkey"], num_buckets=8, sort_by=["l_orderkey"])
+    write_bucketed(
+        orders, rt, ["l_orderkey"], num_buckets=8, sort_by=["l_orderkey"]
+    )
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, lt, rt, ["l_orderkey"])
+        out = (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("long").alias("n_items"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                ).alias("revenue"),
+                F.sum("l_quantity").cast("long").alias("total_qty"),
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {rt}")
+    return out
+
+
+SQL_BUCKETED_JOIN = """
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       sum(l_quantity)::BIGINT AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
 # X30 — corpus-LM perplexity filter (the CCNet/Gopher quality-scoring
 # shape): per-document cross-entropy under an add-one-smoothed word-bigram
 # LM trained on the corpus itself. Training is explode + partial-agg
@@ -3669,8 +3731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x30_lm_perplexity": q_lm_perplexity,
         "l7_jsonl_ingest": q_jsonl_ingest,
         "l8_orc_roundtrip": q_orc_roundtrip,
+        "l9_bucketed_join": q_bucketed_join,
         # -- veterans with green r4 rows --
-        "j6_fact_join": q_fact_join,
         "a2_household_math": q_household_math,
         "a4_average_table": q_average_table,
         "a5_weighted_sum": q_weighted_sum,
@@ -3702,6 +3764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_classification_join": q_classification_join,
         "j3_weighted_average": q_weighted_average,
         "j2_dim_join_chain": q_dim_join_chain,
+        "j6_fact_join": q_fact_join,
         "a8_rollup": q_rollup,
         "j9_semi_anti": q_semi_anti_join,
         "x14_text_cleaning": q_text_cleaning,
@@ -3818,5 +3881,6 @@ def oracle_sql() -> dict[str, str]:
         "x30_lm_perplexity": SQL_LM_PERPLEXITY,
         "l7_jsonl_ingest": SQL_JSONL_INGEST,
         "l8_orc_roundtrip": SQL_ORC_ROUNDTRIP,
+        "l9_bucketed_join": SQL_BUCKETED_JOIN,
         "x24_token_budget": SQL_TOKEN_BUDGET,
     }

@@ -147,6 +147,7 @@ NO_R4_ROW_OR_NEW = {
     "x30_lm_perplexity",
     "l7_jsonl_ingest",
     "l8_orc_roundtrip",
+    "l9_bucketed_join",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
@@ -177,6 +178,7 @@ ROTATED_VETERANS = {
     "j1_classification_join",
     "j3_weighted_average",
     "j2_dim_join_chain",
+    "j6_fact_join",
     "a8_rollup",
     "j9_semi_anti",
     "x14_text_cleaning",
