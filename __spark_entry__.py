@@ -2509,6 +2509,110 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 
 # --------------------------------------------------------------------------
+# L10 — the skew-salting scale lever end-to-end: a deliberately SKEWED
+# fact (80% of rows forced onto one hot key) salted-joins a dimension
+# (left salt from row identity, right replicated once per salt), and the
+# result must aggregate exactly like DuckDB's plain join — salting
+# changes the shuffle distribution, never the answer.
+# --------------------------------------------------------------------------
+
+
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.operators.scale import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    # 80% of rows pile onto supplier key 1 — the hot-key shape
+    skewed = li.select(
+        F.when(F.col("l_orderkey") % 5 < 4, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("s_suppkey"),
+        "l_extendedprice",
+        "l_quantity",
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    joined = salted_join(skewed, supp, on="s_suppkey", factor=8)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.sum("l_quantity").cast("long").alias("total_qty"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+SQL_SALTED_SKEW_JOIN = """
+WITH skewed AS (
+  SELECT CASE WHEN l_orderkey % 5 < 4 THEN 1 ELSE l_suppkey END AS s_suppkey,
+         l_extendedprice, l_quantity
+  FROM lineitem
+)
+SELECT s_nationkey,
+       count(*)::BIGINT AS n_items,
+       round(sum(l_extendedprice), 2) AS total_price,
+       sum(l_quantity)::BIGINT AS total_qty
+FROM skewed JOIN supplier USING (s_suppkey)
+GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# L11 — Year-partitioned parquet write (S4) end-to-end: household-shaped
+# rows derived from orders are written partitioned by Year, read back
+# with a two-Year filter (pruning directories, not rows — plan-pinned in
+# tests/test_partitioned_io.py), and must aggregate exactly like DuckDB
+# computing the same two Years from the original table.
+# --------------------------------------------------------------------------
+
+
+def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from hbsir_old_spark.sources.writer import read_partitioned, write_partitioned
+
+    orders = _t(spark, sf_dir, "orders")
+    rows = orders.select(
+        (F.lit(1396) + F.col("o_orderkey") % 6).cast("int").alias("Year"),
+        F.col("o_custkey").alias("ID"),
+        "o_totalprice",
+    )
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
+    path = f"{tempfile.gettempdir()}/l11_part_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    write_partitioned(rows, path, partition_cols=("Year",))
+    back = read_partitioned(spark, path).filter(F.col("Year").isin(1398, 1400))
+    out = (
+        back.groupBy("Year")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.countDistinct("ID").cast("long").alias("n_households"),
+        )
+        .orderBy("Year")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+SQL_PARTITIONED_WRITE = """
+SELECT (1396 + o_orderkey % 6)::INT AS Year,
+       count(*)::BIGINT AS n_rows,
+       round(sum(o_totalprice), 2) AS total_price,
+       count(DISTINCT o_custkey)::BIGINT AS n_households
+FROM orders
+WHERE 1396 + o_orderkey % 6 IN (1398, 1400)
+GROUP BY Year ORDER BY Year
+"""
+
+
+# --------------------------------------------------------------------------
 # X30 — corpus-LM perplexity filter (the CCNet/Gopher quality-scoring
 # shape): per-document cross-entropy under an add-one-smoothed word-bigram
 # LM trained on the corpus itself. Training is explode + partial-agg
@@ -3732,9 +3836,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l7_jsonl_ingest": q_jsonl_ingest,
         "l8_orc_roundtrip": q_orc_roundtrip,
         "l9_bucketed_join": q_bucketed_join,
+        "l10_salted_skew_join": q_salted_skew_join,
+        "l11_partitioned_write": q_partitioned_write,
         # -- veterans with green r4 rows --
-        "a2_household_math": q_household_math,
-        "a4_average_table": q_average_table,
         "a5_weighted_sum": q_weighted_sum,
         "w1_weighted_ecdf": q_weighted_ecdf,
         "w2_decile": q_decile,
@@ -3765,6 +3869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_weighted_average": q_weighted_average,
         "j2_dim_join_chain": q_dim_join_chain,
         "j6_fact_join": q_fact_join,
+        "a2_household_math": q_household_math,
+        "a4_average_table": q_average_table,
         "a8_rollup": q_rollup,
         "j9_semi_anti": q_semi_anti_join,
         "x14_text_cleaning": q_text_cleaning,
@@ -3882,5 +3988,7 @@ def oracle_sql() -> dict[str, str]:
         "l7_jsonl_ingest": SQL_JSONL_INGEST,
         "l8_orc_roundtrip": SQL_ORC_ROUNDTRIP,
         "l9_bucketed_join": SQL_BUCKETED_JOIN,
+        "l10_salted_skew_join": SQL_SALTED_SKEW_JOIN,
+        "l11_partitioned_write": SQL_PARTITIONED_WRITE,
         "x24_token_budget": SQL_TOKEN_BUDGET,
     }

@@ -148,6 +148,8 @@ NO_R4_ROW_OR_NEW = {
     "l7_jsonl_ingest",
     "l8_orc_roundtrip",
     "l9_bucketed_join",
+    "l10_salted_skew_join",
+    "l11_partitioned_write",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
@@ -179,6 +181,8 @@ ROTATED_VETERANS = {
     "j3_weighted_average",
     "j2_dim_join_chain",
     "j6_fact_join",
+    "a2_household_math",
+    "a4_average_table",
     "a8_rollup",
     "j9_semi_anti",
     "x14_text_cleaning",
