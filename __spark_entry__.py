@@ -2138,6 +2138,29 @@ ORDER BY Provision_Method
 _G5_CODES = [11230, 21300, 111400, 44120, 95210, 121300]
 
 
+def _scratch_tag(sf_dir: str) -> str:
+    """Deterministic per-(input, process) tag for gate workspaces: repeat
+    calls in one process reuse (and rebuild) one tree — no /tmp or catalog
+    accumulation — while concurrent runners (pytest parity vs the driver
+    on the same sf_dir) stay disjoint."""
+    import hashlib
+    import os
+
+    return f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
+
+
+def _scratch_dir(prefix: str, sf_dir: str) -> str:
+    """Fresh gate workspace under /tmp, emptied on entry (stale state from
+    older test data must not survive). Callers wrap USE in try/finally so
+    the tree is also removed on failure."""
+    import shutil
+    import tempfile
+
+    path = f"{tempfile.gettempdir()}/{prefix}_{_scratch_tag(sf_dir)}"
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
 def _hh_id_1400(key: Column) -> Column:
     """Compose a valid 11-digit year-1400 household ID from a surrogate
     key: leading digit 1|2 (the post-1387 Urban|Rural code per
@@ -2339,10 +2362,7 @@ FROM fr
 
 
 def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
     import shutil
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -2355,38 +2375,37 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupt = spark.createDataFrame(
         [("{oops",), ("not json at all",)], "value string"
     )
-    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
-    path = f"{tempfile.gettempdir()}/l7_jsonl_{tag}"
-    shutil.rmtree(path, ignore_errors=True)
-    lines.unionByName(corrupt).write.mode("overwrite").text(path)
-
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
-    # cache before splitting: Spark disallows queries that reference ONLY
-    # the corrupt-record column of a raw JSON scan (the corrupt count
-    # below would otherwise prune to exactly that)
-    raw = read_jsonl(spark, path, schema).cache()
+    path = _scratch_dir("l7_jsonl", sf_dir)
     try:
-        good, bad = split_corrupt(raw)
-        per_lang = good.groupBy("lang").agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
+        lines.unionByName(corrupt).write.mode("overwrite").text(path)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
         )
-        corrupt_row = bad.agg(
-            F.lit("_corrupt").alias("lang"),
-            F.count("*").cast("long").alias("n_docs"),
-            F.lit(None).cast("long").alias("total_chars"),
-        )
-        out = per_lang.unionByName(corrupt_row).orderBy(
-            "lang"
-        ).localCheckpoint(eager=True)
+        # cache before splitting: Spark disallows queries that reference
+        # ONLY the corrupt-record column of a raw JSON scan (the corrupt
+        # count below would otherwise prune to exactly that)
+        raw = read_jsonl(spark, path, schema).cache()
+        try:
+            good, bad = split_corrupt(raw)
+            per_lang = good.groupBy("lang").agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            )
+            corrupt_row = bad.agg(
+                F.lit("_corrupt").alias("lang"),
+                F.count("*").cast("long").alias("n_docs"),
+                F.lit(None).cast("long").alias("total_chars"),
+            )
+            out = per_lang.unionByName(corrupt_row).orderBy(
+                "lang"
+            ).localCheckpoint(eager=True)
+        finally:
+            raw.unpersist()
     finally:
-        raw.unpersist()
         shutil.rmtree(path, ignore_errors=True)
     return out
 
@@ -2411,30 +2430,27 @@ ORDER BY lang
 
 
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
     import shutil
-    import tempfile
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
-    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
-    path = f"{tempfile.gettempdir()}/l8_orc_{tag}"
-    shutil.rmtree(path, ignore_errors=True)
-    docs.write.mode("overwrite").partitionBy("lang").orc(path)
-    back = spark.read.orc(path).filter(F.col("lang").isin("en", "de"))
-    out = (
-        back.groupBy("lang", "source")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
-            F.min("doc_id").cast("long").alias("min_doc_id"),
+    path = _scratch_dir("l8_orc", sf_dir)
+    try:
+        docs.write.mode("overwrite").partitionBy("lang").orc(path)
+        back = spark.read.orc(path).filter(F.col("lang").isin("en", "de"))
+        out = (
+            back.groupBy("lang", "source")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+                F.min("doc_id").cast("long").alias("min_doc_id"),
+            )
+            .orderBy("lang", "source")
+            .localCheckpoint(eager=True)
         )
-        .orderBy("lang", "source")
-        .localCheckpoint(eager=True)
-    )
-    shutil.rmtree(path, ignore_errors=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
     return out
 
 
@@ -2457,12 +2473,9 @@ GROUP BY lang, source ORDER BY lang, source
 
 
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-
     from hbsir_old_spark.operators.scale import bucketed_join, write_bucketed
 
-    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
+    tag = _scratch_tag(sf_dir)
     lt, rt = f"l9_li_{tag}", f"l9_orders_{tag}"
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
@@ -2470,12 +2483,16 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    write_bucketed(li, lt, ["l_orderkey"], num_buckets=8, sort_by=["l_orderkey"])
-    write_bucketed(
-        orders, rt, ["l_orderkey"], num_buckets=8, sort_by=["l_orderkey"]
-    )
     threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # the writes sit INSIDE the try: a failure between them must still
+    # drop the first table (pid-tagged names would otherwise orphan it)
     try:
+        write_bucketed(
+            li, lt, ["l_orderkey"], num_buckets=8, sort_by=["l_orderkey"]
+        )
+        write_bucketed(
+            orders, rt, ["l_orderkey"], num_buckets=8, sort_by=["l_orderkey"]
+        )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         joined = bucketed_join(spark, lt, rt, ["l_orderkey"])
         out = (
@@ -2569,10 +2586,7 @@ GROUP BY s_nationkey ORDER BY s_nationkey
 
 
 def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
     import shutil
-    import tempfile
 
     from hbsir_old_spark.sources.writer import read_partitioned, write_partitioned
 
@@ -2582,22 +2596,24 @@ def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("ID"),
         "o_totalprice",
     )
-    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
-    path = f"{tempfile.gettempdir()}/l11_part_{tag}"
-    shutil.rmtree(path, ignore_errors=True)
-    write_partitioned(rows, path, partition_cols=("Year",))
-    back = read_partitioned(spark, path).filter(F.col("Year").isin(1398, 1400))
-    out = (
-        back.groupBy("Year")
-        .agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-            F.countDistinct("ID").cast("long").alias("n_households"),
+    path = _scratch_dir("l11_part", sf_dir)
+    try:
+        write_partitioned(rows, path, partition_cols=("Year",))
+        back = read_partitioned(spark, path).filter(
+            F.col("Year").isin(1398, 1400)
         )
-        .orderBy("Year")
-        .localCheckpoint(eager=True)
-    )
-    shutil.rmtree(path, ignore_errors=True)
+        out = (
+            back.groupBy("Year")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+                F.countDistinct("ID").cast("long").alias("n_households"),
+            )
+            .orderBy("Year")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
     return out
 
 
@@ -3296,10 +3312,7 @@ def q_weighted_approx_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
     import shutil
-    import tempfile
 
     from hbsir_old_spark.streaming.sink import upsert_batch_writer
 
@@ -3321,33 +3334,28 @@ def q_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     cut_ms = (lo + hi) // 2
     cut_hour_ms = cut_ms - cut_ms % 3_600_000
-    # deterministic workspace keyed on the input (the harness calls each
-    # gate several times; a mkdtemp per call would accumulate /tmp trees —
-    # same policy as the l2 setup workspace). Unlike l2 there is no
-    # completion marker: re-running the writes IS the gate, and stale
-    # window partitions from older test data must not survive, so the tree
-    # is rebuilt from empty every call.
-    # per-process tag: deterministic within a process (repeat calls reuse
-    # and rebuild one tree — no /tmp accumulation) but disjoint across
-    # concurrent runners (pytest parity vs the driver on the same sf_dir
-    # would otherwise rmtree each other mid-write)
-    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
-    target = f"{tempfile.gettempdir()}/s4_upsert_{tag}"
-    shutil.rmtree(target, ignore_errors=True)
-    writer = upsert_batch_writer(target, ["window_start_ms"])
-    # micro-batch 0: everything before the cut — the boundary window holds a
-    # PARTIAL aggregate that batch 1 must overwrite
-    writer(hourly_agg(events.filter(F.unix_millis("ts") < cut_ms)), 0)
-    # micro-batch 1: update-mode re-emission of every window touched at or
-    # after the cut (rows >= cut only land in windows >= the cut hour)
-    batch2 = hourly_agg(events).filter(F.col("window_start_ms") >= cut_hour_ms)
-    writer(batch2, 1)
-    writer(batch2, 1)  # replayed epoch — must be a no-op on the final state
-    # checkpoint the read-back into Spark's block manager so the /tmp tree
-    # can be deleted immediately — otherwise every process leaks one
-    # workspace per run (the result is gate-scale tiny)
-    out = spark.read.parquet(target).localCheckpoint(eager=True)
-    shutil.rmtree(target, ignore_errors=True)
+    # deterministic workspace keyed on the input (see _scratch_dir). Unlike
+    # l2 there is no completion marker: re-running the writes IS the gate,
+    # and stale window partitions from older test data must not survive,
+    # so the tree is rebuilt from empty every call.
+    target = _scratch_dir("s4_upsert", sf_dir)
+    try:
+        writer = upsert_batch_writer(target, ["window_start_ms"])
+        # micro-batch 0: everything before the cut — the boundary window
+        # holds a PARTIAL aggregate that batch 1 must overwrite
+        writer(hourly_agg(events.filter(F.unix_millis("ts") < cut_ms)), 0)
+        # micro-batch 1: update-mode re-emission of every window touched at
+        # or after the cut (rows >= cut only land in windows >= the cut hour)
+        batch2 = hourly_agg(events).filter(
+            F.col("window_start_ms") >= cut_hour_ms
+        )
+        writer(batch2, 1)
+        writer(batch2, 1)  # replayed epoch — a no-op on the final state
+        # checkpoint the read-back into Spark's block manager so the /tmp
+        # tree can be deleted immediately
+        out = spark.read.parquet(target).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
     return out.select(
         F.col("window_start_ms").cast("long").alias("window_start_ms"),
         "event_type",
@@ -3376,51 +3384,53 @@ SQL_UPSERT_SINK = SQL_EVENTS_TUMBLING
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
     import shutil
-    import tempfile
 
     events = _events(spark, sf_dir)
-    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
-    workdir = f"{tempfile.gettempdir()}/s7_dedup_{tag}"
-    shutil.rmtree(workdir, ignore_errors=True)
-    dup_dir = f"{workdir}/in"
-    events.unionByName(events).coalesce(1).write.mode("overwrite").parquet(
-        dup_dir
-    )
-    schema = spark.read.parquet(dup_dir).schema
-    stream = spark.readStream.schema(schema).parquet(dup_dir)
-    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
-        ["event_id"]
-    )
-    qname = f"s7_mem_{tag}"
-    query = (
-        deduped.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{workdir}/ckpt")
-        .start()
-    )
-    # fail fast on a hung stream: a partial memory table would surface as a
-    # confusing value mismatch, and rmtree under a live query breaks it
-    if not query.awaitTermination(240):
-        query.stop()
-        shutil.rmtree(workdir, ignore_errors=True)
-        raise RuntimeError("s7 streaming dedup did not finish within 240s")
-    out = (
-        spark.table(qname)
-        .groupBy("event_type")
-        .agg(
-            F.count("*").cast("long").alias("n_events"),
-            F.countDistinct("event_id").cast("long").alias("n_distinct_ids"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+    workdir = _scratch_dir("s7_dedup", sf_dir)
+    qname = f"s7_mem_{_scratch_tag(sf_dir)}"
+    query = None
+    try:
+        dup_dir = f"{workdir}/in"
+        events.unionByName(events).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(dup_dir)
+        schema = spark.read.parquet(dup_dir).schema
+        stream = spark.readStream.schema(schema).parquet(dup_dir)
+        deduped = stream.withWatermark(
+            "ts", "1 hour"
+        ).dropDuplicatesWithinWatermark(["event_id"])
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .start()
         )
-        .localCheckpoint(eager=True)
-    )
-    spark.catalog.dropTempView(qname)
-    shutil.rmtree(workdir, ignore_errors=True)
+        # fail fast on a hung stream: a partial memory table would surface
+        # as a confusing value mismatch, and rmtree under a live query
+        # breaks it
+        if not query.awaitTermination(240):
+            raise RuntimeError("s7 streaming dedup did not finish within 240s")
+        query = None  # terminated; nothing to stop in the finally
+        out = (
+            spark.table(qname)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                F.countDistinct("event_id")
+                .cast("long")
+                .alias("n_distinct_ids"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        spark.catalog.dropTempView(qname)
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
     return out.orderBy("event_type")
 
 
