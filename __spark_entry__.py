@@ -2629,6 +2629,61 @@ GROUP BY Year ORDER BY Year
 
 
 # --------------------------------------------------------------------------
+# L12 — the ASPECT face of the real classification machinery: the Duration
+# classification (commodities.yaml, defaults levels=[4] aspects=[duration]
+# column_names=[Duration], items spliced whole from {{original_1363}})
+# must yield the numeric duration VALUE per commodity code — 2 for
+# perishables, 30 for monthly-recall staples, NULL for unmapped codes (no
+# missing_value_replacements on this classification). Codes verified
+# against the YAML: 11150 flour=2, 11250 cereals=30, 12150 red_meat=2,
+# 14150=30, 16350=30, 99999 unmapped.
+# --------------------------------------------------------------------------
+
+_L12_CODES = [11150, 11250, 12150, 14150, 16350, 99999]
+
+
+def q_real_duration_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.metadata.corpus import build_reference_registry
+
+    registry = build_reference_registry(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    codes = F.array(*[F.lit(c) for c in _L12_CODES])
+    df = li.select(
+        F.lit(1400).alias("Year"),
+        F.element_at(codes, (F.col("l_partkey") % 6 + 1).cast("int")).alias(
+            "Code"
+        ),
+        "l_extendedprice",
+    )
+    out = registry.add_classification(df, "Duration", years=[1400])
+    return (
+        out.groupBy(F.col("Code").cast("long").alias("Code"), "Duration")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("Code")
+    )
+
+
+SQL_REAL_DURATION_ASPECT = """
+WITH coded AS (
+  SELECT [11150, 11250, 12150, 14150, 16350, 99999]
+           [(l_partkey % 6 + 1)::INTEGER] AS Code,
+         l_extendedprice
+  FROM lineitem
+)
+SELECT Code::BIGINT AS Code,
+       CASE WHEN Code IN (11150, 12150) THEN 2
+            WHEN Code IN (11250, 14150, 16350) THEN 30 END AS Duration,
+       count(*)::BIGINT AS n_rows,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM coded
+GROUP BY Code ORDER BY Code
+"""
+
+
+# --------------------------------------------------------------------------
 # X30 — corpus-LM perplexity filter (the CCNet/Gopher quality-scoring
 # shape): per-document cross-entropy under an add-one-smoothed word-bigram
 # LM trained on the corpus itself. Training is explode + partial-agg
@@ -3848,8 +3903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l9_bucketed_join": q_bucketed_join,
         "l10_salted_skew_join": q_salted_skew_join,
         "l11_partitioned_write": q_partitioned_write,
+        "l12_real_duration_aspect": q_real_duration_aspect,
         # -- veterans with green r4 rows --
-        "a5_weighted_sum": q_weighted_sum,
         "w1_weighted_ecdf": q_weighted_ecdf,
         "w2_decile": q_decile,
         "p13_cpi_deflation": q_cpi_deflation,
@@ -3881,6 +3936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_fact_join": q_fact_join,
         "a2_household_math": q_household_math,
         "a4_average_table": q_average_table,
+        "a5_weighted_sum": q_weighted_sum,
         "a8_rollup": q_rollup,
         "j9_semi_anti": q_semi_anti_join,
         "x14_text_cleaning": q_text_cleaning,
@@ -4000,5 +4056,6 @@ def oracle_sql() -> dict[str, str]:
         "l9_bucketed_join": SQL_BUCKETED_JOIN,
         "l10_salted_skew_join": SQL_SALTED_SKEW_JOIN,
         "l11_partitioned_write": SQL_PARTITIONED_WRITE,
+        "l12_real_duration_aspect": SQL_REAL_DURATION_ASPECT,
         "x24_token_budget": SQL_TOKEN_BUDGET,
     }

@@ -150,6 +150,7 @@ NO_R4_ROW_OR_NEW = {
     "l9_bucketed_join",
     "l10_salted_skew_join",
     "l11_partitioned_write",
+    "l12_real_duration_aspect",
     "a10_cube",
     "o2_rolling_window",
     "s5_batch_sessions",
@@ -183,6 +184,7 @@ ROTATED_VETERANS = {
     "j6_fact_join",
     "a2_household_math",
     "a4_average_table",
+    "a5_weighted_sum",
     "a8_rollup",
     "j9_semi_anti",
     "x14_text_cleaning",
