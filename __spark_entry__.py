@@ -2776,7 +2776,10 @@ WITH counts AS (
 SELECT r.lang, count(*)::BIGINT AS n_docs,
        min(doc_id)::BIGINT AS min_doc_id,
        sum(doc_id)::BIGINT AS id_checksum
-FROM ranked r JOIN quota USING (lang)
+-- null-safe join: the engine budgets the NULL-lang group too (pinned by a
+-- unit test); USING (lang) would silently drop it if the fixture ever
+-- grows NULL langs
+FROM ranked r JOIN quota ON r.lang IS NOT DISTINCT FROM quota.lang
 WHERE r.rn <= quota.q
 GROUP BY r.lang
 ORDER BY r.lang

@@ -232,9 +232,13 @@ def kmeans_inertia(
         .select(
             cosine_similarity(
                 F.col(vec_col),
-                F.element_at(F.col("__cents__"), F.col("cluster") + 1)[
-                    "__centvec__"
-                ],
+                # look the centroid up by id, not position: collect_list
+                # order after the global-agg shuffle is not contractual, so
+                # sort the struct array by its leading __centroid__ field
+                # first (stays codegen'd; k is tiny)
+                F.element_at(
+                    F.array_sort(F.col("__cents__")), F.col("cluster") + 1
+                )["__centvec__"],
             ).alias("__sim__")
         )
         .agg(F.avg("__sim__").alias("m"))

@@ -42,15 +42,21 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     """Dot product for a STATICALLY-known dimension as a flat codegen'd
     expression (element_at products summed left-associatively — float-
-    identical to :func:`dot`'s fold). Array higher-order lambdas evaluate
-    interpreted per element, which dominates pairwise verify stages; the
-    unrolled tree stays inside whole-stage codegen (the same trick as
-    quantile._count_lt's unrolled binary search)."""
-    terms = [F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)]
+    identical to :func:`dot`'s fold: each product is computed in the array
+    element type, then cast to double BEFORE summing, matching the fold's
+    double accumulator over element-typed zip_with products). Array
+    higher-order lambdas evaluate interpreted per element, which dominates
+    pairwise verify stages; the unrolled tree stays inside whole-stage
+    codegen (the same trick as quantile._count_lt's unrolled binary
+    search)."""
+    terms = [
+        (F.element_at(a, i + 1) * F.element_at(b, i + 1)).cast("double")
+        for i in range(dim)
+    ]
     out = terms[0]
     for t in terms[1:]:
         out = out + t
-    return out.cast("double")
+    return out
 
 
 def cosine_topk(

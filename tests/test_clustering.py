@@ -185,3 +185,32 @@ def test_kmeans_converges_early_and_assignment_is_stable(spark):
     refit = kmeans_fit(df, init=cents, max_iter=50)
     for a, b in zip(refit, cents):
         assert a == pytest.approx(b)
+
+
+def test_dot_unrolled_matches_fold_on_float_arrays(spark):
+    """ADVICE r6: dot_unrolled must be float-identical to dot's fold even
+    for array<float> inputs — both paths multiply in the element type and
+    accumulate in double. Bit-exact comparison over awkward float values."""
+    import random
+
+    from hbsir_old_spark.functions.similarity import dot, dot_unrolled
+
+    rng = random.Random(7)
+    rows = [
+        (
+            i,
+            [rng.uniform(-1, 1) for _ in range(16)],
+            [rng.uniform(-1, 1) for _ in range(16)],
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, a array<float>, b array<float>"
+    )
+    got = df.select(
+        "id",
+        dot(F.col("a"), F.col("b")).alias("fold"),
+        dot_unrolled(F.col("a"), F.col("b"), 16).alias("unrolled"),
+    ).collect()
+    for r in got:
+        assert r["fold"] == r["unrolled"], r["id"]
