@@ -2684,6 +2684,141 @@ GROUP BY Code ORDER BY Code
 
 
 # --------------------------------------------------------------------------
+# L13 — the reference's external-data chain end-to-end through the REAL
+# ported external_data.yaml: raw SCI spreadsheet grids (CSV fixtures with
+# the genuine positional layout, incl. the transposed 1400-base rural
+# sheet with dash missing cells) -> sci_* cleaning scripts -> the
+# goto/alias/from indirection resolving "sci.cpi_1400.annual.urban_rural"
+# -> engine.adjust_by_cpi deflating a lineitem-derived fact on
+# (Urban_Rural, Year). Grid values follow a closed-form formula so DuckDB
+# regenerates the whole CPI series (incl. the monthly->annual mean and the
+# missing-month skip) with generate_series: full oracle.
+# Reference parity: external_data/cleaning_scripts.py:10-116,
+# external_data_cleaner.py:34-175, api.py:467-560.
+# --------------------------------------------------------------------------
+
+
+def _l13_grid_csv(rows: list[list]) -> str:
+    width = max(len(r) for r in rows)
+    lines = []
+    for r in rows:
+        cells = ["" if v is None else str(v) for v in r] + [""] * (width - len(r))
+        lines.append(",".join(cells))
+    return "\n".join(lines) + "\n"
+
+
+def _l13_fixture_csvs() -> dict[str, str]:
+    """Fixture raw sheets keyed by dataset name. Urban monthly CPI(y, m) =
+    (y-1360)*12 + m over 1361-1402; rural main-groups CPI(y, m, g) =
+    (y-1373)*10 + m + g/4 over 1390-1402 with (1390, month 1) missing
+    (dash cells). All values integer-or-quarter doubles, so every mean in
+    the chain is IEEE-exact and DuckDB replays it bit-for-bit."""
+    urban: list[list] = [["title junk"], [None, "header", "CPI"]]
+    for y in range(1361, 1403):
+        for m in range(1, 13):
+            urban.append([y, m, float((y - 1360) * 12 + m)])
+
+    year_row: list = ["junk"]
+    month_row: list = ["junk"]
+    groups = ["Total", "Food", "Housing"]
+    data_rows: list[list] = [[g] for g in groups]
+    for y in range(1390, 1403):
+        for m in range(1, 13):
+            year_row.append(y if m == 1 else None)
+            month_row.append(f"M{m}")
+            for gi, row in enumerate(data_rows):
+                row.append(
+                    "-" if (y == 1390 and m == 1)
+                    else float((y - 1373) * 10 + m + gi * 0.25)
+                )
+    rural = [["title junk"], year_row, month_row] + data_rows
+    return {
+        "sci.cpi_1400_urban_singleindex.monthly": _l13_grid_csv(urban),
+        "sci.cpi_1400_rural_maingroups.monthly": _l13_grid_csv(rural),
+    }
+
+
+def q_real_cpi_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from hbsir_old_spark.api import HBSIREngine
+    from hbsir_old_spark.metadata.corpus import load_corpus
+    from hbsir_old_spark.sources.external import ExternalDataRegistry
+
+    meta = load_corpus().external_data
+    probe = ExternalDataRegistry(spark, meta)
+    url_to_csv = {
+        probe._navigate(name)[1]["url"]: csv
+        for name, csv in _l13_fixture_csvs().items()
+    }
+
+    def fetcher(url: str, dest: str) -> None:
+        with open(dest, "w", encoding="utf-8") as fh:
+            fh.write(url_to_csv[url])
+
+    workdir = _scratch_dir("l13_ext", sf_dir)
+    try:
+        eng = HBSIREngine.with_reference_corpus(spark)
+        eng.attach_external(fetcher=fetcher, cache_dir=workdir)
+        fact = _t(spark, sf_dir, "lineitem").select(
+            (F.lit(1390) + F.col("l_partkey") % 13).cast("long").alias("Year"),
+            F.when(F.col("l_orderkey") % 2 == 0, "Urban")
+            .otherwise("Rural")
+            .alias("Urban_Rural"),
+            F.col("l_extendedprice").alias("Expenditure"),
+        )
+        deflated = eng.adjust_by_cpi(fact, None, ["Expenditure"])
+        out = (
+            deflated.groupBy("Urban_Rural", "Year")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.round(F.sum("Expenditure"), 2).alias("real_expenditure"),
+            )
+            .orderBy("Urban_Rural", "Year")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
+SQL_REAL_CPI_CHAIN = """
+WITH months AS (SELECT unnest(generate_series(1, 12)) AS m),
+u_monthly AS (
+  SELECT y, m, ((y - 1360) * 12 + m)::DOUBLE AS cpi
+  FROM (SELECT unnest(generate_series(1361, 1402)) AS y), months
+),
+u_annual AS (SELECT y, avg(cpi) AS cpi FROM u_monthly GROUP BY y),
+r_monthly AS (
+  -- first main group only (g = 0): the annual_urban_rural combiner takes
+  -- the leftmost (all-items) rural group; (1390, 1) is the dash cell
+  SELECT y, m,
+         CASE WHEN y = 1390 AND m = 1 THEN NULL
+              ELSE ((y - 1373) * 10 + m)::DOUBLE END AS cpi
+  FROM (SELECT unnest(generate_series(1390, 1402)) AS y), months
+),
+r_annual AS (SELECT y, avg(cpi) AS cpi FROM r_monthly GROUP BY y),
+cpi AS (
+  SELECT 'Urban' AS ur, y, cpi FROM u_annual
+  UNION ALL
+  SELECT 'Rural' AS ur, y, cpi FROM r_annual
+),
+fact AS (
+  SELECT 1390 + l_partkey % 13 AS y,
+         CASE WHEN l_orderkey % 2 = 0 THEN 'Urban' ELSE 'Rural' END AS ur,
+         l_extendedprice AS expenditure
+  FROM lineitem
+)
+SELECT f.ur AS Urban_Rural, f.y::BIGINT AS Year,
+       count(*)::BIGINT AS n_rows,
+       round(sum(f.expenditure / c.cpi * 100), 2) AS real_expenditure
+FROM fact f JOIN cpi c ON f.ur = c.ur AND f.y = c.y
+GROUP BY f.ur, f.y
+ORDER BY Urban_Rural, Year
+"""
+
+
+# --------------------------------------------------------------------------
 # X30 — corpus-LM perplexity filter (the CCNet/Gopher quality-scoring
 # shape): per-document cross-entropy under an add-one-smoothed word-bigram
 # LM trained on the corpus itself. Training is explode + partial-agg
@@ -3858,74 +3993,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS LOAD-BEARING. The correctness driver records rows for only
-    # the FIRST 50 entries of this dict (observed r2/r3/r4; a PROGRESS.jsonl
+    # the FIRST 50 entries of this dict (observed r2-r5; a PROGRESS.jsonl
     # note asks for the cap to be lifted). Round-robin rotation policy:
     # every gate gets a driver row at least every other round. Gates WITHOUT
-    # a row in CORRECTNESS_r04.json (the 14 rotated out last round) plus the
-    # four new round-5 gates go FIRST; the tail holds only gates with green
-    # r4 rows, all of them also re-proven exact every test run by
-    # tests/test_oracle_parity.py (driver-identical DuckDB check, sf0.01).
+    # a row in CORRECTNESS_r05.json (the 39 rotated out last round) plus the
+    # new round-6 gates and the rows-only gates go FIRST; the tail holds
+    # only full-oracle gates with green r5 rows, all of them also re-proven
+    # exact every test run by tests/test_oracle_parity.py (driver-identical
+    # DuckDB check, sf0.01).
     return {
-        # -- no r4 row (rotated out last round): must be in the first 50 --
-        "x10_multimodal_features": q_multimodal_features,
-        "x11_bpe_token_count": q_bpe_token_count,
-        "x12_embedding_dedup": q_embedding_dedup,
-        "g1_dsl_pipeline": q_dsl_pipeline,
-        "l1_form_raw_vs_cleaned": q_form_raw_vs_cleaned,
-        "p4_string_scrub": q_string_scrub,
-        "p11_season_derivation": q_season_derivation,
-        "p16_id_digit_extraction": q_id_digit_extraction,
-        "p17_map_lookup": q_map_lookup,
-        "f3_distinct": q_distinct,
-        "o1_top_k": q_top_k,
-        "u1_union_missing_columns": q_union_missing_columns,
-        "p23_json_extract": q_json_extract,
-        "a7_approx_distinct": q_approx_distinct,
-        # -- new in round 5 --
-        "l3_real_corpus_food": q_real_corpus_food,
-        "a10_cube": q_cube,
-        "o2_rolling_window": q_rolling_window,
-        "s5_batch_sessions": q_batch_sessions,
-        "l4_real_household_decode": q_real_household_decode,
-        "x23_best_rep_dedup": q_best_rep_dedup,
-        "l5_real_occupation_classification": q_real_occupation_classification,
-        "s6_interval_join": q_interval_join,
-        "l6_local_override_decode": q_local_override_decode,
-        "g4_real_weighted_report": q_real_weighted_report,
-        "g5_real_isc_summary": q_real_isc_summary,
-        "x24_token_budget": q_token_budget,
-        "x25_repetition_filter": q_repetition_filter,
-        "x26_kmeans_planted": q_kmeans_planted,
-        "x27_semantic_dedup": q_semantic_dedup,
-        "s7_stream_dedup": q_stream_dedup,
-        "x28_sequence_pack": q_sequence_pack,
-        "x29_temperature_sample": q_temperature_sample,
-        "x30_lm_perplexity": q_lm_perplexity,
-        "l7_jsonl_ingest": q_jsonl_ingest,
-        "l8_orc_roundtrip": q_orc_roundtrip,
-        "l9_bucketed_join": q_bucketed_join,
-        "l10_salted_skew_join": q_salted_skew_join,
-        "l11_partitioned_write": q_partitioned_write,
-        "l12_real_duration_aspect": q_real_duration_aspect,
-        # -- veterans with green r4 rows --
-        "w1_weighted_ecdf": q_weighted_ecdf,
-        "w2_decile": q_decile,
-        "p13_cpi_deflation": q_cpi_deflation,
-        "a6_distinct_agg": q_distinct_agg,
-        "g2_training_pipeline": q_training_pipeline,
-        # -- rows-only gates (approximate by design, no oracle): the
-        # driver's ONLY evidence for them is the per-round spark_rows
-        # record, so they NEVER rotate past the 50-row window --
-        "x3_minhash_lsh": q_minhash_lsh,
-        "x4_simhash_pairs": q_simhash_pairs,
-        "x9_ann_lsh": q_ann_lsh,
-        "x13_ivf_topk": q_ivf_topk,
-        "w4_approx_decile": q_approx_decile,
-        "w4b_weighted_approx_decile": q_weighted_approx_decile,
-        # -- rotated past position 50 this round: every gate below is
-        # FULL-ORACLE with a green (hash-matched) driver row in
-        # CORRECTNESS_r04.json and full coverage in
-        # tests/test_oracle_parity.py --
+        # -- no r5 row (rotated out last round): must be in the first 50 --
         "a1_groupby_sum": q_groupby_sum,
         "p7_computed_column": q_computed_column,
         "p8_category_conditions": q_category_conditions,
@@ -3965,6 +4042,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_events_sessions": q_events_sessions,
         "s3_events_sliding": q_events_sliding,
         "x8_cosine_topk": q_cosine_topk,
+        # -- new in round 6 --
+        "l13_real_cpi_chain": q_real_cpi_chain,
+        # -- rows-only gates (approximate by design, no oracle): the
+        # driver's ONLY evidence for them is the per-round spark_rows
+        # record, so they NEVER rotate past the 50-row window --
+        "a7_approx_distinct": q_approx_distinct,
+        "x3_minhash_lsh": q_minhash_lsh,
+        "x4_simhash_pairs": q_simhash_pairs,
+        "x9_ann_lsh": q_ann_lsh,
+        "x13_ivf_topk": q_ivf_topk,
+        "w4_approx_decile": q_approx_decile,
+        "w4b_weighted_approx_decile": q_weighted_approx_decile,
+        # -- window fillers: green-r5 veterans completing the 50 --
+        "w1_weighted_ecdf": q_weighted_ecdf,
+        "w2_decile": q_decile,
+        "p13_cpi_deflation": q_cpi_deflation,
+        # -- rotated past position 50 this round: every gate below is
+        # FULL-ORACLE with a green (hash-matched) driver row in
+        # CORRECTNESS_r05.json and full coverage in
+        # tests/test_oracle_parity.py --
+        "x10_multimodal_features": q_multimodal_features,
+        "x11_bpe_token_count": q_bpe_token_count,
+        "x12_embedding_dedup": q_embedding_dedup,
+        "g1_dsl_pipeline": q_dsl_pipeline,
+        "l1_form_raw_vs_cleaned": q_form_raw_vs_cleaned,
+        "p4_string_scrub": q_string_scrub,
+        "p11_season_derivation": q_season_derivation,
+        "p16_id_digit_extraction": q_id_digit_extraction,
+        "p17_map_lookup": q_map_lookup,
+        "f3_distinct": q_distinct,
+        "o1_top_k": q_top_k,
+        "u1_union_missing_columns": q_union_missing_columns,
+        "p23_json_extract": q_json_extract,
+        "l3_real_corpus_food": q_real_corpus_food,
+        "a10_cube": q_cube,
+        "o2_rolling_window": q_rolling_window,
+        "s5_batch_sessions": q_batch_sessions,
+        "l4_real_household_decode": q_real_household_decode,
+        "x23_best_rep_dedup": q_best_rep_dedup,
+        "l5_real_occupation_classification": q_real_occupation_classification,
+        "s6_interval_join": q_interval_join,
+        "l6_local_override_decode": q_local_override_decode,
+        "g4_real_weighted_report": q_real_weighted_report,
+        "g5_real_isc_summary": q_real_isc_summary,
+        "x24_token_budget": q_token_budget,
+        "x25_repetition_filter": q_repetition_filter,
+        "x26_kmeans_planted": q_kmeans_planted,
+        "x27_semantic_dedup": q_semantic_dedup,
+        "s7_stream_dedup": q_stream_dedup,
+        "x28_sequence_pack": q_sequence_pack,
+        "x29_temperature_sample": q_temperature_sample,
+        "x30_lm_perplexity": q_lm_perplexity,
+        "l7_jsonl_ingest": q_jsonl_ingest,
+        "l8_orc_roundtrip": q_orc_roundtrip,
+        "l9_bucketed_join": q_bucketed_join,
+        "l10_salted_skew_join": q_salted_skew_join,
+        "l11_partitioned_write": q_partitioned_write,
+        "l12_real_duration_aspect": q_real_duration_aspect,
+        "a6_distinct_agg": q_distinct_agg,
+        "g2_training_pipeline": q_training_pipeline,
     }
 
 
@@ -4060,5 +4197,6 @@ def oracle_sql() -> dict[str, str]:
         "l10_salted_skew_join": SQL_SALTED_SKEW_JOIN,
         "l11_partitioned_write": SQL_PARTITIONED_WRITE,
         "l12_real_duration_aspect": SQL_REAL_DURATION_ASPECT,
+        "l13_real_cpi_chain": SQL_REAL_CPI_CHAIN,
         "x24_token_budget": SQL_TOKEN_BUDGET,
     }

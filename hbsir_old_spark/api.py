@@ -32,6 +32,9 @@ from hbsir_old_spark.sources.cache import FingerprintCache
 
 
 class HBSIREngine:
+    #: external-data registry (CPI / Gini series), set by attach_external
+    external = None
+
     def __init__(
         self,
         spark: SparkSession,
@@ -185,14 +188,61 @@ class HBSIREngine:
             table, sorted(years), adjust_for_household_size=adjust_for_household_size
         )
 
-    def add_cpi(self, table: DataFrame, cpi: DataFrame, on: Sequence[str] = ("Year",)) -> DataFrame:
+    def attach_external(
+        self,
+        cleaners: Mapping | None = None,
+        manual_tables: Mapping | None = None,
+        fetcher=None,
+        cache_dir: str | None = None,
+    ):
+        """Wire the external-data registry (reference external_data package:
+        CPI / Gini series resolved through the ported external_data.yaml
+        with the sci_* cleaning scripts pre-registered). Returns — and
+        stores as ``self.external`` — an :class:`ExternalDataRegistry`;
+        afterwards ``add_cpi`` / ``adjust_by_cpi`` can auto-load the
+        default CPI series like the reference api (api.py:467-517)."""
+        from hbsir_old_spark.metadata.corpus import load_corpus
+        from hbsir_old_spark.sources.cleaning_scripts import reference_cleaners
+        from hbsir_old_spark.sources.external import ExternalDataRegistry
+
+        self.external = ExternalDataRegistry(
+            self.spark,
+            load_corpus().external_data,
+            cleaners={**reference_cleaners(), **dict(cleaners or {})},
+            manual_tables=manual_tables,
+            fetcher=fetcher,
+            cache_dir=cache_dir,
+        )
+        return self.external
+
+    def _default_cpi(self) -> DataFrame:
+        """The reference's default CPI series (SCI, base 1400, annual,
+        urban/rural split — api.py:467-496)."""
+        if self.external is None:
+            raise ValueError(
+                "no CPI table given and no external registry attached; "
+                "call attach_external() first"
+            )
+        return self.external.load_named("CPI_1400", "SCI", "Annual", "Urban_Rural")
+
+    def add_cpi(
+        self,
+        table: DataFrame,
+        cpi: DataFrame | None = None,
+        on: Sequence[str] | None = None,
+    ) -> DataFrame:
         """J4: broadcast join of the CPI dimension (columns: join keys +
-        ``CPI``)."""
-        return table.join(F.broadcast(cpi), list(on), "left")
+        ``CPI``). With ``cpi=None`` the default SCI 1400 annual urban/rural
+        series loads through the attached external registry and joins on
+        (Urban_Rural, Year), mirroring the reference default."""
+        if cpi is None:
+            cpi = self._default_cpi()
+            on = on or ("Urban_Rural", "Year")
+        return table.join(F.broadcast(cpi), list(on or ("Year",)), "left")
 
     def adjust_by_cpi(
-        self, table: DataFrame, cpi: DataFrame, columns: Sequence[str],
-        on: Sequence[str] = ("Year",), base: float = 100.0,
+        self, table: DataFrame, cpi: DataFrame | None, columns: Sequence[str],
+        on: Sequence[str] | None = None, base: float = 100.0,
     ) -> DataFrame:
         """P13: deflate nominal columns to real terms (col / CPI * base)."""
         out = self.add_cpi(table, cpi, on)

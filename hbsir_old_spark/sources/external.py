@@ -121,3 +121,19 @@ class ExternalDataRegistry:
 
     def load(self, name: str) -> DataFrame:
         return self.spark.createDataFrame(self.load_pandas(name))
+
+    def load_named(
+        self,
+        table_name: str,
+        data_source: str | None = None,
+        frequency: str | None = None,
+        separate_by: str | None = None,
+    ) -> DataFrame:
+        """Reference-style named lookup (external_data/__init__.py:39-41):
+        the dotted address is ``data_source.table_name.frequency.
+        separate_by`` lowercased, None parts dropped — e.g.
+        ``("CPI_1400", "SCI", "Annual", "Urban_Rural")`` resolves
+        ``sci.cpi_1400.annual.urban_rural``."""
+        parts = [data_source, table_name, frequency, separate_by]
+        name = ".".join(p for p in parts if p is not None).lower()
+        return self.load(name)

@@ -107,7 +107,7 @@ def test_every_oracle_key_has_a_query():
 # The correctness driver records rows for only the first 50 entries of
 # queries() (r2: 51 registered -> 50 rows; r3: 57 -> first 50). These pins
 # enforce the rotation policy:
-#  (a) gates WITHOUT a row in the previous round's CORRECTNESS file, plus
+#  (a) gates WITHOUT a row in CORRECTNESS_r05.json, plus
 #      brand-new gates, sit inside the recorded window;
 #  (b) rows-only gates (approximate by design, no oracle) NEVER rotate out
 #      -- the driver's only evidence for them is the per-round spark_rows
@@ -115,62 +115,8 @@ def test_every_oracle_key_has_a_query():
 #      evidence for them;
 #  (c) only FULL-ORACLE gates with a green (hash-matched) previous-round
 #      row may sit past position 50.
-NO_R4_ROW_OR_NEW = {
-    # rotated out in round 4 (green r1-r3) — rowed again this round
-    "x10_multimodal_features",
-    "x11_bpe_token_count",
-    "x12_embedding_dedup",
-    "g1_dsl_pipeline",
-    "l1_form_raw_vs_cleaned",
-    "p4_string_scrub",
-    "p11_season_derivation",
-    "p16_id_digit_extraction",
-    "p17_map_lookup",
-    "f3_distinct",
-    "o1_top_k",
-    "u1_union_missing_columns",
-    "p23_json_extract",
-    "a7_approx_distinct",
-    # new in round 5
-    "l3_real_corpus_food",
-    "l4_real_household_decode",
-    "l5_real_occupation_classification",
-    "l6_local_override_decode",
-    "g4_real_weighted_report",
-    "g5_real_isc_summary",
-    "x25_repetition_filter",
-    "x26_kmeans_planted",
-    "x27_semantic_dedup",
-    "s7_stream_dedup",
-    "x28_sequence_pack",
-    "x29_temperature_sample",
-    "x30_lm_perplexity",
-    "l7_jsonl_ingest",
-    "l8_orc_roundtrip",
-    "l9_bucketed_join",
-    "l10_salted_skew_join",
-    "l11_partitioned_write",
-    "l12_real_duration_aspect",
-    "a10_cube",
-    "o2_rolling_window",
-    "s5_batch_sessions",
-    "s6_interval_join",
-    "x23_best_rep_dedup",
-    "x24_token_budget",
-}
-# approximate-by-design gates: spark_rows is their only driver record
-ROWS_ONLY_PINNED_IN_WINDOW = {
-    "x3_minhash_lsh",
-    "x4_simhash_pairs",
-    "x9_ann_lsh",
-    "x13_ivf_topk",
-    "a7_approx_distinct",
-    "w4_approx_decile",
-    "w4b_weighted_approx_decile",
-}
-# every gate here is FULL-ORACLE with a green (hash-matched) row in
-# CORRECTNESS_r04.json
-ROTATED_VETERANS = {
+NO_R5_ROW_OR_NEW = {
+    # rotated out in round 5 (green r4 rows) -- rowed again this round
     "a1_groupby_sum",
     "p7_computed_column",
     "p8_category_conditions",
@@ -210,12 +156,68 @@ ROTATED_VETERANS = {
     "s2_events_sessions",
     "s3_events_sliding",
     "x8_cosine_topk",
+    # new in round 6
+    "l13_real_cpi_chain",
+}
+# approximate-by-design gates: spark_rows is their only driver record
+ROWS_ONLY_PINNED_IN_WINDOW = {
+    "x3_minhash_lsh",
+    "x4_simhash_pairs",
+    "x9_ann_lsh",
+    "x13_ivf_topk",
+    "a7_approx_distinct",
+    "w4_approx_decile",
+    "w4b_weighted_approx_decile",
+}
+# every gate here is FULL-ORACLE with a green (hash-matched) row in
+# CORRECTNESS_r05.json
+ROTATED_VETERANS = {
+    "x10_multimodal_features",
+    "x11_bpe_token_count",
+    "x12_embedding_dedup",
+    "g1_dsl_pipeline",
+    "l1_form_raw_vs_cleaned",
+    "p4_string_scrub",
+    "p11_season_derivation",
+    "p16_id_digit_extraction",
+    "p17_map_lookup",
+    "f3_distinct",
+    "o1_top_k",
+    "u1_union_missing_columns",
+    "p23_json_extract",
+    "l3_real_corpus_food",
+    "a10_cube",
+    "o2_rolling_window",
+    "s5_batch_sessions",
+    "l4_real_household_decode",
+    "x23_best_rep_dedup",
+    "l5_real_occupation_classification",
+    "s6_interval_join",
+    "l6_local_override_decode",
+    "g4_real_weighted_report",
+    "g5_real_isc_summary",
+    "x24_token_budget",
+    "x25_repetition_filter",
+    "x26_kmeans_planted",
+    "x27_semantic_dedup",
+    "s7_stream_dedup",
+    "x28_sequence_pack",
+    "x29_temperature_sample",
+    "x30_lm_perplexity",
+    "l7_jsonl_ingest",
+    "l8_orc_roundtrip",
+    "l9_bucketed_join",
+    "l10_salted_skew_join",
+    "l11_partitioned_write",
+    "l12_real_duration_aspect",
+    "a6_distinct_agg",
+    "g2_training_pipeline",
 }
 
 
 def test_driver_cap_ordering():
     first50 = set(list(QUERIES)[:50])
-    missing = NO_R4_ROW_OR_NEW - first50
+    missing = NO_R5_ROW_OR_NEW - first50
     assert not missing, f"unrowed gates outside the driver's 50-row window: {missing}"
     ro_missing = ROWS_ONLY_PINNED_IN_WINDOW - first50
     assert not ro_missing, (
