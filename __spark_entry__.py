@@ -2819,6 +2819,142 @@ ORDER BY Urban_Rural, Year
 
 
 # --------------------------------------------------------------------------
+# L14 — the reference's defining workload shape: one load_table over THREE
+# survey eras (1375 / 1394 / 1400) whose raw files carry era-specific
+# column names (COL4_5 vs COL4+COL5 vs DYCOL*), era-specific
+# Provision_Method code tables (7 categories in 1375, 8 from 1383), and
+# era-specific derived-Amount expressions (Kilos vs Kilos + 0.001*Grams)
+# — all resolved from the genuine year-versioned tables.yaml/schema.yaml,
+# compiled into per-year plans and U1-unioned (reference
+# data_engine.py:674-679, schema.yaml food). Raw rows derive from
+# disjoint lineitem slices so each year carries distinct data. Full
+# DuckDB oracle replaying every era's decode + arithmetic.
+# --------------------------------------------------------------------------
+
+#: era-disjoint lineitem slices: l_linenumber % 3 keys the survey year
+_L14_YEARS = {1375: 0, 1394: 1, 1400: 2}
+
+
+def _l14_raw_loader(spark: SparkSession, sf_dir: str):
+    def raw_loader(name: str, year: int):
+        if name != "food" or year not in _L14_YEARS:
+            return None
+        li = _t(spark, sf_dir, "lineitem").filter(
+            F.col("l_linenumber") % 3 == _L14_YEARS[year]
+        )
+        code = (F.lit(11000) + F.col("l_partkey") % 97).alias("__code__")
+        kilos = F.col("l_quantity")
+        price = F.col("l_extendedprice")
+        expend = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        grams = F.col("l_discount") * 1000
+        if year == 1375:  # 1374-era sheet: no Grams, Kilos in COL4_5
+            raw = li.select(
+                F.col("l_orderkey").alias("ADDRESS"),
+                code.alias("COL1"),
+                (F.lit(1) + F.col("l_suppkey") % 7).alias("COL3"),
+                kilos.alias("COL4_5"),
+                price.alias("COL6"),
+                expend.alias("COL7"),
+            )
+        elif year == 1394:  # 1383-era sheet: Grams/Kilos split, COL names
+            raw = li.select(
+                F.col("l_orderkey").alias("ADDRESS"),
+                code.alias("COL1"),
+                (F.lit(1) + F.col("l_suppkey") % 8).alias("COL3"),
+                grams.alias("COL4"),
+                kilos.alias("COL5"),
+                price.alias("COL6"),
+                expend.alias("COL7"),
+            )
+        else:  # 1400: DYCOL* access-export layout (same as l3)
+            raw = li.select(
+                F.col("l_orderkey").alias("ADDRESS"),
+                code.alias("DYCOL01"),
+                (F.lit(1) + F.col("l_suppkey") % 8).alias("DYCOL02"),
+                grams.alias("DYCOL03"),
+                kilos.alias("DYCOL04"),
+                price.alias("DYCOL05"),
+                expend.alias("DYCOL06"),
+                F.col("l_returnflag").alias("DYCOL07"),
+            )
+        # untyped survey text: double->string->double round-trips exactly
+        return raw.select([F.col(c).cast("string").alias(c) for c in raw.columns])
+
+    return raw_loader
+
+
+def q_multi_year_food(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.metadata.corpus import build_reference_registry
+
+    registry = build_reference_registry(
+        spark, raw_loader=_l14_raw_loader(spark, sf_dir)
+    )
+    df = registry.load_table("food", sorted(_L14_YEARS), form="processed")
+    return (
+        df.withColumn("Year", F.col("Year").cast("long"))
+        .groupBy("Year", "Provision_Method")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.sum("Expenditure"), 2).alias("total_expenditure"),
+            F.round(F.avg("Amount"), 6).alias("avg_amount"),
+            F.max("Duration").cast("long").alias("duration"),
+            F.min("Code").cast("long").alias("min_code"),
+        )
+        .orderBy("Year", "Provision_Method")
+    )
+
+
+SQL_MULTI_YEAR_FOOD = """
+WITH raw AS (
+  SELECT CASE l_linenumber % 3 WHEN 0 THEN 1375 WHEN 1 THEN 1394
+                               ELSE 1400 END                 AS year,
+         11000 + l_partkey % 97                              AS code,
+         CASE WHEN l_linenumber % 3 = 0 THEN 1 + l_suppkey % 7
+              ELSE 1 + l_suppkey % 8 END                     AS pm,
+         l_discount * 1000                                   AS grams,
+         l_quantity                                          AS kilos,
+         l_extendedprice * (1 - l_discount)                  AS expenditure
+  FROM lineitem
+), cleaned AS (
+  SELECT year,
+         CASE WHEN year = 1375 THEN
+                CASE pm WHEN 1 THEN 'Purchase'
+                        WHEN 2 THEN 'Home_Production'
+                        WHEN 3 THEN 'Instead_of_Public_Service'
+                        WHEN 4 THEN 'Instead_of_Private_Service'
+                        WHEN 5 THEN 'Agricultural_Work'
+                        WHEN 6 THEN 'Non_Agricultural_Work'
+                        WHEN 7 THEN 'Donation' END
+              ELSE
+                CASE pm WHEN 1 THEN 'Purchase'
+                        WHEN 2 THEN 'Home_Production'
+                        WHEN 3 THEN 'Instead_of_Public_Service'
+                        WHEN 4 THEN 'Instead_of_Cooperative_Service'
+                        WHEN 5 THEN 'Instead_of_Private_Service'
+                        WHEN 6 THEN 'Agricultural_Work'
+                        WHEN 7 THEN 'Non_Agricultural_Work'
+                        WHEN 8 THEN 'Donation' END
+         END                                                  AS Provision_Method,
+         code,
+         CASE WHEN year = 1375 THEN kilos
+              ELSE kilos + 0.001::DOUBLE * grams END          AS amount,
+         expenditure
+  FROM raw
+)
+SELECT year::BIGINT                   AS Year,
+       Provision_Method,
+       count(*)::BIGINT               AS n_rows,
+       round(sum(expenditure), 2)     AS total_expenditure,
+       round(avg(amount), 6)          AS avg_amount,
+       30::BIGINT                     AS duration,
+       min(code)::BIGINT              AS min_code
+FROM cleaned
+GROUP BY year, Provision_Method
+ORDER BY Year, Provision_Method
+"""
+
+
+# --------------------------------------------------------------------------
 # X30 — corpus-LM perplexity filter (the CCNet/Gopher quality-scoring
 # shape): per-document cross-entropy under an add-one-smoothed word-bigram
 # LM trained on the corpus itself. Training is explode + partial-agg
@@ -4044,6 +4180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_cosine_topk": q_cosine_topk,
         # -- new in round 6 --
         "l13_real_cpi_chain": q_real_cpi_chain,
+        "l14_multi_year_food": q_multi_year_food,
         # -- rows-only gates (approximate by design, no oracle): the
         # driver's ONLY evidence for them is the per-round spark_rows
         # record, so they NEVER rotate past the 50-row window --
@@ -4057,11 +4194,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- window fillers: green-r5 veterans completing the 50 --
         "w1_weighted_ecdf": q_weighted_ecdf,
         "w2_decile": q_decile,
-        "p13_cpi_deflation": q_cpi_deflation,
         # -- rotated past position 50 this round: every gate below is
         # FULL-ORACLE with a green (hash-matched) driver row in
         # CORRECTNESS_r05.json and full coverage in
         # tests/test_oracle_parity.py --
+        "p13_cpi_deflation": q_cpi_deflation,
         "x10_multimodal_features": q_multimodal_features,
         "x11_bpe_token_count": q_bpe_token_count,
         "x12_embedding_dedup": q_embedding_dedup,
@@ -4198,5 +4335,6 @@ def oracle_sql() -> dict[str, str]:
         "l11_partitioned_write": SQL_PARTITIONED_WRITE,
         "l12_real_duration_aspect": SQL_REAL_DURATION_ASPECT,
         "l13_real_cpi_chain": SQL_REAL_CPI_CHAIN,
+        "l14_multi_year_food": SQL_MULTI_YEAR_FOOD,
         "x24_token_budget": SQL_TOKEN_BUDGET,
     }

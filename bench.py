@@ -56,6 +56,10 @@ HEADLINE = [
     "x20_tfidf_top_terms",
     "x21_asof_attribution",
     "x22_incremental_dedup",
+    # round 6: the reference's defining multi-year workload — per-era
+    # plans through the year-versioned corpus, U1-unioned (~3x l3's work,
+    # one era-disjoint slice each)
+    "l14_multi_year_food",
     # round 5 additions: the real-metadata-corpus pipeline, the cube
     # lattice, and the two single-shuffle window primitives
     "l3_real_corpus_food",
@@ -76,9 +80,27 @@ HEADLINE = [
 ]
 
 
+def wait_for_quiet_host(
+    threshold: float, timeout_s: float, poll_s: float = 15.0
+) -> tuple[float, bool]:
+    """Loop until the 1-min loadavg drops below ``threshold`` (or the wait
+    budget runs out). Timings recorded while unrelated work holds the host
+    at loadavg 3-8 are unusable for regression calls (observed 3-10x
+    swings); gating makes a recorded number mean something. Returns
+    (seconds_waited, host_was_quiet)."""
+    waited = 0.0
+    while os.getloadavg()[0] > threshold and waited < timeout_s:
+        time.sleep(poll_s)
+        waited += poll_s
+    return waited, os.getloadavg()[0] <= threshold
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    quiet_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+    quiet_timeout = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "600"))
+    quiet_wait_s, quiet_host = wait_for_quiet_host(quiet_threshold, quiet_timeout)
     spark = get_spark("hbsir-old-spark-bench")
     queries = entry_mod.queries()
 
@@ -129,6 +151,12 @@ def main() -> None:
                     "loadavg_before": [round(x, 2) for x in load_before],
                     "loadavg_after": [round(x, 2) for x in load_after],
                     "noise_reruns": reruns,
+                    # quiet_host=False means the wait budget expired while
+                    # the host stayed loaded: treat the numbers as noisy,
+                    # not as a regression signal
+                    "quiet_host": quiet_host,
+                    "quiet_wait_s": round(quiet_wait_s, 1),
+                    "quiet_threshold": quiet_threshold,
                 },
             }
         )

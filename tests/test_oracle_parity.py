@@ -158,6 +158,7 @@ NO_R5_ROW_OR_NEW = {
     "x8_cosine_topk",
     # new in round 6
     "l13_real_cpi_chain",
+    "l14_multi_year_food",
 }
 # approximate-by-design gates: spark_rows is their only driver record
 ROWS_ONLY_PINNED_IN_WINDOW = {
@@ -172,6 +173,7 @@ ROWS_ONLY_PINNED_IN_WINDOW = {
 # every gate here is FULL-ORACLE with a green (hash-matched) row in
 # CORRECTNESS_r05.json
 ROTATED_VETERANS = {
+    "p13_cpi_deflation",
     "x10_multimodal_features",
     "x11_bpe_token_count",
     "x12_embedding_dedup",

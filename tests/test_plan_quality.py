@@ -259,3 +259,33 @@ def test_interval_join_is_hash_join_on_key(spark, sf_dir):
     assert "HashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("event_type") >= 2  # filter pushed into both scans
+
+
+def test_multi_year_food_unions_per_year_branches(spark, sf_dir):
+    # l14: three per-era subplans, each a pure expression layer over its
+    # lineitem slice — one Union, one scan per year branch, no join, no
+    # Python UDF, and only one final aggregation exchange.
+    df = entry_mod.q_multi_year_food(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 3, plan
+    assert "Union" in plan, plan
+    assert "Join" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_multi_year_partitioned_layout_prunes_by_year(spark, sf_dir, tmp_path):
+    # the 100 TB layout: survey years live in Year=<y> partitions; a
+    # per-year raw loader reading that layout must produce scans with a
+    # partition filter so each branch touches ONLY its year's files.
+    import pyspark.sql.functions as F
+
+    src = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(2000)
+    root = str(tmp_path / "food_years")
+    src.select(
+        (F.lit(1375) + (F.col("l_linenumber") % 3) * 19).alias("Year"),
+        F.col("l_orderkey").alias("ADDRESS"),
+        F.col("l_quantity").alias("COL4_5"),
+    ).write.partitionBy("Year").mode("overwrite").parquet(root)
+    branch = spark.read.parquet(root).filter(F.col("Year") == 1394).drop("Year")
+    plan = plan_of(branch.select("ADDRESS", "COL4_5"))
+    assert "PartitionFilters: [isnotnull(Year" in plan, plan
+    assert "1394" in plan[plan.index("PartitionFilters") :].splitlines()[0], plan
