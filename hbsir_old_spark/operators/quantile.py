@@ -139,6 +139,48 @@ def _count_lt(arr: Column, length: int, v: Column) -> Column:
     return first_ge(1, length) - 1
 
 
+def _count_lt_sql(arr_sql: str, length: int, v_sql: str) -> Column:
+    """:func:`_count_lt` built as ONE SQL string handed to the parser.
+    Identical CASE tree and semantics (NULL comparisons fall through the
+    ELSE branches to ``length``), but composing the ~2*length-node tree
+    through py4j Column calls costs ~0.8 s of driver time per call at
+    length=161 (measured round 6), while string-building plus one parse is
+    ~4 ms. Use this variant when the operands are plain column names; the
+    Column-based twin stays for composed operands and small trees."""
+
+    def first_ge(lo: int, hi: int) -> str:
+        if lo > hi:
+            return str(lo)
+        mid = (lo + hi) // 2
+        return (
+            f"CASE WHEN element_at({arr_sql}, {mid}) >= {v_sql} "
+            f"THEN {first_ge(lo, mid - 1)} ELSE {first_ge(mid + 1, hi)} END"
+        )
+
+    return F.expr(f"({first_ge(1, length)} - 1)")
+
+
+def _count_lt_scalar_sql(vals: Sequence[float], v_sql: str) -> Column:
+    """Unrolled binary search against LITERAL scalar probes. element_at on
+    an array column costs ~3x a scalar comparison per access inside this
+    tree (measured round 6: 0.94 s vs 0.49 s per fact pass at 161 probes,
+    sf0.1) — when the probe values are known driver-side, compiling them
+    into the comparison sites is the fastest formulation. repr() gives
+    shortest-round-trip literals, so the compiled constants are
+    bit-identical to the collected doubles."""
+
+    def first_ge(lo: int, hi: int) -> str:
+        if lo > hi:
+            return str(lo)
+        mid = (lo + hi) // 2
+        return (
+            f"CASE WHEN {vals[mid - 1]!r}D >= {v_sql} "
+            f"THEN {first_ge(lo, mid - 1)} ELSE {first_ge(mid + 1, hi)} END"
+        )
+
+    return F.expr(f"({first_ge(1, len(vals))} - 1)")
+
+
 def _join_groups_broadcast(
     left: DataFrame, right: DataFrame, group_cols: Sequence[str], how: str = "inner"
 ) -> DataFrame:
@@ -165,6 +207,63 @@ def _join_groups_broadcast(
     )
 
 
+def _collect_literal_probes(grid: DataFrame) -> list[float] | None:
+    """Collect the single ungrouped probe row; None when the input was
+    empty or a probe is non-finite (literal compilation can't carry
+    inf/nan exactly through SQL text)."""
+    import math
+
+    rows = grid.collect()
+    if not rows or rows[0][0] is None:
+        return None
+    cand = [float(x) for x in rows[0][0]]
+    if not all(math.isfinite(p) for p in cand):
+        return None
+    return cand
+
+
+def _assemble_breaks_python(
+    probes: list[float], hist_rows, bins: int
+) -> list[float] | None:
+    """Driver-side twin of the grouped CDF assembly: same running sum over
+    the sparse histogram, same crossing lookup, same interpolation — the
+    expressions are written operand-for-operand identically, so Python's
+    IEEE doubles produce the same values the Column formulation would.
+    Returns None (fall back to the join path) when the histogram is empty
+    or carries no weight. Leading all-NULL-weight buckets contribute zero
+    cumulative weight (sum-ignores-NULL semantics)."""
+    hist = sorted(
+        (r["__i__"], r["__hw__"]) for r in hist_rows if r["__i__"] is not None
+    )
+    if not hist:
+        return None
+    cum: list[tuple[int, float]] = []
+    run = 0.0
+    for i, hw in hist:
+        if hw is not None:
+            run += hw
+        cum.append((i, run))
+    tw = cum[-1][1]
+    if not (tw > 0.0):  # zero, negative-sum, or NaN total weight
+        return None
+    out: list[float] = []
+    for b in range(1, bins):
+        q = b / bins
+        target = q * tw
+        k = sum(1 for _, c in cum if c < target)
+        hi_i, hi_c = cum[k]
+        j_star = hi_i + 1  # 1-based first probe whose CDF reaches q
+        p_hi = probes[j_star - 1]
+        c_hi = hi_c / tw
+        p_lo = probes[max(j_star - 1, 1) - 1]
+        c_lo = cum[max(k, 1) - 1][1] / tw
+        if j_star == 1 or c_hi <= c_lo:
+            out.append(p_hi)
+        else:
+            out.append(p_lo + (q - c_lo) / (c_hi - c_lo) * (p_hi - p_lo))
+    return out
+
+
 def weighted_approx_quantile_breaks(
     df: DataFrame,
     value_col: str,
@@ -172,7 +271,7 @@ def weighted_approx_quantile_breaks(
     bins: int = 10,
     group_cols: Sequence[str] = (),
     probes: int | None = None,
-    relative_error: float = 0.001,
+    relative_error: float | None = None,
 ) -> DataFrame:
     """Approximate per-group WEIGHTED quantile breaks without a global sort
     (the survey-weighted semantics of reference quantile.py:119-146, which
@@ -202,24 +301,41 @@ def weighted_approx_quantile_breaks(
     quantiles without a crossing. NULL group keys form their own group,
     as they do under ``Window.partitionBy`` in the exact path.
 
-    Measured dead end (round 5, do not repeat): assembling the CDF +
-    interpolation DRIVER-SIDE from collected per-group histograms looks
-    cheaper (the one-row expression tree costs ~2-3 s of Catalyst
-    analysis/codegen on the first call) but is ~1.8x slower end-to-end at
-    sf0.1 — the expression formulation amortizes through Spark's codegen
-    cache on repeat calls, while eager hist/grid collects pay two full
-    synchronous scan jobs every call instead of fusing into the caller's
-    single job.
+    Round-6 revision of the round-5 "driver-side assembly is a dead end"
+    note: the dead end was assembling the CDF as a LITERAL EXPRESSION
+    TOWER (2-3 s of analysis per call). Collecting the tiny grid +
+    histogram and doing the break arithmetic in plain Python (the
+    ungrouped fast path below) has none of that cost — measured ~1.6x
+    faster end-to-end than the fused Column formulation at sf0.1, because
+    py4j tree construction and repeated withColumn analysis dominated the
+    Column path, not the extra job boundary.
     """
-    df = ensure_min_partitions(df).filter(F.col(value_col).isNotNull())
+    # NO blanket repartition here: every per-row expression in the
+    # ungrouped fast path is a codegen'd scalar tree (~0.5 us/row), so a
+    # few-file local scan finishes faster single-task than it takes to
+    # round-robin shuffle it three times (measured round 6: the
+    # ensure_min_partitions exchange added ~1.3 s across the three passes
+    # at sf0.1 for zero win). The grouped join path below still widens —
+    # its element_at-heavy search is ~3x costlier per row. At real scale
+    # the scan splits on its own and both choices converge.
+    df = df.filter(F.col(value_col).isNotNull())
     # default grid: 16 probes per requested bin, floored at 64; capped only
     # as a guard against absurd bins values (the per-group CDF assembly is
     # a linear running-sum fold on ONE row per group)
     n_probes = probes or max(64, min(bins * 16, 2048))
     probe_qs = [i / n_probes for i in range(1, n_probes)]
+    # The probe sketch only PLACES candidates; break precision comes from
+    # the exact weighted CDF + interpolation below. Rank error 1/(4*probes)
+    # is a quarter of the probe spacing — finer sketches (the old fixed
+    # accuracy 1000) cost ~30% more sketch time for no break accuracy
+    # (measured round 6; the approx-quality tests bound end-to-end error).
+    accuracy = (
+        max(4 * n_probes, 640) if relative_error is None
+        else int(1 / relative_error)
+    )
     sketch = F.expr(
-        f"approx_percentile({value_col}, array({', '.join(map(str, probe_qs))}), "
-        f"{int(1 / relative_error)})"
+        f"approx_percentile(`{value_col}`, array({', '.join(map(str, probe_qs))}), "
+        f"{accuracy})"
     )
     grid_aggs = [
         F.concat(
@@ -228,81 +344,118 @@ def weighted_approx_quantile_breaks(
             F.array(F.max(value_col).cast("double")),
         ).alias("__probes__")
     ]
+    if group_cols:
+        df = ensure_min_partitions(df)
     grid = (
         df.groupBy(*group_cols).agg(*grid_aggs) if group_cols else df.agg(*grid_aggs)
     )
-    # The grid feeds TWO broadcast joins below (row binning + CDF assembly).
-    # Left lazy, each join embeds its own copy of the GK subtree and the
-    # dominant full-data sketch pass runs twice — canonicalized-exchange
-    # reuse is not guaranteed (measured ReusedExchange=0 on this shape).
-    # The grid is one short row per group, so materializing it eagerly is
-    # ~free and pins exactly one sketch pass + one histogram pass over the
-    # fact. Same executor-loss caveat as the dedup band table
-    # (dedup.py:399-401): use a reliable checkpoint dir on real clusters.
-    grid = grid.localCheckpoint(eager=True)
-    joined = _join_groups_broadcast(df, grid, group_cols)
     w = F.col(weight_col).cast("double")
     n_cols = n_probes + 1  # min + (n_probes-1) sketch points + max
     # Weighted CDF via a HISTOGRAM aggregation, not one conditional sum per
     # probe: n_probes+1 sum columns in a single agg blows Spark's generated-
     # method size limits and drops the whole aggregation to interpreted
     # evaluation (measured 10x slower). Instead each row computes its
-    # bucket = #probes strictly below the value (one codegen'd array scan),
-    # a narrow (group, bucket) sum shuffles at most probes+1 rows per group
-    # per partition, and the per-group CDF assembles from that tiny
-    # histogram with array expressions on one row per group.
-    bucket = _count_lt(
-        F.col("__probes__"), n_cols, F.col(value_col).cast("double")
+    # bucket = #probes strictly below the value (one unrolled binary
+    # search), a narrow (group, bucket) sum shuffles at most probes+1 rows
+    # per group per partition, and the per-group CDF assembles from that
+    # tiny histogram on one row per group.
+    if not group_cols:
+        # Ungrouped fast path: ONE probe row — collect it (the same driver
+        # round trip the grouped path pays for its eager checkpoint),
+        # compile the probes into the histogram search as scalar literals
+        # (~2x faster per fact row than element_at on a broadcast array
+        # column; see _count_lt_scalar_sql), collect the tiny histogram
+        # (at most probes+2 rows), and assemble the breaks in PYTHON —
+        # identical IEEE arithmetic, zero expression towers. Round-6
+        # measurement: the Column-expression assembly cost ~0.9 s of py4j
+        # tree building + analysis per call, more than both data passes.
+        # Non-finite probes or zero total weight fall back to the join
+        # path, which carries them exactly.
+        literal_probes = _collect_literal_probes(grid)
+        if literal_probes is not None:
+            bucket = _count_lt_scalar_sql(
+                literal_probes, f"CAST(`{value_col}` AS DOUBLE)"
+            )
+            hist_rows = (
+                df.groupBy(bucket.alias("__i__"))
+                .agg(F.sum(w).alias("__hw__"))
+                .collect()
+            )
+            vals = _assemble_breaks_python(literal_probes, hist_rows, bins)
+            if vals is not None:
+                return df.sparkSession.createDataFrame(
+                    [(vals,)], "breaks array<double>"
+                )
+    # Grouped (or degenerate) path: the grid feeds a broadcast join for
+    # the histogram AND the CDF assembly below. Left lazy, each join
+    # embeds its own copy of the GK subtree and the dominant full-data
+    # sketch pass runs twice — canonicalized-exchange reuse is not
+    # guaranteed (measured ReusedExchange=0 on this shape). The grid is
+    # one short row per group, so materializing it eagerly is ~free and
+    # pins exactly one sketch pass + one histogram pass over the fact.
+    # Same executor-loss caveat as the dedup band table (dedup.py:399-401):
+    # use a reliable checkpoint dir on real clusters.
+    # (df was widened above when group_cols is set; the rare ungrouped
+    # fallback stays narrow — its inputs are degenerate by definition)
+    grid = grid.localCheckpoint(eager=True)
+    joined = _join_groups_broadcast(df, grid, group_cols)
+    probes_arr = F.col("__probes__")
+    bucket = _count_lt_sql(
+        "`__probes__`", n_cols, f"CAST(`{value_col}` AS DOUBLE)"
     )
     hist = joined.groupBy(*group_cols, bucket.alias("__i__")).agg(
         F.sum(w).alias("__hw__")
     )
+    # Running CDF numerator via a WINDOW over the tiny histogram (at most
+    # probes+2 rows per group), then one sorted struct array per group.
+    # Round-6 measured lesson: the previous formulation assembled the CDF
+    # from a dense bucket->weight map with transform/aggregate-fold towers
+    # chained through withColumn — each withColumn re-analyzes the whole
+    # plan (Dataset.withColumn resolves against the child schema), and the
+    # O(probes^2) concat-fold plus the dense-sequence lambdas pushed
+    # DRIVER-side build/analysis to ~2-3 s per call and interpreted
+    # evaluation to ~0.5 s, 4-5x the cost of both data passes combined.
+    # The relational prefix (window running sum, codegen'd, gap-free by
+    # construction since empty buckets simply have no row) plus a sparse
+    # crossing lookup per break keeps the expression tree ~20x smaller.
+    cum_win = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__i__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = hist.withColumn("__cw__", F.sum("__hw__").over(cum_win))
     gm = (
         hist.groupBy(*group_cols) if group_cols else hist.groupBy()
     ).agg(
-        F.map_from_entries(F.collect_list(F.struct("__i__", "__hw__"))).alias("__m__"),
-        F.sum("__hw__").alias("__tw__"),
+        F.sort_array(F.collect_list(F.struct("__i__", "__cw__"))).alias("__h__"),
     )
     agg = _join_groups_broadcast(gm, grid, group_cols)
-    # bucket weights 0..n_cols (empty buckets -> 0), then CDF at probe j =
-    # sum of buckets 0..j-1 over total: value <= probes[j] iff fewer than j
-    # probes sit strictly below it
-    agg = agg.withColumn(
-        "__bw__",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_cols)),
-            lambda j: F.coalesce(F.element_at(F.col("__m__"), j), F.lit(0.0)),
-        ),
-    )
-    # one linear fold builds the prefix sums (a per-j slice+fold would be
-    # O(probes^2) per group); prefix[j+1] = sum of buckets 0..j-1, so
-    # CDF at probe j = prefix[j+1] / total
-    prefix = F.aggregate(
-        F.col("__bw__"),
-        F.array(F.lit(0.0)),
-        lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) + x)),
-    )
-    agg = agg.withColumn("__prefix__", prefix)
-    cdfs = F.transform(
-        F.sequence(F.lit(1), F.lit(n_cols)),
-        lambda j: F.element_at(F.col("__prefix__"), j + 1) / F.col("__tw__"),
-    )
-    agg = agg.withColumn("__cdfs__", cdfs)
-    cdfs = F.col("__cdfs__")
+    # total weight = last running sum; CDF at probe j = cw of the last
+    # bucket i < j, over total
+    tw = F.element_at(F.col("__h__"), -1)["__cw__"]
+
     # break for q=i/bins: linearly interpolate between the bracketing probes
     # (p_lo, cdf_lo) and (p_hi, cdf_hi) where the weighted CDF crosses q —
     # snapping to the grid alone leaves a half-probe-gap bias; interpolation
     # (uniform-density-within-gap assumption) recovers most of it. The final
     # probe is max(value) with CDF 1.0, so a crossing always exists.
+    # Crossing in histogram space: the first probe j* with CDF(j*) >= q is
+    # (first histogram bucket with cw >= q*tw) + 1 — bucket 0 is always
+    # populated (the per-group min lands there), so the probe walk and the
+    # histogram walk cross at the same place.
     def _break_at(i: Column) -> Column:
         q = i.cast("double") / bins
-        k = F.size(F.filter(cdfs, lambda c: c < q))  # 0-based crossing index
-        p_hi = F.element_at(F.col("__probes__"), k + 1)
-        c_hi = F.element_at(cdfs, k + 1)
-        p_lo = F.element_at(F.col("__probes__"), F.greatest(k, F.lit(1)))
-        c_lo = F.element_at(cdfs, F.greatest(k, F.lit(1)))
+        h = F.col("__h__")
+        k = F.size(F.filter(h, lambda e: e["__cw__"] < q * tw))
+        hi = F.element_at(h, k + 1)
+        j_star = hi["__i__"] + 1  # 1-based first probe whose CDF reaches q
+        p_hi = F.element_at(probes_arr, j_star)
+        c_hi = hi["__cw__"] / tw
+        p_lo = F.element_at(probes_arr, F.greatest(j_star - 1, F.lit(1)))
+        # CDF at the probe just below j*: the previous histogram row's cw
+        c_lo = F.element_at(h, F.greatest(k, F.lit(1)))["__cw__"] / tw
         interp = p_lo + (q - c_lo) / (c_hi - c_lo) * (p_hi - p_lo)
-        return F.when((k == 0) | (c_hi <= c_lo), p_hi).otherwise(interp)
+        return F.when((j_star == 1) | (c_hi <= c_lo), p_hi).otherwise(interp)
 
     if bins < 2:
         # sequence(1, 0) would count DOWN and fabricate two breaks; one bin
@@ -322,7 +475,7 @@ def add_weighted_approx_bin(
     group_cols: Sequence[str] = (),
     out_col: str = "Decile",
     probes: int | None = None,
-    relative_error: float = 0.001,
+    relative_error: float | None = None,
 ) -> DataFrame:
     """Weighted twin of :func:`add_approx_bin`: per-group weighted sketch
     breaks broadcast back, rows binned map-side — no sort, no window, and
@@ -332,6 +485,29 @@ def add_weighted_approx_bin(
     breaks = weighted_approx_quantile_breaks(
         df, value_col, weight_col, bins, group_cols, probes, relative_error
     )
+    if not group_cols:
+        # one global breaks row by construction: collect it (a local
+        # relation when the fast path fired; one pipeline execution
+        # otherwise) and bin against scalar literals — the same ~2x
+        # per-row win as the histogram search. Non-finite/NULL break
+        # values re-enter the generic join path via a literal breaks df,
+        # so the pipeline still executes exactly once.
+        import math
+
+        bvals = breaks.collect()[0][0]
+        breaks = df.sparkSession.createDataFrame(
+            [(bvals,)], "breaks array<double>"
+        )
+        if bvals is not None and all(
+            v is not None and math.isfinite(v) for v in bvals
+        ):
+            bin_col = F.lit(1) + _count_lt_scalar_sql(
+                [float(v) for v in bvals], f"CAST(`{value_col}` AS DOUBLE)"
+            )
+            bin_col = F.when(
+                F.col(value_col).isNotNull(), bin_col.cast("int")
+            )
+            return df.withColumn(out_col, bin_col)
     # left join: a group whose values are ALL NULL has no breaks row
     # (NULLs are dropped before the sketch) — its rows must still come
     # back, with a NULL bin, to keep the operator row-preserving

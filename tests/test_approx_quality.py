@@ -165,8 +165,21 @@ class TestApproxDecile:
             )
             ._jdf.queryExecution().executedPlan().toString()
         )
-        assert "Window" not in plan
-        assert "Sort" not in plan.replace("SortAggregate", "")
+        # the fact side must never sort or window on the VALUE — that is
+        # the O(n log n) global-order cost this operator exists to avoid.
+        # The one allowed Window is the running CDF over the per-group
+        # histogram (at most probes+2 rows per group, keyed on __i__).
+        value_ordered = [
+            line
+            for line in plan.splitlines()
+            if ("Sort [" in line or "Window [" in line)
+            and "l_extendedprice" in line
+        ]
+        assert not value_ordered, value_ordered
+        assert plan.count("Window [") <= 1, plan
+        for line in plan.splitlines():
+            if "Sort [" in line and "SortAggregate" not in line:
+                assert "__i__" in line, line
 
     def test_weighted_null_values_and_groups(self, spark):
         # NULL values must not deflate the CDF (their weight reached no
