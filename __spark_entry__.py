@@ -2203,8 +2203,16 @@ def q_real_isc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1400).alias("Year"), _hh_id_1400(F.col("c_custkey")).alias("ID")
     ).withColumn("Weight", (F.col("ID") % 7 + 1).cast("double"))
     roster = registry.add_attribute(roster, "Urban_Rural")
+    return _report_pivot_tail(_isc_cells(hh, roster))
+
+
+def _isc_cells(hh: DataFrame, roster: DataFrame) -> DataFrame:
+    """The reference golden-summary cell math (test_by_examples.py:37-50):
+    per (category, urban/rural) cell, weighted expenditure sums over the
+    SPENDING households divided by the ROSTER weight sum, in thousands.
+    Shared by the g5 gate and the truncation-contract golden test."""
     wsum = roster.groupBy("Urban_Rural").agg(F.sum("Weight").alias("ws"))
-    cell = (
+    return (
         hh.groupBy("Food_NonFood", "Urban_Rural")
         .agg(
             F.sum(F.col("Net") * F.col("Weight")).alias("wnet"),
@@ -2218,7 +2226,6 @@ def q_real_isc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("wgross") / F.col("ws") / 1000).alias("Gross"),
         )
     )
-    return _report_pivot_tail(cell)
 
 
 SQL_REAL_ISC_SUMMARY = """
