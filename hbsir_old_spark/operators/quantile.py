@@ -403,8 +403,12 @@ def weighted_approx_quantile_breaks(
     bucket = _count_lt_sql(
         "`__probes__`", n_cols, f"CAST(`{value_col}` AS DOUBLE)"
     )
+    # coalesce: a bucket whose rows ALL carry NULL weight contributes
+    # zero mass (sum-ignores-NULL), keeping the running sum — and hence
+    # every break — non-NULL; matches the Python twin in
+    # _assemble_breaks_python and the pre-window map formulation
     hist = joined.groupBy(*group_cols, bucket.alias("__i__")).agg(
-        F.sum(w).alias("__hw__")
+        F.coalesce(F.sum(w), F.lit(0.0)).alias("__hw__")
     )
     # Running CDF numerator via a WINDOW over the tiny histogram (at most
     # probes+2 rows per group), then one sorted struct array per group.

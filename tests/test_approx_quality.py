@@ -298,3 +298,37 @@ class TestApproxDecile:
         assert len(rows) > 1
         for r in rows:
             assert r["breaks"] == sorted(r["breaks"])
+
+
+def test_weighted_breaks_null_weight_leading_bucket_grouped_matches_ungrouped(spark):
+    """Round-6 review regression: a group's minimum-value bucket whose rows
+    all carry NULL weight must contribute zero mass, not poison the running
+    CDF into NULL breaks (which would silently bin the whole group into the
+    top bin). Grouped and ungrouped paths must agree."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hbsir_old_spark.operators.quantile import (
+        add_weighted_approx_bin,
+        weighted_approx_quantile_breaks,
+    )
+
+    rows = [
+        ("g", 1.0, None),
+        ("g", 5.0, 1.0),
+        ("g", 9.0, 1.0),
+        ("g", 13.0, 1.0),
+        ("g", 17.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, val double, w double")
+    grouped = weighted_approx_quantile_breaks(
+        df, "val", "w", bins=2, group_cols=("grp",)
+    ).collect()[0]["breaks"]
+    ungrouped = weighted_approx_quantile_breaks(df, "val", "w", bins=2).collect()[
+        0
+    ]["breaks"]
+    assert grouped == ungrouped and grouped[0] is not None
+    binned = add_weighted_approx_bin(
+        df, "val", "w", bins=2, group_cols=("grp",), out_col="b"
+    )
+    bins_by_val = {r["val"]: r["b"] for r in binned.collect()}
+    assert bins_by_val[1.0] == 1 and bins_by_val[17.0] == 2

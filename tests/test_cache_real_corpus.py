@@ -119,11 +119,14 @@ def test_total_expenditure_caches_and_hits(spark, tmp_path, cache_dir):
 
 
 def test_dependency_change_invalidates(spark, tmp_path, cache_dir):
-    # run AFTER the hit test: same cache dir holds a green entry
+    # prime the cache ourselves so the test stands alone (the dir may or
+    # may not already hold an entry from the hit test)
+    eng0, _c0 = _make_engine(spark, tmp_path, LOCAL_BASE, "c0", cache_dir)
+    eng0.load_table("Total_Expenditure", [1400]).count()
     eng1, c1 = _make_engine(spark, tmp_path, LOCAL_BASE, "c", cache_dir)
     base = {r["ID"]: r["Gross_Expenditure"] for r in eng1.load_table(
         "Total_Expenditure", [1400]).collect()}
-    assert c1.calls == 0  # still cached from the previous test
+    assert c1.calls == 0  # primed above
 
     eng3, c3 = _make_engine(spark, tmp_path, LOCAL_CHANGED, "d", cache_dir)
     df3 = eng3.load_table("Total_Expenditure", [1400])

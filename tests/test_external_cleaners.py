@@ -156,9 +156,18 @@ class TestFullChain:
         from hbsir_old_spark.sources.external import ExternalDataRegistry
 
         meta = load_corpus().external_data
+        # parse the GATE's fixture CSVs (one source of truth for the grid
+        # data): if the l13 formulas ever drift from this module's
+        # cpi_u/cpi_r expectations, the value assertions below catch it
+        import io
+
+        import __spark_entry__ as entry_mod
+
         grids = {
-            "sci.cpi_1400_urban_singleindex.monthly": urban_monthly_grid(1402),
-            "sci.cpi_1400_rural_maingroups.monthly": rural_1400_monthly_grid(),
+            name: pd.read_csv(
+                io.StringIO(csv), header=None, skip_blank_lines=False
+            )
+            for name, csv in entry_mod._l13_fixture_csvs().items()
         }
         url_to_grid = {}
         reg_probe = ExternalDataRegistry(spark, meta)
