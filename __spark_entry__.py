@@ -3004,6 +3004,69 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# X31 — DSIR importance resampling (Xie et al. 2023), deterministic
+# variant: score every document by log P_target - log P_source under
+# add-one-smoothed multinomials over md5-hashed word features (target =
+# the 'en' slice, source = the whole pool), keep the deterministic top-n
+# (hash tiebreak instead of the paper's Gumbel noise, so the selection
+# replays exactly). One explode, ONE combined count pass (conditional sum
+# beside the plain count), a 256-row broadcast feature table, a per-doc
+# sum, a rank window. Full DuckDB oracle replaying the identical hash,
+# smoothing, and tiebreak.
+# --------------------------------------------------------------------------
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.sampling import dsir_importance_select
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").alias("is_target"), "text"
+    )
+    return dsir_importance_select(
+        docs, "is_target", n=150, id_col="doc_id", text_col="text"
+    ).orderBy("doc_id")
+
+
+SQL_DSIR_SELECT = r"""
+WITH docs AS (
+  SELECT doc_id, (lang = 'en') AS is_target, text FROM documents
+), toks AS (
+  SELECT doc_id, is_target,
+         unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM docs WHERE length(trim(text)) > 0
+), words AS (
+  SELECT doc_id, is_target, substr(md5('dsir' || '|' || w), 1, 2) AS f
+  FROM toks
+), feat AS (
+  SELECT f, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc,
+         count(*) AS sc
+  FROM words GROUP BY f
+), tot AS (SELECT sum(tc) AS tt, sum(sc) AS st FROM feat),
+fs AS (
+  SELECT f, ln((tc + 1)::DOUBLE / (tt + 256))
+           - ln((sc + 1)::DOUBLE / (st + 256)) AS lw
+  FROM feat, tot
+), ds AS (
+  SELECT w.doc_id, count(*) AS n_tokens, sum(lw) AS score
+  FROM words w JOIN fs USING (f) GROUP BY w.doc_id
+), scored AS (
+  SELECT d.doc_id, d.is_target,
+         coalesce(ds.n_tokens, 0)::BIGINT AS n_tokens,
+         coalesce(ds.score, 0.0) AS score
+  FROM docs d LEFT JOIN ds USING (doc_id)
+), ranked AS (
+  SELECT *, row_number() OVER (
+    ORDER BY score DESC, md5('dsir' || '|' || doc_id::VARCHAR), doc_id
+  ) AS rn
+  FROM scored
+)
+SELECT doc_id::BIGINT AS doc_id, is_target, n_tokens,
+       round(score, 4) AS dsir_score
+FROM ranked WHERE rn <= 150 ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # X29 — temperature mixture resampling (the multilingual/domain-rebalance
 # primitive): per-language quotas proportional to n_lang^0.5 normalized to
 # 300 docs, deterministic md5-ordered keep, quota floored at 1. Completes
@@ -4188,6 +4251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 6 --
         "l13_real_cpi_chain": q_real_cpi_chain,
         "l14_multi_year_food": q_multi_year_food,
+        "x31_dsir_select": q_dsir_select,
         # -- rows-only gates (approximate by design, no oracle): the
         # driver's ONLY evidence for them is the per-round spark_rows
         # record, so they NEVER rotate past the 50-row window --
@@ -4200,11 +4264,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4b_weighted_approx_decile": q_weighted_approx_decile,
         # -- window fillers: green-r5 veterans completing the 50 --
         "w1_weighted_ecdf": q_weighted_ecdf,
-        "w2_decile": q_decile,
         # -- rotated past position 50 this round: every gate below is
         # FULL-ORACLE with a green (hash-matched) driver row in
         # CORRECTNESS_r05.json and full coverage in
         # tests/test_oracle_parity.py --
+        "w2_decile": q_decile,
         "p13_cpi_deflation": q_cpi_deflation,
         "x10_multimodal_features": q_multimodal_features,
         "x11_bpe_token_count": q_bpe_token_count,
@@ -4343,5 +4407,6 @@ def oracle_sql() -> dict[str, str]:
         "l12_real_duration_aspect": SQL_REAL_DURATION_ASPECT,
         "l13_real_cpi_chain": SQL_REAL_CPI_CHAIN,
         "l14_multi_year_food": SQL_MULTI_YEAR_FOOD,
+        "x31_dsir_select": SQL_DSIR_SELECT,
         "x24_token_budget": SQL_TOKEN_BUDGET,
     }

@@ -237,3 +237,106 @@ def pack_sequences(
         )
         .drop("__before__")
     )
+
+
+def dsir_importance_select(
+    df: DataFrame,
+    target_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "dsir",
+    digits: int = 2,
+    score_col: str = "dsir_score",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023),
+    deterministic variant: score every document by the log importance
+    weight ``log P_target(doc) - log P_source(doc)`` under add-one-smoothed
+    multinomials over HASHED word features, then keep the top-``n`` scored
+    documents. ``target_col`` is a boolean column marking the in-domain
+    slice (the "target" distribution); the source distribution is the
+    whole pool, target included — the standard DSIR setup.
+
+    Deviation from the paper, by design: the paper resamples with Gumbel
+    noise; this variant takes the deterministic top-n (ties broken by
+    md5-hash then id), so reruns — and the DuckDB oracle — reproduce
+    bit-identically. Zero-token documents have no features, score 0 by
+    convention, and rank by the hash tiebreak.
+
+    Scale shape: one explode over tokens, ONE combined count pass
+    producing target and source counts per hashed feature (a conditional
+    sum beside the plain count — no second scan), a 16^digits-row feature
+    table broadcast back onto the token stream, a per-document sum, and a
+    global top-n (rank window over a single ordered partition of doc-level
+    rows — at 100 TB swap for an approximate threshold + filter; the
+    DataFrame shape is unchanged). Hashing uses the module's md5-prefix
+    convention (:func:`hash_bucket`), so the oracle replays it exactly.
+
+    Output: one row per kept document — (id_col, target_col, n_tokens,
+    score_col rounded to 4dp) — scores summed over token OCCURRENCES, the
+    paper's bag-of-hashed-ngrams product in log space.
+    """
+    from pyspark.sql import Window
+
+    n_buckets = 16 ** digits
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            F.col(target_col).alias("__tgt__"),
+            F.explode(tokens).alias("__w__"),
+        )
+        .select(
+            id_col,
+            "__tgt__",
+            hash_bucket(F.col("__w__"), salt, digits).alias("__f__"),
+        )
+    )
+    feat = words.groupBy("__f__").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__tgt__"), F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias("__tc__"),
+        F.count("*").alias("__sc__"),
+    )
+    totals = feat.agg(
+        F.sum("__tc__").alias("__tt__"), F.sum("__sc__").alias("__st__")
+    )
+    lw = (
+        F.log((F.col("__tc__") + 1) / (F.col("__tt__") + F.lit(n_buckets)))
+        - F.log((F.col("__sc__") + 1) / (F.col("__st__") + F.lit(n_buckets)))
+    ).alias("__lw__")
+    feat_scored = feat.crossJoin(F.broadcast(totals)).select("__f__", lw)
+    doc_scores = (
+        words.join(F.broadcast(feat_scored), "__f__")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("__lw__").alias("__score__"),
+        )
+    )
+    # re-attach zero-token docs with score 0 so the operator ranks the
+    # whole pool (row-preserving selection semantics)
+    base = df.select(id_col, target_col)
+    scored = base.join(doc_scores, id_col, "left").select(
+        id_col,
+        target_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("__score__"), F.lit(0.0)).alias("__score__"),
+    )
+    rank_win = Window.orderBy(
+        F.col("__score__").desc(),
+        hash_hex(F.col(id_col), salt),
+        F.col(id_col),
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(rank_win))
+        .where(F.col("__rn__") <= n)
+        .select(
+            id_col,
+            target_col,
+            "n_tokens",
+            F.round("__score__", 4).alias(score_col),
+        )
+    )

@@ -159,6 +159,7 @@ NO_R5_ROW_OR_NEW = {
     # new in round 6
     "l13_real_cpi_chain",
     "l14_multi_year_food",
+    "x31_dsir_select",
 }
 # approximate-by-design gates: spark_rows is their only driver record
 ROWS_ONLY_PINNED_IN_WINDOW = {
@@ -173,6 +174,7 @@ ROWS_ONLY_PINNED_IN_WINDOW = {
 # every gate here is FULL-ORACLE with a green (hash-matched) row in
 # CORRECTNESS_r05.json
 ROTATED_VETERANS = {
+    "w2_decile",
     "p13_cpi_deflation",
     "x10_multimodal_features",
     "x11_bpe_token_count",

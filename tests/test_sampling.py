@@ -262,3 +262,37 @@ class TestTemperatureSample:
             temperature_sample(df, "lang", 0.5, 0, "doc_id")
         with _pytest.raises(ValueError, match="alpha"):
             temperature_sample(df, "lang", -1.0, 10, "doc_id")
+
+
+def test_dsir_selects_target_like_documents(spark):
+    """Planted vocabularies: target docs speak vocab A, the rest vocab B,
+    and two 'mystery' docs (not marked target) also speak A. DSIR must
+    rank every A-speaking doc above every B-speaking doc — the whole point
+    of importance resampling is recovering target-LIKE data from the pool
+    regardless of labels."""
+    from hbsir_old_spark.functions.sampling import dsir_importance_select
+
+    a_words = "alpha beta gamma delta epsilon"
+    b_words = "zulu yankee xray whiskey victor"
+    rows = []
+    for i in range(10):
+        rows.append((i, True, a_words))           # labeled target, vocab A
+    for i in range(10, 40):
+        rows.append((i, False, b_words))          # pool, vocab B
+    rows.append((100, False, a_words))            # mystery A-speakers
+    rows.append((101, False, a_words + " beta"))
+    df = spark.createDataFrame(rows, "doc_id long, is_target boolean, text string")
+    kept = dsir_importance_select(df, "is_target", n=12, id_col="doc_id")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == set(range(10)) | {100, 101}
+
+
+def test_dsir_zero_token_docs_rank_by_tiebreak_with_zero_score(spark):
+    from hbsir_old_spark.functions.sampling import dsir_importance_select
+
+    rows = [(1, True, "aa bb"), (2, False, "aa bb"), (3, False, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, is_target boolean, text string")
+    out = {r["doc_id"]: r for r in dsir_importance_select(
+        df, "is_target", n=3, id_col="doc_id").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3]["n_tokens"] == 0 and out[3]["dsir_score"] == 0.0
