@@ -3004,6 +3004,49 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# X32 — cross-corpus duplicated-passage fraction (Lee et al. 2022
+# exact-substring-dedup signal): per document, the fraction of SAMPLED
+# 12-char windows of the normalized text whose hash occurs in >= 2
+# distinct documents. Sampling is content-defined (keep windows whose
+# md5 starts with '0', 1/16) — alignment-independent, unlike positional
+# striding. One filtered explode, one distinct+count pass over (hash,
+# doc), a hash join back, per-doc sum — the within-doc Gopher rules
+# (x25) can't see these; this statistic needs corpus-wide state. Full
+# DuckDB oracle (identical normalize/md5/sample arithmetic).
+# --------------------------------------------------------------------------
+
+
+def q_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.text import cross_doc_dup_windows
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return cross_doc_dup_windows(docs).orderBy("doc_id")
+
+
+SQL_DUP_WINDOWS = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), w AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, md5(substr(t, i::INTEGER, 12)) AS h
+    FROM norm, unnest(range(1, greatest(len(t) - 11, 1) + 1)) AS u(i)
+  ) WHERE h LIKE '0%'
+), owners AS (
+  SELECT h, count(*) AS nd
+  FROM (SELECT DISTINCT doc_id, h FROM w) GROUP BY h
+)
+SELECT w.doc_id::BIGINT AS doc_id,
+       count(*)::BIGINT AS n_windows,
+       sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+       round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS dup_frac
+FROM w JOIN owners USING (h)
+GROUP BY w.doc_id ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # X31 — DSIR importance resampling (Xie et al. 2023), deterministic
 # variant: score every document by log P_target - log P_source under
 # add-one-smoothed multinomials over md5-hashed word features (target =
@@ -4252,6 +4295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l13_real_cpi_chain": q_real_cpi_chain,
         "l14_multi_year_food": q_multi_year_food,
         "x31_dsir_select": q_dsir_select,
+        "x32_dup_windows": q_dup_windows,
         # -- rows-only gates (approximate by design, no oracle): the
         # driver's ONLY evidence for them is the per-round spark_rows
         # record, so they NEVER rotate past the 50-row window --
@@ -4263,11 +4307,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_approx_decile": q_approx_decile,
         "w4b_weighted_approx_decile": q_weighted_approx_decile,
         # -- window fillers: green-r5 veterans completing the 50 --
-        "w1_weighted_ecdf": q_weighted_ecdf,
         # -- rotated past position 50 this round: every gate below is
         # FULL-ORACLE with a green (hash-matched) driver row in
         # CORRECTNESS_r05.json and full coverage in
         # tests/test_oracle_parity.py --
+        "w1_weighted_ecdf": q_weighted_ecdf,
         "w2_decile": q_decile,
         "p13_cpi_deflation": q_cpi_deflation,
         "x10_multimodal_features": q_multimodal_features,
@@ -4408,5 +4452,6 @@ def oracle_sql() -> dict[str, str]:
         "l13_real_cpi_chain": SQL_REAL_CPI_CHAIN,
         "l14_multi_year_food": SQL_MULTI_YEAR_FOOD,
         "x31_dsir_select": SQL_DSIR_SELECT,
+        "x32_dup_windows": SQL_DUP_WINDOWS,
         "x24_token_budget": SQL_TOKEN_BUDGET,
     }

@@ -368,3 +368,70 @@ def top_k_tokens(df, text_col: str = "text", k: int = 20) -> "DataFrame":
     return token_frequencies(df, text_col).orderBy(
         F.col("freq").desc(), F.col("token")
     ).limit(k)
+
+
+def cross_doc_dup_windows(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 12,
+    sample_hex_digits: int = 1,
+) -> "DataFrame":
+    """Per-document CROSS-corpus duplicated-passage signal (the
+    exact-substring-dedup statistic of Lee et al. 2022): the fraction of
+    sampled character ``width``-gram windows of the normalized text whose
+    hash also occurs in at least one OTHER document. Complements the
+    WITHIN-document Gopher rules (:func:`duplicate_line_fraction` /
+    :func:`duplicate_ngram_fraction`): this one needs corpus-wide state.
+
+    Sampling is CONTENT-DEFINED (winnowing-style): every window position
+    is hashed, but only windows whose md5 starts with
+    ``sample_hex_digits`` zeros survive (1/16 per digit). Positional
+    striding would be alignment-dependent — the same passage at different
+    offsets in two documents samples different substrings and the
+    duplicate goes unseen (a measured failure, round 6); hash-gated
+    sampling keeps the SAME windows of a shared passage everywhere it
+    appears. ``sample_hex_digits=0`` keeps every window. Texts shorter
+    than ``width`` contribute their single truncated window; documents
+    with no surviving sampled window yield no row (the x30 no-bigram
+    convention). Output: (id_col, n_windows, n_dup, dup_frac 6dp) over
+    SAMPLED windows.
+
+    Scale shape: the per-document hash+filter runs in array expressions
+    BEFORE the explode, so the shuffle carries only the ~16^-digits
+    sampled fraction; then ONE distinct + count pass builds the
+    (hash -> n_docs) table (partial-aggregable after the per-(doc, hash)
+    distinct) and a hash join brings it back. No UDFs; md5/substring
+    replay exactly in DuckDB.
+    """
+    norm = normalize_text(F.col(text_col))
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(norm) - (width - 1), F.lit(1))
+    )
+    hashes = F.transform(positions, lambda i: F.md5(F.substring(norm, i, width)))
+    prefix = "0" * sample_hex_digits
+    if sample_hex_digits:
+        hashes = F.filter(hashes, lambda h: h.startswith(prefix))
+    windows = df.select(
+        F.col(id_col), F.explode(hashes).alias("__h__")
+    )
+    owners = (
+        windows.select(id_col, "__h__")
+        .distinct()
+        .groupBy("__h__")
+        .agg(F.count("*").alias("__nd__"))
+    )
+    return (
+        windows.join(owners, "__h__")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum((F.col("__nd__") >= 2).cast("long")).alias("n_dup"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_windows"), 6).alias("dup_frac"),
+        )
+    )

@@ -160,6 +160,7 @@ NO_R5_ROW_OR_NEW = {
     "l13_real_cpi_chain",
     "l14_multi_year_food",
     "x31_dsir_select",
+    "x32_dup_windows",
 }
 # approximate-by-design gates: spark_rows is their only driver record
 ROWS_ONLY_PINNED_IN_WINDOW = {
@@ -174,6 +175,7 @@ ROWS_ONLY_PINNED_IN_WINDOW = {
 # every gate here is FULL-ORACLE with a green (hash-matched) row in
 # CORRECTNESS_r05.json
 ROTATED_VETERANS = {
+    "w1_weighted_ecdf",
     "w2_decile",
     "p13_cpi_deflation",
     "x10_multimodal_features",

@@ -86,3 +86,44 @@ def test_repetition_filter_keep_flag(spark):
     assert rows[1]["keep"] is True
     assert rows[2]["keep"] is False
     assert rows[2]["dup_bigram_frac"] > REPETITION_THRESHOLDS["dup_bigram_frac"]
+
+
+def test_cross_doc_dup_windows_planted_misaligned(spark):
+    """Two docs share a passage at DIFFERENT offsets (misaligned mod any
+    stride); a third is unique. Content-defined sampling must still see
+    the duplicate — positional striding demonstrably cannot (the sampled
+    substrings differ when alignments diverge), which is why the sampler
+    keys on the window hash itself."""
+    from hbsir_old_spark.functions.text import cross_doc_dup_windows
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the band plays on and the caravan rolls through the night "
+        "past the old mill by the river crossing where nobody waits"
+    )
+    rows = [
+        (1, "PREFIX one " + shared + " SUFFIX alpha"),
+        (2, "different start " + shared + " other ending text"),
+        (3, "entirely unrelated content with no overlap whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cross_doc_dup_windows(df).collect()}
+    assert out[1]["n_dup"] > 0 and out[2]["n_dup"] > 0
+    assert 3 not in out or out[3]["n_dup"] == 0
+
+
+def test_cross_doc_dup_windows_unsampled_exact(spark):
+    """sample_hex_digits=0 keeps every window: exact duplicate fractions,
+    hand-checkable. Identical short texts (single truncated window) are
+    cross-doc duplicates of each other; a unique text scores 0."""
+    from hbsir_old_spark.functions.text import cross_doc_dup_windows
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny"), (3, "x")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in cross_doc_dup_windows(df, sample_hex_digits=0).collect()
+    }
+    assert out[1]["n_windows"] == 1 and out[1]["n_dup"] == 1
+    assert out[2]["n_dup"] == 1 and out[3]["n_dup"] == 0
