@@ -71,6 +71,10 @@ HEADLINE = [
     "x28_sequence_pack",
     "x29_temperature_sample",
     "x30_lm_perplexity",
+    # round 6: DSIR importance selection and the cross-corpus
+    # duplicated-passage statistic (content-defined window sampling)
+    "x31_dsir_select",
+    "x32_dup_windows",
     # x23_best_rep_dedup stays gate-only like x19: exact all-pairs n-gram
     # generation dominates its wall time (the scale path is x3's MinHash),
     # so it belongs to correctness, not the throughput suite. x26's k-means
