@@ -3005,14 +3005,15 @@ GROUP BY doc_id ORDER BY doc_id
 
 # --------------------------------------------------------------------------
 # X32 — cross-corpus duplicated-passage fraction (Lee et al. 2022
-# exact-substring-dedup signal): per document, the fraction of SAMPLED
-# 12-char windows of the normalized text whose hash occurs in >= 2
-# distinct documents. Sampling is content-defined (keep windows whose
-# md5 starts with '0', 1/16) — alignment-independent, unlike positional
-# striding. One filtered explode, one distinct+count pass over (hash,
-# doc), a hash join back, per-doc sum — the within-doc Gopher rules
-# (x25) can't see these; this statistic needs corpus-wide state. Full
-# DuckDB oracle (identical normalize/md5/sample arithmetic).
+# exact-substring-dedup signal, token-window form): per document, the
+# fraction of SAMPLED 5-token shingles of the normalized text whose hash
+# occurs in >= 2 distinct documents. Token shingles are alignment-free
+# (a shared passage yields identical shingles at any offset); sampling
+# is content-defined (keep shingles whose md5 starts with '0', 1/16).
+# Shingles build O(tokens) via zip_with over shifted slices, explode
+# BEFORE hashing so md5 runs row-wise in codegen — the within-doc Gopher
+# rules (x25) can't see cross-doc duplication; this statistic needs
+# corpus-wide state. Full DuckDB oracle (identical normalize/split/md5).
 # --------------------------------------------------------------------------
 
 
@@ -3027,11 +3028,17 @@ SQL_DUP_WINDOWS = r"""
 WITH norm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
   FROM documents
+), toks AS (
+  SELECT doc_id, string_split(t, ' ') AS tk FROM norm
+), grams AS (
+  SELECT doc_id,
+         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+         tk[i+3] || ' ' || tk[i+4] AS g
+  FROM toks, unnest(range(1, len(tk) - 3)) AS u(i)
+  UNION ALL
+  SELECT doc_id, array_to_string(tk, ' ') FROM toks WHERE len(tk) < 5
 ), w AS (
-  SELECT doc_id, h FROM (
-    SELECT doc_id, md5(substr(t, i::INTEGER, 12)) AS h
-    FROM norm, unnest(range(1, greatest(len(t) - 11, 1) + 1)) AS u(i)
-  ) WHERE h LIKE '0%'
+  SELECT doc_id, md5(g) AS h FROM grams WHERE md5(g) LIKE '0%'
 ), owners AS (
   SELECT h, count(*) AS nd
   FROM (SELECT DISTINCT doc_id, h FROM w) GROUP BY h

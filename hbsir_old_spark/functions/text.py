@@ -374,47 +374,56 @@ def cross_doc_dup_windows(
     df,
     id_col: str = "doc_id",
     text_col: str = "text",
-    width: int = 12,
+    width: int = 5,
     sample_hex_digits: int = 1,
 ) -> "DataFrame":
     """Per-document CROSS-corpus duplicated-passage signal (the
-    exact-substring-dedup statistic of Lee et al. 2022): the fraction of
-    sampled character ``width``-gram windows of the normalized text whose
-    hash also occurs in at least one OTHER document. Complements the
-    WITHIN-document Gopher rules (:func:`duplicate_line_fraction` /
-    :func:`duplicate_ngram_fraction`): this one needs corpus-wide state.
+    exact-substring-dedup statistic of Lee et al. 2022, token-window
+    form): the fraction of sampled ``width``-token shingles of the
+    normalized text whose hash also occurs in at least one OTHER
+    document. Complements the WITHIN-document Gopher rules
+    (:func:`duplicate_line_fraction` / :func:`duplicate_ngram_fraction`):
+    this one needs corpus-wide state.
 
-    Sampling is CONTENT-DEFINED (winnowing-style): every window position
-    is hashed, but only windows whose md5 starts with
-    ``sample_hex_digits`` zeros survive (1/16 per digit). Positional
-    striding would be alignment-dependent — the same passage at different
-    offsets in two documents samples different substrings and the
-    duplicate goes unseen (a measured failure, round 6); hash-gated
-    sampling keeps the SAME windows of a shared passage everywhere it
-    appears. ``sample_hex_digits=0`` keeps every window. Texts shorter
-    than ``width`` contribute their single truncated window; documents
-    with no surviving sampled window yield no row (the x30 no-bigram
-    convention). Output: (id_col, n_windows, n_dup, dup_frac 6dp) over
-    SAMPLED windows.
+    Token shingles (the paper itself dedups token spans) are inherently
+    alignment-free — a shared passage yields the same shingles wherever
+    it sits. Sampling is additionally CONTENT-DEFINED: only shingles
+    whose md5 starts with ``sample_hex_digits`` zeros survive (1/16 per
+    digit), so the sampled subset of a shared passage is identical in
+    every document containing it. ``sample_hex_digits=0`` keeps all.
+    Texts shorter than ``width`` tokens contribute one whole-text
+    shingle; documents with no surviving sampled shingle yield no row
+    (the x30 no-bigram convention). Output: (id_col, n_windows, n_dup,
+    dup_frac 6dp) over SAMPLED shingles.
 
-    Scale shape: the per-document hash+filter runs in array expressions
-    BEFORE the explode, so the shuffle carries only the ~16^-digits
-    sampled fraction; then ONE distinct + count pass builds the
-    (hash -> n_docs) table (partial-aggregable after the per-(doc, hash)
-    distinct) and a hash join brings it back. No UDFs; md5/substring
-    replay exactly in DuckDB.
+    Scale/perf shape (round-6 measured): shingles build as a fold of
+    zip_with over ``width`` shifted slices — O(tokens) array work per
+    row (the char-window + dynamic-offset substring formulation ran
+    ~7 us/row: UTF8String seeks per position) — then EXPLODE first and
+    md5 one shingle per row (the in-array transform lambda evaluates
+    interpreted). One distinct + count pass builds the (hash -> n_docs)
+    table, a hash join brings it back. md5/split replay exactly in
+    DuckDB.
     """
-    norm = normalize_text(F.col(text_col))
-    positions = F.sequence(
-        F.lit(1), F.greatest(F.length(norm) - (width - 1), F.lit(1))
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    m = F.size(tokens) - (width - 1)
+    grams = F.slice(tokens, 1, F.greatest(m, F.lit(1)))
+    for j in range(2, width + 1):
+        grams = F.zip_with(
+            grams,
+            F.slice(tokens, j, F.greatest(m, F.lit(1))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    shingles = F.when(m >= 1, grams).otherwise(
+        F.array(F.array_join(tokens, " "))
     )
-    hashes = F.transform(positions, lambda i: F.md5(F.substring(norm, i, width)))
-    prefix = "0" * sample_hex_digits
-    if sample_hex_digits:
-        hashes = F.filter(hashes, lambda h: h.startswith(prefix))
     windows = df.select(
-        F.col(id_col), F.explode(hashes).alias("__h__")
-    )
+        F.col(id_col), F.explode(shingles).alias("__g__")
+    ).select(F.col(id_col), F.md5(F.col("__g__")).alias("__h__"))
+    if sample_hex_digits:
+        windows = windows.where(
+            F.col("__h__").startswith("0" * sample_hex_digits)
+        )
     owners = (
         windows.select(id_col, "__h__")
         .distinct()
