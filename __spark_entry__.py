@@ -173,7 +173,7 @@ FROM orders
 
 def q_string_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
-    cleaned = F.trim(F.regexp_replace(F.translate(F.col("p_name"), ",@+*", ""), r"\s+", " "))
+    cleaned = F.trim(F.regexp_replace(F.translate(F.col("p_name"), ",@+*", ""), r"[ \t\n\x0b\f\r]+", " "))
     return part.select(
         "p_partkey",
         F.nullif(cleaned, F.lit("")).alias("clean_name"),
@@ -182,7 +182,7 @@ def q_string_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_STRING_SCRUB = """
 SELECT p_partkey,
-       nullif(trim(regexp_replace(translate(p_name, ',@+*', ''), '\\s+', ' ', 'g')), '') AS clean_name
+       nullif(trim(regexp_replace(translate(p_name, ',@+*', ''), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), '') AS clean_name
 FROM part
 """
 
@@ -949,7 +949,7 @@ WITH noisy AS (
   FROM documents
 ), stripped AS (
   SELECT doc_id,
-         trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS text
+         trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS text
   FROM noisy
 ), redacted AS (
   SELECT doc_id,
@@ -963,9 +963,9 @@ WITH noisy AS (
 SELECT doc_id,
        length(text)::BIGINT AS clean_len,
        (length(text) - length(replace(text, '[EMAIL]', '')))::BIGINT AS email_chars,
-       round(CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
-                  THEN 1 - len(list_distinct(string_split_regex(trim(text), '\s+')))
-                           / len(string_split_regex(trim(text), '\s+'))
+       round(CASE WHEN len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) > 0
+                  THEN 1 - len(list_distinct(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')))
+                           / len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
                   ELSE 0 END, 6) AS rep_ratio
 FROM redacted
 """
@@ -992,7 +992,7 @@ def q_contamination_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CONTAMINATION_FLAG = r"""
 WITH toks AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+         string_split(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ') AS t
   FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -1272,7 +1272,7 @@ WITH doubled AS (
 ), scored AS (
   SELECT doc_id, lang, text,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tokens,
          ((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
           + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3
           + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5
@@ -1293,7 +1293,7 @@ WITH doubled AS (
 ), deduped AS (
   SELECT * FROM kept
   QUALIFY doc_id = min(doc_id) OVER (
-      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+      PARTITION BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
 )
 SELECT lang, count(*)::BIGINT AS n_docs,
        round(avg(n_tokens), 6) AS avg_tokens,
@@ -1318,9 +1318,9 @@ WITH doubled AS (
   UNION ALL
   SELECT doc_id + 1000000, text FROM documents
 )
-SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS fingerprint
 FROM doubled
-QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
 """
 
 
@@ -1332,7 +1332,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NGRAM_JACCARD = """
 WITH toks AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+         string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS t
   FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -1392,7 +1392,7 @@ WITH base AS (
   SELECT doc_id, text,
          length(text) AS n_chars,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tokens,
          ((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
           + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3
           + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5
@@ -1441,7 +1441,7 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ROLLING_FINGERPRINT = """
 WITH norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents
+  SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS t FROM documents
 )
 SELECT doc_id,
        list_min(list_transform(range(1, greatest(length(t) - 7, 1) + 1),
@@ -1649,7 +1649,7 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BPE_TOKEN_COUNT = r"""
 SELECT doc_id,
        (CASE WHEN length(trim(text)) = 0 THEN 0
-             ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS ws_tokens,
+             ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END)::BIGINT AS ws_tokens,
        len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))::BIGINT
            AS bpe_tokens
 FROM documents
@@ -2319,7 +2319,7 @@ WITH base AS (
   FROM documents
 ), tok AS (
   SELECT doc_id, multi,
-         CASE WHEN length(t) = 0 THEN [] ELSE string_split_regex(t, '\s+') END
+         CASE WHEN length(t) = 0 THEN [] ELSE string_split_regex(t, '[ \t\n\x0b\f\r]+') END
            AS tokens
   FROM base
 ), sized AS (
@@ -2981,7 +2981,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_LM_PERPLEXITY = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS t
   FROM documents WHERE length(trim(text)) > 0
 ), pairs AS (
   SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
@@ -3026,7 +3026,7 @@ def q_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DUP_WINDOWS = r"""
 WITH norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
   FROM documents
 ), toks AS (
   SELECT doc_id, string_split(t, ' ') AS tk FROM norm
@@ -3082,7 +3082,7 @@ WITH docs AS (
   SELECT doc_id, (lang = 'en') AS is_target, text FROM documents
 ), toks AS (
   SELECT doc_id, is_target,
-         unnest(string_split_regex(trim(text), '\s+')) AS w
+         unnest(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS w
   FROM docs WHERE length(trim(text)) > 0
 ), words AS (
   SELECT doc_id, is_target, substr(md5('dsir' || '|' || w), 1, 2) AS f
@@ -3214,7 +3214,7 @@ SQL_SEQUENCE_PACK = r"""
 WITH toks AS (
   SELECT doc_id,
          (CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT
+               ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END)::BIGINT
            AS n_tokens,
          substr(md5('pack' || '|' || doc_id::VARCHAR), 1, 2) AS pack_bucket
   FROM documents
@@ -3626,7 +3626,7 @@ SQL_TOKEN_BUDGET = """
 WITH toks AS (
   SELECT doc_id, lang,
          coalesce((CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT,
+               ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END)::BIGINT,
                   0) AS n_tokens,
          md5('tb|' || doc_id::VARCHAR) AS h
   FROM documents
@@ -3688,7 +3688,7 @@ SQL_TOKEN_FREQ = """
 SELECT token, count(*)::BIGINT AS freq
 FROM (
   SELECT unnest(string_split(
-           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+           trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ')) AS token
   FROM documents
 )
 WHERE token <> ''
@@ -3915,7 +3915,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DUP_CLUSTERS = """
 WITH RECURSIVE toks AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+         string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS t
   FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -3974,7 +3974,7 @@ def q_best_rep_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BEST_REP_DEDUP = """
 WITH RECURSIVE toks AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+         string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS t
   FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -4038,7 +4038,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_INCREMENTAL_DEDUP = """
 WITH fp AS (
   SELECT doc_id, lang, source,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+         md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS f
   FROM documents
 ), seen AS (
   SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0
@@ -4076,7 +4076,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TFIDF_TOP_TERMS = """
 WITH toks AS (
   SELECT doc_id,
-         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+         unnest(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ')) AS term
   FROM documents
 ), tf AS (
   SELECT doc_id, term, count(*)::BIGINT AS tf

@@ -283,8 +283,19 @@ def bigram_lm_scores(
 
 
 def normalize_text(col: Column | str) -> Column:
-    """Canonical form for fingerprinting: lower, collapse whitespace, trim."""
-    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+    """Canonical form for fingerprinting: lower, collapse whitespace, trim.
+
+    Engine-portability hardening (round-6 review): U+0130 (Turkish dotted
+    I) is pre-mapped to plain 'i' — the JVM lowercases it to 'i' plus a
+    combining dot (two codepoints) while utf8proc-based engines (the
+    DuckDB oracles) produce bare 'i', which would desynchronize every
+    md5-of-normalized-text fingerprint on corpora containing it. All
+    other case mappings agree between the engines."""
+    return F.trim(
+        F.regexp_replace(
+            F.lower(F.translate(_c(col), "\u0130", "i")), r"\s+", " "
+        )
+    )
 
 
 def doc_fingerprint(col: Column | str) -> Column:

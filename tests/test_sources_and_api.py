@@ -284,3 +284,51 @@ def test_jsonl_schema_enforced_corrupt_capture(spark, tmp_path):
         assert bad_rows[0]["doc_id"] is None
     finally:
         raw.unpersist()
+
+
+def test_scrub_string_matches_reference_regex_chain(spark):
+    """Round-6 review: the translate/rtrim/guarded-regex rewrite of
+    scrub_string must stay byte-identical to the reference's original
+    four-regex chain (data_cleaner.py:216-227) on every rule it rewrote —
+    char-class strip, middle-dot map, trailing-dot strip, leading-minus
+    lookahead, blank -> null. The expected values come from an in-test
+    Python implementation of the ORIGINAL regexes, so a future edit to
+    the hot scrubber cannot regress a rule silently."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from hbsir_old_spark.sources.cleaner import scrub_string
+
+    def reference_scrub(v):
+        v = re.sub(r"[\n\r,@+*\[\]_?]", "", v)
+        v = re.sub("·", ".", v)
+        v = re.sub(r"\.+$", "", v)
+        v = re.sub(r"^-+(?=\D|$)", "", v)
+        v = v.strip()
+        return v if v != "" else None
+
+    cases = [
+        "12,345",            # comma strip
+        "a@b+c*d_e?f[g]h",   # full char-class strip
+        "12·5",              # middle dot -> decimal point
+        "128.000...",        # trailing dots
+        "12.5.",             # single trailing dot after decimal
+        "-",                 # lone minus -> blank -> null
+        "--abc",             # minus run before non-digit
+        "-5",                # negative number PRESERVED
+        "--5",               # backtracking: one minus consumed, -5 stays
+        "-.5",               # minus before dot (non-digit lookahead)
+        "  padded  ",        # whitespace trim
+        "...",               # dots only -> null
+        "·",                 # middle dot alone -> '.' -> trailing strip -> null
+        "12\n34\r56",        # embedded newlines/CRs
+        "a-b-c",             # interior minus untouched
+        "",                  # empty -> null
+        "0",                 # plain digit
+        "12.5 ",             # trailing dot rule must NOT fire past a space
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "v string")
+    got = [r[0] for r in df.select(scrub_string("v")).collect()]
+    expected = [reference_scrub(c) for c in cases]
+    assert got == expected, list(zip(cases, got, expected))
