@@ -92,11 +92,18 @@ def wait_for_quiet_host(
     at loadavg 3-8 are unusable for regression calls (observed 3-10x
     swings); gating makes a recorded number mean something. Returns
     (seconds_waited, host_was_quiet)."""
+    def quiet() -> bool:
+        one, five, _ = os.getloadavg()
+        # the 5-min average catches a just-finished heavy phase (test
+        # suite, prior bench) whose cache/JIT churn still pollutes
+        # timings even after the 1-min average has decayed
+        return one <= threshold and five <= 2 * threshold
+
     waited = 0.0
-    while os.getloadavg()[0] > threshold and waited < timeout_s:
+    while not quiet() and waited < timeout_s:
         time.sleep(poll_s)
         waited += poll_s
-    return waited, os.getloadavg()[0] <= threshold
+    return waited, quiet()
 
 
 def main() -> None:
