@@ -226,3 +226,49 @@ class TestFullChain:
         df = reg.load_named("Gini", "SCI", "Annual")
         got = {r["Year"]: r["Gini"] for r in df.collect()}
         assert got[1363] == 0.30 and got[1401] == 0.68
+
+
+class TestFullChain1395:
+    """The 1395-base family end-to-end through the real yaml: the monthly
+    urban_rural combiner pulls TWO url leaves with different sheet layouts
+    (urban column-2 run vs rural row-3 band from column 53)."""
+
+    def test_cpi_1395_monthly_urban_rural(self, spark, tmp_path):
+        from hbsir_old_spark.metadata.corpus import load_corpus
+        from hbsir_old_spark.sources.external import ExternalDataRegistry
+
+        meta = load_corpus().external_data
+        urban = urban_monthly_grid(1401)
+        n = (1401 - 1374 + 1) * 12
+        rural = _pad(
+            [[], [], [],
+             ["junk"] * 53 + [cpi_r(1374 + i // 12, i % 12 + 1, 0) for i in range(n)]]
+        )
+        probe = ExternalDataRegistry(spark, meta)
+        url_to_grid = {
+            probe._navigate("sci.cpi_1395_urban_singleindex.monthly")[1]["url"]: urban,
+            probe._navigate("sci.cpi_1395_rural_maingroups.monthly")[1]["url"]: rural,
+        }
+
+        def fetcher(url: str, dest: str) -> None:
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            url_to_grid[url].to_csv(dest, index=False, header=False)
+
+        reg = ExternalDataRegistry(
+            spark,
+            meta,
+            cleaners=cs.reference_cleaners(),
+            fetcher=fetcher,
+            cache_dir=str(tmp_path / "ext95"),
+        )
+        df = reg.load_named("CPI_1395", "SCI", "Monthly", "Urban_Rural")
+        rows = {
+            (r["Urban_Rural"], r["Year"], r["Month"]): r["CPI"]
+            for r in df.collect()
+        }
+        # coverage: urban 1361-1401, rural 1374-1401, both monthly
+        assert len(rows) == (1401 - 1361 + 1) * 12 + n
+        assert rows[("Urban", 1400, 7)] == cpi_u(1400, 7)
+        assert rows[("Rural", 1374, 1)] == cpi_r(1374, 1, 0)
+        assert rows[("Rural", 1401, 12)] == cpi_r(1401, 12, 0)
+        assert ("Rural", 1373, 12) not in rows
