@@ -992,7 +992,7 @@ def q_contamination_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CONTAMINATION_FLAG = r"""
 WITH toks AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ') AS t
+         string_split(trim(regexp_replace(translate(lower(text), 'ς', 'σ'), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ') AS t
   FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -1293,7 +1293,7 @@ WITH doubled AS (
 ), deduped AS (
   SELECT * FROM kept
   QUALIFY doc_id = min(doc_id) OVER (
-      PARTITION BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
+      PARTITION BY md5(trim(regexp_replace(translate(lower(text), 'ς', 'σ'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
 )
 SELECT lang, count(*)::BIGINT AS n_docs,
        round(avg(n_tokens), 6) AS avg_tokens,
@@ -1318,9 +1318,9 @@ WITH doubled AS (
   UNION ALL
   SELECT doc_id + 1000000, text FROM documents
 )
-SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS fingerprint
+SELECT doc_id, md5(trim(regexp_replace(translate(lower(text), 'ς', 'σ'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS fingerprint
 FROM doubled
-QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(translate(lower(text), 'ς', 'σ'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
 """
 
 
@@ -1332,7 +1332,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NGRAM_JACCARD = """
 WITH toks AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS t
+         string_split(trim(regexp_replace(translate(lower(text), 'ς', 'σ'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS t
   FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -1441,7 +1441,7 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ROLLING_FINGERPRINT = """
 WITH norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS t FROM documents
+  SELECT doc_id, trim(regexp_replace(translate(lower(text), 'ς', 'σ'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS t FROM documents
 )
 SELECT doc_id,
        list_min(list_transform(range(1, greatest(length(t) - 7, 1) + 1),
@@ -3026,7 +3026,7 @@ def q_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DUP_WINDOWS = r"""
 WITH norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
+  SELECT doc_id, trim(regexp_replace(translate(lower(text), 'ς', 'σ'), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
   FROM documents
 ), toks AS (
   SELECT doc_id, string_split(t, ' ') AS tk FROM norm
@@ -3688,7 +3688,7 @@ SQL_TOKEN_FREQ = """
 SELECT token, count(*)::BIGINT AS freq
 FROM (
   SELECT unnest(string_split(
-           trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ')) AS token
+           trim(regexp_replace(translate(lower(text), 'ς', 'σ'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ')) AS token
   FROM documents
 )
 WHERE token <> ''
@@ -3915,7 +3915,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DUP_CLUSTERS = """
 WITH RECURSIVE toks AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS t
+         string_split(trim(regexp_replace(translate(lower(text), 'ς', 'σ'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS t
   FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -3974,7 +3974,7 @@ def q_best_rep_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BEST_REP_DEDUP = """
 WITH RECURSIVE toks AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS t
+         string_split(trim(regexp_replace(translate(lower(text), 'ς', 'σ'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS t
   FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -4038,7 +4038,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_INCREMENTAL_DEDUP = """
 WITH fp AS (
   SELECT doc_id, lang, source,
-         md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS f
+         md5(trim(regexp_replace(translate(lower(text), 'ς', 'σ'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS f
   FROM documents
 ), seen AS (
   SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0
@@ -4076,7 +4076,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TFIDF_TOP_TERMS = """
 WITH toks AS (
   SELECT doc_id,
-         unnest(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ')) AS term
+         unnest(string_split(trim(regexp_replace(translate(lower(text), 'ς', 'σ'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ')) AS term
   FROM documents
 ), tf AS (
   SELECT doc_id, term, count(*)::BIGINT AS tf

@@ -288,14 +288,15 @@ def normalize_text(col: Column | str) -> Column:
     Engine-portability hardening (round-6 review): U+0130 (Turkish dotted
     I) is pre-mapped to plain 'i' — the JVM lowercases it to 'i' plus a
     combining dot (two codepoints) while utf8proc-based engines (the
-    DuckDB oracles) produce bare 'i', which would desynchronize every
-    md5-of-normalized-text fingerprint on corpora containing it. All
-    other case mappings agree between the engines."""
-    return F.trim(
-        F.regexp_replace(
-            F.lower(F.translate(_c(col), "\u0130", "i")), r"\s+", " "
-        )
-    )
+    DuckDB oracles) produce bare 'i'; and Greek capital sigma is folded
+    to the NON-final form on both sides (the JVM lowercases a trailing
+    Σ context-sensitively to ς, utf8proc unconditionally to σ — and a
+    literal ς input must land on σ too, so the fold runs after
+    lowercasing). A cross-engine sweep over ligature/fullwidth/titlecase
+    codepoints found no other divergent mapping."""
+    lowered = F.lower(F.translate(_c(col), "\u0130", "i"))
+    folded = F.translate(lowered, "\u03c2", "\u03c3")
+    return F.trim(F.regexp_replace(folded, r"\s+", " "))
 
 
 def doc_fingerprint(col: Column | str) -> Column:
