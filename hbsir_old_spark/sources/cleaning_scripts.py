@@ -43,7 +43,14 @@ def load_raw_grid(path: str) -> pd.DataFrame:
     with open(path, "rb") as fh:
         magic = fh.read(4)
     if magic[:2] == b"PK":
-        grid = pd.read_excel(path, header=None)  # needs openpyxl at runtime
+        try:
+            grid = pd.read_excel(path, header=None)
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise ImportError(
+                f"reading the xlsx download {path!r} needs an Excel engine "
+                "(pip install openpyxl); offline tests use CSV fixtures "
+                "with the same headerless grid layout"
+            ) from exc
     else:
         grid = pd.read_csv(path, header=None, skip_blank_lines=False)
     grid.columns = range(grid.shape[1])

@@ -272,3 +272,21 @@ class TestFullChain1395:
         assert rows[("Rural", 1374, 1)] == cpi_r(1374, 1, 0)
         assert rows[("Rural", 1401, 12)] == cpi_r(1401, 12, 0)
         assert ("Rural", 1373, 12) not in rows
+
+
+def test_load_raw_grid_sniffs_format(tmp_path):
+    """CSV fixtures parse as headerless integer-labeled grids; a zip-magic
+    (xlsx) file routes to the Excel engine — with an actionable error when
+    that engine is absent in this environment."""
+    p = tmp_path / "raw_csv"
+    p.write_bytes(b"junk,1,2\n3,4,5\n")
+    grid = cs.load_raw_grid(str(p))
+    assert list(grid.columns) == [0, 1, 2] and grid.loc[1, 2] == 5
+    x = tmp_path / "raw_xlsx"
+    x.write_bytes(b"PK\x03\x04not really a workbook")
+    try:
+        cs.load_raw_grid(str(x))
+    except ImportError as exc:
+        assert "openpyxl" in str(exc)
+    except Exception:
+        pass  # an Excel engine exists and rejected the fake zip — fine
