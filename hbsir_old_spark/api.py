@@ -234,10 +234,20 @@ class HBSIREngine:
         """J4: broadcast join of the CPI dimension (columns: join keys +
         ``CPI``). With ``cpi=None`` the default SCI 1400 annual urban/rural
         series loads through the attached external registry and joins on
-        (Urban_Rural, Year), mirroring the reference default."""
+        (Urban_Rural, Year), mirroring the reference default — including
+        the reference's auto-attach (api.py:505-517): if the fact table
+        lacks ``Urban_Rural`` it is derived via the attribute registry for
+        the join and dropped afterwards."""
         if cpi is None:
             cpi = self._default_cpi()
             on = on or ("Urban_Rural", "Year")
+            drop_after = [
+                c for c in on if c == "Urban_Rural" and c not in table.columns
+            ]
+            if drop_after:
+                table = self.add_attribute(table, "Urban_Rural")
+            out = table.join(F.broadcast(cpi), list(on), "left")
+            return out.drop(*drop_after) if drop_after else out
         return table.join(F.broadcast(cpi), list(on or ("Year",)), "left")
 
     def adjust_by_cpi(

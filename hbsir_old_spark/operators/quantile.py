@@ -207,16 +207,13 @@ def _join_groups_broadcast(
     )
 
 
-def _collect_literal_probes(grid: DataFrame) -> list[float] | None:
-    """Collect the single ungrouped probe row; None when the input was
-    empty or a probe is non-finite (literal compilation can't carry
-    inf/nan exactly through SQL text)."""
+def _finite_probes(raw) -> list[float] | None:
+    """The collected ungrouped probe array as floats; None when a probe is
+    non-finite (literal compilation can't carry inf/nan exactly through
+    SQL text — those fall back to the join path, which carries them)."""
     import math
 
-    rows = grid.collect()
-    if not rows or rows[0][0] is None:
-        return None
-    cand = [float(x) for x in rows[0][0]]
+    cand = [float(x) for x in raw]
     if not all(math.isfinite(p) for p in cand):
         return None
     return cand
@@ -370,8 +367,17 @@ def weighted_approx_quantile_breaks(
         # measurement: the Column-expression assembly cost ~0.9 s of py4j
         # tree building + analysis per call, more than both data passes.
         # Non-finite probes or zero total weight fall back to the join
-        # path, which carries them exactly.
-        literal_probes = _collect_literal_probes(grid)
+        # path, which carries them exactly. An EMPTY input (no rows after
+        # the NULL-value filter) must NOT fall through: the join path's
+        # histogram collects to an empty __h__ array and element_at(h, -1)
+        # throws under Spark 4's ANSI default — the contract (see
+        # add_weighted_approx_bin) is a row-preserving NULL-breaks row.
+        probe_rows = grid.collect()
+        if not probe_rows or probe_rows[0][0] is None:
+            return df.sparkSession.createDataFrame(
+                [(None,)], "breaks array<double>"
+            )
+        literal_probes = _finite_probes(probe_rows[0][0])
         if literal_probes is not None:
             bucket = _count_lt_scalar_sql(
                 literal_probes, f"CAST(`{value_col}` AS DOUBLE)"
@@ -485,7 +491,13 @@ def add_weighted_approx_bin(
     breaks broadcast back, rows binned map-side — no sort, no window, and
     the row side never shuffles. This is the 100-TB path for the flagship
     survey-weighted decile (W2); the exact window path remains the
-    small-group / oracle semantics."""
+    small-group / oracle semantics.
+
+    Laziness note: the UNGROUPED path executes Spark jobs eagerly at
+    construction time (the probe grid and breaks are collected so the
+    histogram search compiles to scalar literals); the grouped path stays
+    lazy apart from the grid's eager checkpoint. Callers composing
+    pipelines should build this operator last if they rely on deferral."""
     breaks = weighted_approx_quantile_breaks(
         df, value_col, weight_col, bins, group_cols, probes, relative_error
     )

@@ -215,6 +215,36 @@ class TestApproxDecile:
         h_bins = [r["b"] for r in out.filter(F.col("grp") == "h").collect()]
         assert h_bins == [None] * 5
 
+    def test_ungrouped_empty_input_yields_null_breaks(self, spark):
+        # Regression (round-7 ADVICE): under Spark 4's ANSI default the
+        # ungrouped fallback built an empty __h__ histogram for empty
+        # input and element_at(__h__, -1) threw
+        # INVALID_ARRAY_INDEX_IN_ELEMENT_AT. Contract: NULL-breaks row,
+        # row-preserving NULL bins.
+        from hbsir_old_spark.operators.quantile import (
+            add_weighted_approx_bin,
+            weighted_approx_quantile_breaks,
+        )
+
+        empty = spark.createDataFrame([], "id int, val double, w double")
+        assert weighted_approx_quantile_breaks(empty, "val", "w", bins=4).collect()[
+            0
+        ]["breaks"] is None
+        assert add_weighted_approx_bin(
+            empty, "val", "w", bins=4, out_col="b"
+        ).count() == 0
+
+    def test_ungrouped_all_null_values_yield_null_bins(self, spark):
+        # Same ANSI crash class: all-NULL value column leaves no rows after
+        # the NULL filter — ungrouped rows must come back with NULL bins.
+        from hbsir_old_spark.operators.quantile import add_weighted_approx_bin
+
+        df = spark.createDataFrame(
+            [(i, None, 1.0) for i in range(5)], "id int, val double, w double"
+        )
+        out = add_weighted_approx_bin(df, "val", "w", bins=4, out_col="b")
+        assert [r["b"] for r in out.collect()] == [None] * 5
+
     def test_weighted_single_bin_has_no_breaks(self, spark):
         from hbsir_old_spark.operators.quantile import (
             add_weighted_approx_bin,

@@ -319,6 +319,36 @@ class TestEnrichment:
         ).df()
         assert_frames_match(adjusted.select("Year", "ID", "Gross_Expenditure"), expected)
 
+    def test_add_cpi_auto_attaches_urban_rural(self, spark, engine):
+        # Reference api.py:505-517: with the default urban/rural CPI, a
+        # fact table lacking Urban_Rural gets it derived via the attribute
+        # registry for the join and dropped afterwards.
+        te = engine.load_table("Total_Expenditure", [1400])
+        assert "Urban_Rural" not in te.columns
+        cpi = spark.createDataFrame(
+            [("Urban", 1400, 100.0), ("Rural", 1400, 50.0)],
+            schema="Urban_Rural string, Year int, CPI double",
+        )
+
+        class _FakeExternal:
+            def load_named(self, *a, **k):
+                return cpi
+
+        old = engine.external
+        engine.external = _FakeExternal()
+        try:
+            out = engine.add_cpi(te)
+        finally:
+            engine.external = old
+        assert "Urban_Rural" not in out.columns and "CPI" in out.columns
+        decoded = engine.add_attribute(te, "Urban_Rural")
+        exp = {
+            (r["Year"], r["ID"]): 100.0 if r["Urban_Rural"] == "Urban" else 50.0
+            for r in decoded.select("Year", "ID", "Urban_Rural").collect()
+        }
+        got = out.select("Year", "ID", "CPI").collect()
+        assert got and all(r["CPI"] == exp[(r["Year"], r["ID"])] for r in got)
+
     def test_cpi_deflation(self, spark, engine):
         te = engine.load_table("Total_Expenditure", [1394, 1400])
         cpi = spark.createDataFrame(
