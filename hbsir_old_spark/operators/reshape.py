@@ -70,7 +70,17 @@ def union_tables(dfs: Iterable[DataFrame]) -> DataFrame:
         for c in df.columns:
             if c not in order:
                 order.append(c)
-    out = dfs[0]
-    for df in dfs[1:]:
-        out = out.unionByName(df, allowMissingColumns=True)
-    return out.select(*order)
+    # BALANCED fold, not left-deep: every unionByName call re-analyzes its
+    # whole accumulated subtree, so a left fold over n branches costs
+    # O(n^2) driver-side analysis — measured as the dominant share of a
+    # 90 s plan-compile for the 39-year full-span food build (round 7).
+    # The balanced tree does the same unions in O(n log n) analysis work
+    # and produces an identical row set (union is associative).
+    while len(dfs) > 1:
+        dfs = [
+            dfs[i].unionByName(dfs[i + 1], allowMissingColumns=True)
+            if i + 1 < len(dfs)
+            else dfs[i]
+            for i in range(0, len(dfs), 2)
+        ]
+    return dfs[0].select(*order)
