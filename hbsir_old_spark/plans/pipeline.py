@@ -48,6 +48,18 @@ class _NeedsFlush(Exception):
     """A batched column expression references a pending column it cannot
     inline (non-SQL payload) — the caller must flush and recompile."""
 
+
+#: hidden year tag carried by era-batched multi-year builds (attached to
+#: every base frame, copied into ``Year`` by ``add_year``, dropped at the
+#: top of ``load_table``)
+PIPELINE_YEAR = "__pipeline_year__"
+
+
+class BatchUnsafe(Exception):
+    """An instruction cannot be applied to an era-batched multi-year frame
+    with per-year-identical semantics (e.g. a join that does not key on
+    Year) — the registry falls back to per-year builds for the group."""
+
 _TYPE_MAP = {
     "unsigned": "long",
     "integer": "long",
@@ -341,9 +353,10 @@ class PipelineCompiler:
         re.S,
     )
 
-    def _op_apply_pandas_function(self, df, arg, year, table_name):
-        if arg is None:
-            return df
+    def _recognize_pandas(self, df: DataFrame, arg, table_name: str):
+        """Translate the two supported pandas chains into a declarative
+        instruction: ("aggregate"|"melt", arg) — shared by the per-year and
+        era-batched dispatchers."""
         import ast
 
         text = str(arg).strip()
@@ -353,12 +366,7 @@ class PipelineCompiler:
             columns = (
                 ast.literal_eval(f"[{m.group(2)}]") if m.group(2) else None
             )
-            return self._op_aggregate(
-                df,
-                {"groupby": group, "columns": columns, "agg": "sum"},
-                year,
-                table_name,
-            )
+            return "aggregate", {"groupby": group, "columns": columns, "agg": "sum"}
         m = self._STACK_MELT.match(text)
         if m:
             dropped = ast.literal_eval(m.group(1))
@@ -370,27 +378,29 @@ class PipelineCompiler:
                     f"{id_cols!r} with (variable, value)"
                 )
             value_cols = [
-                c for c in df.columns if c not in (*id_cols, *dropped)
+                c for c in df.columns if c not in (*id_cols, *dropped, PIPELINE_YEAR)
             ]
             # pandas .stack() drops NaN cells by default -> drop_nulls
-            return self._op_melt(
-                df,
-                {
-                    "id_columns": id_cols,
-                    "value_columns": value_cols,
-                    "variable_name": axis[-2],
-                    "value_name": axis[-1],
-                    "drop_nulls": True,
-                },
-                year,
-                table_name,
-            )
+            return "melt", {
+                "id_columns": id_cols,
+                "value_columns": value_cols,
+                "variable_name": axis[-2],
+                "value_name": axis[-1],
+                "drop_nulls": True,
+            }
         raise ValueError(
             f"unrecognized apply_pandas_function chain for {table_name!r}: "
             f"{text[:120]!r} — supported shapes are "
             ".groupby([...])[[...]].sum() and the drop/set_index/stack/"
             "set_axis melt (schema.yaml:704,873,919,1113,1131,1149,1172)"
         )
+
+    def _op_apply_pandas_function(self, df, arg, year, table_name):
+        if arg is None:
+            return df
+        kind, spec = self._recognize_pandas(df, arg, table_name)
+        handler = self._op_aggregate if kind == "aggregate" else self._op_melt
+        return handler(df, spec, year, table_name)
 
     # -- cross-table ------------------------------------------------------
     def _op_join(self, df, arg, year, table_name):
@@ -432,3 +442,194 @@ class PipelineCompiler:
                 f"(allowlist: {sorted(self.external_functions)})"
             )
         return fn(df)
+
+    # -- era-batched application -----------------------------------------
+    def apply_batched(
+        self,
+        df: DataFrame,
+        instructions: Sequence,
+        years: Sequence[int],
+        table_name: str,
+    ) -> DataFrame:
+        """Apply one RESOLVED instruction list to a multi-year frame.
+
+        ``df`` is the union of per-year base frames for a group of years
+        whose resolved spec is identical (the registry's era grouping),
+        each row tagged with the hidden ``PIPELINE_YEAR`` int column. The
+        instructions run ONCE over the union instead of once per year —
+        driver-side analysis drops from O(years x instructions) to
+        O(eras x instructions) — with per-year-identical semantics:
+
+        * row-wise steps (create_column / filters / decoders) are
+          year-oblivious;
+        * ``add_year`` copies the tag instead of a literal;
+        * aggregations/melts/projections carry the tag through (aggregate
+          additionally keys on it, so partial aggregation stays within
+          years exactly like the per-year plans);
+        * joins must key on ``Year``; ``add_weights``/``add_classification``
+          receive the whole year group (their joins/dims are year-keyed).
+
+        Anything that cannot preserve per-year semantics raises
+        :class:`BatchUnsafe`, and the registry falls back to per-year
+        builds for the group. The tag survives into the returned frame
+        (callers drop it at the top of ``load_table``)."""
+        batch: dict[str, Column | str] = {}
+
+        def flush() -> None:
+            nonlocal df, batch
+            if not batch:
+                return
+
+            def compiled(name: str) -> Column:
+                payload = batch[name]
+                col = F.expr(payload) if isinstance(payload, str) else payload
+                return col.alias(name)
+
+            exprs = [
+                compiled(c) if c in batch else F.col(c) for c in df.columns
+            ]
+            exprs += [compiled(n) for n in batch if n not in df.columns]
+            df = df.select(*exprs)
+            batch = {}
+
+        for step in instructions or []:
+            if step is None:
+                continue
+            if isinstance(step, str):
+                method, arg = step, None
+            elif isinstance(step, Mapping) and len(step) == 1:
+                method, arg = next(iter(step.items()))
+            else:
+                raise ValueError(f"malformed instruction: {step!r}")
+            if method == "add_year":
+                # the tag IS the year literal of the per-year plan (both
+                # IntegerType); copying keeps one plan for the whole era
+                batch["Year"] = F.col(PIPELINE_YEAR)
+                continue
+            if method in ("add_table_name", "create_column"):
+                try:
+                    assign = self._column_assignment(
+                        method, arg, 0, table_name, df, batch
+                    )
+                except _NeedsFlush:
+                    flush()
+                    assign = self._column_assignment(
+                        method, arg, 0, table_name, df, batch
+                    )
+                if assign is not None:
+                    batch[assign[0]] = assign[1]
+                continue
+            flush()
+            if method == "apply_pandas_function":
+                if arg is None:
+                    continue
+                method, arg = self._recognize_pandas(df, arg, table_name)
+            handler = getattr(self, f"_bop_{method}", None)
+            if handler is not None:
+                result = handler(df, arg, years=years, table_name=table_name)
+            elif method in self._BATCH_SAFE_OPS:
+                result = getattr(self, f"_op_{method}")(
+                    df, arg, year=None, table_name=table_name
+                )
+            elif getattr(self, f"_op_{method}", None) is None:
+                raise ValueError(f"unknown instruction {method!r}")
+            else:
+                raise BatchUnsafe(
+                    f"instruction {method!r} has no era-batched form"
+                )
+            df = result if result is not None else df
+            if PIPELINE_YEAR not in df.columns:
+                raise BatchUnsafe(
+                    f"instruction {method!r} dropped the year tag"
+                )
+        flush()
+        return df
+
+    #: per-year handlers that are year-oblivious and tag-preserving, safe
+    #: to reuse verbatim on a batched frame
+    _BATCH_SAFE_OPS = frozenset({"apply_filter", "add_attribute"})
+
+    def _bop_apply_order(self, df, arg, years, table_name):
+        if arg is None:
+            return df
+        return self._op_apply_order(
+            df, [*arg, PIPELINE_YEAR], year=None, table_name=table_name
+        )
+
+    def _bop_aggregate(self, df, arg, years, table_name):
+        if arg is None:
+            return df
+        # keying on the tag keeps aggregation within years exactly like
+        # the per-year plans (and keeps the tag out of the value columns)
+        widened = dict(arg)
+        widened["groupby"] = [*arg["groupby"], PIPELINE_YEAR]
+        return self._op_aggregate(df, widened, year=None, table_name=table_name)
+
+    def _bop_melt(self, df, arg, years, table_name):
+        if arg is None:
+            return df
+        widened = dict(arg)
+        widened["id_columns"] = [*arg["id_columns"], PIPELINE_YEAR]
+        return self._op_melt(df, widened, year=None, table_name=table_name)
+
+    def _bop_apply_filter_by_year(self, df, arg, years, table_name):
+        """One year-conditional predicate merging per-year filter variants
+        (``{year: conditions | None}``): a row survives iff its own year's
+        conditions hold (None = unfiltered). Keeps years whose specs
+        differ only in exclusion lists inside one compile group."""
+        groups: dict[str, tuple[Any, list[int]]] = {}
+        for y, a in arg.items():
+            groups.setdefault(repr(a), (a, []))[1].append(y)
+        pred: Column | None = None
+        for a, ys in groups.values():
+            branch = F.col(PIPELINE_YEAR).isin([int(y) for y in ys])
+            if a is not None:
+                # translate_pandas_query returns SQL text (df.filter
+                # accepts it directly; composing needs an expr Column)
+                for condition in ([a] if isinstance(a, str) else list(a)):
+                    branch = branch & F.expr(translate_pandas_query(condition))
+            pred = branch if pred is None else (pred | branch)
+        return df if pred is None else df.filter(pred)
+
+    def _bop_join(self, df, arg, years, table_name):
+        if arg is None:
+            return df
+        if isinstance(arg, str):
+            other_name, on = arg, ["Year", "ID"]
+        else:
+            other_name, on = arg["table_name"], list(arg["columns"])
+        if "Year" not in on:
+            raise BatchUnsafe(
+                f"join with {other_name!r} does not key on Year"
+            )
+        if self.registry is None:
+            raise ValueError("join instruction requires a registry")
+        other = self.registry.load_table(other_name, list(years))
+        return df.join(other, on=on, how="inner")
+
+    def _bop_add_weights(self, df, arg, years, table_name):
+        if self.registry is None:
+            raise ValueError("add_weights requires a registry")
+        adjust = bool(arg.get("adjust_for_household_size")) if isinstance(arg, Mapping) else False
+        return self.registry.add_weights(
+            df, list(years), adjust_for_household_size=adjust
+        )
+
+    def _bop_add_classification(self, df, arg, years, table_name):
+        if self.registry is None:
+            raise ValueError("add_classification requires a registry")
+        return self.registry.add_classification(df, years=list(years), **(arg or {}))
+
+    def _bop_apply_external_function(self, df, arg, years, table_name):
+        out = self._op_apply_external_function(
+            df, arg, year=None, table_name=table_name
+        )
+        if out is None or PIPELINE_YEAR in out.columns:
+            return out
+        if "Year" in out.columns:
+            # aggregating externals (number_of_members) key on Year —
+            # re-derive the tag so the batched invariant holds
+            return out.withColumn(
+                PIPELINE_YEAR, F.col("Year").cast("int")
+            )
+        raise BatchUnsafe(f"external function {arg!r} dropped Year")

@@ -102,6 +102,7 @@ def clean_table(
     table_meta: Mapping,
     year: int,
     scrub: bool = True,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Apply year-resolved column metadata to a raw table.
 
@@ -110,8 +111,24 @@ def clean_table(
     with year versioning anywhere. Unknown-column policy is enforced
     EAGERLY (the reference raises at load time, data_cleaner.py:148-151;
     schema inspection needs no job, so laziness is preserved).
+
+    ``passthrough`` names engine-internal columns (e.g. the era-batched
+    year tag) copied through untouched, exempt from the missings policy.
     """
-    resolved = resolve_versioned(table_meta, year) or {}
+    return clean_table_resolved(
+        df, resolve_versioned(table_meta, year) or {}, scrub, passthrough
+    )
+
+
+def clean_table_resolved(
+    df: DataFrame,
+    resolved: Mapping,
+    scrub: bool = True,
+    passthrough: tuple = (),
+) -> DataFrame:
+    """:func:`clean_table` over metadata already resolved for one year (or
+    one era of identical years — the era-batched registry resolves once
+    and cleans the whole multi-year union with a single select)."""
     columns_meta: dict = resolved.get("columns") or {}
     missings = resolved.get("missings", "error")
 
@@ -120,7 +137,7 @@ def clean_table(
     for name in df.columns:
         key = name.lower()
         if key not in meta_by_lower:
-            if name in PROVENANCE_COLUMNS:
+            if name in PROVENANCE_COLUMNS or name in passthrough:
                 exprs.append(F.col(name))
                 continue
             if missings == "error":
