@@ -60,6 +60,11 @@ HEADLINE = [
     # plans through the year-versioned corpus, U1-unioned (~3x l3's work,
     # one era-disjoint slice each)
     "l14_multi_year_food",
+    # round 7: the FULL 39-year span of the same workload — era-batched
+    # plan compile (~5 groups; driver-side analysis dominates, constant in
+    # data size) + one exec over every survey era. l16/w3 stay gate-only:
+    # their wall time is fixture parquet-cache writes, not throughput.
+    "l15_full_span_food",
     # round 5 additions: the real-metadata-corpus pipeline, the cube
     # lattice, and the two single-shuffle window primitives
     "l3_real_corpus_food",

@@ -248,6 +248,7 @@ def dsir_importance_select(
     salt: str = "dsir",
     digits: int = 2,
     score_col: str = "dsir_score",
+    take_ordered_limit: int = 100_000,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al. 2023),
     deterministic variant: score every document by the log importance
@@ -266,18 +267,26 @@ def dsir_importance_select(
     Scale shape: one explode over tokens, ONE combined count pass
     producing target and source counts per hashed feature (a conditional
     sum beside the plain count — no second scan), a 16^digits-row feature
-    table broadcast back onto the token stream, a per-document sum, and a
-    global top-n (rank window over a single ordered partition of doc-level
-    rows — at 100 TB swap for an approximate threshold + filter; the
-    DataFrame shape is unchanged). Hashing uses the module's md5-prefix
-    convention (:func:`hash_bucket`), so the oracle replays it exactly.
+    table broadcast back onto the token stream, a per-document sum, and an
+    EXACT distributed top-n with no single-partition sort anywhere:
+
+    * ``n <= take_ordered_limit`` (default 100k): ``orderBy().limit(n)``
+      — Spark plans TakeOrderedAndProject, a per-partition bounded heap
+      merged on the driver (n rows cross the wire, nothing shuffles);
+    * larger ``n``: range-repartition doc rows on the rank key, sort
+      WITHIN partitions (parallel), then per-partition offsets from a
+      tiny count pass turn local row numbers into global ranks — the
+      classic distributed selection, every stage parallel.
+
+    Both paths produce the identical deterministic top-n (the rank key is
+    total: score desc, md5 tiebreak, id). Hashing uses the module's
+    md5-prefix convention (:func:`hash_bucket`), so the oracle replays it
+    exactly.
 
     Output: one row per kept document — (id_col, target_col, n_tokens,
     score_col rounded to 4dp) — scores summed over token OCCURRENCES, the
     paper's bag-of-hashed-ngrams product in log space.
     """
-    from pyspark.sql import Window
-
     n_buckets = 16 ** digits
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     words = (
@@ -325,18 +334,53 @@ def dsir_importance_select(
         F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
         F.coalesce(F.col("__score__"), F.lit(0.0)).alias("__score__"),
     )
-    rank_win = Window.orderBy(
-        F.col("__score__").desc(),
-        hash_hex(F.col(id_col), salt),
-        F.col(id_col),
+    out_cols = [
+        id_col,
+        target_col,
+        "n_tokens",
+        F.round("__score__", 4).alias(score_col),
+    ]
+    keyed = scored.withColumn("__hx__", hash_hex(F.col(id_col), salt))
+    order = [F.col("__score__").desc(), F.col("__hx__"), F.col(id_col)]
+    if n <= take_ordered_limit:
+        # TakeOrderedAndProject: per-partition bounded heaps, driver merge
+        # of n rows — no Exchange, no global sort
+        return keyed.orderBy(*order).limit(n).select(*out_cols)
+    # distributed selection for huge n: range-partition on the rank key
+    # (parallel sort within partitions), then global rank = per-partition
+    # offset + local row number. The eager checkpoint pins one
+    # materialization so the count pass and the filter pass see the same
+    # partitioning (same caveat as the dedup band table: prefer a reliable
+    # checkpoint dir over localCheckpoint on real clusters).
+    shuffle_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    ranked = (
+        keyed.repartitionByRange(shuffle_parts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__mid__", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    # monotonically_increasing_id: upper 31 bits = partition id, lower 33
+    # = record number within the (sorted) partition
+    pid = (F.col("__mid__") / F.lit(1 << 33)).cast("long")
+    lidx = F.col("__mid__") % F.lit(1 << 33)
+    counts = (
+        ranked.groupBy(pid.alias("__pid__")).count().orderBy("__pid__").collect()
+    )
+    offsets, running = {}, 0
+    for r in counts:
+        offsets[r["__pid__"]] = running
+        running += r["count"]
+    offset_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "__pid__ long, __off__ long",
+        )
     )
     return (
-        scored.withColumn("__rn__", F.row_number().over(rank_win))
-        .where(F.col("__rn__") <= n)
-        .select(
-            id_col,
-            target_col,
-            "n_tokens",
-            F.round("__score__", 4).alias(score_col),
-        )
+        ranked.withColumn("__pid__", pid)
+        .join(offset_df, "__pid__")
+        .where(F.col("__off__") + lidx + 1 <= n)
+        .select(*out_cols)
     )

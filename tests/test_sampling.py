@@ -287,6 +287,35 @@ def test_dsir_selects_target_like_documents(spark):
     assert ids == set(range(10)) | {100, 101}
 
 
+def test_dsir_selection_paths_agree_and_avoid_global_sort(spark):
+    """Round-7 scale fix: the old unpartitioned row_number window put
+    every doc-level row in ONE task. Both replacement paths must produce
+    the identical top-n, and neither plan may contain a Window or a
+    SinglePartition exchange."""
+    from hbsir_old_spark.functions.sampling import dsir_importance_select
+
+    rows = [
+        (i, i % 7 == 0, f"w{i % 23} w{i % 11} w{(i * 3) % 23} tail{i % 5}")
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, is_target boolean, text string")
+    small_n = dsir_importance_select(df, "is_target", n=37, id_col="doc_id")
+    large_n = dsir_importance_select(
+        df, "is_target", n=37, id_col="doc_id", take_ordered_limit=0
+    )
+    key = lambda r: (r["doc_id"], r["n_tokens"], r["dsir_score"])
+    a = sorted(map(key, small_n.collect()))
+    b = sorted(map(key, large_n.collect()))
+    assert a == b and len(a) == 37
+
+    plan_small = small_n._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan_small
+    assert "Window" not in plan_small
+    plan_large = large_n._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan_large
+    assert "SinglePartition" not in plan_large
+
+
 def test_dsir_zero_token_docs_rank_by_tiebreak_with_zero_score(spark):
     from hbsir_old_spark.functions.sampling import dsir_importance_select
 
