@@ -384,9 +384,24 @@ def minhash_lsh_pairs(
     # full shingle table is never cached (a corpus-sized array<string> cache
     # was the old cold-run cliff — and at 100 TB it would not fit anywhere).
     # The verify stage recomputes shingles for CANDIDATE docs only, below.
-    exploded = df.select(
-        F.col(id_col).alias("__id__"),
-        F.explode(word_shingles(text_col, n)).alias("__s__"),
+    # Positions explode and each shingle builds with plain slice/concat_ws
+    # (whole-stage codegen; no interpreted transform lambda, no per-row
+    # array materialization) — duplicates are NOT removed here because
+    # groupBy-min is duplicate-oblivious; word_shingles' array form (with
+    # array_distinct) stays for the exact-Jaccard verify below.
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    shingle_count = F.greatest(F.size(F.col("__t__")) - (n - 1), F.lit(1))
+    exploded = (
+        df.select(F.col(id_col).alias("__id__"), tokens.alias("__t__"))
+        .select(
+            "__id__",
+            "__t__",
+            F.explode(F.sequence(F.lit(1), shingle_count)).alias("__i__"),
+        )
+        .select(
+            "__id__",
+            F.concat_ws(" ", F.slice(F.col("__t__"), F.col("__i__"), n)).alias("__s__"),
+        )
     )
     # signature via explode + codegen'd groupBy min: `min` is
     # partial-aggregable, so the shuffle carries one 16-long row per doc per

@@ -408,30 +408,35 @@ def cross_doc_dup_windows(
     (the x30 no-bigram convention). Output: (id_col, n_windows, n_dup,
     dup_frac 6dp) over SAMPLED shingles.
 
-    Scale/perf shape (round-6 measured): shingles build as a fold of
-    zip_with over ``width`` shifted slices — O(tokens) array work per
-    row (the char-window + dynamic-offset substring formulation ran
-    ~7 us/row: UTF8String seeks per position) — then EXPLODE first and
-    md5 one shingle per row (the in-array transform lambda evaluates
-    interpreted). One distinct + count pass builds the (hash -> n_docs)
-    table, a hash join brings it back. md5/split replay exactly in
-    DuckDB.
+    Scale/perf shape (round-7 measured): EXPLODE POSITIONS, then build
+    each shingle with plain ``slice``/``concat_ws`` — explode + project
+    fuse inside one whole-stage-codegen span, so the token array is read
+    in place (never copied per output row) and no interpreted lambda
+    runs anywhere. The previous zip_with-fold built the shingle array
+    in-array through width-1 interpreted HOF passes — measured 2.5 s vs
+    0.54 s warm for this stage at sf0.1 (~5x), identical output hashes.
+    A short text (fewer than ``width`` tokens) takes position 1 whose
+    ``slice`` returns the whole array — the whole-text shingle falls out
+    of the same expression. One distinct + count pass builds the
+    (hash -> n_docs) table, a hash join brings it back. md5/split replay
+    exactly in DuckDB.
     """
     tokens = F.split(normalize_text(F.col(text_col)), " ")
-    m = F.size(tokens) - (width - 1)
-    grams = F.slice(tokens, 1, F.greatest(m, F.lit(1)))
-    for j in range(2, width + 1):
-        grams = F.zip_with(
-            grams,
-            F.slice(tokens, j, F.greatest(m, F.lit(1))),
-            lambda a, b: F.concat(a, F.lit(" "), b),
+    m = F.size(F.col("__t__")) - (width - 1)
+    windows = (
+        df.select(F.col(id_col), tokens.alias("__t__"))
+        .select(
+            F.col(id_col),
+            F.col("__t__"),
+            F.explode(F.sequence(F.lit(1), F.greatest(m, F.lit(1)))).alias("__i__"),
         )
-    shingles = F.when(m >= 1, grams).otherwise(
-        F.array(F.array_join(tokens, " "))
+        .select(
+            F.col(id_col),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("__t__"), F.col("__i__"), width))
+            ).alias("__h__"),
+        )
     )
-    windows = df.select(
-        F.col(id_col), F.explode(shingles).alias("__g__")
-    ).select(F.col(id_col), F.md5(F.col("__g__")).alias("__h__"))
     if sample_hex_digits:
         windows = windows.where(
             F.col("__h__").startswith("0" * sample_hex_digits)

@@ -194,7 +194,10 @@ class TableRegistry:
             parts = self._build_years_batched(name, list(years))
             if parts:
                 return union_tables(parts).drop(PIPELINE_YEAR)
-            # fall through to the shared unavailable-table error path
+            # empty build: raise the shared unavailable-table error WITHOUT
+            # re-running the per-year build first — loaders were already
+            # probed once and need not be idempotent
+            raise self._unavailable_error(name, list(years), form)
         parts = []
         for year in self.available_years(name, years):
             if form == "processed":
@@ -215,19 +218,23 @@ class TableRegistry:
             if df is not None:
                 parts.append(df)
         if not parts:
-            missing = self._missing_dependencies(name, list(years))
-            hint = (
-                f"; no data for dependency table(s) {sorted(missing)} in any "
-                "requested year — check the schema's table_list spelling and "
-                "the base/raw loader coverage"
-                if missing
-                else ""
-            )
-            raise ValueError(
-                f"table {name!r} unavailable for years {list(years)} "
-                f"(form={form!r}){hint}"
-            )
+            raise self._unavailable_error(name, list(years), form)
         return union_tables(parts)
+
+    def _unavailable_error(
+        self, name: str, years: list, form: str
+    ) -> ValueError:
+        missing = self._missing_dependencies(name, years)
+        hint = (
+            f"; no data for dependency table(s) {sorted(missing)} in any "
+            "requested year — check the schema's table_list spelling and "
+            "the base/raw loader coverage"
+            if missing
+            else ""
+        )
+        return ValueError(
+            f"table {name!r} unavailable for years {years} (form={form!r}){hint}"
+        )
 
     def _load_raw(self, name: str, year: int) -> DataFrame | None:
         if self.raw_loader is None:
