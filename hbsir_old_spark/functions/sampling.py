@@ -362,14 +362,24 @@ def dsir_importance_select(
         .localCheckpoint(eager=True)
     )
     # monotonically_increasing_id: upper 31 bits = partition id, lower 33
-    # = record number within the (sorted) partition
-    pid = (F.col("__mid__") / F.lit(1 << 33)).cast("long")
+    # = record number within the (sorted) partition. shiftright keeps the
+    # decode in exact long arithmetic (a double division would lose bits
+    # past 2^53).
+    pid = F.shiftright(F.col("__mid__"), 33)
     lidx = F.col("__mid__") % F.lit(1 << 33)
     counts = (
         ranked.groupBy(pid.alias("__pid__")).count().orderBy("__pid__").collect()
     )
     offsets, running = {}, 0
     for r in counts:
+        if r["count"] >= (1 << 33):
+            # the 33-bit record number would bleed into the partition id
+            # and silently corrupt ranks — fail loudly; raise the
+            # partition count to shrink per-partition row counts
+            raise ValueError(
+                f"dsir range partition holds {r['count']} rows (>= 2^33); "
+                "increase spark.sql.shuffle.partitions for this selection"
+            )
         offsets[r["__pid__"]] = running
         running += r["count"]
     offset_df = F.broadcast(

@@ -424,7 +424,12 @@ def cross_doc_dup_windows(
     tokens = F.split(normalize_text(F.col(text_col)), " ")
     m = F.size(F.col("__t__")) - (width - 1)
     windows = (
-        df.select(F.col(id_col), tokens.alias("__t__"))
+        # NULL-text docs yield no row (pre-rewrite semantics: their hash
+        # was md5(NULL) = NULL, which every downstream join rejected;
+        # concat_ws would instead fold the NULL slice to md5('') and make
+        # NULL-text docs mutual duplicates)
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens.alias("__t__"))
         .select(
             F.col(id_col),
             F.col("__t__"),

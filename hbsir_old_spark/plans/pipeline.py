@@ -49,6 +49,59 @@ class _NeedsFlush(Exception):
     inline (non-SQL payload) — the caller must flush and recompile."""
 
 
+class _ColumnBatch:
+    """Pending column assignments with withColumn-identical semantics,
+    shared by the per-year and era-batched dispatchers.
+
+    * names resolve CASE-INSENSITIVELY, like Spark's analyzer: assigning
+      ``Amount`` when ``amount`` exists replaces it in place (renaming to
+      the assigned spelling), never appends a duplicate;
+    * re-assignment keeps the first position (dict insertion order on the
+      folded key), matching sequential withColumn replacement;
+    * ``flush`` emits ONE ``select`` — a single analysis pass for the
+      whole run of assignments.
+    """
+
+    def __init__(self) -> None:
+        #: folded name -> (assigned spelling, Column | SQL text)
+        self._items: "dict[str, tuple[str, Column | str]]" = {}
+
+    def __bool__(self) -> bool:
+        return bool(self._items)
+
+    def assign(self, name: str, payload: "Column | str") -> None:
+        # dict re-assignment keeps first-insertion order for the folded
+        # key (first position) while adopting the latest spelling+payload
+        self._items[name.lower()] = (name, payload)
+
+    def payload(self, name: str) -> "Column | str | None":
+        item = self._items.get(name.lower())
+        return item[1] if item is not None else None
+
+    def shadows(self, names) -> bool:
+        folded = {n.lower() for n in names}
+        return bool(folded & set(self._items))
+
+    def flush(self, df: DataFrame) -> DataFrame:
+        if not self._items:
+            return df
+
+        def compiled(key: str) -> Column:
+            name, payload = self._items[key]
+            col = F.expr(payload) if isinstance(payload, str) else payload
+            return col.alias(name)
+
+        existing = {c.lower() for c in df.columns}
+        exprs = [
+            compiled(c.lower()) if c.lower() in self._items else F.col(c)
+            for c in df.columns
+        ]
+        exprs += [compiled(k) for k in self._items if k not in existing]
+        out = df.select(*exprs)
+        self._items = {}
+        return out
+
+
 #: hidden year tag carried by era-batched multi-year builds (attached to
 #: every base frame, copied into ``Year`` by ``add_year``, dropped at the
 #: top of ``load_table``)
@@ -107,24 +160,7 @@ class PipelineCompiler:
         pre-batch snapshot, so earlier assignments never see later
         overwrites); a reference to a pending CATEGORICAL column flushes
         the batch first and recompiles against materialized columns."""
-        batch: dict[str, Column | str] = {}  # name -> Column | SQL text
-
-        def flush() -> None:
-            nonlocal df, batch
-            if not batch:
-                return
-
-            def compiled(name: str) -> Column:
-                payload = batch[name]
-                col = F.expr(payload) if isinstance(payload, str) else payload
-                return col.alias(name)
-
-            exprs = [
-                compiled(c) if c in batch else F.col(c) for c in df.columns
-            ]
-            exprs += [compiled(n) for n in batch if n not in df.columns]
-            df = df.select(*exprs)
-            batch = {}
+        batch = _ColumnBatch()
 
         for step in instructions or []:
             if step is None:
@@ -141,31 +177,29 @@ class PipelineCompiler:
                         method, arg, year, table_name, df, batch
                     )
                 except _NeedsFlush:
-                    flush()
+                    df = batch.flush(df)
                     assign = self._column_assignment(
                         method, arg, year, table_name, df, batch
                     )
                 if assign is not None:
-                    name, payload = assign
-                    # dict re-assignment keeps first-insertion order, the
-                    # same position rule as withColumn replacement
-                    batch[name] = payload
+                    batch.assign(*assign)
                 continue
             handler = getattr(self, f"_op_{method}", None)
             if handler is None:
                 raise ValueError(f"unknown instruction {method!r}")
-            flush()
+            df = batch.flush(df)
             result = handler(df, arg, year=year, table_name=table_name)
             df = result if result is not None else df
-        flush()
-        return df
+        return batch.flush(df)
 
     def _column_assignment(
-        self, method: str, arg, year, table_name, df: DataFrame, batch: Mapping
+        self, method: str, arg, year, table_name, df: DataFrame, batch: _ColumnBatch
     ) -> "tuple[str, Column | str] | None":
         """One batched column assignment: (name, Column | SQL text), or
         None for a skipped (year-disabled) step. Raises :class:`_NeedsFlush`
-        when the expression references a pending column it cannot inline."""
+        when the expression references a pending column it cannot inline.
+        This is the ONLY compile path for add_year / add_table_name /
+        create_column — both dispatchers route through the batch."""
         if method == "add_year":
             return "Year", F.lit(int(year))
         if method == "add_table_name":
@@ -180,33 +214,13 @@ class PipelineCompiler:
             for condition in arg["categories"].values():
                 if isinstance(condition, Mapping):
                     refs.update(condition.keys())
-            if refs & set(batch):
+            if batch.shadows(refs):
                 raise _NeedsFlush()
             return name, self._categorical_expression(df, name, arg["categories"])
         raise ValueError(f"unknown create_column type {arg['type']!r}")
 
-    # -- provenance ------------------------------------------------------
-    def _op_add_year(self, df, arg, year, table_name):
-        return df.withColumn("Year", F.lit(int(year)))
-
-    def _op_add_table_name(self, df, arg, year, table_name):
-        return df.withColumn("Table_Name", F.lit(table_name))
-
-    # -- columns ---------------------------------------------------------
-    def _op_create_column(self, df, arg, year, table_name):
-        if arg is None:
-            return df
-        name = arg["name"]
-        if arg["type"] == "numerical":
-            return df.withColumn(name, self._numerical_expression(df, arg["expression"]))
-        if arg["type"] == "categorical":
-            return df.withColumn(
-                name, self._categorical_expression(df, name, arg["categories"])
-            )
-        raise ValueError(f"unknown create_column type {arg['type']!r}")
-
     def _numerical_payload(
-        self, df: DataFrame, batch: Mapping, expression
+        self, df: DataFrame, batch: _ColumnBatch, expression
     ) -> "Column | str":
         """Batched twin of :meth:`_numerical_expression`: returns SQL text
         (so later batch members can inline it) or a literal Column. A
@@ -216,16 +230,16 @@ class PipelineCompiler:
         evaluates exactly what the sequential withColumn would have."""
         if isinstance(expression, (int, float)) and not isinstance(expression, bool):
             return F.lit(expression)
+        # fill ONLY the operands named in the expression (reference
+        # data_engine.py:362-367), leaving other columns' nulls intact
         columns = {c.lower(): c for c in df.columns}
-        pending = {n.lower(): n for n in batch}
 
         def repl(m: re.Match) -> str:
             word = m.group(0)
             # pending assignments shadow real columns (sequential
             # withColumn semantics: this step sees the latest value)
-            actual = pending.get(word.lower())
-            if actual is not None:
-                payload = batch[actual]
+            payload = batch.payload(word)
+            if payload is not None:
                 if not isinstance(payload, str):
                     raise _NeedsFlush()
                 return f"coalesce(({payload}), 0)"
@@ -235,20 +249,6 @@ class PipelineCompiler:
             return f"coalesce(`{actual}`, 0)"
 
         return _IDENT.sub(repl, expression)
-
-    def _numerical_expression(self, df: DataFrame, expression) -> Column:
-        if isinstance(expression, (int, float)) and not isinstance(expression, bool):
-            return F.lit(expression)
-        # fill ONLY the operands named in the expression (reference
-        # data_engine.py:362-367), leaving other columns' nulls intact
-        columns = {c.lower(): c for c in df.columns}
-        def repl(m: re.Match) -> str:
-            word = m.group(0)
-            actual = columns.get(word.lower())
-            if actual is None:
-                return word  # literal / function name
-            return f"coalesce(`{actual}`, 0)"
-        return F.expr(_IDENT.sub(repl, expression))
 
     def _categorical_expression(
         self, df: DataFrame, column_name: str, categories: Mapping
@@ -473,24 +473,7 @@ class PipelineCompiler:
         :class:`BatchUnsafe`, and the registry falls back to per-year
         builds for the group. The tag survives into the returned frame
         (callers drop it at the top of ``load_table``)."""
-        batch: dict[str, Column | str] = {}
-
-        def flush() -> None:
-            nonlocal df, batch
-            if not batch:
-                return
-
-            def compiled(name: str) -> Column:
-                payload = batch[name]
-                col = F.expr(payload) if isinstance(payload, str) else payload
-                return col.alias(name)
-
-            exprs = [
-                compiled(c) if c in batch else F.col(c) for c in df.columns
-            ]
-            exprs += [compiled(n) for n in batch if n not in df.columns]
-            df = df.select(*exprs)
-            batch = {}
+        batch = _ColumnBatch()
 
         for step in instructions or []:
             if step is None:
@@ -504,7 +487,7 @@ class PipelineCompiler:
             if method == "add_year":
                 # the tag IS the year literal of the per-year plan (both
                 # IntegerType); copying keeps one plan for the whole era
-                batch["Year"] = F.col(PIPELINE_YEAR)
+                batch.assign("Year", F.col(PIPELINE_YEAR))
                 continue
             if method in ("add_table_name", "create_column"):
                 try:
@@ -512,14 +495,14 @@ class PipelineCompiler:
                         method, arg, 0, table_name, df, batch
                     )
                 except _NeedsFlush:
-                    flush()
+                    df = batch.flush(df)
                     assign = self._column_assignment(
                         method, arg, 0, table_name, df, batch
                     )
                 if assign is not None:
-                    batch[assign[0]] = assign[1]
+                    batch.assign(*assign)
                 continue
-            flush()
+            df = batch.flush(df)
             if method == "apply_pandas_function":
                 if arg is None:
                     continue
@@ -542,8 +525,7 @@ class PipelineCompiler:
                 raise BatchUnsafe(
                     f"instruction {method!r} dropped the year tag"
                 )
-        flush()
-        return df
+        return batch.flush(df)
 
     #: per-year handlers that are year-oblivious and tag-preserving, safe
     #: to reuse verbatim on a batched frame
@@ -591,6 +573,25 @@ class PipelineCompiler:
             pred = branch if pred is None else (pred | branch)
         return df if pred is None else df.filter(pred)
 
+    def _require_full_availability(self, table: str, years) -> None:
+        """Per-year builds RAISE when a joined table is unavailable for a
+        requested year; a batched inner/left join over a partial union
+        would instead silently drop or NULL those years' rows. Fall back
+        to per-year whenever the schema's declared availability does not
+        cover the whole group. (A loader that returns None for a subset
+        of years is still diagnosed per-year only — data-dependent gaps
+        are not visible at plan time.)"""
+        missing = [
+            y for y in years if y not in set(
+                self.registry.available_years(table, list(years))
+            )
+        ]
+        if missing:
+            raise BatchUnsafe(
+                f"table {table!r} is unavailable for years {missing} — "
+                "per-year semantics raise there"
+            )
+
     def _bop_join(self, df, arg, years, table_name):
         if arg is None:
             return df
@@ -604,12 +605,20 @@ class PipelineCompiler:
             )
         if self.registry is None:
             raise ValueError("join instruction requires a registry")
+        self._require_full_availability(other_name, years)
         other = self.registry.load_table(other_name, list(years))
         return df.join(other, on=on, how="inner")
 
     def _bop_add_weights(self, df, arg, years, table_name):
         if self.registry is None:
             raise ValueError("add_weights requires a registry")
+        threshold = self.registry.weight_year_threshold
+        for source, ys in (
+            ("household_information", [y for y in years if y > threshold]),
+            ("weights", [y for y in years if y <= threshold]),
+        ):
+            if ys:
+                self._require_full_availability(source, ys)
         adjust = bool(arg.get("adjust_for_household_size")) if isinstance(arg, Mapping) else False
         return self.registry.add_weights(
             df, list(years), adjust_for_household_size=adjust

@@ -139,6 +139,56 @@ class TestW3CacheChain:
         assert second.count() == n > 0
 
 
+class TestReviewFixesRound7:
+    def test_case_insensitive_create_column_replaces_in_place(self, spark):
+        """Review regression: batched flush must resolve pending names
+        case-insensitively like withColumn — create_column 'Amount' over
+        an existing 'amount' replaces in place (renamed), never appends a
+        duplicate column."""
+        from hbsir_old_spark.plans.pipeline import PipelineCompiler
+
+        df = spark.createDataFrame([(1, 2.0)], "id long, amount double")
+        out = PipelineCompiler().apply(
+            df,
+            [{"create_column": {"name": "Amount", "type": "numerical",
+                                "expression": "amount * 3"}}],
+            1400,
+            "t",
+        )
+        assert out.columns == ["id", "Amount"]
+        assert out.collect()[0]["Amount"] == 6.0
+
+    def test_batched_join_partial_availability_matches_per_year_error(self, spark):
+        """Review regression: per-year builds RAISE when a joined table is
+        unavailable for a requested year; the batched path must not
+        silently drop those years via a partial inner join."""
+        from hbsir_old_spark.plans.registry import TableRegistry
+
+        base = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 6)], "ID long, V double"
+        )
+
+        def loader(name, year):
+            return base if name in ("fact", "dim") else None
+
+        schema = {
+            "fact": {
+                "instructions": [
+                    "add_year",
+                    {"join": {"table_name": "dim", "columns": ["Year", "ID"]}},
+                ]
+            },
+            "dim": {"years": [{"start": 1400, "end": 1401}],
+                    "instructions": ["add_year"]},
+        }
+        for batch in (True, False):
+            reg = TableRegistry(
+                spark, schema=schema, base_loader=loader, batch_years=batch
+            )
+            with pytest.raises(ValueError, match="dim"):
+                reg.load_table("fact", [1399, 1400])
+
+
 class TestTagInvariants:
     def test_no_tag_leaks_into_output(self, spark, sf_dir):
         from hbsir_old_spark.plans.pipeline import PIPELINE_YEAR

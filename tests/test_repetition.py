@@ -112,6 +112,21 @@ def test_cross_doc_dup_windows_planted_misaligned(spark):
     assert 3 not in out or out[3]["n_dup"] == 0
 
 
+def test_cross_doc_dup_windows_null_text_yields_no_row(spark):
+    """Round-7 review regression: NULL-text docs must yield no row (the
+    old md5(NULL) hash was join-rejected); the codegen rewrite's
+    concat_ws would otherwise fold the NULL slice to md5('') and make two
+    NULL-text docs mutual duplicates."""
+    from hbsir_old_spark.functions.text import cross_doc_dup_windows
+
+    rows = [(1, None), (2, None), (3, "some unique words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           cross_doc_dup_windows(df, sample_hex_digits=0).collect()}
+    assert 1 not in out and 2 not in out
+    assert out[3]["n_dup"] == 0
+
+
 def test_cross_doc_dup_windows_unsampled_exact(spark):
     """sample_hex_digits=0 keeps every window: exact duplicate fractions,
     hand-checkable. Identical short texts (single truncated window) are
