@@ -2826,6 +2826,165 @@ ORDER BY Urban_Rural, Year
 
 
 # --------------------------------------------------------------------------
+# L17 — the reference's OTHER defining standard-table chain: the REAL
+# schema.yaml income pipeline (schema.yaml Cash_Incomes/_long_other_income/
+# Income_Breakdown; reference data_engine.py:282-449 executes it eagerly
+# per year). Exercises, through the genuine year-versioned metadata: the
+# four-table U1 union with add_table_name provenance, the embedded pandas
+# STACK/MELT chain (_long_other_income: drop/set_index/stack/set_axis ->
+# declarative melt, P20/X4), the stack's NaN-drop + the "> 0" filter, the
+# 12-category Income_Type categorical over cross-table conditions
+# (Table_Name/Sector/Is_Agricultural/Other_Income_Type, P8), the
+# era-versioned Income expression (Subsidy joins the formula at 1390 —
+# same boundary where the subsidy table becomes AVAILABLE, so era
+# batching and availability pruning interact), and the groupby-sum P20
+# chain of Income_Breakdown. The NonCash side of the real schema prunes
+# away gracefully (no food/home base data served) — F4 at depth.
+# Aggregates are per-row-rounded integer sums (l15 rationale). Full
+# DuckDB oracle.
+# --------------------------------------------------------------------------
+
+#: l17 spans the 1390 era boundary: 1388-89 (no subsidy) + 1390-92
+_L17_YEARS = list(range(1388, 1393))
+
+
+def _l17_base_loader(spark: SparkSession, sf_dir: str):
+    """Cleaned-form income tables fabricated from disjoint lineitem
+    slices: l_linenumber%4 picks the table, l_orderkey keys the year."""
+
+    def loader(name: str, year: int):
+        if year not in _L17_YEARS:
+            return None
+        tables = {
+            "employment_income": 0,
+            "self_employed_income": 1,
+            "other_income": 2,
+            "subsidy": 3,
+        }
+        if name not in tables:
+            return None
+        li = _t(spark, sf_dir, "lineitem").filter(
+            (F.col("l_linenumber") % 4 == tables[name])
+            & (F.lit(1388) + F.col("l_orderkey") % 5 == year)
+        )
+        ident = (1 + F.col("l_orderkey") % 200).cast("long").alias("ID")
+        member = (1 + F.col("l_suppkey") % 3).cast("long").alias("Member_Number")
+        price = F.col("l_extendedprice")
+        if name == "employment_income":
+            return li.select(
+                ident,
+                member,
+                F.when(F.col("l_partkey") % 3 == 0, "Public")
+                .when(F.col("l_partkey") % 3 == 1, "Private")
+                .otherwise("Cooperative")
+                .alias("Sector"),
+                price.alias("Yearly_Net_Income"),
+            )
+        if name == "self_employed_income":
+            return li.select(
+                ident,
+                member,
+                (F.col("l_partkey") % 2 == 0).alias("Is_Agricultural"),
+                (price * (F.lit(1) - F.col("l_discount"))).alias("Profit"),
+            )
+        if name == "other_income":
+            # one income type per row (slot 6 = all-NULL row, dropped by
+            # the stack); ~1/11 of values are ZERO to exercise the melt
+            # chain's "> 0" filter
+            val = F.when(F.col("l_suppkey") % 11 == 0, F.lit(0.0)).otherwise(price)
+            slot = F.col("l_partkey") % 7
+            cols = [ident, member]
+            for j, t in enumerate(
+                ["Retirement", "Rent", "Interest", "Aid", "Home_Production", "Transfer"]
+            ):
+                cols.append(F.when(slot == j, val).alias(t))
+            return li.select(*cols)
+        return li.select(
+            ident, (F.col("l_discount") * 1000 + 5).alias("Subsidy")
+        )
+
+    return loader
+
+
+def q_real_income_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.api import HBSIREngine
+
+    eng = HBSIREngine.with_reference_corpus(
+        spark, base_loader=_l17_base_loader(spark, sf_dir)
+    )
+    bd = eng.load_table("Income_Breakdown", _L17_YEARS)
+    return (
+        bd.groupBy(F.col("Year").cast("long").alias("Year"), F.col("Income_Type"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("Income") * 10000, 0).cast("long")).alias("inc_e4"),
+            F.sum("ID").cast("long").alias("id_sum"),
+        )
+        .orderBy("Year", "Income_Type")
+    )
+
+
+SQL_REAL_INCOME_CHAIN = """
+WITH li AS (
+  SELECT 1388 + l_orderkey % 5                    AS y,
+         l_linenumber % 4                          AS tbl,
+         1 + l_orderkey % 200                      AS id,
+         1 + l_suppkey % 3                         AS member,
+         l_partkey                                 AS pk,
+         l_suppkey                                 AS sk,
+         l_extendedprice                           AS price,
+         l_discount                                AS disc
+  FROM lineitem
+),
+emp AS (
+  SELECT y, id, price AS income,
+         CASE pk % 3 WHEN 0 THEN 'Cash_Public'
+                     WHEN 1 THEN 'Cash_Private'
+                     ELSE 'Cash_Cooperative' END   AS itype
+  FROM li WHERE tbl = 0
+),
+se AS (
+  SELECT y, id, price * (1 - disc) AS income,
+         CASE WHEN pk % 2 = 0 THEN 'Cash_Agricultural'
+              ELSE 'Cash_NonAgricultural' END      AS itype
+  FROM li WHERE tbl = 1
+),
+oth AS (
+  -- the melt chain: slot 6 rows are all-NULL (stack drops them), zero
+  -- values fail the "> 0" filter
+  SELECT y, id,
+         CASE WHEN sk % 11 = 0 THEN 0.0 ELSE price END AS income,
+         'Cash_' || CASE pk % 7 WHEN 0 THEN 'Retirement' WHEN 1 THEN 'Rent'
+                                WHEN 2 THEN 'Interest' WHEN 3 THEN 'Aid'
+                                WHEN 4 THEN 'Home_Production'
+                                ELSE 'Transfer' END AS itype
+  FROM li WHERE tbl = 2 AND pk % 7 <= 5
+            AND NOT (sk % 11 = 0)
+),
+sub AS (
+  SELECT y, id, disc * 1000 + 5 AS income, 'Cash_Subsidy' AS itype
+  FROM li WHERE tbl = 3 AND y >= 1390
+),
+cash AS (
+  SELECT * FROM emp UNION ALL SELECT * FROM se
+  UNION ALL SELECT * FROM oth UNION ALL SELECT * FROM sub
+),
+bd AS (
+  SELECT y, id, itype, sum(income) AS inc
+  FROM cash GROUP BY y, id, itype
+)
+SELECT y::BIGINT                                   AS Year,
+       itype                                       AS Income_Type,
+       count(*)::BIGINT                            AS n_rows,
+       sum(round(inc * 10000)::BIGINT)::BIGINT     AS inc_e4,
+       sum(id)::BIGINT                             AS id_sum
+FROM bd
+GROUP BY y, itype
+ORDER BY Year, Income_Type
+"""
+
+
+# --------------------------------------------------------------------------
 # W3 — quantile on a DERIVED variable through the full engine chain
 # (reference calculator/quantile.py:47-169 + api.py:563-609): Total_
 # Expenditure derives from the food pipeline (filter -> Gross -> Yearly ->
@@ -4781,10 +4940,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every full-oracle gate gets a driver row at least every other round
     # where the window allows; rows-only gates never leave the window.
     # Round 7: the 43 gates rowed green in CORRECTNESS_r06.json rotate out;
-    # the 43 veterans rowed in r5 rotate back in — but with 3 new gates
-    # (l15/l16/w3) the window (43+7+3 = 53) oversubscribes by 3, so the 3
-    # cheapest, longest-stable veterans (p4/p11/f3: single-operator gates,
-    # green in r2-r5) wait one extra round. They are re-proven exact every
+    # the 43 veterans rowed in r5 rotate back in — but with 4 new gates
+    # (l15/l16/w3/l17) the window (43+7+4 = 54) oversubscribes by 4, so the
+    # 4 cheapest, longest-stable veterans (p4/p11/f3/o1: single-operator
+    # gates, green in r2-r5) wait one extra round. They are re-proven exact every
     # test run by tests/test_oracle_parity.py (driver-identical DuckDB
     # check at sf0.01) and take window priority in round 8.
     return {
@@ -4799,7 +4958,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l1_form_raw_vs_cleaned": q_form_raw_vs_cleaned,
         "p16_id_digit_extraction": q_id_digit_extraction,
         "p17_map_lookup": q_map_lookup,
-        "o1_top_k": q_top_k,
         "u1_union_missing_columns": q_union_missing_columns,
         "p23_json_extract": q_json_extract,
         "l3_real_corpus_food": q_real_corpus_food,
@@ -4833,6 +4991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l15_full_span_food": q_full_span_food,
         "l16_monthly_cpi_chain": q_monthly_cpi_chain,
         "w3_quantile_by_variable": q_quantile_by_variable,
+        "l17_real_income_chain": q_real_income_chain,
         # -- rows-only gates (approximate by design, no oracle): the
         # driver's ONLY evidence for them is the per-round spark_rows
         # record, so they NEVER rotate past the 50-row window --
@@ -4893,6 +5052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_string_scrub": q_string_scrub,
         "p11_season_derivation": q_season_derivation,
         "f3_distinct": q_distinct,
+        "o1_top_k": q_top_k,
     }
 
 
@@ -4993,6 +5153,7 @@ def oracle_sql() -> dict[str, str]:
         "l15_full_span_food": SQL_FULL_SPAN_FOOD,
         "l16_monthly_cpi_chain": SQL_MONTHLY_CPI_CHAIN,
         "w3_quantile_by_variable": SQL_QUANTILE_BY_VARIABLE,
+        "l17_real_income_chain": SQL_REAL_INCOME_CHAIN,
         "x31_dsir_select": SQL_DSIR_SELECT,
         "x32_dup_windows": SQL_DUP_WINDOWS,
         "x24_token_budget": SQL_TOKEN_BUDGET,

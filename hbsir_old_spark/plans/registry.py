@@ -347,6 +347,11 @@ class TableRegistry:
 
         if "table_list" in spec:
             members = spec["table_list"]
+            if members is None:
+                # versioned member list resolving to null: the derived
+                # table does not exist this year (e.g. Cash_Incomes before
+                # 1369) — prune like any other unavailable table
+                return None
             members = [members] if isinstance(members, str) else list(members)
             parts = [self._build_year(member, year) for member in members]
             parts = [p for p in parts if p is not None]
@@ -432,6 +437,8 @@ class TableRegistry:
                 continue
             if "table_list" in spec:
                 members = spec["table_list"]
+                if members is None:
+                    continue  # null member list: absent this era (see above)
                 members = [members] if isinstance(members, str) else list(members)
                 parts: list[DataFrame] = []
                 for member in members:
