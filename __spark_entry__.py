@@ -2985,6 +2985,138 @@ ORDER BY Year, Income_Type
 
 
 # --------------------------------------------------------------------------
+# L18 — the real schema.yaml OUTLAY chain (schema.yaml Original_Outlays/
+# Outlays): the 14-member original-table union (12 members prune away —
+# F4 breadth), the Secondhand_Sale NETTING expression whose operand-only
+# coalesce handles the column existing only in durable-type members
+# (union NULL-fill -> Net = Expenditure - 0 for food rows), and the
+# Duration annualization division (/30*360 for food, /360*360 for
+# durable). Gated at the OUTLAYS row level with per-row-rounded integer
+# sums — per-row arithmetic is engine-identical, so the oracle is
+# tie-free; Total_Outlay's household aggregation (order-dependent float
+# sums) is pinned by the tolerance-based pytest instead
+# (tests/test_era_batching.py::TestOutlayChain).
+# --------------------------------------------------------------------------
+
+#: the eight 1383-era Provision_Method labels, reused by the fabricated
+#: cleaned frames (cleaning already decoded codes to labels)
+_L18_PM = [
+    "Purchase", "Home_Production", "Instead_of_Public_Service",
+    "Instead_of_Cooperative_Service", "Instead_of_Private_Service",
+    "Agricultural_Work", "Non_Agricultural_Work", "Donation",
+]
+_L18_YEARS = [1397, 1398, 1399]
+
+
+def _l18_base_loader(spark: SparkSession, sf_dir: str):
+    """Cleaned-form food/durable frames from disjoint lineitem slices
+    (l_linenumber%2 picks the table, l_orderkey keys the year)."""
+
+    def loader(name: str, year: int):
+        if year not in _L18_YEARS or name not in ("food", "durable"):
+            return None
+        li = _t(spark, sf_dir, "lineitem").filter(
+            (F.col("l_linenumber") % 2 == (0 if name == "food" else 1))
+            & (F.lit(1397) + F.col("l_orderkey") % 3 == year)
+        )
+        ident = (1 + F.col("l_orderkey") % 150).cast("long").alias("ID")
+        pm = F.element_at(
+            F.array(*[F.lit(s) for s in _L18_PM]),
+            (F.col("l_suppkey") % 8 + 1).cast("int"),
+        ).alias("Provision_Method")
+        price = F.col("l_extendedprice")
+        if name == "food":
+            return li.select(
+                ident,
+                (F.lit(11100) + F.col("l_partkey") % 380).cast("long").alias("Code"),
+                pm,
+                (F.col("l_discount") * 1000).alias("Grams"),
+                F.col("l_quantity").alias("Kilos"),
+                price.alias("Price"),
+                (price * (F.lit(1) - F.col("l_discount"))).alias("Expenditure"),
+            )
+        return li.select(
+            ident,
+            (F.lit(31100) + F.col("l_partkey") % 100).cast("long").alias("Code"),
+            pm,
+            price.alias("Expenditure"),
+            (price * F.col("l_discount")).alias("Secondhand_Sale"),
+        )
+
+    return loader
+
+
+def q_real_outlay_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.api import HBSIREngine
+
+    eng = HBSIREngine.with_reference_corpus(
+        spark, base_loader=_l18_base_loader(spark, sf_dir)
+    )
+    out = eng.load_table("Outlays", _L18_YEARS)
+    return (
+        out.groupBy(
+            F.col("Year").cast("long").alias("Year"),
+            F.col("Table_Name"),
+            F.col("Provision_Method"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.round(F.col("Gross_Expenditure") * 10000, 0).cast("long")
+            ).alias("gross_e4"),
+            F.sum(
+                F.round(F.col("Net_Expenditure") * 10000, 0).cast("long")
+            ).alias("net_e4"),
+            F.min("Code").cast("long").alias("min_code"),
+        )
+        .orderBy("Year", "Table_Name", "Provision_Method")
+    )
+
+
+SQL_REAL_OUTLAY_CHAIN = """
+WITH li AS (
+  SELECT 1397 + l_orderkey % 3                      AS y,
+         l_linenumber % 2                           AS tbl,
+         l_partkey                                  AS pk,
+         CASE l_suppkey % 8
+              WHEN 0 THEN 'Purchase' WHEN 1 THEN 'Home_Production'
+              WHEN 2 THEN 'Instead_of_Public_Service'
+              WHEN 3 THEN 'Instead_of_Cooperative_Service'
+              WHEN 4 THEN 'Instead_of_Private_Service'
+              WHEN 5 THEN 'Agricultural_Work'
+              WHEN 6 THEN 'Non_Agricultural_Work'
+              ELSE 'Donation' END                   AS pm,
+         l_extendedprice                            AS price,
+         l_discount                                 AS disc
+  FROM lineitem
+),
+outlays AS (
+  SELECT y, 'food' AS table_name, pm,
+         11100 + pk % 380                           AS code,
+         price * (1 - disc) / 30 * 360              AS gross,
+         (price * (1 - disc) - 0) / 30 * 360        AS net
+  FROM li WHERE tbl = 0
+  UNION ALL
+  SELECT y, 'durable', pm,
+         31100 + pk % 100,
+         price / 360 * 360,
+         (price - price * disc) / 360 * 360
+  FROM li WHERE tbl = 1
+)
+SELECT y::BIGINT                                    AS Year,
+       table_name                                   AS Table_Name,
+       pm                                           AS Provision_Method,
+       count(*)::BIGINT                             AS n_rows,
+       sum(round(gross * 10000)::BIGINT)::BIGINT    AS gross_e4,
+       sum(round(net * 10000)::BIGINT)::BIGINT      AS net_e4,
+       min(code)::BIGINT                            AS min_code
+FROM outlays
+GROUP BY y, table_name, pm
+ORDER BY Year, Table_Name, Provision_Method
+"""
+
+
+# --------------------------------------------------------------------------
 # W3 — quantile on a DERIVED variable through the full engine chain
 # (reference calculator/quantile.py:47-169 + api.py:563-609): Total_
 # Expenditure derives from the food pipeline (filter -> Gross -> Yearly ->
@@ -4940,10 +5072,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every full-oracle gate gets a driver row at least every other round
     # where the window allows; rows-only gates never leave the window.
     # Round 7: the 43 gates rowed green in CORRECTNESS_r06.json rotate out;
-    # the 43 veterans rowed in r5 rotate back in — but with 4 new gates
-    # (l15/l16/w3/l17) the window (43+7+4 = 54) oversubscribes by 4, so the
-    # 4 cheapest, longest-stable veterans (p4/p11/f3/o1: single-operator
-    # gates, green in r2-r5) wait one extra round. They are re-proven exact every
+    # the 43 veterans rowed in r5 rotate back in — but with 5 new gates
+    # (l15/l16/w3/l17/l18) the window (43+7+5 = 55) oversubscribes by 5, so
+    # the 5 cheapest, longest-stable veterans (p4/p11/f3/o1/p23: single-
+    # operator gates, green in r2-r5) wait one extra round. They are re-proven exact every
     # test run by tests/test_oracle_parity.py (driver-identical DuckDB
     # check at sf0.01) and take window priority in round 8.
     return {
@@ -4959,7 +5091,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p16_id_digit_extraction": q_id_digit_extraction,
         "p17_map_lookup": q_map_lookup,
         "u1_union_missing_columns": q_union_missing_columns,
-        "p23_json_extract": q_json_extract,
         "l3_real_corpus_food": q_real_corpus_food,
         "a10_cube": q_cube,
         "o2_rolling_window": q_rolling_window,
@@ -4992,6 +5123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l16_monthly_cpi_chain": q_monthly_cpi_chain,
         "w3_quantile_by_variable": q_quantile_by_variable,
         "l17_real_income_chain": q_real_income_chain,
+        "l18_real_outlay_chain": q_real_outlay_chain,
         # -- rows-only gates (approximate by design, no oracle): the
         # driver's ONLY evidence for them is the per-round spark_rows
         # record, so they NEVER rotate past the 50-row window --
@@ -5053,6 +5185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p11_season_derivation": q_season_derivation,
         "f3_distinct": q_distinct,
         "o1_top_k": q_top_k,
+        "p23_json_extract": q_json_extract,
     }
 
 
@@ -5154,6 +5287,7 @@ def oracle_sql() -> dict[str, str]:
         "l16_monthly_cpi_chain": SQL_MONTHLY_CPI_CHAIN,
         "w3_quantile_by_variable": SQL_QUANTILE_BY_VARIABLE,
         "l17_real_income_chain": SQL_REAL_INCOME_CHAIN,
+        "l18_real_outlay_chain": SQL_REAL_OUTLAY_CHAIN,
         "x31_dsir_select": SQL_DSIR_SELECT,
         "x32_dup_windows": SQL_DUP_WINDOWS,
         "x24_token_budget": SQL_TOKEN_BUDGET,

@@ -189,6 +189,52 @@ class TestReviewFixesRound7:
                 reg.load_table("fact", [1399, 1400])
 
 
+class TestOutlayChain:
+    def test_total_outlay_matches_duckdb_with_tolerance(self, spark, sf_dir):
+        """Total_Outlay's household sums are order-dependent float sums —
+        exact cross-engine hashing would be tie-prone, so the driver gate
+        (l18) stops at the per-row-exact Outlays level and THIS test pins
+        the final [[cols]].sum() chain against DuckDB at 1e-9 relative
+        tolerance (the engine-test comparison convention)."""
+        import duckdb
+
+        from hbsir_old_spark.api import HBSIREngine
+
+        eng = HBSIREngine.with_reference_corpus(
+            spark, base_loader=entry_mod._l18_base_loader(spark, sf_dir)
+        )
+        got = {
+            (r["Year"], r["ID"]): (r["Gross_Expenditure"], r["Net_Expenditure"])
+            for r in eng.load_table("Total_Outlay", entry_mod._L18_YEARS).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/lineitem.parquet')"
+        )
+        exp = con.sql(
+            """
+            WITH li AS (
+              SELECT 1397 + l_orderkey % 3 AS y, l_linenumber % 2 AS tbl,
+                     1 + l_orderkey % 150 AS id,
+                     l_extendedprice AS price, l_discount AS disc
+              FROM lineitem),
+            rows_ AS (
+              SELECT y, id, price*(1-disc)/30*360 AS g,
+                     (price*(1-disc) - 0)/30*360 AS n FROM li WHERE tbl = 0
+              UNION ALL
+              SELECT y, id, price/360*360, (price - price*disc)/360*360
+              FROM li WHERE tbl = 1)
+            SELECT y, id, sum(g) AS g, sum(n) AS n FROM rows_ GROUP BY y, id
+            """
+        ).fetchall()
+        assert len(exp) == len(got) > 0
+        for y, hid, g, n in exp:
+            gg, gn = got[(y, hid)]
+            assert abs(gg - g) <= 1e-9 * max(abs(g), 1.0)
+            assert abs(gn - n) <= 1e-9 * max(abs(n), 1.0)
+
+
 class TestTagInvariants:
     def test_no_tag_leaks_into_output(self, spark, sf_dir):
         from hbsir_old_spark.plans.pipeline import PIPELINE_YEAR

@@ -117,7 +117,7 @@ def test_every_oracle_key_has_a_query():
 #  (c) only FULL-ORACLE gates with a green (hash-matched) driver row may
 #      sit past position 50 — normally from the PREVIOUS round; when new
 #      gates oversubscribe the window (round 7: 43 unrowed veterans + 7
-#      rows-only + 4 new = 54), the overflow comes from the cheapest
+#      rows-only + 5 new = 55), the overflow comes from the cheapest
 #      longest-stable veterans, whose newest row is then two rounds old
 #      and whose exactness the parity suite re-proves every run. They get
 #      window PRIORITY next round.
@@ -134,7 +134,6 @@ NO_R6_ROW_OR_NEW = {
     "p16_id_digit_extraction",
     "p17_map_lookup",
     "u1_union_missing_columns",
-    "p23_json_extract",
     "l3_real_corpus_food",
     "a10_cube",
     "o2_rolling_window",
@@ -167,6 +166,7 @@ NO_R6_ROW_OR_NEW = {
     "l16_monthly_cpi_chain",
     "w3_quantile_by_variable",
     "l17_real_income_chain",
+    "l18_real_outlay_chain",
 }
 # displaced by round-7 window pressure: green r5 rows, single-operator
 # gates stable since r2, parity-proven each run; window priority in r8
@@ -175,6 +175,7 @@ DISPLACED_R5_VETERANS = {
     "p11_season_derivation",
     "f3_distinct",
     "o1_top_k",
+    "p23_json_extract",
 }
 # approximate-by-design gates: spark_rows is their only driver record
 ROWS_ONLY_PINNED_IN_WINDOW = {
