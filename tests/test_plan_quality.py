@@ -272,6 +272,23 @@ def test_multi_year_food_unions_per_year_branches(spark, sf_dir):
     assert "Join" not in plan and "BatchEvalPython" not in plan, plan
 
 
+def test_full_span_food_scans_once_per_era_pair(spark, sf_dir):
+    # l15: 39 years through the era-batched build with a load_years
+    # loader — scans are per (spec-group x layout-era-frame) pair, NOT per
+    # year: 8 here (the 1369-73 layout frame feeds three Price-variant
+    # spec groups; 1383-1401 spans two layout frames) vs 39 per-year.
+    # Every scan carries a disjoint year slice, so total data read stays
+    # one corpus pass. The only join is the 1363-68 Duration
+    # classification BROADCAST (dim side is a local relation); no shuffle
+    # join, no Python UDF anywhere.
+    df = entry_mod.q_full_span_food(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 8, plan
+    assert "Union" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_multi_year_partitioned_layout_prunes_by_year(spark, sf_dir, tmp_path):
     # the 100 TB layout: survey years live in Year=<y> partitions; a
     # per-year raw loader reading that layout must produce scans with a
