@@ -502,6 +502,18 @@ class PipelineCompiler:
                 if assign is not None:
                     batch.assign(*assign)
                 continue
+            if method == "create_column_by_year":
+                try:
+                    payload = self._conditional_numerical_payload(
+                        df, batch, arg["name"], arg["variants"]
+                    )
+                except _NeedsFlush:
+                    df = batch.flush(df)
+                    payload = self._conditional_numerical_payload(
+                        df, batch, arg["name"], arg["variants"]
+                    )
+                batch.assign(arg["name"], payload)
+                continue
             df = batch.flush(df)
             if method == "apply_pandas_function":
                 if arg is None:
@@ -553,6 +565,52 @@ class PipelineCompiler:
         widened = dict(arg)
         widened["id_columns"] = [*arg["id_columns"], PIPELINE_YEAR]
         return self._op_melt(df, widened, year=None, table_name=table_name)
+
+    def _numerical_sql_text(self, df, batch, expression) -> str:
+        """:meth:`_numerical_payload` forced to SQL text: literal numbers
+        become typed SQL literals (``30`` int / ``0.5D`` double — matching
+        F.lit's IntegerType/DoubleType in the per-year plans)."""
+        if isinstance(expression, (int, float)) and not isinstance(expression, bool):
+            return (
+                f"{expression!r}D" if isinstance(expression, float) else str(expression)
+            )
+        payload = self._numerical_payload(df, batch, expression)
+        assert isinstance(payload, str)
+        return payload
+
+    def _conditional_numerical_payload(
+        self, df: DataFrame, batch, name: str, variants: Mapping
+    ) -> str:
+        """One year-conditional SQL expression merging per-year numerical
+        create_column variants (``{year: spec|None}``): each distinct
+        expression becomes a WHEN branch over its years; skipped years
+        fall to the ELSE, which keeps the existing column value (pending
+        SQL inlined, real column referenced raw, NULL when absent — the
+        same value those years see per-year, where the skipped step leaves
+        the column untouched and the final union NULL-fills absentees)."""
+        groups: dict[str, tuple[Mapping, list[int]]] = {}
+        for y, v in variants.items():
+            if v is not None:
+                groups.setdefault(repr(v), (v, []))[1].append(y)
+        whens = [
+            (ys, self._numerical_sql_text(df, batch, v["expression"]))
+            for v, ys in groups.values()
+        ]
+        pend = batch.payload(name)
+        if pend is not None:
+            if not isinstance(pend, str):
+                raise _NeedsFlush()
+            else_sql = f"({pend})"
+        else:
+            columns = {c.lower(): c for c in df.columns}
+            actual = columns.get(name.lower())
+            else_sql = f"`{actual}`" if actual is not None else "NULL"
+        branches = " ".join(
+            f"WHEN `{PIPELINE_YEAR}` IN ({', '.join(str(int(y)) for y in ys)}) "
+            f"THEN ({sql})"
+            for ys, sql in whens
+        )
+        return f"CASE {branches} ELSE {else_sql} END"
 
     def _bop_apply_filter_by_year(self, df, arg, years, table_name):
         """One year-conditional predicate merging per-year filter variants

@@ -72,47 +72,75 @@ def _reference_column_names(
     }
 
 
-def _split_filters(spec):
-    """(spec with apply_filter args masked, filter args in step order) —
-    the era-grouping key ignores filter literals so that years differing
-    only in row-wise exclusion lists share one compile group."""
+#: instruction methods whose per-year argument drift merges into ONE
+#: year-conditional step instead of splitting the compile group:
+#: apply_filter always (row-wise predicate); create_column only when
+#: every year's variant is numerical-or-skipped with one shared name
+#: (checked in _merge_variants — unmergeable positions force a resplit)
+_VARIANT_METHODS = ("apply_filter", "create_column")
+
+
+def _step_method(step):
+    if isinstance(step, str):
+        return step
+    if isinstance(step, Mapping) and len(step) == 1:
+        return next(iter(step))
+    return None
+
+
+def _split_variants(spec):
+    """(spec with variant-method args masked, masked args in step order) —
+    the era-grouping key ignores those literals so that years differing
+    only in row-wise drift (exclusion lists, versioned expressions like
+    the 1383 Amount switch) share one compile group."""
     if not isinstance(spec, Mapping) or not spec.get("instructions"):
         return spec, []
     key_steps: list = []
-    filters: list = []
+    variants: list = []
     for step in spec["instructions"]:
-        if step == "apply_filter":
-            key_steps.append({"apply_filter": "__year_variant__"})
-            filters.append(None)
-        elif isinstance(step, Mapping) and len(step) == 1 and "apply_filter" in step:
-            key_steps.append({"apply_filter": "__year_variant__"})
-            filters.append(step["apply_filter"])
+        method = _step_method(step)
+        if method in _VARIANT_METHODS:
+            key_steps.append({method: "__year_variant__"})
+            variants.append(None if isinstance(step, str) else step[method])
         else:
             key_steps.append(step)
-    return {**spec, "instructions": key_steps}, filters
+    return {**spec, "instructions": key_steps}, variants
 
 
-def _merge_filters(instructions, year_filters: Mapping[int, list]):
-    """Reinsert filters into a representative instruction list: positions
-    where every year agrees keep the plain step; positions with per-year
-    variants become one ``apply_filter_by_year`` step (compiled to a
-    single year-conditional predicate)."""
+def _merge_variants(instructions, year_variants: Mapping[int, list]):
+    """Reinsert year-variant args into a representative instruction list:
+    positions where every year agrees keep the plain step; drifting
+    apply_filter positions become one ``apply_filter_by_year`` step and
+    drifting numerical create_column positions one
+    ``create_column_by_year`` step. Returns None when a position cannot
+    merge (mixed categorical/renamed variants) — the caller re-splits
+    those years by full spec fingerprint."""
     merged: list = []
     idx = 0
     for step in instructions:
-        is_filter = step == "apply_filter" or (
-            isinstance(step, Mapping) and len(step) == 1 and "apply_filter" in step
-        )
-        if not is_filter:
+        method = _step_method(step)
+        if method not in _VARIANT_METHODS:
             merged.append(step)
             continue
-        variants = {y: fl[idx] for y, fl in year_filters.items()}
+        variants = {y: v[idx] for y, v in year_variants.items()}
         idx += 1
         fps = {stable_fingerprint(v) for v in variants.values()}
         if len(fps) == 1:
-            merged.append({"apply_filter": next(iter(variants.values()))})
-        else:
+            merged.append({method: next(iter(variants.values()))})
+            continue
+        if method == "apply_filter":
             merged.append({"apply_filter_by_year": variants})
+            continue
+        # create_column: mergeable iff every non-None variant is numerical
+        # with the same target name
+        specs = [v for v in variants.values() if v is not None]
+        names = {v.get("name") for v in specs}
+        types = {v.get("type") for v in specs}
+        if len(names) != 1 or types != {"numerical"}:
+            return None
+        merged.append(
+            {"create_column_by_year": {"name": next(iter(names)), "variants": variants}}
+        )
     return merged
 
 
@@ -393,19 +421,19 @@ class TableRegistry:
         ``cache_result`` is set (the fingerprint cache is year-keyed)."""
         groups: dict[str, list[int]] = {}
         spec_by_fp: dict[str, Mapping | None] = {}
-        filters_by_fp: dict[str, dict[int, Any]] = {}
+        variants_by_fp: dict[str, dict[int, Any]] = {}
         for year in self.available_years(name, years):
             spec = self._schema_spec(name, year)
-            # years whose specs differ ONLY in apply_filter literals still
-            # share one era: filters are row-wise, so they merge into a
-            # single year-conditional predicate (the real corpus versions
-            # the food exclusion lists three years running, which would
-            # otherwise shatter 1363-1368 into five compile groups)
-            key_spec, year_filters = _split_filters(spec)
+            # years whose specs differ ONLY in row-wise drift — filter
+            # literals or versioned numerical expressions (the real corpus
+            # versions food's exclusion lists three years running and the
+            # Amount formula at 1383) — still share one era: the drift
+            # merges into year-conditional predicates/expressions
+            key_spec, year_variants = _split_variants(spec)
             fp = stable_fingerprint(key_spec)
             groups.setdefault(fp, []).append(year)
             spec_by_fp[fp] = spec
-            filters_by_fp.setdefault(fp, {})[year] = year_filters
+            variants_by_fp.setdefault(fp, {})[year] = year_variants
 
         out: list[DataFrame] = []
 
@@ -427,39 +455,55 @@ class TableRegistry:
             all_years = sorted(y for ys in groups.values() for y in ys)
             prefetched = load_years(name, all_years) or []
 
-        for fp, ys in groups.items():
-            spec = spec_by_fp[fp]
-            if spec is None:
-                out.extend(self._base_frames_batched(name, ys, prefetched))
-                continue
+        def build_group(spec: Mapping, ys: Sequence[int], instructions) -> None:
             if spec.get("cache_result") and self.cache is not None:
                 per_year_fallback(ys)
-                continue
+                return
             if "table_list" in spec:
                 members = spec["table_list"]
                 if members is None:
-                    continue  # null member list: absent this era (see above)
+                    return  # null member list: absent this era (see above)
                 members = [members] if isinstance(members, str) else list(members)
                 parts: list[DataFrame] = []
                 for member in members:
                     parts.extend(self._build_years_batched(member, ys))
                 if not parts:
-                    continue
+                    return
                 df = union_tables(parts)
             else:
                 base = self._base_frames_batched(name, ys, prefetched)
                 if not base:
-                    continue
+                    return
                 df = union_tables(base)
-            instructions = _merge_filters(
-                spec.get("instructions") or [], filters_by_fp[fp]
-            )
             try:
                 out.append(
                     self.compiler.apply_batched(df, instructions, ys, name)
                 )
             except BatchUnsafe:
                 per_year_fallback(ys)
+
+        for fp, ys in groups.items():
+            spec = spec_by_fp[fp]
+            if spec is None:
+                out.extend(self._base_frames_batched(name, ys, prefetched))
+                continue
+            instructions = _merge_variants(
+                spec.get("instructions") or [], variants_by_fp[fp]
+            )
+            if instructions is not None:
+                build_group(spec, ys, instructions)
+                continue
+            # a create_column position with unmergeable variants (renamed
+            # targets or categorical specs): re-split by FULL spec
+            # fingerprint — within a subgroup every variant agrees, so the
+            # merge is trivially exact
+            subgroups: dict[str, tuple[Mapping, list[int]]] = {}
+            for y in ys:
+                full = self._schema_spec(name, y)
+                sub_fp = stable_fingerprint(full)
+                subgroups.setdefault(sub_fp, (full, []))[1].append(y)
+            for full, sub_ys in subgroups.values():
+                build_group(full, sub_ys, full.get("instructions") or [])
         return out
 
     def _base_frames_batched(
