@@ -3873,6 +3873,49 @@ GROUP BY w.doc_id ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# X33 — fastText/CCNet-style hashed-feature linear quality classifier
+# (deterministic weight table; see functions/text.py:hashed_quality_score).
+# Map-only: tokenize -> md5 bucket -> closed-form integer weight -> exact
+# LONG fold -> mean + threshold. The integer score_sum makes the double
+# quality_score bit-identical across engines, so the 0.19 threshold (the
+# sf0.01 median) is a stable boolean. No explode, no shuffle.
+# --------------------------------------------------------------------------
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.text import hashed_quality_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return hashed_quality_score(docs, pass_threshold=0.19).orderBy("doc_id")
+
+
+SQL_QUALITY_CLASSIFIER = r"""
+WITH base AS (
+  SELECT doc_id, trim(text) AS t FROM documents
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(t, '[ \t\n\x0b\f\r]+')) AS tok
+  FROM base WHERE t IS NOT NULL AND length(t) > 0
+), w AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_tokens,
+         sum((('0x' || substr(md5('qw|' || tok), 1, 3))::BIGINT * 2654435761)
+             % 4097 - 2048)::BIGINT AS score_sum
+  FROM toks GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(w.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(w.score_sum, 0)::BIGINT AS score_sum,
+       CASE WHEN w.n_tokens > 0
+            THEN w.score_sum / (w.n_tokens * 2048.0) END AS quality_score,
+       coalesce(w.n_tokens > 0
+                AND w.score_sum / (w.n_tokens * 2048.0) > 0.19,
+                FALSE) AS quality_pass
+FROM base b LEFT JOIN w USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # X31 — DSIR importance resampling (Xie et al. 2023), deterministic
 # variant: score every document by log P_target - log P_source under
 # add-one-smoothed multinomials over md5-hashed word features (target =
@@ -5072,14 +5115,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every full-oracle gate gets a driver row at least every other round
     # where the window allows; rows-only gates never leave the window.
     # Round 7: the 43 gates rowed green in CORRECTNESS_r06.json rotate out;
-    # the 43 veterans rowed in r5 rotate back in — but with 5 new gates
-    # (l15/l16/w3/l17/l18) the window (43+7+5 = 55) oversubscribes by 5, so
-    # the 5 cheapest, longest-stable veterans (p4/p11/f3/o1/p23: single-
-    # operator gates, green in r2-r5) wait one extra round. They are re-proven exact every
-    # test run by tests/test_oracle_parity.py (driver-identical DuckDB
-    # check at sf0.01) and take window priority in round 8.
+    # the 43 veterans rowed in r5 rotate back in — but with 6 new gates
+    # (l15/l16/w3/l17/l18/x33) the window (43+7+6 = 56) oversubscribes by 6,
+    # so the 6 cheapest, longest-stable veterans (p4/p11/f3/o1/p23: single-
+    # operator gates, green in r2-r5; p17, whose dict-map operator is also a
+    # sub-step of the in-window l4 decode) wait one extra round. They are
+    # re-proven exact every test run by tests/test_oracle_parity.py
+    # (driver-identical DuckDB check at sf0.01) and take window priority in
+    # round 8.
     return {
-        # -- no r6 row (rotated out last round): first 40 of the 43 --
+        # -- no r6 row (rotated out last round): 39 of the 43 --
         "w1_weighted_ecdf": q_weighted_ecdf,
         "w2_decile": q_decile,
         "p13_cpi_deflation": q_cpi_deflation,
@@ -5089,7 +5134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g1_dsl_pipeline": q_dsl_pipeline,
         "l1_form_raw_vs_cleaned": q_form_raw_vs_cleaned,
         "p16_id_digit_extraction": q_id_digit_extraction,
-        "p17_map_lookup": q_map_lookup,
         "u1_union_missing_columns": q_union_missing_columns,
         "l3_real_corpus_food": q_real_corpus_food,
         "a10_cube": q_cube,
@@ -5124,6 +5168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_quantile_by_variable": q_quantile_by_variable,
         "l17_real_income_chain": q_real_income_chain,
         "l18_real_outlay_chain": q_real_outlay_chain,
+        "x33_quality_classifier": q_quality_classifier,
         # -- rows-only gates (approximate by design, no oracle): the
         # driver's ONLY evidence for them is the per-round spark_rows
         # record, so they NEVER rotate past the 50-row window --
@@ -5136,8 +5181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4b_weighted_approx_decile": q_weighted_approx_decile,
         # -- rotated past position 50 this round: every gate below is
         # FULL-ORACLE with a green (hash-matched) driver row in
-        # CORRECTNESS_r06.json — plus the 3 displaced r5-green veterans
+        # CORRECTNESS_r06.json — plus the 6 displaced r5-green veterans
         # (see header) — and full parity-suite coverage --
+        "p17_map_lookup": q_map_lookup,
         "a1_groupby_sum": q_groupby_sum,
         "p7_computed_column": q_computed_column,
         "p8_category_conditions": q_category_conditions,
@@ -5288,6 +5334,7 @@ def oracle_sql() -> dict[str, str]:
         "w3_quantile_by_variable": SQL_QUANTILE_BY_VARIABLE,
         "l17_real_income_chain": SQL_REAL_INCOME_CHAIN,
         "l18_real_outlay_chain": SQL_REAL_OUTLAY_CHAIN,
+        "x33_quality_classifier": SQL_QUALITY_CLASSIFIER,
         "x31_dsir_select": SQL_DSIR_SELECT,
         "x32_dup_windows": SQL_DUP_WINDOWS,
         "x24_token_budget": SQL_TOKEN_BUDGET,

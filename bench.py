@@ -80,6 +80,10 @@ HEADLINE = [
     # duplicated-passage statistic (content-defined window sampling)
     "x31_dsir_select",
     "x32_dup_windows",
+    # round 7: hashed-feature linear quality classifier (map-only fold —
+    # the per-token md5+conv work IS its wall time, a pure expression-
+    # throughput probe)
+    "x33_quality_classifier",
     # x23_best_rep_dedup stays gate-only like x19: exact all-pairs n-gram
     # generation dominates its wall time (the scale path is x3's MinHash),
     # so it belongs to correctness, not the throughput suite. x26's k-means

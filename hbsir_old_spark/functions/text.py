@@ -466,3 +466,89 @@ def cross_doc_dup_windows(
             F.round(F.col("n_dup") / F.col("n_windows"), 6).alias("dup_frac"),
         )
     )
+
+
+def hashed_quality_score(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 3,
+    seed: str = "qw",
+    multiplier: int = 2654435761,
+    pass_threshold: float = 0.0,
+) -> "DataFrame":
+    """fastText/CCNet-style LINEAR quality classifier over hashed unigram
+    features with a deterministic weight table.
+
+    Production quality filters (CCNet's fastText model, the DCLM/Gopher
+    classifier stages) score a document as ``mean_i w[h(tok_i) % V]`` and
+    threshold the result; at 100 TB the cost is the per-token feature
+    hashing, not the model. This operator implements that exact dataflow
+    with a closed-form weight function
+
+        ``w(b) = (b * multiplier) % (V + 1) - V // 2``    (integers)
+
+    over ``V = 16**hex_chars`` buckets (bucket = first ``hex_chars`` hex
+    digits of ``md5(seed|token)`` — exactly uniform because V divides the
+    hex range), so the whole pipeline is oracle-checkable end to end.
+    Swapping in TRAINED weights is a one-expression change: replace the
+    closed form with a broadcast ``map_from_arrays`` lookup of the V-entry
+    weight vector — the hashing, folding, and normalization stay as-is.
+
+    Scale shape: map-only — no explode, no shuffle, one output row per
+    input row. Tokens fold through a single ``aggregate`` HOF into a LONG
+    sum, which is order-independent and exact, so ``quality_score`` (one
+    final double division) is bit-identical across engines. The HOF lambda
+    evaluates interpreted (md5+conv per token); for the trained-weights
+    variant at full scale, pre-tokenized inputs amortize this.
+
+    Output columns: ``n_tokens`` (LONG), ``score_sum`` (LONG, exact),
+    ``quality_score`` (DOUBLE in ~[-1, 1], NULL for empty text),
+    ``quality_pass`` (BOOLEAN, ``quality_score > pass_threshold``; the
+    bit-exact score makes the literal comparison engine-stable).
+
+    Reference analogue: none (beyond-reference LLM-pipeline operator).
+    """
+    n_buckets = 16**hex_chars
+    half = n_buckets // 2
+    trimmed = F.trim(F.col(text_col))
+    toks = F.when(
+        F.coalesce(F.length(trimmed), F.lit(0)) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(trimmed, r"\s+"))
+
+    def _weight(tok: Column) -> Column:
+        bucket = F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + "|"), tok)), 1, hex_chars),
+            16,
+            10,
+        ).cast("long")
+        return (bucket * F.lit(multiplier)) % F.lit(n_buckets + 1) - F.lit(half)
+
+    return (
+        df.select(id_col, toks.alias("__toks__"))
+        .select(
+            id_col,
+            F.size("__toks__").cast("long").alias("n_tokens"),
+            F.aggregate(
+                "__toks__", F.lit(0).cast("long"), lambda acc, t: acc + _weight(t)
+            ).alias("score_sum"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "score_sum",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("score_sum") / (F.col("n_tokens") * F.lit(float(half))),
+            ).alias("quality_score"),
+            (
+                (F.col("n_tokens") > 0)
+                & (
+                    F.col("score_sum")
+                    / (F.col("n_tokens") * F.lit(float(half)))
+                    > F.lit(pass_threshold)
+                )
+            ).alias("quality_pass"),
+        )
+    )

@@ -117,7 +117,7 @@ def test_every_oracle_key_has_a_query():
 #  (c) only FULL-ORACLE gates with a green (hash-matched) driver row may
 #      sit past position 50 — normally from the PREVIOUS round; when new
 #      gates oversubscribe the window (round 7: 43 unrowed veterans + 7
-#      rows-only + 5 new = 55), the overflow comes from the cheapest
+#      rows-only + 6 new = 56), the overflow comes from the cheapest
 #      longest-stable veterans, whose newest row is then two rounds old
 #      and whose exactness the parity suite re-proves every run. They get
 #      window PRIORITY next round.
@@ -132,7 +132,6 @@ NO_R6_ROW_OR_NEW = {
     "g1_dsl_pipeline",
     "l1_form_raw_vs_cleaned",
     "p16_id_digit_extraction",
-    "p17_map_lookup",
     "u1_union_missing_columns",
     "l3_real_corpus_food",
     "a10_cube",
@@ -167,15 +166,19 @@ NO_R6_ROW_OR_NEW = {
     "w3_quantile_by_variable",
     "l17_real_income_chain",
     "l18_real_outlay_chain",
+    "x33_quality_classifier",
 }
 # displaced by round-7 window pressure: green r5 rows, single-operator
 # gates stable since r2, parity-proven each run; window priority in r8
+# (p17's dict-map operator is additionally a sub-step of the in-window
+# l4 household decode, which does get an r7 row)
 DISPLACED_R5_VETERANS = {
     "p4_string_scrub",
     "p11_season_derivation",
     "f3_distinct",
     "o1_top_k",
     "p23_json_extract",
+    "p17_map_lookup",
 }
 # approximate-by-design gates: spark_rows is their only driver record
 ROWS_ONLY_PINNED_IN_WINDOW = {

@@ -142,3 +142,60 @@ def test_cross_doc_dup_windows_unsampled_exact(spark):
     }
     assert out[1]["n_windows"] == 1 and out[1]["n_dup"] == 1
     assert out[2]["n_dup"] == 1 and out[3]["n_dup"] == 0
+
+
+class TestHashedQualityScore:
+    """x33: hashed-feature linear quality classifier — hand-checkable
+    invariants (exact integer fold, empty/NULL text, threshold boolean)
+    plus the map-only plan pin (no Exchange: one output row per input
+    row with zero shuffles)."""
+
+    def _score(self, spark, rows, **kwargs):
+        from hbsir_old_spark.functions.text import hashed_quality_score
+
+        df = spark.createDataFrame(rows, schema="doc_id long, text string")
+        return {
+            r["doc_id"]: r
+            for r in hashed_quality_score(df, **kwargs).collect()
+        }
+
+    def test_exact_fold_matches_per_token_weights(self, spark):
+        import hashlib
+
+        text = "alpha beta beta gamma"
+        out = self._score(spark, [(1, text)])[1]
+        expected = 0
+        for tok in text.split():
+            b = int(hashlib.md5(f"qw|{tok}".encode()).hexdigest()[:3], 16)
+            expected += (b * 2654435761) % 4097 - 2048
+        assert out["n_tokens"] == 4
+        assert out["score_sum"] == expected
+        assert out["quality_score"] == expected / (4 * 2048.0)
+
+    def test_empty_and_null_text(self, spark):
+        out = self._score(spark, [(1, ""), (2, "   "), (3, None)])
+        for doc in (1, 2, 3):
+            assert out[doc]["n_tokens"] == 0
+            assert out[doc]["score_sum"] == 0
+            assert out[doc]["quality_score"] is None
+            assert out[doc]["quality_pass"] is False
+
+    def test_threshold_splits(self, spark):
+        # same doc, two thresholds bracketing its score -> flips the flag
+        rows = [(1, "alpha beta gamma delta epsilon")]
+        lo = self._score(spark, rows, pass_threshold=-1.0)[1]
+        hi = self._score(spark, rows, pass_threshold=1.0)[1]
+        assert lo["quality_pass"] is True
+        assert hi["quality_pass"] is False
+
+    def test_map_only_plan(self, spark):
+        from hbsir_old_spark.functions.text import hashed_quality_score
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = (
+            hashed_quality_score(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
