@@ -358,13 +358,71 @@ def keep_cluster_representatives(
     return df.join(non_reps, id_col, "left_anti")
 
 
+def lsh_band_plan(
+    threshold: float,
+    num_perm: int,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+    grid: int = 512,
+) -> tuple[int, int]:
+    """Choose ``(bands, rows_per_band)`` for MinHash-LSH targeting a
+    Jaccard ``threshold``.
+
+    The banding S-curve admits a pair at similarity ``s`` with probability
+    ``P(s) = 1 - (1 - s**r)**b``; the ideal filter is a step at
+    ``threshold``. This picks the ``(b, r)`` with ``b*r == num_perm``
+    minimizing the weighted error area (the standard MMDS ch.3 criterion,
+    also how datasketch sizes its index):
+
+        ``fp_weight * ∫_0^t P(s) ds  +  fn_weight * ∫_t^1 (1 - P(s)) ds``
+
+    integrated with a fixed-step trapezoid rule — deterministic, no
+    dependencies, exhaustive over the divisors of ``num_perm`` (there are
+    only O(log num_perm) of them). Only exact splits are considered: a
+    remainder would silently drop signature rows, the same invariant
+    :func:`minhash_lsh_pairs` enforces.
+
+    At 100 TB this is the knob that matters: too many bands floods the
+    verify stage with false candidates (its cost is candidate-pair count),
+    too few bands silently loses recall — and the right split changes with
+    ``threshold``, which is workload-dependent. Returns ``(bands,
+    rows_per_band)``.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_perm < 1:
+        raise ValueError(f"num_perm must be >= 1, got {num_perm}")
+    best: tuple[float, int, int] | None = None
+    for b in range(1, num_perm + 1):
+        if num_perm % b != 0:
+            continue
+        r = num_perm // b
+        fp = fn = 0.0
+        step = 1.0 / grid
+        prev_p = 0.0  # P(0) = 0
+        for i in range(1, grid + 1):
+            s = i * step
+            p = 1.0 - (1.0 - s**r) ** b
+            area = (prev_p + p) / 2.0 * step
+            if s <= threshold:
+                fp += area
+            else:
+                fn += step - area
+            prev_p = p
+        err = fp_weight * fp + fn_weight * fn
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     num_perm: int = 16,
-    bands: int = 4,
+    bands: int | None = 4,
     threshold: float = 0.2,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
@@ -372,7 +430,14 @@ def minhash_lsh_pairs(
     Pipeline: signature -> split into ``bands`` row-chunks -> explode band
     hashes -> self-join on (band, hash) for candidates -> exact Jaccard on
     the candidates only. Output schema matches :func:`ngram_jaccard_pairs`.
+
+    ``bands=None`` sizes the banding automatically from ``threshold`` via
+    :func:`lsh_band_plan` (minimum weighted FP+FN area of the S-curve).
+    The explicit default (4 over 16 permutations) is kept for replay
+    stability of existing callers.
     """
+    if bands is None:
+        bands, _ = lsh_band_plan(threshold, num_perm)
     if bands <= 0 or num_perm % bands != 0:
         raise ValueError(
             f"bands ({bands}) must evenly divide num_perm ({num_perm}); "
