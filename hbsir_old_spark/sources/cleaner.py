@@ -18,6 +18,7 @@ dropped deliberately: Long/Double + parquet encoding make it moot on Spark
 
 from __future__ import annotations
 
+from functools import lru_cache
 from itertools import chain
 from typing import Mapping
 
@@ -31,8 +32,24 @@ from hbsir_old_spark.metadata.versioning import resolve_versioned
 def scrub_string(col: Column | str) -> Column:
     """The reference's raw-string scrub (data_cleaner.py:216-227): strip
     newline/CR/commas/at/plus/star/brackets/underscore/question marks,
-    middle-dot -> '.', trailing dots, leading minus noise; blank -> null."""
-    col = F.col(col) if isinstance(col, str) else col
+    middle-dot -> '.', trailing dots, leading minus noise; blank -> null.
+
+    Called by name (the clean-table path), the built expression is
+    memoized: the ~10 py4j round trips per build were a measured term of
+    the 39-year plan compile, and the same raw column names recur across
+    every era and every construct. Column trees are immutable, so reuse
+    across DataFrames/plans is safe."""
+    if isinstance(col, str):
+        return _scrub_named(col)
+    return _scrub_expr(col)
+
+
+@lru_cache(maxsize=4096)
+def _scrub_named(name: str) -> Column:
+    return _scrub_expr(F.col(name))
+
+
+def _scrub_expr(col: Column) -> Column:
     # This runs on EVERY string column of EVERY raw row — at sf0.1 the old
     # four-chained-regexp formulation executed ~17M Java regexes and
     # dominated the whole real-corpus pipeline (~4 s of a 5 s gate,
@@ -153,7 +170,7 @@ def clean_table_resolved(
             continue
         raw: Column = F.col(name)
         if scrub and isinstance(df.schema[name].dataType, T.StringType):
-            raw = scrub_string(raw)
+            raw = scrub_string(name)  # by name -> memoized expression
         new_name = (meta.get("new_name") if isinstance(meta, Mapping) else None) or name
         exprs.append(_typed_column(raw, meta if isinstance(meta, Mapping) else {}).alias(new_name))
     return df.select(*exprs)
