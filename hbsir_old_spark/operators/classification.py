@@ -136,7 +136,9 @@ EXPRESSION_STRATEGY_MAX_ROWS = 128
 
 
 def _sql_literal(value) -> str:
-    """Render a python value as a Spark SQL literal (CASE-branch payload)."""
+    """Render a python value as a Spark SQL literal (CASE-branch payload).
+    Rejects types the renderer can't prove round-trip (the old F.lit fold
+    accepted more; an explicit error beats silently-invalid SQL)."""
     if value is None:
         return "NULL"
     if isinstance(value, bool):
@@ -144,6 +146,25 @@ def _sql_literal(value) -> str:
     if isinstance(value, str):
         escaped = value.replace("\\", "\\\\").replace("'", "\\'")
         return f"'{escaped}'"
+    if isinstance(value, int):
+        return repr(value)
+    if isinstance(value, float):
+        if value != value:  # NaN
+            return "'NaN'"  # the surrounding CAST(... AS double) parses it
+        if value in (float("inf"), float("-inf")):
+            return f"'{'-' if value < 0 else ''}Infinity'"
+        return repr(value)
+    raise TypeError(
+        f"unsupported classification aspect literal {value!r} "
+        f"({type(value).__name__})"
+    )
+
+
+def _sql_number(value) -> str:
+    """Render a numeric bound exactly (no int() truncation of float
+    bounds; the old Column fold compared them exactly)."""
+    if isinstance(value, bool) or not isinstance(value, (int, float)):
+        raise TypeError(f"non-numeric interval bound {value!r}")
     return repr(value)
 
 
@@ -172,11 +193,11 @@ def _expression_lookup(
     branches = []
     for r in reversed(rows):
         conds = [
-            f"(`{code_col}` >= {int(r['code_start'])}"
-            f" AND `{code_col}` < {int(r['code_end'])})"
+            f"(`{code_col}` >= {_sql_number(r['code_start'])}"
+            f" AND `{code_col}` < {_sql_number(r['code_end'])})"
         ]
         if year_col is not None and r.get("year") is not None:
-            conds.append(f"`{year_col}` = {int(r['year'])}")
+            conds.append(f"`{year_col}` = {_sql_number(r['year'])}")
         value = r.get(aspect)
         if value is not None and aspect_type == "string":
             value = str(value)

@@ -168,9 +168,10 @@ def clean_table_resolved(
         _, meta = meta_by_lower[key]
         if meta is None or meta == "drop":
             continue
-        raw: Column = F.col(name)
         if scrub and isinstance(df.schema[name].dataType, T.StringType):
-            raw = scrub_string(name)  # by name -> memoized expression
+            raw: Column = scrub_string(name)  # by name -> memoized expression
+        else:
+            raw = F.col(name)
         new_name = (meta.get("new_name") if isinstance(meta, Mapping) else None) or name
         exprs.append(_typed_column(raw, meta if isinstance(meta, Mapping) else {}).alias(new_name))
     return df.select(*exprs)
