@@ -552,3 +552,83 @@ def hashed_quality_score(
             ).alias("quality_pass"),
         )
     )
+
+
+def hashed_quality_score_weighted(
+    df,
+    weights: "Sequence[float]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 3,
+    seed: str = "qw",
+    pass_threshold: float = 0.0,
+) -> "DataFrame":
+    """:func:`hashed_quality_score` with a TRAINED weight table — the
+    production form of the classifier (a fastText/CCNet model exported as
+    its V-entry weight vector after feature hashing).
+
+    The dataflow is identical; only the per-token weight expression
+    changes: the closed form becomes an ``element_at`` into a single
+    ARRAY LITERAL of the ``16**hex_chars`` weights (emitted as one
+    ``F.expr`` string — one JVM call, one Literal node in the plan,
+    shipped once per task with the serialized plan, not per row). Still
+    map-only, no explode, no shuffle, no UDF. For vectors too large to
+    inline in a plan (100k+ buckets) the same shape works as a broadcast
+    join on the bucket id — at V = 4096 the literal is the faster and
+    simpler form.
+
+    The fold sums DOUBLEs in token order (deterministic, but not the
+    integer-exact cross-engine guarantee of the closed-form variant —
+    trained weights are floats, so last-ulp neutrality is not on offer;
+    that is why the ORACLE gate pins the closed form and this variant is
+    pytest-pinned against it).
+
+    Output: ``n_tokens`` (LONG), ``quality_score`` (DOUBLE mean weight,
+    NULL for empty text), ``quality_pass`` (BOOLEAN).
+    """
+    n_buckets = 16**hex_chars
+    if len(weights) != n_buckets:
+        raise ValueError(
+            f"weights must have exactly {n_buckets} entries "
+            f"(16**{hex_chars}); got {len(weights)}"
+        )
+    table = F.expr(
+        "array(" + ",".join(repr(float(w)) + "D" for w in weights) + ")"
+    )
+    trimmed = F.trim(F.col(text_col))
+    toks = F.when(
+        F.coalesce(F.length(trimmed), F.lit(0)) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(trimmed, r"\s+"))
+
+    def _weight(tok: Column) -> Column:
+        bucket = F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + "|"), tok)), 1, hex_chars),
+            16,
+            10,
+        ).cast("long")
+        return F.element_at(F.col("__w__"), (bucket + 1).cast("int"))
+
+    return (
+        df.select(id_col, toks.alias("__toks__"), table.alias("__w__"))
+        .select(
+            id_col,
+            F.size("__toks__").cast("long").alias("n_tokens"),
+            F.aggregate(
+                "__toks__",
+                F.lit(0.0),
+                lambda acc, t: acc + _weight(t),
+            ).alias("__sum__"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") > 0, F.col("__sum__") / F.col("n_tokens")
+            ).alias("quality_score"),
+            (
+                (F.col("n_tokens") > 0)
+                & (F.col("__sum__") / F.col("n_tokens") > F.lit(pass_threshold))
+            ).alias("quality_pass"),
+        )
+    )

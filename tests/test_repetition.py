@@ -199,3 +199,48 @@ class TestHashedQualityScore:
             .toString()
         )
         assert "Exchange" not in plan, plan
+
+    def test_trained_weights_variant_matches_closed_form(self, spark):
+        # the docstring's "trained weights = one expression swap" claim,
+        # proven: feed the closed-form weight table in as an explicit
+        # vector -> identical scores (integer-valued doubles sum exactly)
+        from hbsir_old_spark.functions.text import (
+            hashed_quality_score,
+            hashed_quality_score_weighted,
+        )
+
+        rows = [(1, "alpha beta beta gamma"), (2, ""), (3, None), (4, "x y z")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        v = 16**2
+        table = [float((b * 2654435761) % (v + 1) - v // 2) for b in range(v)]
+        closed = {
+            r["doc_id"]: r
+            for r in hashed_quality_score(df, hex_chars=2).collect()
+        }
+        trained = {
+            r["doc_id"]: r
+            for r in hashed_quality_score_weighted(df, table, hex_chars=2).collect()
+        }
+        for doc in (1, 2, 3, 4):
+            c, t = closed[doc], trained[doc]
+            assert t["n_tokens"] == c["n_tokens"]
+            if c["quality_score"] is None:
+                assert t["quality_score"] is None
+            else:
+                # closed form normalizes by half=V/2; undo for comparison
+                assert t["quality_score"] == c["quality_score"] * (v // 2)
+            assert t["quality_pass"] == c["quality_pass"]
+
+    def test_trained_weights_plan_is_map_only(self, spark):
+        from hbsir_old_spark.functions.text import hashed_quality_score_weighted
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        out = hashed_quality_score_weighted(df, [0.5] * (16**2), hex_chars=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+    def test_trained_weights_length_validation(self):
+        from hbsir_old_spark.functions.text import hashed_quality_score_weighted
+
+        with pytest.raises(ValueError):
+            hashed_quality_score_weighted(None, [0.5] * 10, hex_chars=2)
