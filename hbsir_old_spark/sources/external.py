@@ -25,9 +25,35 @@ from typing import Any, Callable, Mapping
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 Cleaner = Callable[[Any], pd.DataFrame]
 Fetcher = Callable[[str, str], None]
+
+
+def nan_to_null(df: DataFrame) -> DataFrame:
+    """Normalize floating NaN to SQL NULL on every float/double column.
+
+    ``createDataFrame(pandas)`` lifts pandas ``NaN`` as Spark DOUBLE ``NaN``
+    (``isNull`` false, counted by ``count()``), but the reference's pandas
+    semantics treat NaN as *missing* throughout (e.g. the monthly-CPI dash
+    cell, reference external_data/cleaning_scripts.py:25-29, must survive a
+    left-join deflation as a missing price, not poison it under ANSI). The
+    lift boundary is the one place the two models meet, so the conversion
+    happens here — including the parquet-cache read-back, which round-trips
+    the NaN."""
+    selected = []
+    changed = False
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            selected.append(
+                F.nanvl(df[f.name], F.lit(None).cast(f.dataType)).alias(f.name)
+            )
+            changed = True
+        else:
+            selected.append(df[f.name])
+    return df.select(*selected) if changed else df
 
 
 def _default_fetcher(url: str, dest: str) -> None:
@@ -120,7 +146,7 @@ class ExternalDataRegistry:
         return table
 
     def load(self, name: str) -> DataFrame:
-        return self.spark.createDataFrame(self.load_pandas(name))
+        return nan_to_null(self.spark.createDataFrame(self.load_pandas(name)))
 
     def load_named(
         self,

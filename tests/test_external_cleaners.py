@@ -273,6 +273,59 @@ class TestFullChain1395:
         assert rows[("Rural", 1401, 12)] == cpi_r(1401, 12, 0)
         assert ("Rural", 1373, 12) not in rows
 
+    def test_dash_cell_lifts_as_sql_null(self, spark, tmp_path):
+        """The rural (1374, month 1) dash cell must arrive in Spark as SQL
+        NULL, not DOUBLE NaN: ``createDataFrame(pandas)`` lifts NaN as NaN
+        (isNull false, counted by count()), which NaN-poisons a left-join
+        deflation and crashes ANSI casts — the r7 ``l16`` failure. Asserted
+        on BOTH the fresh lift and the parquet-cache read-back, which
+        round-trips the NaN."""
+        from pyspark.sql import functions as F
+
+        from hbsir_old_spark.metadata.corpus import load_corpus
+        from hbsir_old_spark.sources.external import ExternalDataRegistry
+
+        meta = load_corpus().external_data
+        urban = urban_monthly_grid(1401)
+        n = (1401 - 1374 + 1) * 12
+        rural = _pad(
+            [[], [], [],
+             ["junk"] * 53
+             + ["-" if i == 0 else cpi_r(1374 + i // 12, i % 12 + 1, 0)
+                for i in range(n)]]
+        )
+        probe = ExternalDataRegistry(spark, meta)
+        url_to_grid = {
+            probe._navigate("sci.cpi_1395_urban_singleindex.monthly")[1]["url"]: urban,
+            probe._navigate("sci.cpi_1395_rural_maingroups.monthly")[1]["url"]: rural,
+        }
+
+        def fetcher(url: str, dest: str) -> None:
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            url_to_grid[url].to_csv(dest, index=False, header=False)
+
+        reg = ExternalDataRegistry(
+            spark,
+            meta,
+            cleaners=cs.reference_cleaners(),
+            fetcher=fetcher,
+            cache_dir=str(tmp_path / "ext95nan"),
+        )
+        for attempt in ("fresh", "cache"):  # second load hits the parquet cache
+            df = reg.load_named("CPI_1395", "SCI", "Monthly", "Urban_Rural")
+            dash = df.filter(
+                (F.col("Urban_Rural") == "Rural")
+                & (F.col("Year") == 1374)
+                & (F.col("Month") == 1)
+            )
+            assert dash.count() == 1, attempt
+            assert dash.filter(F.col("CPI").isNull()).count() == 1, attempt
+            assert dash.filter(F.isnan("CPI")).count() == 0, attempt
+            # count() must treat it as missing (priced_rows semantics)
+            assert (
+                dash.agg(F.count("CPI").alias("c")).collect()[0]["c"] == 0
+            ), attempt
+
 
 def test_load_raw_grid_sniffs_format(tmp_path):
     """CSV fixtures parse as headerless integer-labeled grids; a zip-magic
