@@ -121,8 +121,86 @@ def test_every_oracle_key_has_a_query():
 #      longest-stable veterans, whose newest row is then two rounds old
 #      and whose exactness the parity suite re-proves every run. They get
 #      window PRIORITY next round.
-NO_R6_ROW_OR_NEW = {
-    # rotated out in round 6 (green r5 rows) -- rowed again this round
+NO_R7_ROW_OR_NEW = {
+    # the 6 r5-green veterans displaced by round-7 window pressure —
+    # window PRIORITY this round per the pinned policy
+    "p4_string_scrub",
+    "p11_season_derivation",
+    "f3_distinct",
+    "o1_top_k",
+    "p23_json_extract",
+    "p17_map_lookup",
+    # rowed in r7 but as an `err` (the NaN-lift crash, fixed in r8) —
+    # an err row is not evidence, so it re-rows like an unrowed gate
+    "l16_monthly_cpi_chain",
+    # new in round 8
+    "g6_poverty_rate",
+    "l15b_partitioned_span",
+    # rotated out in round 7 (green r6 rows) -- rowed again this round
+    "j1_classification_join",
+    "j2_dim_join_chain",
+    "j3_weighted_average",
+    "j6_fact_join",
+    "j8_geometry_join",
+    "j9_semi_anti",
+    "a2_household_math",
+    "a4_average_table",
+    "a5_weighted_sum",
+    "x14_text_cleaning",
+    "x15_contamination_flag",
+    "x1_dedup_exact",
+    "x2_ngram_jaccard",
+    "x5_text_stats",
+    "x6_lang_id",
+    "x7_rolling_fingerprint",
+    "g3_report_pivot_totals",
+    "l2_setup_roundtrip",
+    "x16_hash_split",
+    "x17_group_quota",
+    "x18_token_freq",
+    "s4_upsert_sink",
+    "x19_dup_clusters",
+    "x20_tfidf_top_terms",
+    "x21_asof_attribution",
+    "x22_incremental_dedup",
+    "s1_events_tumbling",
+    "s2_events_sessions",
+    "s3_events_sliding",
+    "x8_cosine_topk",
+    "l13_real_cpi_chain",
+    "l14_multi_year_food",
+    "x31_dsir_select",
+    "x32_dup_windows",
+}
+# displaced by round-8 window pressure: green r6 rows, single-operator
+# expression-layer gates stable since r2/r3, parity-proven each run;
+# window priority in r9 (a1, p19 and f2's operators also run as
+# sub-steps of the in-window g6 composition; a8/a9 are the lattice
+# siblings of in-window a10_cube)
+DISPLACED_R6_VETERANS = {
+    "a1_groupby_sum",
+    "p7_computed_column",
+    "p8_category_conditions",
+    "p18_melt",
+    "p19_pivot",
+    "f1_filter_predicates",
+    "f2_attribute_select",
+    "a8_rollup",
+    "a9_grouping_sets",
+}
+# approximate-by-design gates: spark_rows is their only driver record
+ROWS_ONLY_PINNED_IN_WINDOW = {
+    "x3_minhash_lsh",
+    "x4_simhash_pairs",
+    "x9_ann_lsh",
+    "x13_ivf_topk",
+    "a7_approx_distinct",
+    "w4_approx_decile",
+    "w4b_weighted_approx_decile",
+}
+# every gate here is FULL-ORACLE with a green (hash-matched) row in
+# CORRECTNESS_r07.json (plus the displaced r6-green veterans above)
+ROTATED_VETERANS = DISPLACED_R6_VETERANS | {
     "w1_weighted_ecdf",
     "w2_decile",
     "p13_cpi_deflation",
@@ -160,88 +238,17 @@ NO_R6_ROW_OR_NEW = {
     "l12_real_duration_aspect",
     "a6_distinct_agg",
     "g2_training_pipeline",
-    # new in round 7
     "l15_full_span_food",
-    "l16_monthly_cpi_chain",
     "w3_quantile_by_variable",
     "l17_real_income_chain",
     "l18_real_outlay_chain",
     "x33_quality_classifier",
 }
-# displaced by round-7 window pressure: green r5 rows, single-operator
-# gates stable since r2, parity-proven each run; window priority in r8
-# (p17's dict-map operator is additionally a sub-step of the in-window
-# l4 household decode, which does get an r7 row)
-DISPLACED_R5_VETERANS = {
-    "p4_string_scrub",
-    "p11_season_derivation",
-    "f3_distinct",
-    "o1_top_k",
-    "p23_json_extract",
-    "p17_map_lookup",
-}
-# approximate-by-design gates: spark_rows is their only driver record
-ROWS_ONLY_PINNED_IN_WINDOW = {
-    "x3_minhash_lsh",
-    "x4_simhash_pairs",
-    "x9_ann_lsh",
-    "x13_ivf_topk",
-    "a7_approx_distinct",
-    "w4_approx_decile",
-    "w4b_weighted_approx_decile",
-}
-# every gate here is FULL-ORACLE with a green (hash-matched) row in
-# CORRECTNESS_r06.json (plus the displaced r5-green veterans above)
-ROTATED_VETERANS = DISPLACED_R5_VETERANS | {
-    "a1_groupby_sum",
-    "p7_computed_column",
-    "p8_category_conditions",
-    "p18_melt",
-    "p19_pivot",
-    "f1_filter_predicates",
-    "f2_attribute_select",
-    "j1_classification_join",
-    "j3_weighted_average",
-    "j2_dim_join_chain",
-    "j6_fact_join",
-    "a2_household_math",
-    "a4_average_table",
-    "a5_weighted_sum",
-    "a8_rollup",
-    "j9_semi_anti",
-    "x14_text_cleaning",
-    "x15_contamination_flag",
-    "x1_dedup_exact",
-    "x2_ngram_jaccard",
-    "x5_text_stats",
-    "x6_lang_id",
-    "x7_rolling_fingerprint",
-    "g3_report_pivot_totals",
-    "j8_geometry_join",
-    "l2_setup_roundtrip",
-    "x16_hash_split",
-    "x17_group_quota",
-    "x18_token_freq",
-    "s4_upsert_sink",
-    "x19_dup_clusters",
-    "x20_tfidf_top_terms",
-    "x21_asof_attribution",
-    "x22_incremental_dedup",
-    "a9_grouping_sets",
-    "s1_events_tumbling",
-    "s2_events_sessions",
-    "s3_events_sliding",
-    "x8_cosine_topk",
-    "l13_real_cpi_chain",
-    "l14_multi_year_food",
-    "x31_dsir_select",
-    "x32_dup_windows",
-}
 
 
 def test_driver_cap_ordering():
     first50 = set(list(QUERIES)[:50])
-    missing = NO_R6_ROW_OR_NEW - first50
+    missing = NO_R7_ROW_OR_NEW - first50
     assert not missing, f"unrowed gates outside the driver's 50-row window: {missing}"
     ro_missing = ROWS_ONLY_PINNED_IN_WINDOW - first50
     assert not ro_missing, (

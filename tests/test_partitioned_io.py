@@ -61,3 +61,29 @@ def test_partitioned_base_loader_drives_registry(spark, tmp_path):
     # pruning reaches the scan through the whole derived-table plan
     plan = part_engine.load_table("food", [1400])._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "Year" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_l15b_era_scans_prune(spark):
+    """The 39-year full-span food build over the Year-partitioned layout
+    (gate l15b) must serve each metadata era as ONE pruned scan: every
+    FileScan carries a PartitionFilters entry on Year, and the scan count
+    stays at the era-group count (~8), nowhere near one-per-year (39)."""
+    import __spark_entry__ as e
+
+    df = e.q_partitioned_span_food(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = plan.count("FileScan parquet")
+    assert 1 <= scans <= 12, f"expected ~one scan per era group, got {scans}"
+    assert plan.count("PartitionFilters: [") == scans
+    # every scan's partition filter constrains Year
+    for chunk in plan.split("PartitionFilters: [")[1:]:
+        assert "Year" in chunk[:200], chunk[:200]
+    # a narrower span prunes to fewer era scans
+    from hbsir_old_spark.metadata.corpus import build_reference_registry
+
+    reg = build_reference_registry(
+        spark, raw_loader=e._l15b_raw_loader(spark, "/root/testdata/sf0.001")
+    )
+    one_era = reg.load_table("food", [1400, 1401], form="processed")
+    plan_1 = one_era._jdf.queryExecution().executedPlan().toString()
+    assert plan_1.count("FileScan parquet") <= 3
