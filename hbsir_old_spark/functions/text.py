@@ -9,6 +9,8 @@ embarrassingly parallel map-side expressions — no shuffle at all.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -591,6 +593,15 @@ def hashed_quality_score_weighted(
         raise ValueError(
             f"weights must have exactly {n_buckets} entries "
             f"(16**{hex_chars}); got {len(weights)}"
+        )
+    bad = [w for w in weights if not math.isfinite(float(w))]
+    if bad:
+        # repr(inf) renders as 'infD', which dies much later inside the
+        # SQL parser with an error nowhere near the bad input — validate
+        # here instead (a trained weight vector must be finite anyway)
+        raise ValueError(
+            f"weights must be finite; got {len(bad)} non-finite "
+            f"value(s), first: {bad[0]!r}"
         )
     table = F.expr(
         "array(" + ",".join(repr(float(w)) + "D" for w in weights) + ")"

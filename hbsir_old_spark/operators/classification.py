@@ -135,6 +135,21 @@ def build_classification_dim(
 EXPRESSION_STRATEGY_MAX_ROWS = 128
 
 
+def _escaped_string_literals() -> bool:
+    """Whether the active session parses string literals in legacy
+    escaped mode (``spark.sql.parser.escapedStringLiterals=true``, the
+    Spark<2.0/Hive convention where backslashes stay literal)."""
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    if sess is None:
+        return False
+    return (
+        sess.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        == "true"
+    )
+
+
 def _sql_literal(value) -> str:
     """Render a python value as a Spark SQL literal (CASE-branch payload).
     Rejects types the renderer can't prove round-trip (the old F.lit fold
@@ -144,7 +159,13 @@ def _sql_literal(value) -> str:
     if isinstance(value, bool):
         return "TRUE" if value else "FALSE"
     if isinstance(value, str):
-        escaped = value.replace("\\", "\\\\").replace("'", "\\'")
+        # quote-doubling is valid under BOTH parser modes; backslashes are
+        # the only mode-dependent escape (escapedStringLiterals=true keeps
+        # them literal), so consult the active session only when one occurs
+        escaped = value
+        if "\\" in escaped and not _escaped_string_literals():
+            escaped = escaped.replace("\\", "\\\\")
+        escaped = escaped.replace("'", "''")
         return f"'{escaped}'"
     if isinstance(value, int):
         return repr(value)
@@ -162,7 +183,12 @@ def _sql_literal(value) -> str:
 
 def _sql_number(value) -> str:
     """Render a numeric bound exactly (no int() truncation of float
-    bounds; the old Column fold compared them exactly)."""
+    bounds; the old Column fold compared them exactly). Non-numeric
+    bounds are a hard error BY CONTRACT: the ported corpus's code ranges
+    are integers throughout (metadata/ranges.py parses them as numbers),
+    so a string bound here means corrupted metadata, not a lexical-
+    comparison dimension — failing beats silently compiling SQL that
+    compares numbers to strings under ANSI coercion."""
     if isinstance(value, bool) or not isinstance(value, (int, float)):
         raise TypeError(f"non-numeric interval bound {value!r}")
     return repr(value)

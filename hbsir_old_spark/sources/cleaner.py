@@ -38,14 +38,20 @@ def scrub_string(col: Column | str) -> Column:
     memoized: the ~10 py4j round trips per build were a measured term of
     the 39-year plan compile, and the same raw column names recur across
     every era and every construct. Column trees are immutable, so reuse
-    across DataFrames/plans is safe."""
+    across DataFrames/plans is safe — but only within one JVM gateway:
+    the cache key includes the active SparkContext's identity, so a
+    context restarted after ``spark.stop()`` (long-lived apps, test
+    suites) rebuilds instead of handing back Columns whose py4j refs
+    point at a dead gateway."""
     if isinstance(col, str):
-        return _scrub_named(col)
+        from pyspark import SparkContext
+
+        return _scrub_named(id(SparkContext._active_spark_context), col)
     return _scrub_expr(col)
 
 
 @lru_cache(maxsize=4096)
-def _scrub_named(name: str) -> Column:
+def _scrub_named(ctx_key: int, name: str) -> Column:
     return _scrub_expr(F.col(name))
 
 

@@ -243,3 +243,53 @@ class TestRound5ReviewFixes:
         r2 = build_reference_registry(spark)
         out = r2.add_attribute(df, "Urban_Rural").collect()
         assert out[0]["Urban_Rural"] == "Rural"
+
+
+class TestRound8AdviceFixes:
+    def test_sql_string_literal_quote_and_backslash(self, spark):
+        """CASE-branch string payloads must round-trip apostrophes and
+        backslashes: quotes render as ANSI doubling (valid under BOTH
+        parser modes); backslashes escape only when the session parses in
+        the default (non-escaped-literals) mode."""
+        from hbsir_old_spark.operators.classification import _sql_literal
+
+        for payload in ("it's", "a\\b", "x''y\\\\z", "plain"):
+            got = spark.sql(f"SELECT {_sql_literal(payload)} AS v").collect()[0]["v"]
+            assert got == payload, (payload, got)
+
+    def test_sql_number_rejects_non_numeric_bounds(self):
+        from hbsir_old_spark.operators.classification import _sql_number
+
+        with pytest.raises(TypeError):
+            _sql_number("110")
+        with pytest.raises(TypeError):
+            _sql_number(True)
+
+    def test_weighted_quality_rejects_non_finite_weights(self, spark):
+        """A non-finite trained weight used to render as 'infD'/'nanD' and
+        die inside the SQL parser far from the bad input — it must raise
+        at the API boundary instead."""
+        from hbsir_old_spark.functions.text import hashed_quality_score_weighted
+
+        df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+        weights = [0.0] * (16**2)
+        weights[7] = float("inf")
+        with pytest.raises(ValueError, match="finite"):
+            hashed_quality_score_weighted(df, weights, hex_chars=2)
+
+    def test_scrub_cache_keyed_on_spark_context(self):
+        """The memoized scrub Columns must not outlive the JVM gateway:
+        the cache key carries the active SparkContext's identity, so a
+        restarted context rebuilds instead of returning py4j refs into a
+        dead gateway."""
+        import inspect
+
+        from hbsir_old_spark.sources import cleaner
+
+        # the cache key includes a context-identity slot ...
+        params = list(inspect.signature(cleaner._scrub_named).parameters)
+        assert params[0] == "ctx_key"
+        # ... and scrub_string passes the ACTIVE context's id, so two
+        # different contexts can never share a cache line
+        src = inspect.getsource(cleaner.scrub_string)
+        assert "_active_spark_context" in src
