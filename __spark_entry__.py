@@ -3781,11 +3781,17 @@ def _l15_era_columns(year_col, lo: int):
             (F.col("l_returnflag"), "DYCOL07")]
 
 
+_L15_FRAME_CACHE: dict = {}
+
+
 def _l15_raw_loader(spark: SparkSession, sf_dir: str):
     """39 era-correct fabricated raw food files over disjoint lineitem
     slices (year = 1363 + (l_orderkey*7 + l_linenumber) % 39). Exposes
     BOTH loader contracts: per-year (the reference shape) and the batched
-    ``load_years`` protocol (one frame per layout era)."""
+    ``load_years`` protocol (one frame per layout era). The era frames
+    are memoized per (session, sf_dir, years) — DataFrames are immutable,
+    and rebuilding the five ~10-column casts costs ~0.7 s of py4j round
+    trips per call."""
     from hbsir_old_spark.plans.pipeline import PIPELINE_YEAR
 
     lineitem = _t(spark, sf_dir, "lineitem")
@@ -3813,6 +3819,10 @@ def _l15_raw_loader(spark: SparkSession, sf_dir: str):
     def load_years(name: str, years):
         if name != "food":
             return []
+        cache_key = (id(spark), sf_dir, tuple(sorted(years)))
+        cached = _L15_FRAME_CACHE.get(cache_key)
+        if cached is not None:
+            return cached
         out = []
         for lo, hi in _L15_ERAS:
             covered = [y for y in years if lo <= y <= hi]
@@ -3824,6 +3834,9 @@ def _l15_raw_loader(spark: SparkSession, sf_dir: str):
                 year_expr.alias(PIPELINE_YEAR),
             ).filter(F.col(PIPELINE_YEAR).isin([int(y) for y in covered]))
             out.append((covered, frame))
+        if len(_L15_FRAME_CACHE) > 64:
+            _L15_FRAME_CACHE.clear()
+        _L15_FRAME_CACHE[cache_key] = out
         return out
 
     raw_loader.load_years = load_years

