@@ -3819,7 +3819,9 @@ def _l15_raw_loader(spark: SparkSession, sf_dir: str):
     def load_years(name: str, years):
         if name != "food":
             return []
-        cache_key = (id(spark), sf_dir, tuple(sorted(years)))
+        from hbsir_old_spark.sources.cache import object_token
+
+        cache_key = (object_token(spark), sf_dir, tuple(sorted(years)))
         cached = _L15_FRAME_CACHE.get(cache_key)
         if cached is not None:
             return cached
@@ -3999,9 +4001,17 @@ def _l15b_root(spark: SparkSession, sf_dir: str) -> str:
     root = _L15B_ROOTS.get(sf_dir)
     if root is not None:
         return root
+    import atexit
+    import shutil
+
     from hbsir_old_spark.sources.writer import write_partitioned
 
     root = f"{tempfile.gettempdir()}/l15b_{_scratch_tag(sf_dir)}"
+    # the tree must OUTLIVE this call (warm calls re-read it) but not the
+    # process: the pid-suffixed path is never reused by another process,
+    # so without this hook every bench/pytest run would leak a full
+    # partitioned dataset copy into /tmp
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     lineitem = _t(spark, sf_dir, "lineitem")
     year_expr = (
         F.lit(1363) + (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 39

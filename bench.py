@@ -152,6 +152,11 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
     warmup_s = round(time.perf_counter() - warmup_t0, 1)
+    # the warmup itself drives every core for minutes — re-gate before
+    # timing, and let the POST-warmup check (the state the timed loop
+    # actually starts in) decide quiet_host
+    quiet_wait2, quiet_host = wait_for_quiet_host(quiet_threshold, quiet_timeout)
+    quiet_wait_s += quiet_wait2
 
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     load_before = os.getloadavg()

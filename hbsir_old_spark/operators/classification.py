@@ -70,15 +70,22 @@ class ClassificationDim:
 
     def to_spark(self, spark: SparkSession) -> DataFrame:
         """Lift the interval rows to a (broadcastable) dimension frame.
-        Memoized per (context, content): the same corpus dimension is
+        Memoized per (SESSION, content): the same corpus dimension is
         rebuilt on every gate call and bench iteration, and the
         createDataFrame lift is ~0.2 s of driver work for the multi-
         thousand-row Duration table. DataFrames are immutable and the
-        local relation carries no loader state, so reuse is safe."""
-        from hbsir_old_spark.sources.cache import stable_fingerprint
+        local relation carries no loader state, so reuse is safe — but
+        only within the session that created it (a sibling
+        ``newSession()`` can carry different session confs that apply at
+        createDataFrame/analysis time), hence the session token, which is
+        also non-recyclable (see ``cache.object_token``)."""
+        from hbsir_old_spark.sources.cache import (
+            object_token,
+            stable_fingerprint,
+        )
 
         key = (
-            id(spark.sparkContext),
+            object_token(spark),
             stable_fingerprint({"rows": self.rows, "aspects": list(self.aspects)}),
         )
         cached = _DIM_FRAME_CACHE.get(key)
@@ -184,13 +191,21 @@ def _sql_literal(value) -> str:
     if isinstance(value, bool):
         return "TRUE" if value else "FALSE"
     if isinstance(value, str):
-        # quote-doubling is valid under BOTH parser modes; backslashes are
-        # the only mode-dependent escape (escapedStringLiterals=true keeps
-        # them literal), so consult the active session only when one occurs
-        escaped = value
-        if "\\" in escaped and not _escaped_string_literals():
-            escaped = escaped.replace("\\", "\\\\")
-        escaped = escaped.replace("'", "''")
+        # default parser mode: backslash-escape backslashes, double the
+        # quotes (both verified against Spark 4.1.2). Under the LEGACY
+        # escapedStringLiterals=true mode NEITHER convention survives the
+        # lexer faithfully (quote-doubling is retained literally and \\'
+        # is still consumed as an escape pair) — there is no SQL-text
+        # rendering for these characters in that mode, so the caller must
+        # route such payloads through the parser-free Column fold
+        # (_needs_literal_fold / _expression_lookup_fold).
+        if _escaped_string_literals() and ("'" in value or "\\" in value):
+            raise ValueError(
+                f"string literal {value!r} cannot be rendered as SQL text "
+                "under spark.sql.parser.escapedStringLiterals=true; use "
+                "the Column-fold strategy"
+            )
+        escaped = value.replace("\\", "\\\\").replace("'", "''")
         return f"'{escaped}'"
     if isinstance(value, int):
         return repr(value)
@@ -238,9 +253,21 @@ def _expression_lookup(
     CASE string is one call; the resulting Catalyst tree is identical.
     Rows are emitted in REVERSED order because the old fold nested
     ``when(cond).otherwise(previous)`` (last row wins) while SQL CASE is
-    first-match-wins — this keeps override layers (l6) byte-identical."""
+    first-match-wins — this keeps override layers (l6) byte-identical.
+
+    Sessions parsing in the legacy ``escapedStringLiterals=true`` mode
+    cannot round-trip quotes/backslashes through SQL text at all (see
+    ``_sql_literal``); payloads needing those characters fall back to the
+    slower parser-free ``F.when`` fold, which builds the identical
+    Catalyst tree through the Column API."""
     if not rows:
         return F.lit(None).cast(aspect_type)
+    if _escaped_string_literals() and any(
+        isinstance(r.get(aspect), str)
+        and ("'" in r[aspect] or "\\" in r[aspect])
+        for r in rows
+    ):
+        return _expression_lookup_fold(rows, code_col, year_col, aspect, aspect_type)
     branches = []
     for r in reversed(rows):
         conds = [
@@ -264,6 +291,31 @@ def _expression_lookup(
     return _cached_expr(sql)
 
 
+def _expression_lookup_fold(
+    rows: list[dict],
+    code_col: str,
+    year_col: str | None,
+    aspect: str,
+    aspect_type: str = "string",
+) -> Column:
+    """Parser-free twin of :func:`_expression_lookup`: the pre-round-7
+    ``when(cond, lit).otherwise(previous)`` fold (last row wins). ~8 py4j
+    calls per interval, so it is only used where SQL text cannot carry the
+    payload (legacy escapedStringLiterals mode with quotes/backslashes)."""
+    out: Column = F.lit(None).cast(aspect_type)
+    for r in rows:
+        cond = (F.col(code_col) >= F.lit(r["code_start"])) & (
+            F.col(code_col) < F.lit(r["code_end"])
+        )
+        if year_col is not None and r.get("year") is not None:
+            cond = cond & (F.col(year_col) == F.lit(r["year"]))
+        value = r.get(aspect)
+        if value is not None and aspect_type == "string":
+            value = str(value)
+        out = F.when(cond, F.lit(value).cast(aspect_type)).otherwise(out)
+    return out
+
+
 #: memoized F.expr by (context, sql text): a CASE chain over hundreds of
 #: intervals is a ~30 KB SQL string whose JVM-side parse repeats byte-
 #: identically on every rebuild of the same dimension (bench iterations,
@@ -273,9 +325,9 @@ _EXPR_CACHE: dict = {}
 
 
 def _cached_expr(sql: str) -> Column:
-    from pyspark import SparkContext
+    from hbsir_old_spark.sources.cache import active_context_token
 
-    key = (id(SparkContext._active_spark_context), sql)
+    key = (active_context_token(), sql)
     col = _EXPR_CACHE.get(key)
     if col is None:
         col = F.expr(sql)

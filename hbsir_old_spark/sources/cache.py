@@ -26,6 +26,44 @@ def stable_fingerprint(payload: Any) -> str:
     return hashlib.sha256(blob).hexdigest()
 
 
+_OBJECT_TOKENS: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+_TOKEN_COUNTER = None
+
+
+def object_token(obj: Any) -> int | None:
+    """A process-unique, NON-RECYCLABLE identity token for a live object.
+
+    ``id()`` is unsafe as a cache key for SparkContext/SparkSession
+    lifetime scoping: CPython recycles addresses, so a context GC'd after
+    ``spark.stop()`` can hand its id to the replacement and a stale-
+    gateway guard keyed on ``id()`` fails in exactly the restart scenario
+    it exists for. This hands out monotonically increasing tokens held in
+    a WeakKeyDictionary — a token dies with its object and is never
+    reissued. Returns None for ``obj is None`` (no active context)."""
+    global _OBJECT_TOKENS, _TOKEN_COUNTER
+    if obj is None:
+        return None
+    if _OBJECT_TOKENS is None:
+        import itertools
+        import weakref
+
+        _OBJECT_TOKENS = weakref.WeakKeyDictionary()
+        _TOKEN_COUNTER = itertools.count(1)
+    tok = _OBJECT_TOKENS.get(obj)
+    if tok is None:
+        tok = next(_TOKEN_COUNTER)
+        _OBJECT_TOKENS[obj] = tok
+    return tok
+
+
+def active_context_token() -> int | None:
+    """Token for the active SparkContext (None if no context is alive) —
+    the shared key component of every driver-side Column/DataFrame memo."""
+    from pyspark import SparkContext
+
+    return object_token(SparkContext._active_spark_context)
+
+
 class FingerprintCache:
     def __init__(self, root: str):
         self.root = root

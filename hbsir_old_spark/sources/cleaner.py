@@ -42,11 +42,13 @@ def scrub_string(col: Column | str) -> Column:
     the cache key includes the active SparkContext's identity, so a
     context restarted after ``spark.stop()`` (long-lived apps, test
     suites) rebuilds instead of handing back Columns whose py4j refs
-    point at a dead gateway."""
+    point at a dead gateway. The token is non-recyclable (a raw ``id()``
+    can be reissued to the replacement context after GC — see
+    ``cache.object_token``)."""
     if isinstance(col, str):
-        from pyspark import SparkContext
+        from hbsir_old_spark.sources.cache import active_context_token
 
-        return _scrub_named(id(SparkContext._active_spark_context), col)
+        return _scrub_named(active_context_token(), col)
     return _scrub_expr(col)
 
 
@@ -163,15 +165,16 @@ def clean_table_resolved(
     """:func:`clean_table` over metadata already resolved for one year (or
     one era of identical years — the era-batched registry resolves once
     and cleans the whole multi-year union with a single select)."""
-    from pyspark import SparkContext
-
-    from hbsir_old_spark.sources.cache import stable_fingerprint
+    from hbsir_old_spark.sources.cache import (
+        active_context_token,
+        stable_fingerprint,
+    )
 
     string_cols = frozenset(
         f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
     )
     key = (
-        id(SparkContext._active_spark_context),
+        active_context_token(),
         stable_fingerprint(resolved),
         tuple(df.columns),
         string_cols,

@@ -248,14 +248,47 @@ class TestRound5ReviewFixes:
 class TestRound8AdviceFixes:
     def test_sql_string_literal_quote_and_backslash(self, spark):
         """CASE-branch string payloads must round-trip apostrophes and
-        backslashes: quotes render as ANSI doubling (valid under BOTH
-        parser modes); backslashes escape only when the session parses in
-        the default (non-escaped-literals) mode."""
+        backslashes in the default parser mode."""
         from hbsir_old_spark.operators.classification import _sql_literal
 
         for payload in ("it's", "a\\b", "x''y\\\\z", "plain"):
             got = spark.sql(f"SELECT {_sql_literal(payload)} AS v").collect()[0]["v"]
             assert got == payload, (payload, got)
+
+    def test_escaped_literals_mode_routes_through_column_fold(self, spark):
+        """Under legacy spark.sql.parser.escapedStringLiterals=true the
+        SQL lexer retains doubled quotes literally and still consumes \\'
+        as an escape pair, so NO text rendering round-trips those
+        characters (empirically verified on Spark 4.1.2). _sql_literal
+        must refuse rather than corrupt, and _expression_lookup must fall
+        back to the parser-free F.when fold with identical semantics."""
+        from hbsir_old_spark.operators.classification import (
+            _expression_lookup,
+            _sql_literal,
+        )
+
+        conf_key = "spark.sql.parser.escapedStringLiterals"
+        old = spark.conf.get(conf_key, "false")
+        spark.conf.set(conf_key, "true")
+        try:
+            with pytest.raises(ValueError, match="escapedStringLiterals"):
+                _sql_literal("it's")
+            assert _sql_literal("plain") == "'plain'"
+            rows = [
+                {"code_start": 0, "code_end": 10, "year": None, "lab": "it's"},
+                {"code_start": 10, "code_end": 20, "year": None, "lab": "a\\b"},
+            ]
+            col = _expression_lookup(rows, "Code", None, "lab")
+            df = spark.createDataFrame([(5,), (15,), (25,)], "Code long")
+            got = {r["Code"]: r["lab"] for r in df.select("Code", col.alias("lab")).collect()}
+            assert got == {5: "it's", 15: "a\\b", 25: None}
+        finally:
+            spark.conf.set(conf_key, old)
+        # and the fold agrees with the SQL-text chain in default mode
+        col_sql = _expression_lookup(rows, "Code", None, "lab")
+        df = spark.createDataFrame([(5,), (15,), (25,)], "Code long")
+        got = {r["Code"]: r["lab"] for r in df.select("Code", col_sql.alias("lab")).collect()}
+        assert got == {5: "it's", 15: "a\\b", 25: None}
 
     def test_sql_number_rejects_non_numeric_bounds(self):
         from hbsir_old_spark.operators.classification import _sql_number
@@ -289,7 +322,28 @@ class TestRound8AdviceFixes:
         # the cache key includes a context-identity slot ...
         params = list(inspect.signature(cleaner._scrub_named).parameters)
         assert params[0] == "ctx_key"
-        # ... and scrub_string passes the ACTIVE context's id, so two
+        # ... and scrub_string passes the ACTIVE context's token, so two
         # different contexts can never share a cache line
         src = inspect.getsource(cleaner.scrub_string)
-        assert "_active_spark_context" in src
+        assert "active_context_token" in src
+
+    def test_object_token_never_recycles(self):
+        """id() can be reissued to a new object at the same address after
+        GC — object_token must hand out fresh tokens instead."""
+        from hbsir_old_spark.sources.cache import object_token
+
+        class Ctx:
+            pass
+
+        a = Ctx()
+        tok_a = object_token(a)
+        assert object_token(a) == tok_a  # stable while alive
+        del a
+        seen = {tok_a}
+        for _ in range(50):  # new objects often reuse the freed address
+            b = Ctx()
+            tok_b = object_token(b)
+            assert tok_b not in seen
+            seen.add(tok_b)
+            del b
+        assert object_token(None) is None
