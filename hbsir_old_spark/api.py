@@ -28,6 +28,7 @@ from hbsir_old_spark.operators.quantile import add_decile as add_decile_op
 from hbsir_old_spark.operators.quantile import add_percentile as add_percentile_op
 from hbsir_old_spark.operators.weighted import average_table as average_table_op
 from hbsir_old_spark.plans.registry import BaseLoader, TableRegistry
+from hbsir_old_spark.sources.partitions import infer_years
 from hbsir_old_spark.sources.cache import FingerprintCache
 
 
@@ -183,7 +184,7 @@ class HBSIREngine:
     # -- enrichment ------------------------------------------------------
     def add_weight(self, table: DataFrame, years=None, adjust_for_household_size: bool = False) -> DataFrame:
         if years is None:
-            years = [r[0] for r in table.select("Year").distinct().collect()]
+            years = infer_years(table)
         return self.registry.add_weights(
             table, sorted(years), adjust_for_household_size=adjust_for_household_size
         )
@@ -266,7 +267,7 @@ class HBSIREngine:
     ) -> DataFrame:
         """J5/P14: divide columns by the household equivalence scale."""
         if years is None:
-            years = [r[0] for r in table.select("Year").distinct().collect()]
+            years = infer_years(table)
         scales = self.load_table("Equivalence_Scale", sorted(years)).select(
             "Year", "ID", F.col(scale).alias("__scale__")
         )
@@ -304,7 +305,7 @@ class HBSIREngine:
         from hbsir_old_spark.operators.quantile import add_quantile_bin, weighted_ecdf
 
         if years is None:
-            years = [r[0] for r in table.select("Year").distinct().collect()]
+            years = infer_years(table)
         source_table, value_col = self.QUANTILE_VARIABLES[variable]
         values = self.load_table(source_table, sorted(years)).select(
             "Year", "ID", F.col(value_col).alias("__value__")

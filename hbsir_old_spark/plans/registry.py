@@ -33,6 +33,7 @@ from hbsir_old_spark.plans.pipeline import (
     PipelineCompiler,
 )
 from hbsir_old_spark.sources.cache import FingerprintCache, stable_fingerprint
+from hbsir_old_spark.sources.partitions import infer_years
 
 BaseLoader = Callable[[str, int], "DataFrame | None"]
 
@@ -718,7 +719,7 @@ class TableRegistry:
                 or defaults.get("output_column_names"),
             )
         if years is None:
-            years = [r[0] for r in df.select(year_col).distinct().collect()]
+            years = infer_years(df, year_col)
         dim = build_classification_dim(meta, years=sorted(years), aspects=aspects)
         out = add_classification_op(
             df,

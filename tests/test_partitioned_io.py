@@ -87,3 +87,50 @@ def test_l15b_era_scans_prune(spark):
     one_era = reg.load_table("food", [1400, 1401], form="processed")
     plan_1 = one_era._jdf.queryExecution().executedPlan().toString()
     assert plan_1.count("FileScan parquet") <= 3
+
+
+def test_years_from_input_files_partitioned(spark, tmp_path):
+    """infer_years on a Year-partitioned layout is metadata-only: path
+    parsing yields the year list and the distinct-scan fallback never
+    runs (pinned by poisoning select)."""
+    from hbsir_old_spark.sources.partitions import infer_years, years_from_input_files
+
+    df = spark.createDataFrame(
+        [(1375, 1, 10.0), (1394, 2, 20.0), (1400, 3, 30.0)], ["Year", "ID", "V"]
+    )
+    out = str(tmp_path / "span")
+    df.write.partitionBy("Year").parquet(out)
+    back = spark.read.parquet(out)
+
+    assert years_from_input_files(back) == [1375, 1394, 1400]
+
+    class _NoScan:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def inputFiles(self):
+            return self._inner.inputFiles()
+
+        def select(self, *a, **k):  # pragma: no cover - fails the test
+            raise AssertionError("distinct-scan fallback ran on a partitioned layout")
+
+    assert infer_years(_NoScan(back)) == [1375, 1394, 1400]
+
+    # filters don't break the path (documented superset contract)
+    assert years_from_input_files(back.filter("Year = 1394")) == [1375, 1394, 1400]
+
+
+def test_years_from_input_files_fallbacks(spark, tmp_path):
+    """Non-partitioned layouts and in-memory frames fall back to the
+    exact distinct scan."""
+    from hbsir_old_spark.sources.partitions import infer_years, years_from_input_files
+
+    df = spark.createDataFrame([(1375, 1), (1394, 2)], ["Year", "ID"])
+    assert years_from_input_files(df) is None  # no input files
+    assert infer_years(df) == [1375, 1394]
+
+    flat = str(tmp_path / "flat")
+    df.write.parquet(flat)
+    back = spark.read.parquet(flat)
+    assert years_from_input_files(back) is None  # no Year= segment
+    assert infer_years(back) == [1375, 1394]
