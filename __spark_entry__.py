@@ -4218,6 +4218,100 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# X34 — end-to-end corpus-curation funnel (CCNet/Gopher/RefinedWeb stage
+# order): language id -> hashed-feature quality classifier -> exact dedup
+# -> benchmark contamination, composed into ONE declarative plan
+# (functions/curation.py). Language + quality evaluate map-only inline on
+# the scan (no join-back), dedup is one fingerprint window Exchange,
+# contamination one shingle semi-join + id join-back. Diagnostic output:
+# every doc, every stage flag, one precedence verdict. Full DuckDB oracle
+# composing the already-proven x6/x33/x1/x15 formulations as CTEs.
+# --------------------------------------------------------------------------
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # doubled corpus (exact-dup pressure, as x1); originals < 5 are the
+    # held-out benchmark set probed by the contamination stage
+    corpus = union_tables(
+        [docs, docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")]
+    )
+    benchmark = docs.filter(F.col("doc_id") < 5)
+    return curate_corpus(
+        corpus, benchmark, quality_threshold=0.0, shingle_n=5
+    ).orderBy("doc_id")
+
+
+def _sql_curation_pipeline() -> str:
+    from hbsir_old_spark.functions.text import LANG_MARKERS
+
+    scores = ", ".join(
+        _sql_lang_score(lang, LANG_MARKERS[lang]) for lang in sorted(LANG_MARKERS)
+    )
+    norm = (
+        "trim(regexp_replace(translate(lower(text), 'ς', 'σ'),"
+        " '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
+    )
+    grams = (
+        "list_distinct(list_transform(range(1, greatest(len(t) - 4, 1) + 1),"
+        " i -> array_to_string(t[i:i+4], ' ')))"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+), lang AS (
+  SELECT doc_id, substr(greatest({scores}), 13, 2) = 'en' AS lang_ok FROM corpus
+), qbase AS (
+  SELECT doc_id, trim(text) AS t FROM corpus
+), qtoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(t, '[ \\t\\n\\x0b\\f\\r]+')) AS tok
+  FROM qbase WHERE t IS NOT NULL AND length(t) > 0
+), qw AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum((('0x' || substr(md5('qw|' || tok), 1, 3))::BIGINT * 2654435761)
+             % 4097 - 2048)::BIGINT AS score_sum
+  FROM qtoks GROUP BY doc_id
+), q AS (
+  SELECT b.doc_id,
+         coalesce(w.n_tokens > 0 AND w.score_sum / (w.n_tokens * 2048.0) > 0.0,
+                  FALSE) AS quality_pass
+  FROM qbase b LEFT JOIN qw w USING (doc_id)
+), fp AS (
+  SELECT doc_id, md5({norm}) AS f FROM corpus
+), canon AS (
+  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY f) AS is_canonical FROM fp
+), ctoks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM corpus
+), csh AS (
+  SELECT doc_id, unnest({grams}) AS g FROM ctoks
+), bsh AS (
+  SELECT DISTINCT unnest({grams}) AS g
+  FROM (SELECT string_split({norm}, ' ') AS t FROM documents WHERE doc_id < 5)
+), cont AS (
+  SELECT DISTINCT doc_id FROM csh
+  WHERE EXISTS (SELECT 1 FROM bsh WHERE bsh.g = csh.g)
+)
+SELECT c.doc_id, l.lang_ok, q.quality_pass, canon.is_canonical,
+       (cont.doc_id IS NOT NULL) AS contaminated,
+       CASE WHEN NOT l.lang_ok THEN 'lang'
+            WHEN NOT q.quality_pass THEN 'quality'
+            WHEN NOT canon.is_canonical THEN 'duplicate'
+            WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+            ELSE 'keep' END AS verdict
+FROM corpus c
+JOIN lang l USING (doc_id)
+JOIN q USING (doc_id)
+JOIN canon USING (doc_id)
+LEFT JOIN cont USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # X31 — DSIR importance resampling (Xie et al. 2023), deterministic
 # variant: score every document by log P_target - log P_source under
 # add-one-smoothed multinomials over md5-hashed word features (target =
@@ -5441,6 +5535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 8 --
         "g6_poverty_rate": q_poverty_rate,
         "l15b_partitioned_span": q_partitioned_span_food,
+        "x34_curation_pipeline": q_curation_pipeline,
         # -- no r7 row (rotated out last round): 34 of the 43 --
         "j1_classification_join": q_classification_join,
         "j2_dim_join_chain": q_dim_join_chain,
@@ -5462,7 +5557,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l2_setup_roundtrip": q_setup_roundtrip,
         "x16_hash_split": q_hash_split,
         "x17_group_quota": q_group_quota,
-        "x18_token_freq": q_token_freq,
+        # x18_token_freq displaced past the window by x34 (r8 pressure):
+        # its token fold runs as a sub-step of in-window x20 TF-IDF and
+        # x34's quality stage; r9 window priority per the pinned policy
         "s4_upsert_sink": q_upsert_sink,
         "x19_dup_clusters": q_dup_clusters,
         "x20_tfidf_top_terms": q_tfidf_top_terms,
@@ -5490,6 +5587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FULL-ORACLE with a green (hash-matched) driver row in
         # CORRECTNESS_r07.json — plus the 9 displaced r6-green veterans
         # (see header) — and full parity-suite coverage --
+        "x18_token_freq": q_token_freq,
         "a1_groupby_sum": q_groupby_sum,
         "p7_computed_column": q_computed_column,
         "p8_category_conditions": q_category_conditions,
@@ -5643,6 +5741,7 @@ def oracle_sql() -> dict[str, str]:
         # layout — identical semantics, identical oracle
         "l15b_partitioned_span": SQL_FULL_SPAN_FOOD,
         "g6_poverty_rate": SQL_POVERTY_RATE,
+        "x34_curation_pipeline": _sql_curation_pipeline(),
         "l16_monthly_cpi_chain": SQL_MONTHLY_CPI_CHAIN,
         "w3_quantile_by_variable": SQL_QUANTILE_BY_VARIABLE,
         "l17_real_income_chain": SQL_REAL_INCOME_CHAIN,

@@ -1,0 +1,118 @@
+"""End-to-end corpus-curation composition: one declarative plan chaining
+the standard training-data filter stages (CCNet / Gopher / RefinedWeb
+order) over a document corpus.
+
+Stages, in verdict-precedence order:
+
+1. **Language** — n-gram marker ``lang_id`` must equal the target.
+2. **Quality** — the hashed-feature linear classifier
+   (:func:`text.hashed_quality_score`) must clear the threshold.
+3. **Exact dedup** — only the canonical copy (minimum id per normalized-
+   text fingerprint) survives.
+4. **Benchmark contamination** — documents sharing any word ``n``-gram
+   with a held-out benchmark set are dropped.
+
+The operator is DIAGNOSTIC: every document gets a row with every stage
+flag plus a single ``verdict`` (the first failing stage, else ``keep``),
+so one pass yields both the curated corpus (``verdict = 'keep'``) and the
+funnel accounting a 100-TB curation run reports. A production variant
+that only needs survivors would filter between stages to shrink the
+later (shuffling) stages' inputs — the flags are computed independently,
+so the composition supports either shape.
+
+Scale shape (the whole point of composing rather than running four
+passes): language + quality are MAP-ONLY expressions evaluated inline on
+the scan (no join-back — ``hashed_quality_score(extra_cols=...)``
+threads the language flag and fingerprint through its selects); exact
+dedup is one window Exchange on the fingerprint; contamination is one
+shingle explode + broadcast-able semi-join against the (small) benchmark
+shingle set + one id-keyed left join back. Three shuffles total for four
+stages, each on a different key, none avoidable at this grain.
+
+Reference analogue: none (beyond-reference LLM-pipeline operator).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hbsir_old_spark.functions.dedup import word_shingles
+from hbsir_old_spark.functions.text import (
+    doc_fingerprint,
+    hashed_quality_score,
+    lang_id,
+)
+
+__all__ = ["curate_corpus"]
+
+
+def curate_corpus(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_lang: str = "en",
+    quality_threshold: float = 0.0,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Run the four-stage curation funnel; returns one row per input
+    document: ``(id, lang_ok, quality_pass, is_canonical, contaminated,
+    verdict)`` with ``verdict`` the first failing stage name
+    (``'lang' | 'quality' | 'duplicate' | 'contaminated'``) or ``'keep'``.
+
+    ``benchmark`` is the held-out eval set (any frame with ``text_col``);
+    its distinct word ``shingle_n``-grams form the contamination probe.
+    """
+    base = df.select(id_col, text_col)
+
+    # stages 1+2 inline on the scan: language flag and fingerprint ride
+    # through the quality classifier's map-only selects
+    flagged = hashed_quality_score(
+        base.select(
+            id_col,
+            text_col,
+            (lang_id(text_col) == F.lit(target_lang)).alias("lang_ok"),
+            doc_fingerprint(text_col).alias("__fp__"),
+        ),
+        id_col=id_col,
+        text_col=text_col,
+        pass_threshold=quality_threshold,
+        extra_cols=("lang_ok", "__fp__"),
+    )
+
+    # stage 3: canonical copy = min id per fingerprint (one Exchange)
+    flagged = flagged.withColumn(
+        "is_canonical",
+        F.col(id_col) == F.min(id_col).over(Window.partitionBy("__fp__")),
+    )
+
+    # stage 4: benchmark shingle probe (distinct grams of the small eval
+    # set; the semi-join broadcasts it at sane benchmark sizes), then one
+    # id-keyed join-back of the contaminated-id set
+    bench_grams = (
+        benchmark.select(F.explode(word_shingles(text_col, shingle_n)).alias("__g__"))
+        .distinct()
+    )
+    contaminated_ids = (
+        base.select(id_col, F.explode(word_shingles(text_col, shingle_n)).alias("__g__"))
+        .join(bench_grams, "__g__", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+
+    out = (
+        flagged.join(contaminated_ids, id_col, "left")
+        .withColumn("contaminated", F.coalesce(F.col("contaminated"), F.lit(False)))
+        .withColumn(
+            "verdict",
+            F.when(~F.col("lang_ok"), F.lit("lang"))
+            .when(~F.col("quality_pass"), F.lit("quality"))
+            .when(~F.col("is_canonical"), F.lit("duplicate"))
+            .when(F.col("contaminated"), F.lit("contaminated"))
+            .otherwise(F.lit("keep")),
+        )
+    )
+    return out.select(
+        id_col, "lang_ok", "quality_pass", "is_canonical", "contaminated", "verdict"
+    )

@@ -10,6 +10,7 @@ embarrassingly parallel map-side expressions — no shuffle at all.
 from __future__ import annotations
 
 import math
+from typing import Sequence
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -478,6 +479,7 @@ def hashed_quality_score(
     seed: str = "qw",
     multiplier: int = 2654435761,
     pass_threshold: float = 0.0,
+    extra_cols: "Sequence[str]" = (),
 ) -> "DataFrame":
     """fastText/CCNet-style LINEAR quality classifier over hashed unigram
     features with a deterministic weight table.
@@ -509,6 +511,10 @@ def hashed_quality_score(
     ``quality_pass`` (BOOLEAN, ``quality_score > pass_threshold``; the
     bit-exact score makes the literal comparison engine-stable).
 
+    ``extra_cols`` names input columns carried through unchanged (so a
+    composition like :func:`curation.curate_corpus` scores documents
+    inline — still map-only — instead of joining the scores back on id).
+
     Reference analogue: none (beyond-reference LLM-pipeline operator).
     """
     n_buckets = 16**hex_chars
@@ -527,10 +533,12 @@ def hashed_quality_score(
         ).cast("long")
         return (bucket * F.lit(multiplier)) % F.lit(n_buckets + 1) - F.lit(half)
 
+    keep = list(extra_cols)
     return (
-        df.select(id_col, toks.alias("__toks__"))
+        df.select(id_col, *keep, toks.alias("__toks__"))
         .select(
             id_col,
+            *keep,
             F.size("__toks__").cast("long").alias("n_tokens"),
             F.aggregate(
                 "__toks__", F.lit(0).cast("long"), lambda acc, t: acc + _weight(t)
@@ -538,6 +546,7 @@ def hashed_quality_score(
         )
         .select(
             id_col,
+            *keep,
             "n_tokens",
             "score_sum",
             F.when(

@@ -1,0 +1,73 @@
+"""Structural invariants of the corpus-curation funnel (functions/curation.py)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hbsir_old_spark.functions.curation import curate_corpus  # noqa: E402
+
+EN = "the cat and the dog walked to the house of the tailor and back again"
+ES = "el perro y el gato de la casa que no se fue por los caminos"
+BENCH = "benchmark secret holdout passage nobody should train on ever"
+
+
+def _run(spark):
+    docs = spark.createDataFrame(
+        [
+            (10, EN),
+            (11, EN),  # exact copy -> duplicate
+            (12, ES),  # spanish -> lang
+            (13, EN + " " + BENCH),  # shares the benchmark 5-grams
+            (14, ""),  # empty -> fails lang (zh tie-break) and quality
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(1, BENCH)], ["doc_id", "text"])
+    out = curate_corpus(docs, bench, quality_threshold=-1.1)  # everything passes quality
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_planted_verdicts(spark):
+    rows = _run(spark)
+    assert set(rows) == {10, 11, 12, 13, 14}
+
+    assert rows[10]["lang_ok"] and rows[10]["is_canonical"]
+    assert rows[10]["verdict"] == "keep"
+
+    assert not rows[11]["is_canonical"]
+    assert rows[11]["verdict"] == "duplicate"
+
+    assert not rows[12]["lang_ok"]
+    assert rows[12]["verdict"] == "lang"
+
+    assert rows[13]["contaminated"]
+    assert rows[13]["verdict"] == "contaminated"
+
+    # empty text: zero tokens -> quality_pass False regardless of threshold
+    assert not rows[14]["quality_pass"]
+
+
+def test_verdict_matches_flag_precedence(spark):
+    for row in _run(spark).values():
+        expected = (
+            "lang"
+            if not row["lang_ok"]
+            else "quality"
+            if not row["quality_pass"]
+            else "duplicate"
+            if not row["is_canonical"]
+            else "contaminated"
+            if row["contaminated"]
+            else "keep"
+        )
+        assert row["verdict"] == expected, row
+
+
+def test_curation_plan_stays_jvm_side(spark):
+    docs = spark.createDataFrame([(1, EN)], ["doc_id", "text"])
+    bench = spark.createDataFrame([(2, BENCH)], ["doc_id", "text"])
+    plan = curate_corpus(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

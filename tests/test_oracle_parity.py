@@ -136,6 +136,7 @@ NO_R7_ROW_OR_NEW = {
     # new in round 8
     "g6_poverty_rate",
     "l15b_partitioned_span",
+    "x34_curation_pipeline",
     # rotated out in round 7 (green r6 rows) -- rowed again this round
     "j1_classification_join",
     "j2_dim_join_chain",
@@ -157,7 +158,6 @@ NO_R7_ROW_OR_NEW = {
     "l2_setup_roundtrip",
     "x16_hash_split",
     "x17_group_quota",
-    "x18_token_freq",
     "s4_upsert_sink",
     "x19_dup_clusters",
     "x20_tfidf_top_terms",
@@ -176,8 +176,10 @@ NO_R7_ROW_OR_NEW = {
 # expression-layer gates stable since r2/r3, parity-proven each run;
 # window priority in r9 (a1, p19 and f2's operators also run as
 # sub-steps of the in-window g6 composition; a8/a9 are the lattice
-# siblings of in-window a10_cube)
+# siblings of in-window a10_cube; x18's token fold runs inside in-window
+# x20 TF-IDF and the x34 quality stage)
 DISPLACED_R6_VETERANS = {
+    "x18_token_freq",
     "a1_groupby_sum",
     "p7_computed_column",
     "p8_category_conditions",
