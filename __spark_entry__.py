@@ -1425,12 +1425,18 @@ def _sql_lang_score(lang: str, words: tuple[str, ...]) -> str:
     return f"printf('%012d', ({terms})::BIGINT) || '{lang}'"
 
 
-def _sql_lang_id() -> str:
+def _sql_lang_scores() -> str:
+    """The greatest()-ready per-language score list — shared by the x6
+    lang-id oracle and x34's curation-funnel language stage so the two
+    can never drift."""
     from hbsir_old_spark.functions.text import LANG_MARKERS
 
-    scores = ", ".join(_sql_lang_score(lang, LANG_MARKERS[lang]) for lang in sorted(LANG_MARKERS))
+    return ", ".join(_sql_lang_score(lang, LANG_MARKERS[lang]) for lang in sorted(LANG_MARKERS))
+
+
+def _sql_lang_id() -> str:
     return f"""
-SELECT doc_id, substr(greatest({scores}), 13, 2) AS lang_guess FROM documents
+SELECT doc_id, substr(greatest({_sql_lang_scores()}), 13, 2) AS lang_guess FROM documents
 """
 
 
@@ -4245,11 +4251,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_curation_pipeline() -> str:
-    from hbsir_old_spark.functions.text import LANG_MARKERS
-
-    scores = ", ".join(
-        _sql_lang_score(lang, LANG_MARKERS[lang]) for lang in sorted(LANG_MARKERS)
-    )
+    scores = _sql_lang_scores()
     norm = (
         "trim(regexp_replace(translate(lower(text), 'ς', 'σ'),"
         " '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"

@@ -62,8 +62,13 @@ def curate_corpus(
 
     ``benchmark`` is the held-out eval set (any frame with ``text_col``);
     its distinct word ``shingle_n``-grams form the contamination probe.
+
+    NULL-id rows are dropped up front (same contract as
+    :func:`dedup.exact_dedup`): a NULL id can neither anchor the
+    canonical-copy window nor match the id-keyed contamination join-back,
+    so keeping them would silently verdict them ``'keep'``.
     """
-    base = df.select(id_col, text_col)
+    base = df.select(id_col, text_col).filter(F.col(id_col).isNotNull())
 
     # stages 1+2 inline on the scan: language flag and fingerprint ride
     # through the quality classifier's map-only selects

@@ -66,6 +66,20 @@ def test_verdict_matches_flag_precedence(spark):
         assert row["verdict"] == expected, row
 
 
+def test_null_ids_are_dropped_not_kept(spark):
+    # A NULL id can't anchor the canonical window nor match the
+    # contamination join-back, so keeping such rows would silently
+    # verdict exact duplicates / benchmark hits as 'keep'.
+    docs = spark.createDataFrame(
+        [(1, EN), (None, EN), (None, EN), (None, EN + " " + BENCH)],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame([(9, BENCH)], ["doc_id", "text"])
+    rows = curate_corpus(docs, bench, quality_threshold=-1.1).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["verdict"] == "keep"
+
+
 def test_curation_plan_stays_jvm_side(spark):
     docs = spark.createDataFrame([(1, EN)], ["doc_id", "text"])
     bench = spark.createDataFrame([(2, BENCH)], ["doc_id", "text"])
