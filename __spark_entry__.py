@@ -4131,6 +4131,68 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# X35 — perplexity-percentile corpus pruning (the CCNet filter pass):
+# score every document under the x30 bigram LM, then keep docs at or
+# below the EXACT 0.75-quantile of cross-entropy. The quantile is NOT a
+# percent_rank over the corpus (global sort): prune_by_score_quantile
+# (functions/sampling.py) builds the score HISTOGRAM (partial-aggregable
+# groupBy on the rounded score), runs the cumulative count on that
+# compact frame, and broadcasts the one-row threshold back for a
+# map-only filter — one histogram shuffle, zero row sorts. Tie rows at
+# the threshold are all kept, so membership is a pure function of the
+# (already hash-matched, x30-green) rounded scores — deterministic
+# across engines. Full DuckDB oracle extends the x30 CTE chain.
+# --------------------------------------------------------------------------
+
+
+def q_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.sampling import prune_by_score_quantile
+    from hbsir_old_spark.functions.text import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scores = bigram_lm_scores(docs)
+    return prune_by_score_quantile(scores, "cross_entropy", q=0.75).orderBy("doc_id")
+
+
+SQL_PERPLEXITY_PRUNE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), bc AS (
+  SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2
+), ct AS (
+  SELECT w1, sum(c2) AS c1 FROM bc GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT w2) AS v FROM bc
+), scored AS (
+  SELECT bc.w1, bc.w2, (c2 + 1)::DOUBLE / (c1 + v) AS p
+  FROM bc JOIN ct USING (w1), v
+), s AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         round(avg(-log2(p)), 4) AS cross_entropy
+  FROM pairs JOIN scored USING (w1, w2)
+  GROUP BY doc_id
+), hist AS (
+  SELECT cross_entropy AS ce, count(*) AS c FROM s GROUP BY ce
+), cdf AS (
+  SELECT ce, sum(c) OVER (ORDER BY ce
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+), tot AS (
+  SELECT sum(c) AS n FROM hist
+), thr AS (
+  SELECT min(ce) AS t FROM cdf, tot WHERE cum >= ceil(0.75 * n)
+)
+SELECT s.doc_id, s.n_bigrams, s.cross_entropy
+FROM s, thr WHERE s.cross_entropy <= thr.t
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # X32 — cross-corpus duplicated-passage fraction (Lee et al. 2022
 # exact-substring-dedup signal, token-window form): per document, the
 # fraction of SAMPLED 5-token shingles of the normalized text whose hash
@@ -5538,6 +5600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g6_poverty_rate": q_poverty_rate,
         "l15b_partitioned_span": q_partitioned_span_food,
         "x34_curation_pipeline": q_curation_pipeline,
+        "x35_perplexity_prune": q_perplexity_prune,
         # -- no r7 row (rotated out last round): 34 of the 43 --
         "j1_classification_join": q_classification_join,
         "j2_dim_join_chain": q_dim_join_chain,
@@ -5552,7 +5615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x15_contamination_flag": q_contamination_flag,
         "x1_dedup_exact": q_dedup_exact,
         "x2_ngram_jaccard": q_ngram_jaccard,
-        "x5_text_stats": q_text_stats,
+        # x5_text_stats displaced past the window by x35 (r8 pressure):
+        # map-only expression gate stable since r2, parity-proven every
+        # run; r9 window priority per the pinned policy
         "x6_lang_id": q_lang_id,
         "x7_rolling_fingerprint": q_rolling_fingerprint,
         "g3_report_pivot_totals": q_report_pivot_totals,
@@ -5590,6 +5655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r07.json — plus the 9 displaced r6-green veterans
         # (see header) — and full parity-suite coverage --
         "x18_token_freq": q_token_freq,
+        "x5_text_stats": q_text_stats,
         "a1_groupby_sum": q_groupby_sum,
         "p7_computed_column": q_computed_column,
         "p8_category_conditions": q_category_conditions,
@@ -5744,6 +5810,7 @@ def oracle_sql() -> dict[str, str]:
         "l15b_partitioned_span": SQL_FULL_SPAN_FOOD,
         "g6_poverty_rate": SQL_POVERTY_RATE,
         "x34_curation_pipeline": _sql_curation_pipeline(),
+        "x35_perplexity_prune": SQL_PERPLEXITY_PRUNE,
         "l16_monthly_cpi_chain": SQL_MONTHLY_CPI_CHAIN,
         "w3_quantile_by_variable": SQL_QUANTILE_BY_VARIABLE,
         "l17_real_income_chain": SQL_REAL_INCOME_CHAIN,

@@ -394,3 +394,56 @@ def dsir_importance_select(
         .where(F.col("__off__") + lidx + 1 <= n)
         .select(*out_cols)
     )
+
+
+def prune_by_score_quantile(
+    df: DataFrame,
+    score_col: str,
+    q: float = 0.75,
+) -> DataFrame:
+    """Keep rows whose ``score_col`` is at-or-below the corpus's EXACT
+    ``q``-quantile — the standard "perplexity filter" pruning pass
+    (CCNet trains an LM, scores every document, keeps the least
+    surprising fraction).
+
+    Threshold semantics (deterministic under any partitioning): the
+    threshold is the smallest score ``t`` whose cumulative row count
+    reaches ``ceil(q * N)``; ALL rows tied at ``t`` are kept, so the
+    output is a pure function of the score values — never of row order.
+    Rows with a NULL score are dropped (they can't be compared to the
+    threshold; the caller decides their fate upstream).
+
+    Scale shape — the reason this is NOT ``percent_rank()`` over the
+    corpus: an exact global order statistic normally means a global
+    sort. Instead the quantile is computed on the **score histogram**:
+    one partial-aggregable groupBy(score) shrinks N rows to one row per
+    distinct score, the cumulative sum runs on that compact frame (the
+    single-partition window is bounded by score CARDINALITY, not corpus
+    size — callers must round/bucket unbounded-precision scores first,
+    as :func:`text.bigram_lm_scores` already does with round(·, 4)),
+    and the one-row threshold broadcasts back for a map-only filter.
+    Total cost: one histogram shuffle + one broadcast, zero row sorts.
+
+    Reference analogue: none (beyond-reference LLM-pipeline operator).
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    score = F.col(score_col)
+    hist = (
+        df.where(score.isNotNull())
+        .groupBy(score_col)
+        .agg(F.count("*").alias("__c__"))
+    )
+    cum = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, 0)
+    total = hist.agg(F.sum("__c__").alias("__n__"))
+    threshold = (
+        hist.withColumn("__cum__", F.sum("__c__").over(cum))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("__cum__") >= F.ceil(F.lit(q) * F.col("__n__")))
+        .agg(F.min(score_col).alias("__thr__"))
+    )
+    return (
+        df.crossJoin(F.broadcast(threshold))
+        .where(score <= F.col("__thr__"))
+        .drop("__thr__")
+    )

@@ -137,6 +137,7 @@ NO_R7_ROW_OR_NEW = {
     "g6_poverty_rate",
     "l15b_partitioned_span",
     "x34_curation_pipeline",
+    "x35_perplexity_prune",
     # rotated out in round 7 (green r6 rows) -- rowed again this round
     "j1_classification_join",
     "j2_dim_join_chain",
@@ -151,7 +152,6 @@ NO_R7_ROW_OR_NEW = {
     "x15_contamination_flag",
     "x1_dedup_exact",
     "x2_ngram_jaccard",
-    "x5_text_stats",
     "x6_lang_id",
     "x7_rolling_fingerprint",
     "g3_report_pivot_totals",
@@ -177,9 +177,11 @@ NO_R7_ROW_OR_NEW = {
 # window priority in r9 (a1, p19 and f2's operators also run as
 # sub-steps of the in-window g6 composition; a8/a9 are the lattice
 # siblings of in-window a10_cube; x18's token fold runs inside in-window
-# x20 TF-IDF and the x34 quality stage)
+# x20 TF-IDF and the x34 quality stage; x5's map-only stats expressions
+# are the same token/char folds the in-window x25/x34 stages exercise)
 DISPLACED_R6_VETERANS = {
     "x18_token_freq",
+    "x5_text_stats",
     "a1_groupby_sum",
     "p7_computed_column",
     "p8_category_conditions",

@@ -325,3 +325,56 @@ def test_dsir_zero_token_docs_rank_by_tiebreak_with_zero_score(spark):
         df, "is_target", n=3, id_col="doc_id").collect()}
     assert set(out) == {1, 2, 3}
     assert out[3]["n_tokens"] == 0 and out[3]["dsir_score"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# prune_by_score_quantile (x35): exact histogram-quantile threshold
+
+
+def _scores(spark, values):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "doc_id int, score double"
+    )
+
+
+def test_quantile_prune_exact_threshold(spark):
+    from hbsir_old_spark.functions.sampling import prune_by_score_quantile
+
+    # scores 1..10, q=0.75 -> ceil(7.5)=8 -> threshold is the 8th
+    # smallest (8.0); exactly scores 1..8 survive
+    df = _scores(spark, [float(v) for v in range(1, 11)])
+    kept = sorted(r["score"] for r in prune_by_score_quantile(df, "score", 0.75).collect())
+    assert kept == [float(v) for v in range(1, 9)]
+
+
+def test_quantile_prune_keeps_all_threshold_ties(spark):
+    from hbsir_old_spark.functions.sampling import prune_by_score_quantile
+
+    # four identical scores, q=0.5 -> ceil(2)=2 -> threshold 1.0, but
+    # tie inclusion keeps ALL four: output is a function of score
+    # values, never of row order/partitioning
+    df = _scores(spark, [1.0, 1.0, 1.0, 1.0])
+    assert prune_by_score_quantile(df, "score", 0.5).count() == 4
+
+
+def test_quantile_prune_drops_null_scores_and_validates_q(spark):
+    import pytest as _pytest
+
+    from hbsir_old_spark.functions.sampling import prune_by_score_quantile
+
+    df = _scores(spark, [1.0, None, 2.0, None])
+    kept = sorted(r["score"] for r in prune_by_score_quantile(df, "score", 1.0).collect())
+    assert kept == [1.0, 2.0]
+    with _pytest.raises(ValueError):
+        prune_by_score_quantile(df, "score", 1.5)
+
+
+def test_quantile_prune_plan_shape(spark):
+    from hbsir_old_spark.functions.sampling import prune_by_score_quantile
+
+    df = _scores(spark, [float(v) for v in range(50)])
+    out = prune_by_score_quantile(df, "score", 0.75)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # JVM-side end to end; the threshold reaches the filter via broadcast
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
