@@ -975,10 +975,10 @@ def q_contamination_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: flag corpus documents sharing any word
     5-gram with a held-out 'benchmark' set (doc_id < 5) — a left-semi join
     on exploded shingles, the scalable exact formulation."""
-    from hbsir_old_spark.functions.dedup import word_shingles
+    from hbsir_old_spark.functions.dedup import exploded_word_shingles
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    shingled = docs.select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
+    shingled = exploded_word_shingles(docs, "doc_id", "text", 5, gram_col="g")
     bench = shingled.filter(F.col("doc_id") < 5).select("g").distinct()
     contaminated = (
         shingled.filter(F.col("doc_id") >= 5)

@@ -92,6 +92,12 @@ HEADLINE = [
     # the per-token md5+conv work IS its wall time, a pure expression-
     # throughput probe)
     "x33_quality_classifier",
+    # round 8: the end-to-end curation funnel (lang/quality map-only
+    # inline, one dedup window Exchange, one shingle semi-join — after
+    # the exploded-shingle rewrite took it 10.1 s -> 2.2 s warm) and the
+    # exact histogram-quantile perplexity prune over the x30 LM scores
+    "x34_curation_pipeline",
+    "x35_perplexity_prune",
     # x23_best_rep_dedup stays gate-only like x19: exact all-pairs n-gram
     # generation dominates its wall time (the scale path is x3's MinHash),
     # so it belongs to correctness, not the throughput suite. x26's k-means

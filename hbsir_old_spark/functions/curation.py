@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hbsir_old_spark.functions.dedup import word_shingles
+from hbsir_old_spark.functions.dedup import exploded_word_shingles
 from hbsir_old_spark.functions.text import (
     doc_fingerprint,
     hashed_quality_score,
@@ -93,13 +93,17 @@ def curate_corpus(
 
     # stage 4: benchmark shingle probe (distinct grams of the small eval
     # set; the semi-join broadcasts it at sane benchmark sizes), then one
-    # id-keyed join-back of the contaminated-id set
+    # id-keyed join-back of the contaminated-id set. Grams come from the
+    # codegen'd exploded form — per-doc distinctness is irrelevant under
+    # the semi-join + final distinct, and the array form's interpreted
+    # transform was 9.8 s of x34's 10 s at sf0.1
     bench_grams = (
-        benchmark.select(F.explode(word_shingles(text_col, shingle_n)).alias("__g__"))
+        exploded_word_shingles(benchmark, id_col, text_col, shingle_n)
+        .select("__g__")
         .distinct()
     )
     contaminated_ids = (
-        base.select(id_col, F.explode(word_shingles(text_col, shingle_n)).alias("__g__"))
+        exploded_word_shingles(base, id_col, text_col, shingle_n)
         .join(bench_grams, "__g__", "left_semi")
         .select(id_col)
         .distinct()
