@@ -71,9 +71,12 @@ def exploded_word_shingles(
     ``transform`` lambda in the array form runs interpreted per row.
     Texts shorter than ``n`` tokens yield their whole-text gram
     (position 1's slice returns the full array — identical to the array
-    form's ``greatest(…, 1)`` convention); NULL texts yield no row
-    (``explode`` of a NULL sequence), exactly like exploding the NULL
-    array the array form produces for them."""
+    form's ``greatest(…, 1)`` convention); NULL and empty texts both
+    yield one ``''`` gram (``concat_ws`` folds the NULL slice to the
+    empty string — the same fold the array form's lambda applies), so
+    the two forms agree row-for-row as per-doc SETS; callers that want
+    NULL-text docs gone filter ``text.isNotNull()`` first, as
+    :func:`text.cross_doc_dup_windows` does."""
     tokens = F.split(normalize_text(F.col(text_col)), " ")
     m = F.size(F.col("__t__")) - (n - 1)
     return (

@@ -82,6 +82,37 @@ def test_word_shingles_short_text(spark):
     assert out[1]["sh"] == ["two words"]
 
 
+def test_exploded_word_shingles_matches_array_form(spark):
+    # the codegen'd exploded twin must agree with the array form as a SET
+    # per doc (the exploded form skips per-doc distinct by design) across
+    # the conventions: short text -> whole-text gram, empty text, NULL
+    # text -> no row, repeated grams, unicode normalization
+    from hbsir_old_spark.functions.dedup import exploded_word_shingles
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat while the cat slept"),
+            (2, "solo"),
+            (3, ""),
+            (4, None),
+            (5, "a b a b a b"),
+            (6, "  Weird   WHITESPACE\tand ΣΙΓΜΑΣ  "),
+        ],
+        "doc_id int, text string",
+    )
+    arr = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in df.select("doc_id", word_shingles("text", 3).alias("sh")).collect()
+    }
+    expl = {}
+    for r in exploded_word_shingles(df, "doc_id", "text", 3).collect():
+        expl.setdefault(r["doc_id"], set()).add(r["__g__"])
+    assert {k: sorted(v) for k, v in expl.items()} == arr
+    # NULL and empty text both fold to one '' gram in BOTH forms
+    # (concat_ws folds the NULL slice to the empty string)
+    assert arr[3] == [""] and arr[4] == [""]
+
+
 def test_exact_dedup_empty(spark):
     df = spark.createDataFrame([], schema="doc_id long, text string")
     assert exact_dedup(df).count() == 0
