@@ -75,6 +75,22 @@ def get_spark(app_name: str = "hbsir_old_spark", shuffle_partitions: int | None 
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("HBSIR_SPARK_SHUFFLE", cpus))
+    # glibc malloc tuning for the executor JVM (must be in the environment
+    # BEFORE the JVM child process launches; harmless no-op afterwards).
+    # Root-caused empirically (round 8): Tungsten task memory is acquired
+    # via Unsafe/malloc in multi-MB chunks, and glibc serves chunks above
+    # its mmap threshold (dynamic, capped at 32 MiB) with mmap/munmap PER
+    # ALLOCATION. 32 task threads allocating and freeing such chunks every
+    # task turned into cross-core TLB-shootdown storms — kernel time, not
+    # user time: x3's repeats measured 17-114 s wall with ~75% of all 32
+    # cores in sys (/proc/stat), adjacent runs 3 s with sys ~1%. Raising
+    # the thresholds keeps those chunks inside malloc arenas (reused, no
+    # unmap, no shootdown): worst-case repeat dropped 114 s -> ~8 s, and
+    # steady-state sys fell 40x. A 256 MiB threshold only defers munmap
+    # for allocations a 48 GiB-heap process can absorb; RSS stays bounded
+    # by the arenas' high-water mark, which Spark's page accounting caps.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -85,6 +101,13 @@ def get_spark(app_name: str = "hbsir_old_spark", shuffle_partitions: int | None 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("HBSIR_SPARK_DRIVER_MEM", "48g"))
+        # read shuffle/cache blocks with regular IO instead of mmap below
+        # 128 MiB: same storm family as the malloc note above — kernel
+        # stack samples during slow windows show exc_page_fault + munmap
+        # churn, and every munmap of a mapped block costs a cross-core TLB
+        # shootdown on a 32-thread executor. Local-mode blocks are far
+        # smaller than 128 MiB, so this disables mmap rotation entirely.
+        .config("spark.storage.memoryMapThreshold", "128m")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
