@@ -160,8 +160,17 @@ def build_classification_dim(
 
 #: dims with at most this many interval rows per level compile to a CASE
 #: chain instead of a join — zero join, whole-stage codegen, and the
-#: predicate logic can const-fold/push down
-EXPRESSION_STRATEGY_MAX_ROWS = 128
+#: predicate logic can const-fold/push down. Threshold measured, not
+#: guessed (round 8): the join path plans as a BroadcastNestedLoopJoin
+#: whose range predicate runs INTERPRETED per (row x interval), and the
+#: full-span food workload (l15: dims of 972 and 2574 intervals at the
+#: loaded levels) executed 2.4x slower through it than through CASE
+#: chains of the same dims (7.9 s vs 3.3 s at sf0.1; plan-parse cost of
+#: the ~0.5 MB CASE SQL is one-time and memoized via _cached_expr).
+#: Past ~4k intervals the chain's parse/codegen cost and generated-code
+#: size stop paying for themselves and the broadcast join takes over —
+#: that path also stays map-only at 100 TB, just constant-slower.
+EXPRESSION_STRATEGY_MAX_ROWS = 4096
 
 #: memoized dimension frames (see ClassificationDim.to_spark)
 _DIM_FRAME_CACHE: dict = {}

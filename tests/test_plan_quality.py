@@ -44,7 +44,7 @@ def test_classification_large_dim_broadcast_joins(spark, sf_dir):
 
     items = {
         f"band{i}": {"code": {"start": i * 10, "end": i * 10 + 10}, "level": 1}
-        for i in range(300)  # above the expression-strategy cutoff
+        for i in range(4200)  # above the expression-strategy cutoff (4096)
     }
     dim = build_classification_dim({"items": items})
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
