@@ -97,8 +97,15 @@ def curate_corpus(
     # codegen'd exploded form — per-doc distinctness is irrelevant under
     # the semi-join + final distinct, and the array form's interpreted
     # transform was 9.8 s of x34's 10 s at sf0.1
+    # synthetic id: the benchmark frame only promises text_col (it need
+    # not carry the corpus's id column), and the grams drop the id anyway
     bench_grams = (
-        exploded_word_shingles(benchmark, id_col, text_col, shingle_n)
+        exploded_word_shingles(
+            benchmark.select(F.lit(0).alias("__bid__"), F.col(text_col)),
+            "__bid__",
+            text_col,
+            shingle_n,
+        )
         .select("__g__")
         .distinct()
     )

@@ -29,7 +29,11 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hbsir_old_spark.functions.text import doc_fingerprint, normalize_text
+from hbsir_old_spark.functions.text import (  # noqa: F401 (re-export)
+    doc_fingerprint,
+    exploded_word_shingles,
+    normalize_text,
+)
 from hbsir_old_spark.session import ensure_min_partitions
 
 
@@ -52,45 +56,9 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def exploded_word_shingles(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    gram_col: str = "__g__",
-) -> DataFrame:
-    """One (id, gram) row per word ``n``-gram POSITION of the normalized
-    text — the exploded twin of :func:`word_shingles`, minus the per-doc
-    distinct (downstream semi-joins / global distincts don't need it, and
-    computing it would force the array form back).
-
-    Perf shape (same rewrite that took x32 from 4.6 s to 0.5 s for this
-    stage): explode positions FIRST, then build each gram with plain
-    ``slice``/``concat_ws`` — explode and project fuse into one
-    whole-stage-codegen span reading the token array in place, where the
-    ``transform`` lambda in the array form runs interpreted per row.
-    Texts shorter than ``n`` tokens yield their whole-text gram
-    (position 1's slice returns the full array — identical to the array
-    form's ``greatest(…, 1)`` convention); NULL and empty texts both
-    yield one ``''`` gram (``concat_ws`` folds the NULL slice to the
-    empty string — the same fold the array form's lambda applies), so
-    the two forms agree row-for-row as per-doc SETS; callers that want
-    NULL-text docs gone filter ``text.isNotNull()`` first, as
-    :func:`text.cross_doc_dup_windows` does."""
-    tokens = F.split(normalize_text(F.col(text_col)), " ")
-    m = F.size(F.col("__t__")) - (n - 1)
-    return (
-        df.select(F.col(id_col), tokens.alias("__t__"))
-        .select(
-            F.col(id_col),
-            F.col("__t__"),
-            F.explode(F.sequence(F.lit(1), F.greatest(m, F.lit(1)))).alias("__i__"),
-        )
-        .select(
-            F.col(id_col),
-            F.concat_ws(" ", F.slice(F.col("__t__"), F.col("__i__"), n)).alias(gram_col),
-        )
-    )
+# exploded_word_shingles lives in text.py (text cannot import dedup —
+# the dependency runs the other way) and is re-exported here beside its
+# array-form twin for discoverability.
 
 
 def exact_dedup(

@@ -307,12 +307,20 @@ def _expression_lookup_fold(
     aspect: str,
     aspect_type: str = "string",
 ) -> Column:
-    """Parser-free twin of :func:`_expression_lookup`: the pre-round-7
-    ``when(cond, lit).otherwise(previous)`` fold (last row wins). ~8 py4j
-    calls per interval, so it is only used where SQL text cannot carry the
-    payload (legacy escapedStringLiterals mode with quotes/backslashes)."""
-    out: Column = F.lit(None).cast(aspect_type)
-    for r in rows:
+    """Parser-free twin of :func:`_expression_lookup` for payloads SQL
+    text cannot carry (legacy escapedStringLiterals mode with quotes or
+    backslashes). ~7 py4j calls per interval.
+
+    Built as ONE flat ``when().when()...otherwise(NULL)`` chain over the
+    REVERSED rows — a single CaseWhen node with first-match-wins over
+    reversed rows, which equals the original last-row-wins fold and the
+    SQL path's branch order exactly. The pre-round-8 form nested
+    ``when(cond, v).otherwise(previous)`` one level PER interval; with
+    the 4096-row expression cutoff that nesting depth would put
+    recursive Catalyst tree transforms in StackOverflow territory, where
+    the flat chain stays depth-1 at any width."""
+    out: Column | None = None
+    for r in reversed(rows):
         cond = (F.col(code_col) >= F.lit(r["code_start"])) & (
             F.col(code_col) < F.lit(r["code_end"])
         )
@@ -321,28 +329,38 @@ def _expression_lookup_fold(
         value = r.get(aspect)
         if value is not None and aspect_type == "string":
             value = str(value)
-        out = F.when(cond, F.lit(value).cast(aspect_type)).otherwise(out)
-    return out
+        payload = F.lit(value).cast(aspect_type)
+        out = F.when(cond, payload) if out is None else out.when(cond, payload)
+    if out is None:
+        return F.lit(None).cast(aspect_type)
+    return out.otherwise(F.lit(None).cast(aspect_type))
 
 
-#: memoized F.expr by (context, sql text): a CASE chain over hundreds of
-#: intervals is a ~30 KB SQL string whose JVM-side parse repeats byte-
-#: identically on every rebuild of the same dimension (bench iterations,
-#: multiple gates over one corpus). Columns are immutable; the key carries
-#: the active SparkContext's identity (same contract as the scrub memo).
+#: memoized F.expr by (context, sql text): a CASE chain's JVM-side parse
+#: repeats byte-identically on every rebuild of the same dimension (bench
+#: iterations, multiple gates over one corpus). Columns are immutable;
+#: the key carries the active SparkContext's identity (same contract as
+#: the scrub memo). Bounded by BYTES, not entries: with the 4096-interval
+#: expression cutoff a single chain's SQL runs to ~0.5 MB, so an entry
+#: cap alone could retain hundreds of MB of key text on the driver.
 _EXPR_CACHE: dict = {}
+_EXPR_CACHE_BYTES = 0
+_EXPR_CACHE_MAX_BYTES = 64 << 20
 
 
 def _cached_expr(sql: str) -> Column:
+    global _EXPR_CACHE_BYTES
     from hbsir_old_spark.sources.cache import active_context_token
 
     key = (active_context_token(), sql)
     col = _EXPR_CACHE.get(key)
     if col is None:
         col = F.expr(sql)
-        if len(_EXPR_CACHE) > 1024:
+        if _EXPR_CACHE_BYTES + len(sql) > _EXPR_CACHE_MAX_BYTES:
             _EXPR_CACHE.clear()
+            _EXPR_CACHE_BYTES = 0
         _EXPR_CACHE[key] = col
+        _EXPR_CACHE_BYTES += len(sql)
     return col
 
 

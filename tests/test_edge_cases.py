@@ -85,8 +85,8 @@ def test_word_shingles_short_text(spark):
 def test_exploded_word_shingles_matches_array_form(spark):
     # the codegen'd exploded twin must agree with the array form as a SET
     # per doc (the exploded form skips per-doc distinct by design) across
-    # the conventions: short text -> whole-text gram, empty text, NULL
-    # text -> no row, repeated grams, unicode normalization
+    # the conventions: short text -> whole-text gram, empty and NULL text
+    # -> one '' gram each, repeated grams, unicode normalization
     from hbsir_old_spark.functions.dedup import exploded_word_shingles
 
     df = spark.createDataFrame(
