@@ -262,15 +262,17 @@ class TestCorpusOnSpark:
         assert rows[1370] is None  # position null before 1377
         assert rows[1400] is not None  # digits 1-5 = 0012 -> a named county
 
-    def test_occupation_scale_dim_uses_broadcast_range_join(self, spark, corpus):
-        """Verdict #6: the real isco classification across several years is
-        a multi-thousand-interval dimension — far above the CASE-chain
-        cutoff — and must compile to the broadcast range-join strategy with
-        correct labels."""
+    def test_occupation_scale_dim_join_and_chain_strategies_agree(self, spark, corpus):
+        """Verdict #6, updated for the round-8 cutoff raise (128 -> 4096):
+        the real isco classification across several years is a
+        multi-thousand-interval dimension. It now compiles to a CASE chain
+        by default (measured 2.4x faster at this size); the broadcast
+        range-join path — still the strategy past the cutoff — must keep
+        producing the same labels when forced."""
         from hbsir_old_spark.metadata.corpus import build_reference_registry
         from hbsir_old_spark.operators.classification import (
+            add_classification,
             build_classification_dim,
-            EXPRESSION_STRATEGY_MAX_ROWS,
         )
 
         reg = build_reference_registry(spark, corpus)
@@ -279,12 +281,28 @@ class TestCorpusOnSpark:
         dim = build_classification_dim(meta, years=years, aspects=("item_key",))
         level4 = [r for r in dim.rows if r["level"] == 4]
         assert len(level4) >= 1600  # ~436 intervals x 4 years
-        assert len(level4) > EXPRESSION_STRATEGY_MAX_ROWS
 
         df = spark.createDataFrame(
             [(1390, 1120), (1400, 2211), (1400, 5141), (1400, 42)],
             ["Year", "Job_Code"],
         )
+        expected = {
+            1120: "managing_directors_and_chief_executives",
+            2211: "generalist_medical_practitioners",
+            5141: "hairdressers",
+            42: None,
+        }
+        # forced join path: broadcast range join, correct real-corpus labels
+        joined = add_classification(
+            df, dim, code_col="Job_Code", levels=(4,),
+            column_names={"item_key": "Occupation"}, strategy="join",
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert {r["Job_Code"]: r["Occupation"] for r in joined.collect()} == expected
+
+        # registry default (auto -> CASE chain at this size): same labels,
+        # and the plan carries no join operator at all
         out = reg.add_classification(
             df,
             "isco",
@@ -293,12 +311,8 @@ class TestCorpusOnSpark:
             classification_type="occupation",
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-        rows = {r["Job_Code"]: r["Occupation"] for r in out.collect()}
-        assert rows[1120] == "managing_directors_and_chief_executives"
-        assert rows[2211] == "generalist_medical_practitioners"
-        assert rows[5141] == "hairdressers"
-        assert rows[42] is None
+        assert "Join" not in plan
+        assert {r["Job_Code"]: r["Occupation"] for r in out.collect()} == expected
 
     def test_duration_classification_is_numeric(self, spark, corpus):
         from hbsir_old_spark.metadata.corpus import build_reference_registry
