@@ -4353,8 +4353,12 @@ WITH corpus AS (
 ), csh AS (
   SELECT doc_id, unnest({grams}) AS g FROM ctoks
 ), bsh AS (
-  SELECT DISTINCT unnest({grams}) AS g
-  FROM (SELECT string_split({norm}, ' ') AS t FROM documents WHERE doc_id < 5)
+  -- '' is the no-content sentinel gram of NULL/empty text, never shared
+  -- benchmark content (matches curate_corpus's bench-side filter)
+  SELECT DISTINCT g FROM (
+    SELECT unnest({grams}) AS g
+    FROM (SELECT string_split({norm}, ' ') AS t FROM documents WHERE doc_id < 5)
+  ) WHERE g <> ''
 ), cont AS (
   SELECT DISTINCT doc_id FROM csh
   WHERE EXISTS (SELECT 1 FROM bsh WHERE bsh.g = csh.g)

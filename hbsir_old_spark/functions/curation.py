@@ -98,7 +98,12 @@ def curate_corpus(
     # the semi-join + final distinct, and the array form's interpreted
     # transform was 9.8 s of x34's 10 s at sf0.1
     # synthetic id: the benchmark frame only promises text_col (it need
-    # not carry the corpus's id column), and the grams drop the id anyway
+    # not carry the corpus's id column), and the grams drop the id anyway.
+    # The '' gram is excluded: exploded_word_shingles emits one '' for
+    # NULL/empty/whitespace-only text as its no-content sentinel, and a
+    # blank benchmark line must not mark every empty corpus doc as
+    # sharing benchmark content (filtering the small side suffices — a
+    # corpus-side '' can then never match).
     bench_grams = (
         exploded_word_shingles(
             benchmark.select(F.lit(0).alias("__bid__"), F.col(text_col)),
@@ -107,6 +112,7 @@ def curate_corpus(
             shingle_n,
         )
         .select("__g__")
+        .where(F.col("__g__") != "")
         .distinct()
     )
     contaminated_ids = (

@@ -18,6 +18,7 @@ of fact size.
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 from typing import Sequence
 
@@ -346,6 +347,7 @@ def _expression_lookup_fold(
 _EXPR_CACHE: dict = {}
 _EXPR_CACHE_BYTES = 0
 _EXPR_CACHE_MAX_BYTES = 64 << 20
+_EXPR_CACHE_LOCK = threading.Lock()
 
 
 def _cached_expr(sql: str) -> Column:
@@ -356,11 +358,19 @@ def _cached_expr(sql: str) -> Column:
     col = _EXPR_CACHE.get(key)
     if col is None:
         col = F.expr(sql)
-        if _EXPR_CACHE_BYTES + len(sql) > _EXPR_CACHE_MAX_BYTES:
-            _EXPR_CACHE.clear()
-            _EXPR_CACHE_BYTES = 0
-        _EXPR_CACHE[key] = col
-        _EXPR_CACHE_BYTES += len(sql)
+        # UTF-8 bytes, not characters: non-ASCII aspect labels store at
+        # 2-4 bytes/char in CPython, which would let a char count blow
+        # the advertised cap severalfold. The lock keeps the clear +
+        # counter sequence atomic under concurrent driver-side plan
+        # builds (an unsynchronized clear could orphan counter bytes and
+        # cause premature cache wipes forever after).
+        size = len(sql.encode("utf-8"))
+        with _EXPR_CACHE_LOCK:
+            if _EXPR_CACHE_BYTES + size > _EXPR_CACHE_MAX_BYTES:
+                _EXPR_CACHE.clear()
+                _EXPR_CACHE_BYTES = 0
+            _EXPR_CACHE[key] = col
+            _EXPR_CACHE_BYTES += size
     return col
 
 

@@ -80,6 +80,27 @@ def test_null_ids_are_dropped_not_kept(spark):
     assert rows[0]["verdict"] == "keep"
 
 
+def test_blank_benchmark_text_never_contaminates(spark):
+    # a blank/whitespace-only benchmark line normalizes to the '' sentinel
+    # gram; it must not mark empty/NULL-text corpus docs as contaminated
+    docs = spark.createDataFrame(
+        [(1, EN), (2, ""), (3, None)], "doc_id int, text string"
+    )
+    bench = spark.createDataFrame([(9, "   "), (10, BENCH)], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in curate_corpus(docs, bench, quality_threshold=-1.1).collect()}
+    assert not rows[1]["contaminated"]
+    assert not rows[2]["contaminated"]
+    assert not rows[3]["contaminated"]
+
+
+def test_benchmark_frame_needs_only_text_col(spark):
+    # contract: benchmark is 'any frame with text_col' — no corpus id col
+    docs = spark.createDataFrame([(1, EN), (2, EN + " " + BENCH)], ["doc_id", "text"])
+    bench = spark.createDataFrame([(BENCH,)], ["text"])
+    rows = {r["doc_id"]: r for r in curate_corpus(docs, bench, quality_threshold=-1.1).collect()}
+    assert rows[2]["contaminated"] and not rows[1]["contaminated"]
+
+
 def test_curation_plan_stays_jvm_side(spark):
     docs = spark.createDataFrame([(1, EN)], ["doc_id", "text"])
     bench = spark.createDataFrame([(2, BENCH)], ["doc_id", "text"])
