@@ -24,7 +24,9 @@ Scale shape (the whole point of composing rather than running four
 passes): language + quality are MAP-ONLY expressions evaluated inline on
 the scan (no join-back — ``hashed_quality_score(extra_cols=...)``
 threads the language flag and fingerprint through its selects); exact
-dedup is one window Exchange on the fingerprint; contamination is one
+dedup is one partial-aggregable groupBy on the fingerprint plus a
+fingerprint-keyed join back (skew-safe where a window would straggle on
+a mega-duplicate class); contamination is one
 shingle explode + broadcast-able semi-join against the (small) benchmark
 shingle set + one id-keyed left join back. Three shuffles total for four
 stages, each on a different key, none avoidable at this grain.
@@ -33,7 +35,7 @@ Reference analogue: none (beyond-reference LLM-pipeline operator).
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hbsir_old_spark.functions.dedup import exploded_word_shingles
@@ -65,7 +67,7 @@ def curate_corpus(
 
     NULL-id rows are dropped up front (same contract as
     :func:`dedup.exact_dedup`): a NULL id can neither anchor the
-    canonical-copy window nor match the id-keyed contamination join-back,
+    canonical-copy aggregate nor match the id-keyed contamination join-back,
     so keeping them would silently verdict them ``'keep'``.
     """
     base = df.select(id_col, text_col).filter(F.col(id_col).isNotNull())
@@ -85,10 +87,27 @@ def curate_corpus(
         extra_cols=("lang_ok", "__fp__"),
     )
 
-    # stage 3: canonical copy = min id per fingerprint (one Exchange)
-    flagged = flagged.withColumn(
-        "is_canonical",
-        F.col(id_col) == F.min(id_col).over(Window.partitionBy("__fp__")),
+    # stage 3: canonical copy = min id per fingerprint. groupBy + join
+    # back, NOT min().over(Window.partitionBy) — same rationale as
+    # exact_dedup (dedup.py): partial aggregation pre-collapses duplicate
+    # fingerprints map-side, so a boilerplate page with 10^8 exact copies
+    # ships ~one row per map partition into the Exchange, and AQE's
+    # skew-join splitting handles any residual hot key; WindowExec would
+    # instead sort the entire mega-duplicate class inside one partition
+    # (the canonical straggler in exactly the regime curation exists
+    # for). The diagnostic needs per-row flags, so the collapsed frame
+    # joins back on the fingerprint (the small side post-agg).
+    # null-safe key: NULL-text docs fingerprint to NULL and form one
+    # duplicate class of their own (groupBy groups NULLs; the window did
+    # too) — a plain equi-join would silently drop them. <=> is still a
+    # hash-join key for Spark, so the shape is unchanged.
+    canon = flagged.groupBy(F.col("__fp__").alias("__cfp__")).agg(
+        F.min(id_col).alias("__canon_id__")
+    )
+    flagged = (
+        flagged.join(canon, F.col("__fp__").eqNullSafe(F.col("__cfp__")))
+        .withColumn("is_canonical", F.col(id_col) == F.col("__canon_id__"))
+        .drop("__cfp__")
     )
 
     # stage 4: benchmark shingle probe (distinct grams of the small eval

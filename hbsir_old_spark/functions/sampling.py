@@ -410,8 +410,15 @@ def prune_by_score_quantile(
     threshold is the smallest score ``t`` whose cumulative row count
     reaches ``ceil(q * N)``; ALL rows tied at ``t`` are kept, so the
     output is a pure function of the score values — never of row order.
-    Rows with a NULL score are dropped (they can't be compared to the
-    threshold; the caller decides their fate upstream).
+    A consequence for tiny ``q``: the threshold can never fall below the
+    minimum score, so every row tied at the minimum survives even when
+    ``q * N < 1`` — the keep fraction is a floor of ``q``, not an exact
+    hit. ``q = 0.0`` is rejected (under the tie rule it would
+    contradict itself: "keep ~nothing" yet retain the whole minimum-
+    score class); use a plain ``limit(0)``/``where(lit(False))`` if an
+    empty frame is what you want. Rows with a NULL score are dropped
+    (they can't be compared to the threshold; the caller decides their
+    fate upstream).
 
     Scale shape — the reason this is NOT ``percent_rank()`` over the
     corpus: an exact global order statistic normally means a global
@@ -426,8 +433,17 @@ def prune_by_score_quantile(
 
     Reference analogue: none (beyond-reference LLM-pipeline operator).
     """
-    if not 0.0 <= q <= 1.0:
-        raise ValueError(f"q must be in [0, 1], got {q}")
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    if "__thr__" in df.columns:
+        # public helper: the broadcast threshold joins back as a column
+        # literally named __thr__, so a caller frame already carrying one
+        # would make the filter ambiguous (wrong rows, or an analysis error)
+        raise ValueError(
+            "input frame already has a '__thr__' column, which collides "
+            "with prune_by_score_quantile's internal threshold column — "
+            "rename it first"
+        )
     score = F.col(score_col)
     hist = (
         df.where(score.isNotNull())

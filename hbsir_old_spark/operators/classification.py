@@ -363,9 +363,15 @@ def _cached_expr(sql: str) -> Column:
         # the advertised cap severalfold. The lock keeps the clear +
         # counter sequence atomic under concurrent driver-side plan
         # builds (an unsynchronized clear could orphan counter bytes and
-        # cause premature cache wipes forever after).
+        # cause premature cache wipes forever after). Re-check under the
+        # lock: two threads missing on the same key would otherwise both
+        # count the SQL size while only one entry is retained, drifting
+        # the counter up until it forces spurious full-cache wipes.
         size = len(sql.encode("utf-8"))
         with _EXPR_CACHE_LOCK:
+            raced = _EXPR_CACHE.get(key)
+            if raced is not None:
+                return raced
             if _EXPR_CACHE_BYTES + size > _EXPR_CACHE_MAX_BYTES:
                 _EXPR_CACHE.clear()
                 _EXPR_CACHE_BYTES = 0

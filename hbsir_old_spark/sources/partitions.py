@@ -67,7 +67,22 @@ def years_from_input_files(df: DataFrame, year_col: str = "Year") -> list[int] |
 
 def infer_years(df: DataFrame, year_col: str = "Year") -> list[int]:
     """Year list for ``years=None`` callers: partition-path listing when
-    the layout spells it out, exact distinct scan otherwise."""
+    the layout spells it out, exact distinct scan otherwise.
+
+    CONTRACT — superset, not exact: the path listing reflects the file
+    LAYOUT, so on a filtered frame it may return years the frame no
+    longer contains. That is deliberate (it avoids a full distinct scan
+    at 100 TB) and is safe only for callers that use the list to build
+    year-keyed SIDE INPUTS joined back on ``year_col`` — extra years
+    simply never match. Call-site checklist (every caller must be
+    join-back-shaped; a new caller whose year list drives OUTPUT ROWS
+    must run the exact ``df.select(year_col).distinct()`` scan instead):
+
+    * ``plans/registry.py  add_weights``    — weights frame, joined back
+    * ``api.py  add_cpi / adjust_by_cpi``   — CPI frame, joined back
+    * ``api.py  add_equivalence_scale``     — scale frame, joined back
+    * ``api.py  add_quantile (by-variable)``— derived frame, joined back
+    """
     years = years_from_input_files(df, year_col)
     if years is not None:
         return years

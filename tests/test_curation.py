@@ -106,3 +106,17 @@ def test_curation_plan_stays_jvm_side(spark):
     bench = spark.createDataFrame([(2, BENCH)], ["doc_id", "text"])
     plan = curate_corpus(docs, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_curation_canonical_stage_has_no_window(spark):
+    # the canonical-copy stage must be partial-aggregable groupBy + join
+    # back, never min().over(partitionBy(fingerprint)): WindowExec sorts a
+    # whole mega-duplicate fingerprint class inside one partition — the
+    # exact skew regime a curation funnel exists to survive. Pin the shape:
+    # no window operator anywhere in the funnel, and the canonical
+    # aggregate shows a partial_min (map-side combine) in the plan.
+    docs = spark.createDataFrame([(1, EN), (2, EN)], ["doc_id", "text"])
+    bench = spark.createDataFrame([(9, BENCH)], ["doc_id", "text"])
+    plan = curate_corpus(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan

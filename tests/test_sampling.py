@@ -367,6 +367,23 @@ def test_quantile_prune_drops_null_scores_and_validates_q(spark):
     assert kept == [1.0, 2.0]
     with _pytest.raises(ValueError):
         prune_by_score_quantile(df, "score", 1.5)
+    # q=0.0 is self-contradictory under the tie rule (the threshold can
+    # never fall below min(score), so "keep ~nothing" would keep the whole
+    # minimum-score class) — rejected, not silently a min-class filter
+    with _pytest.raises(ValueError):
+        prune_by_score_quantile(df, "score", 0.0)
+
+
+def test_quantile_prune_rejects_thr_column_collision(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from hbsir_old_spark.functions.sampling import prune_by_score_quantile
+
+    df = _scores(spark, [1.0, 2.0]).withColumn("__thr__", F.lit(0.0))
+    with _pytest.raises(ValueError, match="__thr__"):
+        prune_by_score_quantile(df, "score", 0.5)
 
 
 def test_quantile_prune_plan_shape(spark):
