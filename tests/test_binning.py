@@ -1,0 +1,79 @@
+"""bin_by_breaks (P24): labeled interval binning vs the pandas.cut oracle.
+
+The reference's income-bracket results example
+(/root/reference/examples/ISC/results/urban/1400/results.ipynb cell 3) is
+pd.cut with ±inf-bounded breaks; the helper must reproduce pandas' edge
+semantics exactly — right-closed intervals, breaks binning to the lower
+bracket, NaN/out-of-range to NULL.
+"""
+
+import math
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hbsir_old_spark.functions.standard import bin_by_breaks  # noqa: E402
+
+BREAKS = [-math.inf, 10.0, 20.0, 30.0, math.inf]
+LABELS = ["< 10", "10 - 20", "20 - 30", "30 <"]
+# every edge: breaks themselves, interior points, ±inf values, NULL
+VALUES = [
+    -math.inf, -5.0, 0.0, 10.0, 10.0000001, 15.0, 20.0, 25.0, 30.0,
+    31.0, 1e12, math.inf, None,
+]
+
+
+def _spark_bins(spark, right: bool) -> list:
+    df = spark.createDataFrame([(v,) for v in VALUES], "v double")
+    rows = (
+        df.select("v", bin_by_breaks("v", BREAKS, LABELS, right=right).alias("b"))
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        out["null" if r["v"] is None else repr(r["v"])] = r["b"]
+    return [out["null" if v is None else repr(v)] for v in VALUES]
+
+
+@pytest.mark.parametrize("right", [True, False])
+def test_matches_pandas_cut(spark, right):
+    got = _spark_bins(spark, right)
+    expected_raw = pd.cut(
+        pd.Series(VALUES, dtype="float64"), BREAKS, labels=LABELS, right=right
+    )
+    expected = [None if x is np.nan or pd.isna(x) else str(x) for x in expected_raw]
+    assert got == expected
+
+
+def test_break_values_bin_to_lower_bracket(spark):
+    # right=True: v == 10.0 belongs to "< 10" ((-inf, 10]), never "10 - 20"
+    got = dict(zip(VALUES, _spark_bins(spark, True)))
+    assert got[10.0] == "< 10"
+    assert got[20.0] == "10 - 20"
+    assert got[-math.inf] is None  # open left edge of (-inf, 10]
+    assert got[math.inf] == "30 <"  # closed right edge of (30, inf]
+    assert got[None] is None
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="len\\(breaks\\)-1"):
+        bin_by_breaks("v", [0, 1, 2], ["only-one-label", "x", "y"])
+    with pytest.raises(ValueError, match="strictly increasing"):
+        bin_by_breaks("v", [0, 2, 1], ["a", "b"])
+    with pytest.raises(ValueError, match="strictly increasing"):
+        bin_by_breaks("v", [0, 1, 1], ["a", "b"])
+
+
+def test_binning_is_map_only(spark):
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    out = df.select(bin_by_breaks("v", BREAKS, LABELS).alias("b"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -107,7 +107,7 @@ def test_every_oracle_key_has_a_query():
 # The correctness driver records rows for only the first 50 entries of
 # queries() (r2: 51 registered -> 50 rows; r3: 57 -> first 50). These pins
 # enforce the rotation policy:
-#  (a) gates WITHOUT a row in CORRECTNESS_r06.json, plus
+#  (a) gates WITHOUT a row in CORRECTNESS_r08.json, plus
 #      brand-new gates, sit inside the recorded window — except the
 #      DISPLACED set below when the window oversubscribes;
 #  (b) rows-only gates (approximate by design, no oracle) NEVER rotate out
@@ -116,29 +116,109 @@ def test_every_oracle_key_has_a_query():
 #      evidence for them;
 #  (c) only FULL-ORACLE gates with a green (hash-matched) driver row may
 #      sit past position 50 — normally from the PREVIOUS round; when new
-#      gates oversubscribe the window (round 7: 43 unrowed veterans + 7
-#      rows-only + 6 new = 56), the overflow comes from the cheapest
-#      longest-stable veterans, whose newest row is then two rounds old
-#      and whose exactness the parity suite re-proves every run. They get
-#      window PRIORITY next round.
-NO_R7_ROW_OR_NEW = {
-    # the 6 r5-green veterans displaced by round-7 window pressure —
+#      gates oversubscribe the window (round 9: 11 displaced r6-green +
+#      42 r7-green + 7 rows-only + 2 new = 62 candidates for 50 slots),
+#      the overflow comes from the cheapest longest-stable veterans,
+#      whose newest row is then two rounds old and whose exactness the
+#      parity suite re-proves every run. They get window PRIORITY next
+#      round.
+NO_R8_ROW_OR_NEW = {
+    # new in round 9
+    "p24_interval_binning",
+    "g7_income_brackets",
+    # the 11 r6-green veterans displaced by round-8 window pressure —
     # window PRIORITY this round per the pinned policy
+    "x18_token_freq",
+    "x5_text_stats",
+    "a1_groupby_sum",
+    "p7_computed_column",
+    "p8_category_conditions",
+    "p18_melt",
+    "p19_pivot",
+    "f1_filter_predicates",
+    "f2_attribute_select",
+    "a8_rollup",
+    "a9_grouping_sets",
+    # rotated out in round 8 (green r7 rows) -- rowed again this round
+    "w3_quantile_by_variable",
+    "x10_multimodal_features",
+    "x12_embedding_dedup",
+    "l3_real_corpus_food",
+    "s5_batch_sessions",
+    "l4_real_household_decode",
+    "x23_best_rep_dedup",
+    "l5_real_occupation_classification",
+    "s6_interval_join",
+    "l6_local_override_decode",
+    "g4_real_weighted_report",
+    "g5_real_isc_summary",
+    "x24_token_budget",
+    "x25_repetition_filter",
+    "x26_kmeans_planted",
+    "x27_semantic_dedup",
+    "s7_stream_dedup",
+    "x28_sequence_pack",
+    "x29_temperature_sample",
+    "x30_lm_perplexity",
+    "l8_orc_roundtrip",
+    "l9_bucketed_join",
+    "l10_salted_skew_join",
+    "l11_partitioned_write",
+    "l12_real_duration_aspect",
+    "g2_training_pipeline",
+    "l15_full_span_food",
+    "l17_real_income_chain",
+    "l18_real_outlay_chain",
+    "x33_quality_classifier",
+}
+# displaced by round-9 window pressure: green r7 rows, cheapest
+# longest-stable gates, parity-proven each run; window priority in r10
+# (w1/w2's window-rank operators re-run inside in-window w3; p13's
+# broadcast CPI join is stable since r2; x11's BPE fold runs inside
+# in-window x24; g1's DSL sub-steps run inside in-window g2; l1's
+# cleaned-form derivation runs inside every in-window real-corpus gate;
+# p16's ID decode runs inside in-window l4 and the new g7; u1's
+# missing-column union runs inside in-window l15; a6/a10 are the lattice
+# siblings of in-window a8/a9; o2 is a native rolling window stable
+# since r2; l7's JSONL ingest has its ORC sibling l8 in-window)
+DISPLACED_R7_VETERANS = {
+    "w1_weighted_ecdf",
+    "w2_decile",
+    "p13_cpi_deflation",
+    "x11_bpe_token_count",
+    "g1_dsl_pipeline",
+    "l1_form_raw_vs_cleaned",
+    "p16_id_digit_extraction",
+    "u1_union_missing_columns",
+    "a6_distinct_agg",
+    "a10_cube",
+    "o2_rolling_window",
+    "l7_jsonl_ingest",
+}
+# approximate-by-design gates: spark_rows is their only driver record
+ROWS_ONLY_PINNED_IN_WINDOW = {
+    "x3_minhash_lsh",
+    "x4_simhash_pairs",
+    "x9_ann_lsh",
+    "x13_ivf_topk",
+    "a7_approx_distinct",
+    "w4_approx_decile",
+    "w4b_weighted_approx_decile",
+}
+# every gate here is FULL-ORACLE with a green (hash-matched) row in
+# CORRECTNESS_r08.json (plus the displaced r7-green veterans above)
+ROTATED_VETERANS = DISPLACED_R7_VETERANS | {
     "p4_string_scrub",
     "p11_season_derivation",
     "f3_distinct",
     "o1_top_k",
     "p23_json_extract",
     "p17_map_lookup",
-    # rowed in r7 but as an `err` (the NaN-lift crash, fixed in r8) —
-    # an err row is not evidence, so it re-rows like an unrowed gate
     "l16_monthly_cpi_chain",
-    # new in round 8
     "g6_poverty_rate",
     "l15b_partitioned_span",
     "x34_curation_pipeline",
     "x35_perplexity_prune",
-    # rotated out in round 7 (green r6 rows) -- rowed again this round
     "j1_classification_join",
     "j2_dim_join_chain",
     "j3_weighted_average",
@@ -172,87 +252,11 @@ NO_R7_ROW_OR_NEW = {
     "x31_dsir_select",
     "x32_dup_windows",
 }
-# displaced by round-8 window pressure: green r6 rows, single-operator
-# expression-layer gates stable since r2/r3, parity-proven each run;
-# window priority in r9 (a1, p19 and f2's operators also run as
-# sub-steps of the in-window g6 composition; a8/a9 are the lattice
-# siblings of in-window a10_cube; x18's token fold runs inside in-window
-# x20 TF-IDF and the x34 quality stage; x5's map-only stats expressions
-# are the same token/char folds the in-window x25/x34 stages exercise)
-DISPLACED_R6_VETERANS = {
-    "x18_token_freq",
-    "x5_text_stats",
-    "a1_groupby_sum",
-    "p7_computed_column",
-    "p8_category_conditions",
-    "p18_melt",
-    "p19_pivot",
-    "f1_filter_predicates",
-    "f2_attribute_select",
-    "a8_rollup",
-    "a9_grouping_sets",
-}
-# approximate-by-design gates: spark_rows is their only driver record
-ROWS_ONLY_PINNED_IN_WINDOW = {
-    "x3_minhash_lsh",
-    "x4_simhash_pairs",
-    "x9_ann_lsh",
-    "x13_ivf_topk",
-    "a7_approx_distinct",
-    "w4_approx_decile",
-    "w4b_weighted_approx_decile",
-}
-# every gate here is FULL-ORACLE with a green (hash-matched) row in
-# CORRECTNESS_r07.json (plus the displaced r6-green veterans above)
-ROTATED_VETERANS = DISPLACED_R6_VETERANS | {
-    "w1_weighted_ecdf",
-    "w2_decile",
-    "p13_cpi_deflation",
-    "x10_multimodal_features",
-    "x11_bpe_token_count",
-    "x12_embedding_dedup",
-    "g1_dsl_pipeline",
-    "l1_form_raw_vs_cleaned",
-    "p16_id_digit_extraction",
-    "u1_union_missing_columns",
-    "l3_real_corpus_food",
-    "a10_cube",
-    "o2_rolling_window",
-    "s5_batch_sessions",
-    "l4_real_household_decode",
-    "x23_best_rep_dedup",
-    "l5_real_occupation_classification",
-    "s6_interval_join",
-    "l6_local_override_decode",
-    "g4_real_weighted_report",
-    "g5_real_isc_summary",
-    "x24_token_budget",
-    "x25_repetition_filter",
-    "x26_kmeans_planted",
-    "x27_semantic_dedup",
-    "s7_stream_dedup",
-    "x28_sequence_pack",
-    "x29_temperature_sample",
-    "x30_lm_perplexity",
-    "l7_jsonl_ingest",
-    "l8_orc_roundtrip",
-    "l9_bucketed_join",
-    "l10_salted_skew_join",
-    "l11_partitioned_write",
-    "l12_real_duration_aspect",
-    "a6_distinct_agg",
-    "g2_training_pipeline",
-    "l15_full_span_food",
-    "w3_quantile_by_variable",
-    "l17_real_income_chain",
-    "l18_real_outlay_chain",
-    "x33_quality_classifier",
-}
 
 
 def test_driver_cap_ordering():
     first50 = set(list(QUERIES)[:50])
-    missing = NO_R7_ROW_OR_NEW - first50
+    missing = NO_R8_ROW_OR_NEW - first50
     assert not missing, f"unrowed gates outside the driver's 50-row window: {missing}"
     ro_missing = ROWS_ONLY_PINNED_IN_WINDOW - first50
     assert not ro_missing, (
