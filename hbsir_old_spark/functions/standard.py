@@ -83,6 +83,10 @@ def bin_by_breaks(
     presentation-layer small (tens), so chain length is never a concern
     the way classification dims are (classification.py's 4096 cutoff).
     """
+    if len(breaks) < 2:
+        # match pandas.cut's explicit rejection of < 2 bin edges (an empty
+        # when-chain would otherwise crash opaquely below)
+        raise ValueError(f"need at least 2 breaks to form an interval, got {len(breaks)}")
     if len(labels) != len(breaks) - 1:
         raise ValueError(
             f"need exactly len(breaks)-1 labels: got {len(labels)} labels "

@@ -78,10 +78,12 @@ def infer_years(df: DataFrame, year_col: str = "Year") -> list[int]:
     join-back-shaped; a new caller whose year list drives OUTPUT ROWS
     must run the exact ``df.select(year_col).distinct()`` scan instead):
 
-    * ``plans/registry.py  add_weights``    — weights frame, joined back
-    * ``api.py  add_cpi / adjust_by_cpi``   — CPI frame, joined back
-    * ``api.py  add_equivalence_scale``     — scale frame, joined back
-    * ``api.py  add_quantile (by-variable)``— derived frame, joined back
+    * ``plans/registry.py  add_classification`` — the year list feeds
+      ``build_classification_dim``; extra dim years never match the
+      fact's ``(year_col, Code)`` rows
+    * ``api.py  add_weight``                 — weights frame, joined back
+    * ``api.py  adjust_by_equivalence_scale``— scale frame, joined back
+    * ``api.py  add_quantile (by-variable)`` — derived frame, joined back
     """
     years = years_from_input_files(df, year_col)
     if years is not None:

@@ -63,6 +63,8 @@ def test_break_values_bin_to_lower_bracket(spark):
 
 
 def test_validation():
+    with pytest.raises(ValueError, match="at least 2 breaks"):
+        bin_by_breaks("v", [50000.0], [])
     with pytest.raises(ValueError, match="len\\(breaks\\)-1"):
         bin_by_breaks("v", [0, 1, 2], ["only-one-label", "x", "y"])
     with pytest.raises(ValueError, match="strictly increasing"):
