@@ -2713,6 +2713,84 @@ ORDER BY p.bracket
 
 
 # --------------------------------------------------------------------------
+# X36 — CCNet-style cross-corpus line-level boilerplate removal (Wenzek et
+# al. 2020 §3.1: deduplicate lines across shards). The synthetic documents
+# are single-line, so the gate plants a shared header and footer around two
+# content substrings; min_docs=3 strips the planted chrome from every
+# document (and any content line whose normalized form recurs across >= 3
+# docs — the corpus carries planted near-twins, deterministically in both
+# engines). Output: per-doc cleaned text + line accounting. Full oracle:
+# DuckDB mirrors the explode / distinct-doc frequency / anti-join /
+# ORDER BY-pos reassembly exactly.
+# --------------------------------------------------------------------------
+
+
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.text import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("NAVIGATION MENU HOME ABOUT"),
+            F.substring("text", 1, 70),
+            F.lit("all rights reserved contact us"),
+            F.substring("text", 71, 70),
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(multi, min_docs=3)
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    ).orderBy("doc_id")
+
+
+SQL_BOILERPLATE_REMOVAL = r"""
+WITH multi AS (
+  SELECT doc_id,
+         concat_ws(chr(10), 'NAVIGATION MENU HOME ABOUT',
+                   substr(text, 1, 70),
+                   'all rights reserved contact us',
+                   substr(text, 71, 70)) AS t
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(t, chr(10)), 1) AS pos,
+         unnest(string_split(t, chr(10))) AS line
+  FROM multi
+), normed AS (
+  SELECT doc_id, pos, line,
+         trim(regexp_replace(translate(lower(line), 'ς', 'σ'),
+                             '[ \t\n\x0b\f\r]+', ' ', 'g')) AS nl
+  FROM lines
+), freq AS (
+  SELECT nl FROM (
+    SELECT nl, count(*) AS nd
+    FROM (SELECT DISTINCT nl, doc_id FROM normed WHERE nl <> '')
+    GROUP BY nl
+  ) WHERE nd >= 3
+), kept AS (
+  SELECT n.doc_id, n.pos, n.line
+  FROM normed n LEFT JOIN freq f ON n.nl = f.nl
+  WHERE f.nl IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+         count(*) AS kept_n
+  FROM kept GROUP BY doc_id
+)
+SELECT m.doc_id,
+       coalesce(r.cleaned, '') AS text,
+       len(string_split(m.t, chr(10)))::BIGINT AS n_lines,
+       len(string_split(m.t, chr(10))) - coalesce(r.kept_n, 0) AS n_removed
+FROM multi m LEFT JOIN rebuilt r ON m.doc_id = r.doc_id
+ORDER BY m.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # X25 — Gopher repetition rules (Rae et al. 2021 §A1.1): duplicate-line /
 # duplicate-n-gram fractions and the composite keep flag, all per-row
 # native array expressions (map-only — the ideal 100-TB prefilter shape).
@@ -5853,6 +5931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 9 --
         "p24_interval_binning": q_interval_binning,
         "g7_income_brackets": q_income_brackets,
+        "x36_boilerplate_removal": q_boilerplate_removal,
         # -- window priority: the 11 r6-green veterans displaced in r8 --
         "x18_token_freq": q_token_freq,
         "x5_text_stats": q_text_stats,
@@ -5870,7 +5949,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x10_multimodal_features": q_multimodal_features,
         "x12_embedding_dedup": q_embedding_dedup,
         "l3_real_corpus_food": q_real_corpus_food,
-        "s5_batch_sessions": q_batch_sessions,
         "l4_real_household_decode": q_real_household_decode,
         "x23_best_rep_dedup": q_best_rep_dedup,
         "l5_real_occupation_classification": q_real_occupation_classification,
@@ -5910,6 +5988,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FULL-ORACLE with a green (hash-matched) driver row in
         # CORRECTNESS_r08.json — plus the 12 displaced r7-green veterans
         # (see header) — and full parity-suite coverage --
+        # s5 displaced by x36 (r9 pressure): its session-assignment logic
+        # carries a FRESH r8-green row through its streaming twin s2, and
+        # in-window s6/s7 keep the temporal/stateful paths rowed; r10
+        # window priority per the pinned policy
+        "s5_batch_sessions": q_batch_sessions,
         "w1_weighted_ecdf": q_weighted_ecdf,
         "w2_decile": q_decile,
         "p13_cpi_deflation": q_cpi_deflation,
@@ -6069,6 +6152,7 @@ def oracle_sql() -> dict[str, str]:
         "g6_poverty_rate": SQL_POVERTY_RATE,
         "p24_interval_binning": SQL_INTERVAL_BINNING,
         "g7_income_brackets": SQL_INCOME_BRACKETS,
+        "x36_boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
         "x34_curation_pipeline": _sql_curation_pipeline(),
         "x35_perplexity_prune": SQL_PERPLEXITY_PRUNE,
         "l16_monthly_cpi_chain": SQL_MONTHLY_CPI_CHAIN,

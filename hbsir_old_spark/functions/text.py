@@ -679,3 +679,88 @@ def hashed_quality_score_weighted(
             ).alias("quality_pass"),
         )
     )
+
+
+def remove_boilerplate_lines(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> "DataFrame":
+    """Cross-corpus line-level boilerplate removal — the CCNet/RefinedWeb
+    line-dedup pass (Wenzek et al. 2020 §3.1 deduplicate lines across
+    shards): a line whose normalized form (:func:`normalize_text`)
+    appears in at least ``min_docs`` DISTINCT documents is boilerplate
+    (navigation chrome, cookie banners, shared headers/footers) and is
+    stripped from EVERY document. Returns one row per input document:
+    ``(id_col, text_col cleaned, n_lines, n_removed)``.
+
+    Semantics:
+
+    * blank / whitespace-only lines are preserved verbatim and never
+      counted — they occur in every corpus and are formatting, not
+      boilerplate;
+    * repetition WITHIN one document never marks a line (that is the
+      Gopher within-doc rule, :func:`repetition_filter`) — the count is
+      distinct documents;
+    * NULL text passes through as NULL with ``n_lines = n_removed = 0``;
+    * a document whose every countable line is boilerplate comes back as
+      the surviving blank lines, or ``''`` (empty string, never NULL —
+      the document still exists) when nothing survives.
+
+    Scale shape: the line explode is map-only; the document frequency
+    runs as two partial-aggregable stages — distinct ``(line, id)``
+    pairs, then a plain count per line — instead of ``countDistinct``'s
+    expand; the boilerplate set excludes lines through a LEFT ANTI join
+    (AQE broadcasts it when small; boilerplate cardinality is bounded by
+    distinct-line count, not corpus rows); reassembly is one
+    ``groupBy(id)`` whose per-group state is bounded by a single
+    document's own line count. No UDFs, no windows, no driver collection.
+
+    Reference analogue: none (beyond-reference LLM-pipeline operator).
+    """
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    base = df.select(id_col, text_col)
+    lines = base.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos__", "__line__"),
+    ).withColumn("__norm__", normalize_text("__line__"))
+    freq = (
+        lines.filter(F.col("__norm__") != "")
+        .select("__norm__", id_col)
+        .distinct()
+        .groupBy("__norm__")
+        .agg(F.count("*").alias("__nd__"))
+    )
+    boiler = freq.filter(F.col("__nd__") >= min_docs).select("__norm__")
+    kept = lines.join(boiler, "__norm__", "left_anti")
+    # order-preserving reassembly: a struct array sorts by its first field,
+    # so sorting (pos, line) structs restores document order without a window
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos__", "__line__"))),
+                lambda s: s["__line__"],
+            ),
+            "\n",
+        ).alias("__clean__"),
+        F.count("*").alias("__kept__"),
+    )
+    n_lines = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(F.split(F.col(text_col), "\n"))
+    )
+    return (
+        base.withColumn("__n__", n_lines)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("__clean__"), F.lit("")))
+            .alias(text_col),
+            F.col("__n__").alias("n_lines"),
+            (F.col("__n__") - F.coalesce(F.col("__kept__"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

@@ -126,6 +126,7 @@ NO_R8_ROW_OR_NEW = {
     # new in round 9
     "p24_interval_binning",
     "g7_income_brackets",
+    "x36_boilerplate_removal",
     # the 11 r6-green veterans displaced by round-8 window pressure —
     # window PRIORITY this round per the pinned policy
     "x18_token_freq",
@@ -144,7 +145,6 @@ NO_R8_ROW_OR_NEW = {
     "x10_multimodal_features",
     "x12_embedding_dedup",
     "l3_real_corpus_food",
-    "s5_batch_sessions",
     "l4_real_household_decode",
     "x23_best_rep_dedup",
     "l5_real_occupation_classification",
@@ -182,6 +182,9 @@ NO_R8_ROW_OR_NEW = {
 # siblings of in-window a8/a9; o2 is a native rolling window stable
 # since r2; l7's JSONL ingest has its ORC sibling l8 in-window)
 DISPLACED_R7_VETERANS = {
+    # s5's session logic has a FRESH r8-green row via its streaming twin
+    # s2; in-window s6/s7 keep the temporal/stateful paths rowed
+    "s5_batch_sessions",
     "w1_weighted_ecdf",
     "w2_decile",
     "p13_cpi_deflation",
