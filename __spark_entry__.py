@@ -2791,6 +2791,56 @@ ORDER BY m.doc_id
 
 
 # --------------------------------------------------------------------------
+# X37 — context-window document chunking (functions/sampling.py:
+# chunk_documents): long documents split into 32-token windows advancing by
+# 24 (overlapping — the standard stride so no boundary context is lost),
+# the complement of x28's sequence packing. Map-only: split / integer-div
+# chunk count / sequence / slice / array_join + one posexplode, ZERO
+# shuffles. Full oracle: DuckDB mirrors with string_split_regex, integer
+# // arithmetic, range unnest, and list_slice.
+# --------------------------------------------------------------------------
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.sampling import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=32, stride=24)
+    return out.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "chunk_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_index")
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []
+              ELSE string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') END AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM base
+), counted AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n <= 0 THEN 0
+              WHEN n <= 32 THEN 1
+              ELSE 1 + (24 - 1 + n - 32) // 24 END AS nc
+  FROM sized
+), exploded AS (
+  SELECT doc_id, toks, n, unnest(range(nc)) AS i FROM counted
+)
+SELECT doc_id,
+       i::BIGINT AS chunk_index,
+       array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ') AS chunk_text,
+       least(n - i*24, 32)::BIGINT AS n_tokens
+FROM exploded
+ORDER BY doc_id, chunk_index
+"""
+
+
+# --------------------------------------------------------------------------
 # X25 — Gopher repetition rules (Rae et al. 2021 §A1.1): duplicate-line /
 # duplicate-n-gram fractions and the composite keep flag, all per-row
 # native array expressions (map-only — the ideal 100-TB prefilter shape).
@@ -5932,6 +5982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p24_interval_binning": q_interval_binning,
         "g7_income_brackets": q_income_brackets,
         "x36_boilerplate_removal": q_boilerplate_removal,
+        "x37_context_chunking": q_chunk_documents,
         # -- window priority: the 11 r6-green veterans displaced in r8 --
         "x18_token_freq": q_token_freq,
         "x5_text_stats": q_text_stats,
@@ -5947,7 +5998,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- no r8 row (rotated out last round): 30 of the 42 --
         "w3_quantile_by_variable": q_quantile_by_variable,
         "x10_multimodal_features": q_multimodal_features,
-        "x12_embedding_dedup": q_embedding_dedup,
         "l3_real_corpus_food": q_real_corpus_food,
         "l4_real_household_decode": q_real_household_decode,
         "x23_best_rep_dedup": q_best_rep_dedup,
@@ -5993,6 +6043,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window s6/s7 keep the temporal/stateful paths rowed; r10
         # window priority per the pinned policy
         "s5_batch_sessions": q_batch_sessions,
+        # x12 displaced by x37 (r9 pressure): embedding-cosine dedup's
+        # candidate shape re-runs inside in-window x27 SemDeDup, and its
+        # exact-top-k sibling x8 carries a FRESH r8-green row; r10 window
+        # priority per the pinned policy
+        "x12_embedding_dedup": q_embedding_dedup,
         "w1_weighted_ecdf": q_weighted_ecdf,
         "w2_decile": q_decile,
         "p13_cpi_deflation": q_cpi_deflation,
@@ -6153,6 +6208,7 @@ def oracle_sql() -> dict[str, str]:
         "p24_interval_binning": SQL_INTERVAL_BINNING,
         "g7_income_brackets": SQL_INCOME_BRACKETS,
         "x36_boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
+        "x37_context_chunking": SQL_CHUNK_DOCUMENTS,
         "x34_curation_pipeline": _sql_curation_pipeline(),
         "x35_perplexity_prune": SQL_PERPLEXITY_PRUNE,
         "l16_monthly_cpi_chain": SQL_MONTHLY_CPI_CHAIN,

@@ -106,6 +106,8 @@ HEADLINE = [
     # round 9: cross-corpus line-level boilerplate removal (explode +
     # two-stage partial-agg doc frequency + anti-join + reassembly)
     "x36_boilerplate_removal",
+    # round 9: context-window chunking (map-only split/slice explode)
+    "x37_context_chunking",
     # x23_best_rep_dedup stays gate-only like x19: exact all-pairs n-gram
     # generation dominates its wall time (the scale path is x3's MinHash),
     # so it belongs to correctness, not the throughput suite. x26's k-means

@@ -463,3 +463,88 @@ def prune_by_score_quantile(
         .where(score <= F.col("__thr__"))
         .drop("__thr__")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+) -> DataFrame:
+    """Context-window chunking — the standard long-document splitter for
+    LM training prep: each document's whitespace token stream is cut into
+    windows of ``chunk_tokens`` tokens advancing by ``stride`` tokens
+    (default ``chunk_tokens``, i.e. disjoint windows; ``stride <
+    chunk_tokens`` gives the usual overlapping windows so no context is
+    lost at boundaries). The complement of :func:`pack_sequences`: packing
+    concatenates SHORT documents up to the context length, chunking splits
+    LONG ones down to it.
+
+    Output one row per chunk: ``(id_col, chunk_index, chunk_text,
+    n_tokens)``. Chunk count is ``1 + ceil((n - chunk_tokens) / stride)``
+    for ``n > chunk_tokens`` else 1 — every token appears in at least one
+    chunk, and the tail chunk may be short (``n_tokens`` reports its true
+    size). Zero-token documents (NULL / empty / whitespace-only text)
+    yield no rows — there is nothing to train on; preserve them upstream
+    if document accounting matters. ``chunk_text`` re-joins tokens with a
+    single space (whitespace runs are not round-tripped).
+
+    ``stride`` must satisfy ``0 < stride <= chunk_tokens``: a stride
+    larger than the window would silently drop the tokens between windows,
+    which is a sampling policy, not chunking.
+
+    Scale shape: pure per-row array expressions (split / sequence /
+    slice / array_join) plus one ``posexplode`` — map-only, ZERO
+    shuffles; the fan-out is bounded by each document's own token count.
+    All index arithmetic is integer (``div``), engine-portable to the
+    DuckDB oracle.
+
+    Reference analogue: none (beyond-reference LLM-pipeline operator).
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be > 0, got {chunk_tokens}")
+    stride = chunk_tokens if stride is None else stride
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError(
+            f"stride must be in (0, chunk_tokens]; got stride={stride}, "
+            f"chunk_tokens={chunk_tokens}"
+        )
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.when(
+        F.length(trimmed) == F.lit(0), F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
+    n = F.size(toks)
+    # computed over the projected __n__ alias — the raw text column is
+    # already gone by the time this resolves
+    nn = F.col("__n__")
+    n_chunks = (
+        F.when(nn <= 0, F.lit(0))
+        .when(nn <= chunk_tokens, F.lit(1))
+        .otherwise(
+            F.lit(1)
+            + F.expr(
+                f"div({int(stride)} - 1 + __n__ - {int(chunk_tokens)}, {int(stride)})"
+            )
+        )
+    )
+    # guard the sequence: Spark infers step -1 when start > stop, so an
+    # unguarded sequence(0, -1) would YIELD [0, -1] for empty docs instead
+    # of no chunks
+    indices = F.when(
+        F.col("__nc__") > 0, F.sequence(F.lit(0), F.col("__nc__") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = (
+        df.select(id_col, toks.alias("__toks__"), n.alias("__n__"))
+        .withColumn("__nc__", n_chunks)
+        .select(id_col, "__toks__", F.explode(indices).alias("chunk_index"))
+    )
+    chunk = F.slice(
+        F.col("__toks__"), F.col("chunk_index") * stride + 1, chunk_tokens
+    )
+    return exploded.select(
+        id_col,
+        "chunk_index",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )

@@ -62,6 +62,29 @@ def test_break_values_bin_to_lower_bracket(spark):
     assert got[None] is None
 
 
+@pytest.mark.parametrize("right", [True, False])
+def test_finite_outer_bounds_match_pandas_cut(spark, right):
+    # finite breaks: values outside [first, last] must bin to NULL (pandas
+    # NaN), including the exact outer-edge exclusions per `right`
+    breaks = [10.0, 20.0, 30.0]
+    labels = ["a", "b"]
+    values = [5.0, 10.0, 10.5, 20.0, 29.999, 30.0, 31.0, None]
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = {
+        ("null" if r["v"] is None else r["v"]): r["b"]
+        for r in df.select(
+            "v", bin_by_breaks("v", breaks, labels, right=right).alias("b")
+        ).collect()
+    }
+    expected_raw = pd.cut(
+        pd.Series(values, dtype="float64"), breaks, labels=labels, right=right
+    )
+    for v, exp in zip(values, expected_raw):
+        key = "null" if v is None else v
+        exp = None if pd.isna(exp) else str(exp)
+        assert got[key] == exp, (v, got[key], exp)
+
+
 def test_validation():
     with pytest.raises(ValueError, match="at least 2 breaks"):
         bin_by_breaks("v", [50000.0], [])

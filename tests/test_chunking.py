@@ -1,0 +1,85 @@
+"""chunk_documents (x37): context-window splitting of long documents."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hbsir_old_spark.functions.sampling import chunk_documents  # noqa: E402
+
+
+def _doc(n):
+    return " ".join(f"t{i}" for i in range(n))
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_documents(df, chunk_tokens=kw.pop("chunk_tokens", 4), **kw)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_index"], r["chunk_text"], r["n_tokens"])
+        )
+    return {k: sorted(v) for k, v in got.items()}
+
+
+def test_disjoint_chunks_cover_every_token(spark):
+    got = _run(spark, [(1, _doc(10))])  # chunk 4, stride 4 -> 4+4+2
+    assert got[1] == [
+        (0, "t0 t1 t2 t3", 4),
+        (1, "t4 t5 t6 t7", 4),
+        (2, "t8 t9", 2),
+    ]
+
+
+def test_overlapping_stride(spark):
+    got = _run(spark, [(1, _doc(8))], stride=2)  # windows at 0,2,4 -> 3 chunks
+    assert got[1] == [
+        (0, "t0 t1 t2 t3", 4),
+        (1, "t2 t3 t4 t5", 4),
+        (2, "t4 t5 t6 t7", 4),
+    ]
+
+
+def test_short_doc_single_chunk_and_exact_fit(spark):
+    got = _run(spark, [(1, _doc(3)), (2, _doc(4)), (3, _doc(8))])
+    assert got[1] == [(0, "t0 t1 t2", 3)]
+    # exactly chunk_tokens -> ONE chunk, no empty tail
+    assert got[2] == [(0, "t0 t1 t2 t3", 4)]
+    assert got[3] == [(0, "t0 t1 t2 t3", 4), (1, "t4 t5 t6 t7", 4)]
+
+
+def test_exact_fit_with_overlap_has_no_empty_tail(spark):
+    # n == chunk_tokens with stride < chunk must still be one chunk
+    got = _run(spark, [(1, _doc(4))], stride=2)
+    assert got[1] == [(0, "t0 t1 t2 t3", 4)]
+
+
+def test_zero_token_docs_yield_no_rows(spark):
+    got = _run(spark, [(1, None), (2, ""), (3, "   "), (4, _doc(2))])
+    assert set(got) == {4}
+
+
+def test_whitespace_runs_collapse(spark):
+    got = _run(spark, [(1, "  a \t b\n\nc  ")])
+    assert got[1] == [(0, "a b c", 3)]
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_tokens=4, stride=0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_tokens=4, stride=5)
+
+
+def test_plan_is_map_only(spark):
+    df = spark.createDataFrame([(1, _doc(20))], "doc_id int, text string")
+    out = chunk_documents(df, chunk_tokens=4, stride=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -127,6 +127,7 @@ NO_R8_ROW_OR_NEW = {
     "p24_interval_binning",
     "g7_income_brackets",
     "x36_boilerplate_removal",
+    "x37_context_chunking",
     # the 11 r6-green veterans displaced by round-8 window pressure —
     # window PRIORITY this round per the pinned policy
     "x18_token_freq",
@@ -143,7 +144,6 @@ NO_R8_ROW_OR_NEW = {
     # rotated out in round 8 (green r7 rows) -- rowed again this round
     "w3_quantile_by_variable",
     "x10_multimodal_features",
-    "x12_embedding_dedup",
     "l3_real_corpus_food",
     "l4_real_household_decode",
     "x23_best_rep_dedup",
@@ -185,6 +185,9 @@ DISPLACED_R7_VETERANS = {
     # s5's session logic has a FRESH r8-green row via its streaming twin
     # s2; in-window s6/s7 keep the temporal/stateful paths rowed
     "s5_batch_sessions",
+    # x12's embedding-dedup candidate shape re-runs inside in-window x27
+    # SemDeDup; exact-top-k sibling x8 has a fresh r8-green row
+    "x12_embedding_dedup",
     "w1_weighted_ecdf",
     "w2_decile",
     "p13_cpi_deflation",
