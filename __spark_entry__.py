@@ -2815,11 +2815,16 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_CHUNK_DOCUMENTS = r"""
-WITH base AS (
+WITH squeezed AS (
+  -- the whitespace_tokens twin: collapse runs FIRST so edge tabs/newlines
+  -- can never leave phantom '' tokens, then trim, then split on ' '
   SELECT doc_id,
-         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []
-              ELSE string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') END AS toks
+         trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS sq
   FROM documents
+), base AS (
+  SELECT doc_id,
+         CASE WHEN length(sq) = 0 THEN [] ELSE string_split(sq, ' ') END AS toks
+  FROM squeezed
 ), sized AS (
   SELECT doc_id, toks, len(toks) AS n FROM base
 ), counted AS (

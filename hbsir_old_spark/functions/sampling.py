@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hbsir_old_spark.functions.text import whitespace_tokens
+
 #: md5 prefix length used for bucketing: 4 hex digits = 65536 buckets,
 #: giving split-fraction granularity of ~0.0015%
 _HEX_DIGITS = 4
@@ -288,10 +290,11 @@ def dsir_importance_select(
     paper's bag-of-hashed-ngrams product in log space.
     """
     n_buckets = 16 ** digits
-    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    tokens = whitespace_tokens(F.col(text_col))
     words = (
-        df.where(F.length(F.trim(F.col(text_col))) > 0)
-        .select(
+        # no emptiness guard needed: whitespace_tokens gives [] for
+        # NULL/blank text and explode of [] emits no rows
+        df.select(
             F.col(id_col),
             F.col(target_col).alias("__tgt__"),
             F.explode(tokens).alias("__w__"),
@@ -510,10 +513,7 @@ def chunk_documents(
             f"stride must be in (0, chunk_tokens]; got stride={stride}, "
             f"chunk_tokens={chunk_tokens}"
         )
-    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
-    toks = F.when(
-        F.length(trimmed) == F.lit(0), F.array().cast("array<string>")
-    ).otherwise(F.split(trimmed, r"\s+"))
+    toks = whitespace_tokens(F.col(text_col))
     n = F.size(toks)
     # computed over the projected __n__ alias — the raw text column is
     # already gone by the time this resolves

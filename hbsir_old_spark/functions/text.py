@@ -20,13 +20,30 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def token_count(col: Column | str) -> Column:
-    """Whitespace token count; 0 for empty/blank strings."""
-    col = _c(col)
-    trimmed = F.trim(col)
-    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+def whitespace_tokens(col: Column | str) -> Column:
+    """THE whitespace tokenizer of this package: collapse whitespace runs
+    to single spaces FIRST, then trim, then split on single spaces.
+    Collapse-before-trim is load-bearing (the :func:`normalize_text`
+    trick): ``F.trim`` strips only ASCII spaces, so a bare
+    trim-then-split on text with leading/trailing tabs/newlines yields
+    phantom '' edge tokens (Java split keeps them at limit -1). NULL,
+    empty and whitespace-only text all tokenize to an EMPTY array, never
+    ``['']``. Every token consumer (counts, n-grams, hashed features,
+    chunking) must derive from this one helper so the edge semantics
+    cannot drift between call sites — or between engine and oracle
+    (DuckDB twin: ``string_split(trim(regexp_replace(text,
+    '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ')``)."""
+    squeezed = F.trim(
+        F.regexp_replace(F.coalesce(_c(col), F.lit("")), r"\s+", " ")
     )
+    return F.when(
+        F.length(squeezed) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(squeezed, " "))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; 0 for NULL/empty/blank strings."""
+    return F.size(whitespace_tokens(col))
 
 
 #: GPT-2-style pretokenizer regex (letters / digits / punctuation runs with
@@ -143,7 +160,7 @@ def redact_pii(col: Column | str, patterns: dict[str, str] | None = None) -> Col
 def repeated_token_ratio(col: Column | str) -> Column:
     """Gopher-style repetition signal: 1 - distinct_tokens / tokens.
     High values flag boilerplate/spammy documents. Rounded 6dp."""
-    tokens = F.split(F.trim(_c(col)), r"\s+")
+    tokens = whitespace_tokens(col)
     n = F.size(tokens)
     distinct_n = F.size(F.array_distinct(tokens))
     return F.round(
@@ -179,16 +196,20 @@ def duplicate_ngram_fraction(col: Column | str, n: int = 2) -> Column:
     shuffle; the same list algebra exists in DuckDB for the oracle."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    tokens = F.split(F.trim(_c(col)), r"\s+")
+    tokens = whitespace_tokens(col)
     m = F.size(tokens) - (n - 1)
+    # clamped for the slice calls only: an empty token array makes m go to
+    # -(n-1), and slice rejects negative lengths; the when(m > 0) below
+    # still decides the output
+    m0 = F.greatest(m, F.lit(0))
     # n-grams as a fold of zip_with over n shifted slices — O(tokens) array
     # work per row (the sequence+slice formulation re-walks the token array
     # per gram, O(tokens^2), and was the bottleneck at bench scale)
-    grams = F.slice(tokens, 1, m)
+    grams = F.slice(tokens, 1, m0)
     for j in range(2, n + 1):
         grams = F.zip_with(
             grams,
-            F.slice(tokens, j, m),
+            F.slice(tokens, j, m0),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
     return F.round(
@@ -546,11 +567,7 @@ def hashed_quality_score(
     """
     n_buckets = 16**hex_chars
     half = n_buckets // 2
-    trimmed = F.trim(F.col(text_col))
-    toks = F.when(
-        F.coalesce(F.length(trimmed), F.lit(0)) == 0,
-        F.array().cast("array<string>"),
-    ).otherwise(F.split(trimmed, r"\s+"))
+    toks = whitespace_tokens(F.col(text_col))
 
     def _weight(tok: Column) -> Column:
         bucket = F.conv(
@@ -642,11 +659,7 @@ def hashed_quality_score_weighted(
     table = F.expr(
         "array(" + ",".join(repr(float(w)) + "D" for w in weights) + ")"
     )
-    trimmed = F.trim(F.col(text_col))
-    toks = F.when(
-        F.coalesce(F.length(trimmed), F.lit(0)) == 0,
-        F.array().cast("array<string>"),
-    ).otherwise(F.split(trimmed, r"\s+"))
+    toks = whitespace_tokens(F.col(text_col))
 
     def _weight(tok: Column) -> Column:
         bucket = F.conv(

@@ -58,8 +58,46 @@ def test_exact_fit_with_overlap_has_no_empty_tail(spark):
 
 
 def test_zero_token_docs_yield_no_rows(spark):
-    got = _run(spark, [(1, None), (2, ""), (3, "   "), (4, _doc(2))])
+    # "\t\t" and "\n" are the whitespace_tokens regression pins: F.trim
+    # strips only spaces, so the old trim-then-split yielded phantom ''
+    # tokens for non-space edge whitespace
+    got = _run(
+        spark,
+        [(1, None), (2, ""), (3, "   "), (4, _doc(2)), (5, "\t\t"), (6, "\n")],
+    )
     assert set(got) == {4}
+
+
+def test_edge_whitespace_never_yields_phantom_tokens(spark):
+    got = _run(spark, [(1, "hello\n"), (2, "\tworld again\r\n")])
+    assert got[1] == [(0, "hello", 1)]
+    assert got[2] == [(0, "world again", 2)]
+
+
+def test_shared_tokenizer_edge_semantics(spark):
+    # whitespace_tokens is THE tokenizer every token consumer derives from;
+    # pin its edge table directly
+    from pyspark.sql import functions as F
+
+    from hbsir_old_spark.functions.text import token_count, whitespace_tokens
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "\t\t"), (4, " a\tb\n"), (5, "x")],
+        "i int, t string",
+    )
+    rows = {
+        r["i"]: (r["toks"], r["n"])
+        for r in df.select(
+            "i",
+            whitespace_tokens("t").alias("toks"),
+            token_count("t").alias("n"),
+        ).collect()
+    }
+    assert rows[1] == ([], 0)
+    assert rows[2] == ([], 0)
+    assert rows[3] == ([], 0)
+    assert rows[4] == (["a", "b"], 2)
+    assert rows[5] == (["x"], 1)
 
 
 def test_whitespace_runs_collapse(spark):
