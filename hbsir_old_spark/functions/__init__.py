@@ -13,8 +13,12 @@ from hbsir_old_spark.functions.text import (  # noqa: F401
     doc_fingerprint,
     lang_id,
     quality_features,
+    remove_boilerplate_lines,
     token_count,
+    whitespace_tokens,
 )
+from hbsir_old_spark.functions.sampling import chunk_documents  # noqa: F401
+from hbsir_old_spark.functions.standard import bin_by_breaks  # noqa: F401
 from hbsir_old_spark.functions.dedup import (  # noqa: F401
     exact_dedup,
     minhash_lsh_pairs,
