@@ -2615,24 +2615,29 @@ def q_income_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
     hh = registry.add_weights(hh, [_G7_YEAR]).withColumn(
         "bracket", bin_by_breaks("Income", _G7_BREAKS, _G7_LABELS)
     )
-    # cell 5: unweighted household share per bracket. The grand total
-    # reaches the per-bracket rows via a broadcast cross join (the x35
-    # threshold pattern) rather than an unpartitioned window — same
-    # result on this tiny post-agg frame, but no single-partition
-    # WindowExec in the plan.
-    counts = hh.groupBy("bracket").agg(
-        F.count("*").alias("__n__"), F.sum("Weight").alias("__wsum__")
+    # cells 5+6 fused into ONE per-bracket aggregate (the oracle's
+    # per_bracket shape): household count, distinct-household weight sum,
+    # and the A4 weighted mean (sum(M*w) over the null-restricted
+    # weight sum — weighted_average's exact formula, inlined so the hh
+    # subtree is scanned once here instead of twice; at 100 TB each extra
+    # consumer of hh is a full fact pass, Spark reuses no subtrees). The
+    # grand total reaches the per-bracket rows via a broadcast cross join
+    # (the x35 threshold pattern) rather than an unpartitioned window.
+    per_bracket = hh.groupBy("bracket").agg(
+        F.count("*").alias("__n__"),
+        F.sum("Weight").alias("__wsum__"),
+        (
+            F.sum(F.col("Members") * F.col("Weight"))
+            / F.sum(F.when(F.col("Members").isNotNull(), F.col("Weight")))
+        ).alias("mean_members"),
     )
-    grand = counts.agg(F.sum("__n__").alias("__tot__"))
-    shares = counts.crossJoin(F.broadcast(grand)).select(
+    grand = per_bracket.agg(F.sum("__n__").alias("__tot__"))
+    shares = per_bracket.crossJoin(F.broadcast(grand)).select(
         "bracket",
         (F.col("__n__") / F.col("__tot__") * 100).alias("share_pct"),
         "__wsum__",
+        "mean_members",
     )
-    # cell 6: weighted mean household size per bracket (A3/A4)
-    mean_members = weighted_average(
-        hh, group_cols=["bracket"], value_cols=["Members"]
-    ).withColumnRenamed("Members", "mean_members")
     # cells 8-9: per-bracket weighted per-capita income by type, unstacked
     per_type = (
         breakdown.join(hh.select("Year", "ID", "bracket", "Weight"), ["Year", "ID"])
@@ -2643,7 +2648,7 @@ def q_income_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_type, ["bracket"], "Income_Type", "__wi__", agg="sum",
         pivot_values=_G7_TYPES,
     )
-    out = shares.join(mean_members, "bracket").join(inc_wide, "bracket")
+    out = shares.join(inc_wide, "bracket")
     return out.select(
         "bracket",
         F.round("share_pct", 4).alias("share_pct"),
