@@ -96,6 +96,49 @@ def test_validation():
         bin_by_breaks("v", [0, 1, 1], ["a", "b"])
 
 
+def test_many_random_configs_match_pandas_cut(spark):
+    # 12 deterministic random break configurations (finite and ±inf outer
+    # bounds, 2-8 intervals, both polarities) evaluated in ONE Spark job:
+    # each config is one binning column over the same value set, compared
+    # elementwise against pandas.cut
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260815)
+    configs = []
+    for i in range(12):
+        k = rng.randint(2, 8)
+        cuts = sorted(rng.sample(range(-100, 100), k + 1))
+        breaks = [float(c) for c in cuts]
+        if i % 3 == 0:
+            breaks[0], breaks[-1] = -math.inf, math.inf
+        labels = [f"c{i}_{j}" for j in range(k)]
+        configs.append((breaks, labels, i % 2 == 0))
+
+    values = [None] + [float(v) for v in range(-105, 106, 3)]
+    # every break value itself is an edge case: include them all
+    for breaks, _, _ in configs:
+        values.extend(b for b in breaks if math.isfinite(b))
+    values = list(dict.fromkeys(values))
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    cols = [
+        bin_by_breaks("v", breaks, labels, right=right).alias(f"b{i}")
+        for i, (breaks, labels, right) in enumerate(configs)
+    ]
+    rows = df.select("v", *cols).collect()
+    got = {("null" if r["v"] is None else r["v"]): r for r in rows}
+
+    series = pd.Series(values, dtype="float64")
+    for i, (breaks, labels, right) in enumerate(configs):
+        expected = pd.cut(series, breaks, labels=labels, right=right)
+        for v, exp in zip(values, expected):
+            key = "null" if v is None else v
+            exp = None if pd.isna(exp) else str(exp)
+            assert got[key][f"b{i}"] == exp, (i, v, got[key][f"b{i}"], exp)
+
+
 def test_binning_is_map_only(spark):
     df = spark.range(100).select(F.col("id").cast("double").alias("v"))
     out = df.select(bin_by_breaks("v", BREAKS, LABELS).alias("b"))
