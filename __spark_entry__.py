@@ -963,9 +963,9 @@ WITH noisy AS (
 SELECT doc_id,
        length(text)::BIGINT AS clean_len,
        (length(text) - length(replace(text, '[EMAIL]', '')))::BIGINT AS email_chars,
-       round(CASE WHEN len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) > 0
-                  THEN 1 - len(list_distinct(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')))
-                           / len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
+       round(CASE WHEN len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '')) > 0
+                  THEN 1 - len(list_distinct(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '')))
+                           / len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> ''))
                   ELSE 0 END, 6) AS rep_ratio
 FROM redacted
 """
@@ -1271,8 +1271,8 @@ WITH doubled AS (
   SELECT doc_id + 1000000, lang, text FROM documents
 ), scored AS (
   SELECT doc_id, lang, text,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tokens,
+         coalesce(len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
+                                  t -> t <> '')), 0) AS n_tokens,
          ((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
           + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3
           + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5
@@ -1391,8 +1391,8 @@ SQL_TEXT_STATS = """
 WITH base AS (
   SELECT doc_id, text,
          length(text) AS n_chars,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tokens,
+         coalesce(len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
+                                  t -> t <> '')), 0) AS n_tokens,
          ((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
           + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3
           + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5
@@ -1654,8 +1654,8 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_BPE_TOKEN_COUNT = r"""
 SELECT doc_id,
-       (CASE WHEN length(trim(text)) = 0 THEN 0
-             ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END)::BIGINT AS ws_tokens,
+       coalesce(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+                                 t -> t <> '')), 0)::BIGINT AS ws_tokens,
        len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))::BIGINT
            AS bpe_tokens
 FROM documents
@@ -4499,8 +4499,9 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_LM_PERPLEXITY = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS t
-  FROM documents WHERE length(trim(text)) > 0
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS t
+  FROM documents
 ), pairs AS (
   SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
   FROM toks, unnest(range(1, len(t))) AS u(i)
@@ -4547,8 +4548,9 @@ def q_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PERPLEXITY_PRUNE = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS t
-  FROM documents WHERE length(trim(text)) > 0
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS t
+  FROM documents
 ), pairs AS (
   SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
   FROM toks, unnest(range(1, len(t))) AS u(i)
@@ -4799,8 +4801,9 @@ WITH docs AS (
   SELECT doc_id, (lang = 'en') AS is_target, text FROM documents
 ), toks AS (
   SELECT doc_id, is_target,
-         unnest(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS w
-  FROM docs WHERE length(trim(text)) > 0
+         unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+                            t -> t <> '')) AS w
+  FROM docs
 ), words AS (
   SELECT doc_id, is_target, substr(md5('dsir' || '|' || w), 1, 2) AS f
   FROM toks
@@ -4930,9 +4933,8 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SEQUENCE_PACK = r"""
 WITH toks AS (
   SELECT doc_id,
-         (CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END)::BIGINT
-           AS n_tokens,
+         coalesce(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+                                  t -> t <> '')), 0)::BIGINT AS n_tokens,
          substr(md5('pack' || '|' || doc_id::VARCHAR), 1, 2) AS pack_bucket
   FROM documents
 ), cum AS (
@@ -5318,9 +5320,9 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "lang", "text")
-        .withColumn(
-            "n_tokens", F.coalesce(token_count("text").cast("long"), F.lit(0))
-        )
+        # token_count is never NULL (whitespace_tokens coalesces to []),
+        # so no NULL-papering wrapper is needed here
+        .withColumn("n_tokens", token_count("text").cast("long"))
         .withColumn(
             "h", F.md5(F.concat(F.lit("tb|"), F.col("doc_id").cast("string")))
         )
@@ -5342,9 +5344,8 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOKEN_BUDGET = """
 WITH toks AS (
   SELECT doc_id, lang,
-         coalesce((CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END)::BIGINT,
-                  0) AS n_tokens,
+         coalesce(len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
+                                  t -> t <> '')), 0)::BIGINT AS n_tokens,
          md5('tb|' || doc_id::VARCHAR) AS h
   FROM documents
 ), cum AS (

@@ -273,16 +273,18 @@ def bigram_lm_scores(
     """
     from pyspark.sql import functions as _F
 
-    tokens = _F.split(_F.trim(_F.col(text_col)), r"\s+")
+    tokens = whitespace_tokens(text_col)
     m = _F.size(tokens) - 1
+    # clamp for slice only (empty docs make m = -1, which slice rejects);
+    # 0- and 1-token docs produce an empty gram array and explode away
+    m0 = _F.greatest(m, _F.lit(0))
     grams = _F.zip_with(
-        _F.slice(tokens, 1, m),
-        _F.slice(tokens, 2, m),
+        _F.slice(tokens, 1, m0),
+        _F.slice(tokens, 2, m0),
         lambda a, b: _F.struct(a.alias("w1"), b.alias("w2")),
     )
     pairs = (
-        df.where(_F.length(_F.trim(_F.col(text_col))) > 0)
-        .select(_F.col(id_col), _F.explode(grams).alias("__g__"))
+        df.select(_F.col(id_col), _F.explode(grams).alias("__g__"))
         .select(id_col, _F.col("__g__.w1").alias("w1"), _F.col("__g__.w2").alias("w2"))
     )
     bigram_counts = pairs.groupBy("w1", "w2").agg(_F.count("*").alias("c2"))
