@@ -4773,6 +4773,181 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# X38 — the FULL production curation funnel: x34's four stages plus the
+# near-duplicate stage, composing the repo's independently-verified
+# building blocks end-to-end (the CCNet / RefinedWeb shape): candidate
+# pairs -> exact-Jaccard verify -> connected components -> min-id
+# canonical. The x38 gate runs pair_mode='exact' (ngram_jaccard_pairs —
+# deterministic, so the WHOLE composed funnel carries a full DuckDB
+# oracle with a recursive-CTE transitive closure over the survivor
+# universe); x38b runs the same corpus through pair_mode='lsh' (the
+# 100-TB scale path: banded MinHash candidates + verify) — approximate
+# by design => rows-only driver check, with the planted-twin recall
+# floor pinned in tests/test_curation.py. Corpus plant: every doc gets
+# an exact copy (+1M, stage-3 pressure) AND a perturbed near-copy (+2M,
+# stage-4 pressure).
+# --------------------------------------------------------------------------
+
+
+def _fuzzy_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = union_tables(
+        [
+            docs,
+            docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"),
+            docs.select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" perturbed suffix token")).alias(
+                    "text"
+                ),
+            ),
+        ]
+    )
+    return corpus, docs.filter(F.col("doc_id") < 5)
+
+
+def q_curation_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.curation import curate_corpus_fuzzy
+
+    corpus, benchmark = _fuzzy_corpus(spark, sf_dir)
+    return curate_corpus_fuzzy(
+        corpus,
+        benchmark,
+        quality_threshold=0.0,
+        shingle_n=5,
+        near_n=2,
+        near_threshold=0.5,
+        pair_mode="exact",
+    ).orderBy("doc_id")
+
+
+def q_curation_fuzzy_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.curation import curate_corpus_fuzzy
+
+    corpus, benchmark = _fuzzy_corpus(spark, sf_dir)
+    return curate_corpus_fuzzy(
+        corpus,
+        benchmark,
+        quality_threshold=0.0,
+        shingle_n=5,
+        near_n=2,
+        near_threshold=0.5,
+        pair_mode="lsh",
+        num_perm=16,
+        bands=4,
+    ).orderBy("doc_id")
+
+
+def _sql_curation_fuzzy() -> str:
+    scores = _sql_lang_scores()
+    norm = (
+        "trim(regexp_replace(translate(lower(text), 'ς', 'σ'),"
+        " '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
+    )
+    grams5 = (
+        "list_distinct(list_transform(range(1, greatest(len(t) - 4, 1) + 1),"
+        " i -> array_to_string(t[i:i+4], ' ')))"
+    )
+    grams2 = (
+        "list_distinct(list_transform(range(1, greatest(len(t) - 1, 1) + 1),"
+        " i -> array_to_string(t[i:i+1], ' ')))"
+    )
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' perturbed suffix token' AS text
+  FROM documents
+), lang AS (
+  SELECT doc_id, substr(greatest({scores}), 13, 2) = 'en' AS lang_ok FROM corpus
+), qbase AS (
+  SELECT doc_id, trim(text) AS t FROM corpus
+), qtoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(t, '[ \\t\\n\\x0b\\f\\r]+')) AS tok
+  FROM qbase WHERE t IS NOT NULL AND length(t) > 0
+), qw AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum((('0x' || substr(md5('qw|' || tok), 1, 3))::BIGINT * 2654435761)
+             % 4097 - 2048)::BIGINT AS score_sum
+  FROM qtoks GROUP BY doc_id
+), q AS (
+  SELECT b.doc_id,
+         coalesce(w.n_tokens > 0 AND w.score_sum / (w.n_tokens * 2048.0) > 0.0,
+                  FALSE) AS quality_pass
+  FROM qbase b LEFT JOIN qw w USING (doc_id)
+), fp AS (
+  SELECT doc_id, md5({norm}) AS f FROM corpus
+), canon AS (
+  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY f) AS is_canonical FROM fp
+), univ AS (
+  -- near-dup universe: survivors of stages 1-3
+  SELECT c.doc_id, c.text
+  FROM corpus c
+  JOIN lang l USING (doc_id)
+  JOIN q USING (doc_id)
+  JOIN canon USING (doc_id)
+  WHERE l.lang_ok AND q.quality_pass AND canon.is_canonical
+), ntoks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM univ
+), nsh AS (
+  SELECT doc_id, {grams2} AS s FROM ntoks
+), nex AS (
+  SELECT doc_id, unnest(s) AS g FROM nsh
+), ncommon AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS c
+  FROM nex a JOIN nex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), npairs AS (
+  SELECT id_a, id_b
+  FROM ncommon
+  JOIN nsh sa ON sa.doc_id = id_a
+  JOIN nsh sb ON sb.doc_id = id_b
+  WHERE round(c / (len(sa.s) + len(sb.s) - c), 6) >= 0.5
+), nedges AS (
+  SELECT id_a AS u, id_b AS v FROM npairs
+  UNION ALL
+  SELECT id_b, id_a FROM npairs
+), nreach AS (
+  SELECT u, u AS comp FROM (SELECT DISTINCT u FROM nedges)
+  UNION
+  SELECT e.u, r.comp FROM nedges e JOIN nreach r ON e.v = r.u
+), nnonrep AS (
+  SELECT u AS doc_id FROM nreach GROUP BY u HAVING u <> min(comp)
+), ctoks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM corpus
+), csh AS (
+  SELECT doc_id, unnest({grams5}) AS g FROM ctoks
+), bsh AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest({grams5}) AS g
+    FROM (SELECT string_split({norm}, ' ') AS t FROM documents WHERE doc_id < 5)
+  ) WHERE g <> ''
+), cont AS (
+  SELECT DISTINCT doc_id FROM csh
+  WHERE EXISTS (SELECT 1 FROM bsh WHERE bsh.g = csh.g)
+)
+SELECT c.doc_id, l.lang_ok, q.quality_pass, canon.is_canonical,
+       (nn.doc_id IS NULL) AS is_near_canonical,
+       (cont.doc_id IS NOT NULL) AS contaminated,
+       CASE WHEN NOT l.lang_ok THEN 'lang'
+            WHEN NOT q.quality_pass THEN 'quality'
+            WHEN NOT canon.is_canonical THEN 'duplicate'
+            WHEN nn.doc_id IS NOT NULL THEN 'near_duplicate'
+            WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+            ELSE 'keep' END AS verdict
+FROM corpus c
+JOIN lang l USING (doc_id)
+JOIN q USING (doc_id)
+JOIN canon USING (doc_id)
+LEFT JOIN nnonrep nn USING (doc_id)
+LEFT JOIN cont USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # X31 — DSIR importance resampling (Xie et al. 2023), deterministic
 # variant: score every document by log P_target - log P_source under
 # add-one-smoothed multinomials over md5-hashed word features (target =
@@ -5989,6 +6164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORC sibling l8 stays in-window). All are re-proven exact every test
     # run by tests/test_oracle_parity.py.
     return {
+        # -- new in round 10 --
+        "x38_curation_fuzzy": q_curation_fuzzy,
         # -- new in round 9 --
         "p24_interval_binning": q_interval_binning,
         "g7_income_brackets": q_income_brackets,
@@ -6045,6 +6222,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_ivf_topk": q_ivf_topk,
         "w4_approx_decile": q_approx_decile,
         "w4b_weighted_approx_decile": q_weighted_approx_decile,
+        # x38b: the LSH-mode (scale-path) twin of in-window x38 — banded
+        # MinHash candidates, recall < 1 by design => rows-only; the
+        # planted-twin recall floor is pinned in tests/test_curation.py
+        "x38b_curation_fuzzy_lsh": q_curation_fuzzy_lsh,
         # -- rotated past position 50 this round: every gate below is
         # FULL-ORACLE with a green (hash-matched) driver row in
         # CORRECTNESS_r08.json — plus the 12 displaced r7-green veterans
@@ -6221,6 +6402,10 @@ def oracle_sql() -> dict[str, str]:
         "x36_boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
         "x37_context_chunking": SQL_CHUNK_DOCUMENTS,
         "x34_curation_pipeline": _sql_curation_pipeline(),
+        # x38b_curation_fuzzy_lsh: approximate by design (LSH recall < 1)
+        # => rows-only; x38_curation_fuzzy is the exact-pair twin with the
+        # full recursive-CTE oracle below.
+        "x38_curation_fuzzy": _sql_curation_fuzzy(),
         "x35_perplexity_prune": SQL_PERPLEXITY_PRUNE,
         "l16_monthly_cpi_chain": SQL_MONTHLY_CPI_CHAIN,
         "w3_quantile_by_variable": SQL_QUANTILE_BY_VARIABLE,
