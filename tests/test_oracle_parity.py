@@ -101,13 +101,14 @@ def test_every_oracle_key_has_a_query():
         "a7_approx_distinct",
         "w4_approx_decile",
         "w4b_weighted_approx_decile",
+        "x38b_curation_fuzzy_lsh",
     }
 
 
 # The correctness driver records rows for only the first 50 entries of
 # queries() (r2: 51 registered -> 50 rows; r3: 57 -> first 50). These pins
 # enforce the rotation policy:
-#  (a) gates WITHOUT a row in CORRECTNESS_r08.json, plus
+#  (a) gates WITHOUT a row in CORRECTNESS_r09.json, plus
 #      brand-new gates, sit inside the recorded window — except the
 #      DISPLACED set below when the window oversubscribes;
 #  (b) rows-only gates (approximate by design, no oracle) NEVER rotate out
@@ -116,20 +117,100 @@ def test_every_oracle_key_has_a_query():
 #      evidence for them;
 #  (c) only FULL-ORACLE gates with a green (hash-matched) driver row may
 #      sit past position 50 — normally from the PREVIOUS round; when new
-#      gates oversubscribe the window (round 9: 11 displaced r6-green +
-#      42 r7-green + 7 rows-only + 2 new = 62 candidates for 50 slots),
-#      the overflow comes from the cheapest longest-stable veterans,
-#      whose newest row is then two rounds old and whose exactness the
-#      parity suite re-proves every run. They get window PRIORITY next
-#      round.
-NO_R8_ROW_OR_NEW = {
-    # new in round 9
+#      gates oversubscribe the window (round 10: 17 displaced r8-green +
+#      43 r8-green-in-tail ... the window holds 2 new full-oracle + 14
+#      promised veterans + 26 returning r8-green + 8 rows-only = 50),
+#      the overflow comes from gates whose operators re-run inside
+#      in-window gates or carried fresh sibling rows, and whose exactness
+#      the parity suite re-proves every run. They get window PRIORITY
+#      next round.
+NO_R9_ROW_OR_NEW = {
+    # new in round 10
+    "x38_curation_fuzzy",
+    "g5b_isc_summary_1401",
+    # the 14 veterans promised r10 window priority by the r9 header
+    "s5_batch_sessions",
+    "x12_embedding_dedup",
+    "w1_weighted_ecdf",
+    "w2_decile",
+    "p13_cpi_deflation",
+    "x11_bpe_token_count",
+    "g1_dsl_pipeline",
+    "l1_form_raw_vs_cleaned",
+    "p16_id_digit_extraction",
+    "u1_union_missing_columns",
+    "a6_distinct_agg",
+    "a10_cube",
+    "o2_rolling_window",
+    "l7_jsonl_ingest",
+    # r8-green veterans returning from the tail: 26 of the 43
+    "p11_season_derivation",
+    "p23_json_extract",
+    "p17_map_lookup",
+    "l16_monthly_cpi_chain",
+    "g6_poverty_rate",
+    "l15b_partitioned_span",
+    "x34_curation_pipeline",
+    "x35_perplexity_prune",
+    "j2_dim_join_chain",
+    "j6_fact_join",
+    "j8_geometry_join",
+    "x14_text_cleaning",
+    "g3_report_pivot_totals",
+    "l2_setup_roundtrip",
+    "x16_hash_split",
+    "x17_group_quota",
+    "s4_upsert_sink",
+    "x20_tfidf_top_terms",
+    "x21_asof_attribution",
+    "x22_incremental_dedup",
+    "s1_events_tumbling",
+    "s3_events_sliding",
+    "x8_cosine_topk",
+    "l14_multi_year_food",
+    "x31_dsir_select",
+    "x32_dup_windows",
+}
+# displaced by round-10 window pressure: r8-green rows, each with its
+# operator re-running inside an in-window gate or a fresh r9 sibling row
+# (rationales in the queries() header); window priority in r11
+DISPLACED_R8_VETERANS = {
+    "p4_string_scrub",
+    "f3_distinct",
+    "o1_top_k",
+    "s2_events_sessions",
+    "x2_ngram_jaccard",
+    "x19_dup_clusters",
+    "x15_contamination_flag",
+    "x1_dedup_exact",
+    "x6_lang_id",
+    "j9_semi_anti",
+    "x7_rolling_fingerprint",
+    "l13_real_cpi_chain",
+    "j1_classification_join",
+    "a2_household_math",
+    "j3_weighted_average",
+    "a4_average_table",
+    "a5_weighted_sum",
+}
+# approximate-by-design gates: spark_rows is their only driver record
+ROWS_ONLY_PINNED_IN_WINDOW = {
+    "x3_minhash_lsh",
+    "x4_simhash_pairs",
+    "x9_ann_lsh",
+    "x13_ivf_topk",
+    "a7_approx_distinct",
+    "w4_approx_decile",
+    "w4b_weighted_approx_decile",
+    "x38b_curation_fuzzy_lsh",
+}
+# every gate here is FULL-ORACLE with a green (hash-matched) row in
+# CORRECTNESS_r09.json (plus the displaced r8-green veterans above)
+ROTATED_VETERANS = DISPLACED_R8_VETERANS | {
     "p24_interval_binning",
     "g7_income_brackets",
     "x36_boilerplate_removal",
     "x37_context_chunking",
-    # the 11 r6-green veterans displaced by round-8 window pressure —
-    # window PRIORITY this round per the pinned policy
     "x18_token_freq",
     "x5_text_stats",
     "a1_groupby_sum",
@@ -141,7 +222,6 @@ NO_R8_ROW_OR_NEW = {
     "f2_attribute_select",
     "a8_rollup",
     "a9_grouping_sets",
-    # rotated out in round 8 (green r7 rows) -- rowed again this round
     "w3_quantile_by_variable",
     "x10_multimodal_features",
     "l3_real_corpus_food",
@@ -171,98 +251,11 @@ NO_R8_ROW_OR_NEW = {
     "l18_real_outlay_chain",
     "x33_quality_classifier",
 }
-# displaced by round-9 window pressure: green r7 rows, cheapest
-# longest-stable gates, parity-proven each run; window priority in r10
-# (w1/w2's window-rank operators re-run inside in-window w3; p13's
-# broadcast CPI join is stable since r2; x11's BPE fold runs inside
-# in-window x24; g1's DSL sub-steps run inside in-window g2; l1's
-# cleaned-form derivation runs inside every in-window real-corpus gate;
-# p16's ID decode runs inside in-window l4 and the new g7; u1's
-# missing-column union runs inside in-window l15; a6/a10 are the lattice
-# siblings of in-window a8/a9; o2 is a native rolling window stable
-# since r2; l7's JSONL ingest has its ORC sibling l8 in-window)
-DISPLACED_R7_VETERANS = {
-    # s5's session logic has a FRESH r8-green row via its streaming twin
-    # s2; in-window s6/s7 keep the temporal/stateful paths rowed
-    "s5_batch_sessions",
-    # x12's embedding-dedup candidate shape re-runs inside in-window x27
-    # SemDeDup; exact-top-k sibling x8 has a fresh r8-green row
-    "x12_embedding_dedup",
-    "w1_weighted_ecdf",
-    "w2_decile",
-    "p13_cpi_deflation",
-    "x11_bpe_token_count",
-    "g1_dsl_pipeline",
-    "l1_form_raw_vs_cleaned",
-    "p16_id_digit_extraction",
-    "u1_union_missing_columns",
-    "a6_distinct_agg",
-    "a10_cube",
-    "o2_rolling_window",
-    "l7_jsonl_ingest",
-}
-# approximate-by-design gates: spark_rows is their only driver record
-ROWS_ONLY_PINNED_IN_WINDOW = {
-    "x3_minhash_lsh",
-    "x4_simhash_pairs",
-    "x9_ann_lsh",
-    "x13_ivf_topk",
-    "a7_approx_distinct",
-    "w4_approx_decile",
-    "w4b_weighted_approx_decile",
-}
-# every gate here is FULL-ORACLE with a green (hash-matched) row in
-# CORRECTNESS_r08.json (plus the displaced r7-green veterans above)
-ROTATED_VETERANS = DISPLACED_R7_VETERANS | {
-    "p4_string_scrub",
-    "p11_season_derivation",
-    "f3_distinct",
-    "o1_top_k",
-    "p23_json_extract",
-    "p17_map_lookup",
-    "l16_monthly_cpi_chain",
-    "g6_poverty_rate",
-    "l15b_partitioned_span",
-    "x34_curation_pipeline",
-    "x35_perplexity_prune",
-    "j1_classification_join",
-    "j2_dim_join_chain",
-    "j3_weighted_average",
-    "j6_fact_join",
-    "j8_geometry_join",
-    "j9_semi_anti",
-    "a2_household_math",
-    "a4_average_table",
-    "a5_weighted_sum",
-    "x14_text_cleaning",
-    "x15_contamination_flag",
-    "x1_dedup_exact",
-    "x2_ngram_jaccard",
-    "x6_lang_id",
-    "x7_rolling_fingerprint",
-    "g3_report_pivot_totals",
-    "l2_setup_roundtrip",
-    "x16_hash_split",
-    "x17_group_quota",
-    "s4_upsert_sink",
-    "x19_dup_clusters",
-    "x20_tfidf_top_terms",
-    "x21_asof_attribution",
-    "x22_incremental_dedup",
-    "s1_events_tumbling",
-    "s2_events_sessions",
-    "s3_events_sliding",
-    "x8_cosine_topk",
-    "l13_real_cpi_chain",
-    "l14_multi_year_food",
-    "x31_dsir_select",
-    "x32_dup_windows",
-}
 
 
 def test_driver_cap_ordering():
     first50 = set(list(QUERIES)[:50])
-    missing = NO_R8_ROW_OR_NEW - first50
+    missing = NO_R9_ROW_OR_NEW - first50
     assert not missing, f"unrowed gates outside the driver's 50-row window: {missing}"
     ro_missing = ROWS_ONLY_PINNED_IN_WINDOW - first50
     assert not ro_missing, (
