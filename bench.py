@@ -108,6 +108,13 @@ HEADLINE = [
     "x36_boilerplate_removal",
     # round 9: context-window chunking (map-only split/slice explode)
     "x37_context_chunking",
+    # round 10: the FULL production curation funnel — x34's four stages
+    # plus the near-dup stage on its 100-TB path (banded MinHash
+    # candidates -> exact-Jaccard verify -> pointer-jumping connected
+    # components -> min-id canonical). The exact-pair twin x38 stays
+    # gate-only like x19/x23 (all-pairs n-gram generation is its wall
+    # time); the LSH composition is the throughput-relevant shape.
+    "x38b_curation_fuzzy_lsh",
     # x23_best_rep_dedup stays gate-only like x19: exact all-pairs n-gram
     # generation dominates its wall time (the scale path is x3's MinHash),
     # so it belongs to correctness, not the throughput suite. x26's k-means
@@ -206,6 +213,19 @@ def main() -> None:
         cold[name] = round(runs[0], 3)
     load_after = os.getloadavg()
 
+    # Storm annotation for the cold column (round-9 record lesson: x3's
+    # 22.5 s "cold" was a flagged host stall, not a cold-start cost, but
+    # nothing in the record said so). A true cold run cannot be re-taken
+    # in-process — the page cache and JIT are warm after iteration 1 — so
+    # the honest fix is to FLAG colds that are implausibly far above the
+    # warm median: every plan here is JIT-warmed pre-loop, so a genuine
+    # first-at-SF scan cost lands within ~1.5x of warm + a small scan
+    # constant. Flagged colds should be read as contaminated-by-stall;
+    # the medians (noise-guarded above) stay authoritative.
+    cold_storm_suspects = sorted(
+        n for n in HEADLINE if cold[n] > 1.5 * medians[n] + 0.5
+    )
+
     total = round(sum(medians.values()), 3)
     # FIELD ORDER IS LOAD-BEARING for the printed line: the driver's
     # record keeps only a ~2000-char TAIL of stdout, so the warm medians
@@ -220,6 +240,10 @@ def main() -> None:
             "loadavg_before": [round(x, 2) for x in load_before],
             "loadavg_after": [round(x, 2) for x in load_after],
             "noise_reruns": reruns,
+            # colds implausibly above their own warm median (>1.5x +
+            # 0.5 s): contaminated by a host stall, NOT a cold-start
+            # cost — read the median instead
+            "cold_storm_suspects": cold_storm_suspects,
             # quiet_host=False means the wait budget expired while
             # the host stayed loaded: treat the numbers as noisy,
             # not as a regression signal

@@ -26,3 +26,7 @@ from hbsir_old_spark.functions.dedup import (  # noqa: F401
     simhash,
 )
 from hbsir_old_spark.functions.similarity import cosine_similarity, cosine_topk  # noqa: F401
+from hbsir_old_spark.functions.curation import (  # noqa: F401
+    curate_corpus,
+    curate_corpus_fuzzy,
+)

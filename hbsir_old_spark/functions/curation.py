@@ -233,6 +233,16 @@ def curate_corpus_fuzzy(
         quality_threshold=quality_threshold,
         shingle_n=shingle_n,
     )
+    # Materialize the stage-1..3+5 diagnostic frame ONCE: it anchors the
+    # survivor universe, the pair stage's semi-join, AND the final output
+    # join — without this the whole four-stage funnel plan re-executes
+    # three times (measured ~2x wall on the sf0.1 gate). The frame is
+    # narrow (id + five booleans), so even at corpus scale the
+    # materialization is a sliver of the text it summarizes;
+    # localCheckpoint trades executor-loss recovery for lineage
+    # truncation, same contract as the dedup/CC internals — use a
+    # reliable checkpoint dir on clusters with expected churn.
+    flags = flags.localCheckpoint(eager=True)
     survivors = flags.filter(
         F.col("lang_ok") & F.col("quality_pass") & F.col("is_canonical")
     ).select(id_col)

@@ -486,9 +486,10 @@ def chunk_documents(
 
     Output one row per chunk: ``(id_col, chunk_index, chunk_text,
     n_tokens)``. Chunk count is ``1 + ceil((n - chunk_tokens) / stride)``
-    for ``n > chunk_tokens`` else 1 — every token appears in at least one
-    chunk, and the tail chunk may be short (``n_tokens`` reports its true
-    size). Zero-token documents (NULL / empty / whitespace-only text)
+    for ``n > chunk_tokens``, 1 for ``0 < n <= chunk_tokens``, and 0 for
+    empty documents — every token appears in at least one chunk, and the
+    tail chunk may be short (``n_tokens`` reports its true size).
+    Zero-token documents (NULL / empty / whitespace-only text)
     yield no rows — there is nothing to train on; preserve them upstream
     if document accounting matters. ``chunk_text`` re-joins tokens with a
     single space (whitespace runs are not round-tripped).
