@@ -224,6 +224,10 @@ def curate_corpus_fuzzy(
     candidate pipeline. Reference analogue: none (beyond-reference
     LLM-pipeline operator).
     """
+    # fail fast BEFORE any Spark work: the eager checkpoint below runs the
+    # whole four-stage funnel as a real job, which a typo'd mode must not
+    if pair_mode not in ("lsh", "exact"):
+        raise ValueError(f"pair_mode must be 'lsh' or 'exact', got {pair_mode!r}")
     flags = curate_corpus(
         df,
         benchmark,
@@ -252,13 +256,11 @@ def curate_corpus_fuzzy(
             universe, id_col=id_col, text_col=text_col, n=near_n,
             threshold=near_threshold,
         )
-    elif pair_mode == "lsh":
+    else:
         pairs = minhash_lsh_pairs(
             universe, id_col=id_col, text_col=text_col, n=near_n,
             num_perm=num_perm, bands=bands, threshold=near_threshold,
         )
-    else:
-        raise ValueError(f"pair_mode must be 'lsh' or 'exact', got {pair_mode!r}")
     comps = connected_components(pairs)
     non_reps = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("__nr_id__")
