@@ -5119,6 +5119,119 @@ ORDER BY c.doc_id
 
 
 # --------------------------------------------------------------------------
+# X39 — the Gopher quality-RULE filter (Rae et al. 2021 §A1.1): the
+# heuristic-rule half of the standard curation stack (x25 covers the
+# repetition rules, x33 the learned classifier). Seven document-level
+# rules over the shared whitespace tokenizer, all exact integer counts
+# with IEEE-division ratios — map-only, full DuckDB oracle. The corpus
+# plants one stripe per line/symbol rule (the synthetic documents are
+# single-line and symbol-free, so the base rows alone would leave three
+# rules untested).
+# --------------------------------------------------------------------------
+
+_X39_SYMBOLS = " " + " ".join(["####"] * 12)
+_X39_BULLETS = "- bullet item\n" * 19
+_X39_ELLIPSIS = "trailing off…\n" * 9
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.text import gopher_quality_rules
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = union_tables(
+        [
+            docs,
+            docs.select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(_X39_SYMBOLS)).alias("text"),
+            ),
+            docs.select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(F.lit(_X39_BULLETS), F.col("text")).alias("text"),
+            ),
+            docs.select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                F.concat(F.lit(_X39_ELLIPSIS), F.col("text")).alias("text"),
+            ),
+        ]
+    )
+    return gopher_quality_rules(corpus, min_words=30).orderBy("doc_id")
+
+
+SQL_GOPHER_RULES = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || '{_X39_SYMBOLS}' FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, repeat('- bullet item' || chr(10), 19) || text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, repeat('trailing off' || chr(8230) || chr(10), 9)
+         || text
+  FROM documents
+), toks AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         list_filter(string_split_regex(coalesce(text, ''),
+                                        '[ \\t\\n\\x0b\\f\\r]+'),
+                     x -> x <> '') AS w
+  FROM corpus
+), feats AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+           AS total_chars,
+         string_split(t, chr(10)) AS lines,
+         (length(t) - length(replace(t, '#', ''))) / 1
+           + (length(t) - length(replace(t, '...', ''))) / 3 AS symbols,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+           AS alpha_words,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             s -> list_contains(list_transform(w, x -> lower(x)), s)))
+           AS stop_hits
+  FROM toks
+), lfeats AS (
+  SELECT *,
+         len(lines) AS n_lines,
+         len(list_filter(lines, l -> starts_with(trim(l), chr(8226))
+               OR starts_with(trim(l), '-') OR starts_with(trim(l), '*')))
+           AS bullet_lines,
+         len(list_filter(lines, l -> ends_with(trim(l), '...')
+               OR ends_with(trim(l), chr(8230)))) AS ellipsis_lines
+  FROM feats
+), flags AS (
+  SELECT doc_id, n_words,
+         (n_words >= 30 AND n_words <= 100000) AS words_ok,
+         (CASE WHEN n_words > 0
+               THEN total_chars / n_words >= 3.0
+                AND total_chars / n_words <= 10.0
+               ELSE TRUE END) AS mean_len_ok,
+         (CASE WHEN n_words > 0 THEN symbols / n_words <= 0.1
+               ELSE TRUE END) AS symbol_ok,
+         (CASE WHEN n_lines > 0 THEN bullet_lines / n_lines <= 0.9
+               ELSE TRUE END) AS bullet_ok,
+         (CASE WHEN n_lines > 0 THEN ellipsis_lines / n_lines <= 0.3
+               ELSE TRUE END) AS ellipsis_ok,
+         (CASE WHEN n_words > 0 THEN alpha_words / n_words >= 0.8
+               ELSE TRUE END) AS alpha_ok,
+         (stop_hits >= 2) AS stopword_ok
+  FROM lfeats
+)
+SELECT doc_id, n_words::BIGINT AS n_words, words_ok, mean_len_ok, symbol_ok,
+       bullet_ok, ellipsis_ok, alpha_ok, stopword_ok,
+       CASE WHEN NOT words_ok THEN 'words'
+            WHEN NOT mean_len_ok THEN 'mean_word_length'
+            WHEN NOT symbol_ok THEN 'symbol_ratio'
+            WHEN NOT bullet_ok THEN 'bullet_lines'
+            WHEN NOT ellipsis_ok THEN 'ellipsis_lines'
+            WHEN NOT alpha_ok THEN 'alpha_words'
+            WHEN NOT stopword_ok THEN 'stopwords'
+            ELSE 'keep' END AS verdict
+FROM flags ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # X31 — DSIR importance resampling (Xie et al. 2023), deterministic
 # variant: score every document by log P_target - log P_source under
 # add-one-smoothed multinomials over md5-hashed word features (target =
@@ -6317,12 +6430,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every full-oracle gate gets a driver row at least every other round
     # where the window allows; rows-only gates never leave the window.
     # Round 10 (counts audited after the r9 narrative drifted): the 43
-    # gates rowed GREEN in CORRECTNESS_r09.json rotate out; in come the 3
-    # new gates (x38 fuzzy-curation full-oracle, g5b 1401-summary
-    # full-oracle, x38b rows-only LSH twin), the 14 veterans promised r10
-    # window priority by the r9 header (w1 w2 p13 x11 g1 l1 p16 u1 a6 a10
-    # o2 l7 + s5 x12), and 26 of the 43 r8-green veterans waiting in the
-    # tail. That leaves 17 r8-green veterans displaced one more round —
+    # gates rowed GREEN in CORRECTNESS_r09.json rotate out; in come the 4
+    # new gates (x38 fuzzy-curation, g5b 1401-summary, x39 Gopher rules —
+    # all full-oracle — plus the x38b rows-only LSH twin), the 14
+    # veterans promised r10 window priority by the r9 header (w1 w2 p13
+    # x11 g1 l1 p16 u1 a6 a10 o2 l7 + s5 x12), and 25 of the 43 r8-green
+    # veterans waiting in the tail (window: 3 + 14 + 25 + 8 rows-only =
+    # 50). That leaves 18 r8-green veterans displaced one more round —
     # each chosen because its operator either RE-RUNS VERBATIM inside an
     # in-window gate or carried a fresh r9-green row through a sibling:
     # x2/x19 (pair generation + connected components run inside x38's
@@ -6337,12 +6451,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # inside g6 and g5b, and carried fresh r9 rows via l5/l12/l15),
     # a2 (fresh r9 row via w3's equivalence math), j3/a4/a5 (the
     # weighted-average family carried fresh r9 rows via g4/g5/g7 and
-    # re-runs inside g5b/g3). All 17 get window PRIORITY in r11 and are
-    # re-proven exact every test run by tests/test_oracle_parity.py.
+    # re-runs inside g5b/g3), x8 (exact cosine top-k re-runs inside
+    # in-window x12; approximate twins x9/x13 pinned in-window). All 18
+    # get window PRIORITY in r11 and are re-proven exact every test run
+    # by tests/test_oracle_parity.py.
     return {
         # -- new in round 10 --
         "x38_curation_fuzzy": q_curation_fuzzy,
         "g5b_isc_summary_1401": q_real_isc_summary_1401,
+        "x39_gopher_rules": q_gopher_rules,
         # -- window priority: the 14 veterans promised by the r9 header --
         "s5_batch_sessions": q_batch_sessions,
         "x12_embedding_dedup": q_embedding_dedup,
@@ -6358,7 +6475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_cube": q_cube,
         "o2_rolling_window": q_rolling_window,
         "l7_jsonl_ingest": q_jsonl_ingest,
-        # -- no r9 row (r8-green, waited in the tail): 26 of the 43 --
+        # -- no r9 row (r8-green, waited in the tail): 25 of the 43 --
         "p11_season_derivation": q_season_derivation,
         "p23_json_extract": q_json_extract,
         "p17_map_lookup": q_map_lookup,
@@ -6381,7 +6498,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x22_incremental_dedup": q_incremental_dedup,
         "s1_events_tumbling": q_events_tumbling,
         "s3_events_sliding": q_events_sliding,
-        "x8_cosine_topk": q_cosine_topk,
         "l14_multi_year_food": q_multi_year_food,
         "x31_dsir_select": q_dsir_select,
         "x32_dup_windows": q_dup_windows,
@@ -6399,10 +6515,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MinHash candidates, recall < 1 by design => rows-only; the
         # planted-twin recall floor is pinned in tests/test_curation.py
         "x38b_curation_fuzzy_lsh": q_curation_fuzzy_lsh,
-        # -- rotated past position 50 this round: first the 17 displaced
+        # -- rotated past position 50 this round: first the 18 displaced
         # r8-green veterans (rationales in the header; window priority in
         # r11), then the 43 gates with green hash-matched rows in
         # CORRECTNESS_r09.json — all with full parity-suite coverage --
+        # x8 displaced by x39 (r10 pressure): its exact cosine top-k path
+        # re-runs inside in-window x12's embedding-dedup verification, and
+        # its approximate twins x9/x13 are rows-only pinned in-window
+        "x8_cosine_topk": q_cosine_topk,
         "p4_string_scrub": q_string_scrub,
         "f3_distinct": q_distinct,
         "o1_top_k": q_top_k,
@@ -6571,6 +6691,7 @@ def oracle_sql() -> dict[str, str]:
         "g7_income_brackets": SQL_INCOME_BRACKETS,
         "x36_boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
         "x37_context_chunking": SQL_CHUNK_DOCUMENTS,
+        "x39_gopher_rules": SQL_GOPHER_RULES,
         "x34_curation_pipeline": _sql_curation_pipeline(),
         # x38b_curation_fuzzy_lsh: approximate by design (LSH recall < 1)
         # => rows-only; x38_curation_fuzzy is the exact-pair twin with the

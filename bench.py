@@ -115,6 +115,10 @@ HEADLINE = [
     # gate-only like x19/x23 (all-pairs n-gram generation is its wall
     # time); the LSH composition is the throughput-relevant shape.
     "x38b_curation_fuzzy_lsh",
+    # round 10: the Gopher rule filter (seven document-level heuristics in
+    # one map-only expression pass — like x33, a pure expression-
+    # throughput probe over the shared tokenizer)
+    "x39_gopher_rules",
     # x23_best_rep_dedup stays gate-only like x19: exact all-pairs n-gram
     # generation dominates its wall time (the scale path is x3's MinHash),
     # so it belongs to correctness, not the throughput suite. x26's k-means

@@ -131,6 +131,141 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     }
 
 
+#: the Gopher rule-filter stopword probe (Rae et al. 2021, §A1.1): a doc
+#: must contain at least ``min_stopword_hits`` DISTINCT words of this set
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+#: line prefixes the bullet-line rule counts
+GOPHER_BULLET_MARKS: tuple[str, ...] = ("•", "-", "*")
+
+
+def gopher_quality_rules(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+):
+    """The Gopher quality-rule filter (Rae et al. 2021, §A1.1) — the
+    heuristic RULE half of the standard curation stack (the repetition
+    half is :func:`repetition_stats`/x25; the learned classifier is
+    :func:`hashed_quality_score`/x33). Per document, the seven published
+    document-level rules with their published default thresholds:
+
+    1. word count within ``[min_words, max_words]``;
+    2. mean word length within ``[min_mean_word_len, max_mean_word_len]``;
+    3. symbol-to-word ratio (``#`` and ``...`` occurrences) at most
+       ``max_symbol_word_ratio``;
+    4. at most ``max_bullet_line_frac`` of lines starting with a bullet;
+    5. at most ``max_ellipsis_line_frac`` of lines ending with an
+       ellipsis (``...`` or ``…``);
+    6. at least ``min_alpha_word_frac`` of words containing an alphabetic
+       character;
+    7. at least ``min_stopword_hits`` distinct :data:`GOPHER_STOPWORDS`
+       present.
+
+    Output: one diagnostic row per document — ``(id, n_words,
+    words_ok, mean_len_ok, symbol_ok, bullet_ok, ellipsis_ok, alpha_ok,
+    stopword_ok, verdict)`` with ``verdict`` the first failing rule name
+    (in the order above) or ``'keep'`` — the same diagnostic-funnel shape
+    as :func:`curation.curate_corpus`.
+
+    Ratio rules pass VACUOUSLY when their denominator is zero (an empty
+    document already fails the word-count rule, which outranks them).
+    Every count is exact integer arithmetic over the shared
+    :func:`whitespace_tokens`; the ratios are IEEE divisions of those
+    exact counts, so the DuckDB oracle replays them bit-identically.
+
+    Scale shape: pure per-row array/string expressions — MAP-ONLY, zero
+    shuffles, zero UDFs (plan pinned in tests/test_gopher_rules.py).
+
+    Reference analogue: none (beyond-reference LLM-pipeline operator).
+    """
+    text = F.coalesce(_c(text_col), F.lit(""))
+    toks = whitespace_tokens(text_col)
+    lower_toks = F.transform(toks, F.lower)
+    n_words = F.size(toks)
+    total_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+
+    def _bullet(line: Column) -> Column:
+        t = F.trim(line)
+        cond = F.startswith(t, F.lit(GOPHER_BULLET_MARKS[0]))
+        for mark in GOPHER_BULLET_MARKS[1:]:
+            cond = cond | F.startswith(t, F.lit(mark))
+        return cond
+
+    bullet_lines = F.size(F.filter(lines, _bullet))
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda line: F.endswith(F.trim(line), F.lit("..."))
+            | F.endswith(F.trim(line), F.lit("…")),
+        )
+    )
+    symbols = count_occurrences(text, "#") + count_occurrences(text, "...")
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(lower_toks, w),
+        )
+    )
+
+    mean_len = total_chars / n_words
+    words_ok = (n_words >= F.lit(min_words)) & (n_words <= F.lit(max_words))
+    mean_len_ok = F.when(
+        n_words > 0,
+        (mean_len >= F.lit(min_mean_word_len))
+        & (mean_len <= F.lit(max_mean_word_len)),
+    ).otherwise(F.lit(True))
+    symbol_ok = F.when(
+        n_words > 0, symbols / n_words <= F.lit(max_symbol_word_ratio)
+    ).otherwise(F.lit(True))
+    bullet_ok = F.when(
+        n_lines > 0, bullet_lines / n_lines <= F.lit(max_bullet_line_frac)
+    ).otherwise(F.lit(True))
+    ellipsis_ok = F.when(
+        n_lines > 0, ellipsis_lines / n_lines <= F.lit(max_ellipsis_line_frac)
+    ).otherwise(F.lit(True))
+    alpha_ok = F.when(
+        n_words > 0, alpha_words / n_words >= F.lit(min_alpha_word_frac)
+    ).otherwise(F.lit(True))
+    stopword_ok = stop_hits >= F.lit(min_stopword_hits)
+
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        words_ok.alias("words_ok"),
+        mean_len_ok.alias("mean_len_ok"),
+        symbol_ok.alias("symbol_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stopword_ok.alias("stopword_ok"),
+        F.when(~words_ok, F.lit("words"))
+        .when(~mean_len_ok, F.lit("mean_word_length"))
+        .when(~symbol_ok, F.lit("symbol_ratio"))
+        .when(~bullet_ok, F.lit("bullet_lines"))
+        .when(~ellipsis_ok, F.lit("ellipsis_lines"))
+        .when(~alpha_ok, F.lit("alpha_words"))
+        .when(~stopword_ok, F.lit("stopwords"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )
+
+
 def strip_html(col: Column | str) -> Column:
     """Remove HTML tags and collapse the resulting whitespace — the first
     step of web-corpus cleaning. Pure regexp, codegen'd."""

@@ -128,6 +128,7 @@ NO_R9_ROW_OR_NEW = {
     # new in round 10
     "x38_curation_fuzzy",
     "g5b_isc_summary_1401",
+    "x39_gopher_rules",
     # the 14 veterans promised r10 window priority by the r9 header
     "s5_batch_sessions",
     "x12_embedding_dedup",
@@ -143,7 +144,7 @@ NO_R9_ROW_OR_NEW = {
     "a10_cube",
     "o2_rolling_window",
     "l7_jsonl_ingest",
-    # r8-green veterans returning from the tail: 26 of the 43
+    # r8-green veterans returning from the tail: 25 of the 43
     "p11_season_derivation",
     "p23_json_extract",
     "p17_map_lookup",
@@ -166,7 +167,6 @@ NO_R9_ROW_OR_NEW = {
     "x22_incremental_dedup",
     "s1_events_tumbling",
     "s3_events_sliding",
-    "x8_cosine_topk",
     "l14_multi_year_food",
     "x31_dsir_select",
     "x32_dup_windows",
@@ -175,6 +175,7 @@ NO_R9_ROW_OR_NEW = {
 # operator re-running inside an in-window gate or a fresh r9 sibling row
 # (rationales in the queries() header); window priority in r11
 DISPLACED_R8_VETERANS = {
+    "x8_cosine_topk",
     "p4_string_scrub",
     "f3_distinct",
     "o1_top_k",
