@@ -2171,8 +2171,9 @@ def _hh_id_1400(key: Column) -> Column:
     """Compose a valid 11-digit year-1400 household ID from a surrogate
     key: leading digit 1|2 (the post-1387 Urban|Rural code per
     household.yaml's 1392+ layout), remaining 10 digits from the key.
-    Shared by the g5 and l6 gates so the digit layout lives in ONE place —
-    it encodes the metadata contract the decode gates verify."""
+    Shared by the g5/g5b and l6 gates so the digit layout lives in ONE
+    place — it encodes the metadata contract the decode gates verify
+    (the layout is unchanged 1392+, so 1400 and 1401 share it)."""
     return (F.lit(1) + key % 2) * F.lit(10**10) + key % F.lit(10**10)
 
 
