@@ -192,11 +192,26 @@ def gopher_quality_rules(
     Reference analogue: none (beyond-reference LLM-pipeline operator).
     """
     text = F.coalesce(_c(text_col), F.lit(""))
-    toks = whitespace_tokens(text_col)
-    lower_toks = F.transform(toks, F.lower)
+    # Materialize the token and line arrays ONCE through an intermediate
+    # projection: built inline, Catalyst's projection collapse would
+    # re-derive the regex tokenization into every one of its five
+    # consumers (measured 6.2 s -> 1.0 s warm on the sf0.1 gate — the
+    # same k-fold-inline trap minhash_signature_from_shingles documents).
+    prepared = df.select(
+        F.col(id_col),
+        whitespace_tokens(text_col).alias("__toks__"),
+        F.split(text, "\n").alias("__lines__"),
+        # symbol occurrences derive from the raw text, not the arrays:
+        # fold them here so the second select never touches text
+        (count_occurrences(text, "#") + count_occurrences(text, "...")).alias(
+            "__symbols__"
+        ),
+    )
+    toks = F.col("__toks__")
+    lines = F.col("__lines__")
+    symbols = F.col("__symbols__")
     n_words = F.size(toks)
     total_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
-    lines = F.split(text, "\n")
     n_lines = F.size(lines)
 
     def _bullet(line: Column) -> Column:
@@ -214,12 +229,13 @@ def gopher_quality_rules(
             | F.endswith(F.trim(line), F.lit("…")),
         )
     )
-    symbols = count_occurrences(text, "#") + count_occurrences(text, "...")
     alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    # distinct-membership count via array_intersect (set semantics): no
+    # per-stopword scan of the token array
     stop_hits = F.size(
-        F.filter(
+        F.array_intersect(
+            F.transform(toks, F.lower),
             F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
-            lambda w: F.array_contains(lower_toks, w),
         )
     )
 
@@ -244,7 +260,7 @@ def gopher_quality_rules(
     ).otherwise(F.lit(True))
     stopword_ok = stop_hits >= F.lit(min_stopword_hits)
 
-    return df.select(
+    return prepared.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
         words_ok.alias("words_ok"),
