@@ -158,7 +158,7 @@ def gopher_quality_rules(
 ):
     """The Gopher quality-rule filter (Rae et al. 2021, §A1.1) — the
     heuristic RULE half of the standard curation stack (the repetition
-    half is :func:`repetition_stats`/x25; the learned classifier is
+    half is :func:`repetition_filter`/x25; the learned classifier is
     :func:`hashed_quality_score`/x33). Per document, the seven published
     document-level rules with their published default thresholds:
 
