@@ -5233,6 +5233,102 @@ FROM flags ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# X40 — the C4 cleaning filter (Raffel et al. 2020 §2.2): line-level
+# retention (terminal punctuation + >=5 words + no 'javascript') with
+# order-preserving reassembly, page-level lorem-ipsum / curly-brace /
+# min-3-sentences blocks. Completes the published rule-filter family
+# beside x39 (Gopher) and x36 (CCNet boilerplate). Map-only, full
+# oracle. The synthetic documents have no terminal punctuation, so the
+# plant prefixes a C4-shaped page (with one javascript line and one
+# too-short line) and appends the page-level poison per stripe.
+# --------------------------------------------------------------------------
+
+_X40_PREFIX = (
+    "The quick brown fox jumps over the fence today.\n"
+    "Please enable Javascript to view this page properly.\n"
+    "Too short.\n"
+    "A second full sentence sits in this line nicely.\n"
+    "The third sentence closes the page quite cleanly.\n"
+)
+
+
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.text import c4_line_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = union_tables(
+        [
+            docs,
+            docs.select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.lit(_X40_PREFIX), F.col("text")).alias("text"),
+            ),
+            docs.select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(
+                    F.lit(_X40_PREFIX), F.col("text"), F.lit(" and Lorem Ipsum text")
+                ).alias("text"),
+            ),
+            docs.select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                F.concat(
+                    F.lit(_X40_PREFIX), F.col("text"), F.lit(" code { brace")
+                ).alias("text"),
+            ),
+        ]
+    )
+    return c4_line_filter(corpus).orderBy("doc_id")
+
+
+SQL_C4_FILTER = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, '__PREFIX__' || text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, '__PREFIX__' || text || ' and Lorem Ipsum text'
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, '__PREFIX__' || text || ' code { brace'
+  FROM documents
+), base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM corpus
+), linesd AS (
+  SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM base
+), keptd AS (
+  SELECT doc_id,
+         contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+         contains(t, '{') AS has_brace,
+         len(lines)::BIGINT AS n_lines,
+         list_filter(lines, l ->
+           (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+              OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+           AND len(list_filter(string_split_regex(l, '[ \\t]+'),
+                               x -> x <> '')) >= 5
+           AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM linesd
+), agg AS (
+  SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept_lines,
+         -- array_to_string([]) is NULL in DuckDB, '' in Spark's array_join
+         coalesce(array_to_string(kept, chr(10)), '') AS kept_text,
+         has_lorem_ipsum, has_brace
+  FROM keptd
+), sent AS (
+  SELECT *,
+         ((length(kept_text) - length(replace(kept_text, '.', '')))
+          + (length(kept_text) - length(replace(kept_text, '!', '')))
+          + (length(kept_text) - length(replace(kept_text, '?', ''))))::BIGINT
+           AS n_sentences
+  FROM agg
+)
+SELECT doc_id, n_lines, n_kept_lines, kept_text, has_lorem_ipsum, has_brace,
+       n_sentences,
+       (NOT has_lorem_ipsum AND NOT has_brace AND n_sentences >= 3) AS keep
+FROM sent ORDER BY doc_id
+""".replace("__PREFIX__", _X40_PREFIX)
+
+
+# --------------------------------------------------------------------------
 # X31 — DSIR importance resampling (Xie et al. 2023), deterministic
 # variant: score every document by log P_target - log P_source under
 # add-one-smoothed multinomials over md5-hashed word features (target =
@@ -6431,13 +6527,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every full-oracle gate gets a driver row at least every other round
     # where the window allows; rows-only gates never leave the window.
     # Round 10 (counts audited after the r9 narrative drifted): the 43
-    # gates rowed GREEN in CORRECTNESS_r09.json rotate out; in come the 4
-    # new gates (x38 fuzzy-curation, g5b 1401-summary, x39 Gopher rules —
-    # all full-oracle — plus the x38b rows-only LSH twin), the 14
-    # veterans promised r10 window priority by the r9 header (w1 w2 p13
-    # x11 g1 l1 p16 u1 a6 a10 o2 l7 + s5 x12), and 25 of the 43 r8-green
-    # veterans waiting in the tail (window: 3 + 14 + 25 + 8 rows-only =
-    # 50). That leaves 18 r8-green veterans displaced one more round —
+    # gates rowed GREEN in CORRECTNESS_r09.json rotate out; in come the 5
+    # new gates (x38 fuzzy-curation, g5b 1401-summary, x39 Gopher rules,
+    # x40 C4 filter — all full-oracle — plus the x38b rows-only LSH
+    # twin), the 14 veterans promised r10 window priority by the r9
+    # header (w1 w2 p13 x11 g1 l1 p16 u1 a6 a10 o2 l7 + s5 x12), and 24
+    # of the 43 r8-green veterans waiting in the tail (window: 4 + 14 +
+    # 24 + 8 rows-only = 50). That leaves 19 r8-green veterans displaced
+    # one more round —
     # each chosen because its operator either RE-RUNS VERBATIM inside an
     # in-window gate or carried a fresh r9-green row through a sibling:
     # x2/x19 (pair generation + connected components run inside x38's
@@ -6453,14 +6550,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a2 (fresh r9 row via w3's equivalence math), j3/a4/a5 (the
     # weighted-average family carried fresh r9 rows via g4/g5/g7 and
     # re-runs inside g5b/g3), x8 (exact cosine top-k re-runs inside
-    # in-window x12; approximate twins x9/x13 pinned in-window). All 18
-    # get window PRIORITY in r11 and are re-proven exact every test run
-    # by tests/test_oracle_parity.py.
+    # in-window x12; approximate twins x9/x13 pinned in-window), x20
+    # (token-count base fresh-rowed r9 via x18; window top-k shape
+    # re-runs inside in-window x17). All 19 get window PRIORITY in r11
+    # and are re-proven exact every test run by tests/test_oracle_parity.py.
     return {
         # -- new in round 10 --
         "x38_curation_fuzzy": q_curation_fuzzy,
         "g5b_isc_summary_1401": q_real_isc_summary_1401,
         "x39_gopher_rules": q_gopher_rules,
+        "x40_c4_filter": q_c4_filter,
         # -- window priority: the 14 veterans promised by the r9 header --
         "s5_batch_sessions": q_batch_sessions,
         "x12_embedding_dedup": q_embedding_dedup,
@@ -6476,7 +6575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_cube": q_cube,
         "o2_rolling_window": q_rolling_window,
         "l7_jsonl_ingest": q_jsonl_ingest,
-        # -- no r9 row (r8-green, waited in the tail): 25 of the 43 --
+        # -- no r9 row (r8-green, waited in the tail): 24 of the 43 --
         "p11_season_derivation": q_season_derivation,
         "p23_json_extract": q_json_extract,
         "p17_map_lookup": q_map_lookup,
@@ -6494,7 +6593,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x16_hash_split": q_hash_split,
         "x17_group_quota": q_group_quota,
         "s4_upsert_sink": q_upsert_sink,
-        "x20_tfidf_top_terms": q_tfidf_top_terms,
         "x21_asof_attribution": q_asof_attribution,
         "x22_incremental_dedup": q_incremental_dedup,
         "s1_events_tumbling": q_events_tumbling,
@@ -6516,7 +6614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MinHash candidates, recall < 1 by design => rows-only; the
         # planted-twin recall floor is pinned in tests/test_curation.py
         "x38b_curation_fuzzy_lsh": q_curation_fuzzy_lsh,
-        # -- rotated past position 50 this round: first the 18 displaced
+        # -- rotated past position 50 this round: first the 19 displaced
         # r8-green veterans (rationales in the header; window priority in
         # r11), then the 43 gates with green hash-matched rows in
         # CORRECTNESS_r09.json — all with full parity-suite coverage --
@@ -6524,6 +6622,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-runs inside in-window x12's embedding-dedup verification, and
         # its approximate twins x9/x13 are rows-only pinned in-window
         "x8_cosine_topk": q_cosine_topk,
+        # x20 displaced by x40 (r10 pressure): its token-count base carried
+        # a fresh r9-green row via x18, and its window top-k ranking shape
+        # re-runs inside in-window x17's group-quota ranking
+        "x20_tfidf_top_terms": q_tfidf_top_terms,
         "p4_string_scrub": q_string_scrub,
         "f3_distinct": q_distinct,
         "o1_top_k": q_top_k,
@@ -6693,6 +6795,7 @@ def oracle_sql() -> dict[str, str]:
         "x36_boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
         "x37_context_chunking": SQL_CHUNK_DOCUMENTS,
         "x39_gopher_rules": SQL_GOPHER_RULES,
+        "x40_c4_filter": SQL_C4_FILTER,
         "x34_curation_pipeline": _sql_curation_pipeline(),
         # x38b_curation_fuzzy_lsh: approximate by design (LSH recall < 1)
         # => rows-only; x38_curation_fuzzy is the exact-pair twin with the

@@ -119,6 +119,9 @@ HEADLINE = [
     # one map-only expression pass — like x33, a pure expression-
     # throughput probe over the shared tokenizer)
     "x39_gopher_rules",
+    # round 10: the C4 line/document filter (line retention + reassembly +
+    # page blocks — map-only array/string expressions)
+    "x40_c4_filter",
     # x23_best_rep_dedup stays gate-only like x19: exact all-pairs n-gram
     # generation dominates its wall time (the scale path is x3's MinHash),
     # so it belongs to correctness, not the throughput suite. x26's k-means

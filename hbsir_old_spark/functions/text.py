@@ -282,6 +282,111 @@ def gopher_quality_rules(
     )
 
 
+#: characters C4 accepts as a terminal line ending (Raffel et al. 2020
+#: §2.2: period, exclamation mark, question mark, end quotation mark)
+C4_TERMINAL_CHARS: tuple[str, ...] = (".", "!", "?", '"')
+
+
+def c4_line_filter(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    line_blocklist: tuple[str, ...] = ("javascript",),
+) -> "DataFrame":
+    """The C4 cleaning filter (Raffel et al. 2020, §2.2) — the line-level
+    cousin of :func:`gopher_quality_rules` (which judges whole documents)
+    and :func:`remove_boilerplate_lines` (which needs cross-corpus line
+    frequencies; this one is purely per-document):
+
+    * RETAIN a line only if its trimmed form ends in a terminal
+      punctuation mark (:data:`C4_TERMINAL_CHARS`), it has at least
+      ``min_line_words`` words, and it contains no ``line_blocklist``
+      term (C4 dropped every line with the word "javascript");
+    * DROP the whole page if it contains ``lorem ipsum`` (placeholder
+      text), a curly brace (code), or fewer than ``min_sentences``
+      sentences — sentence count approximated as the number of
+      ``. ! ?`` occurrences in the RETAINED text (a documented
+      heuristic; C4's own counting is unspecified).
+
+    Output one row per input document: ``(id, n_lines, n_kept_lines,
+    kept_text, has_lorem_ipsum, has_brace, n_sentences, keep)`` —
+    ``kept_text`` is the retained lines re-joined with ``\\n`` in their
+    original order, '' when nothing survives, and the page-level flags
+    are evaluated on the RAW text (a blocked page is blocked regardless
+    of which lines would have survived). NULL text behaves as ''.
+
+    Scale shape: per-row array/string expressions only — MAP-ONLY, zero
+    shuffles, zero UDFs; the line and retained arrays are derived once
+    through intermediate projections (the x39 lesson: inline, Catalyst
+    re-derives them into every consumer).
+
+    Reference analogue: none (beyond-reference LLM-pipeline operator).
+    """
+
+    def _line_kept(line: Column) -> Column:
+        t = F.trim(line)
+        terminal = F.endswith(t, F.lit(C4_TERMINAL_CHARS[0]))
+        for ch in C4_TERMINAL_CHARS[1:]:
+            terminal = terminal | F.endswith(t, F.lit(ch))
+        words = F.size(
+            F.filter(F.split(line, "[ \t]+"), lambda w: w != F.lit(""))
+        )
+        blocked = F.lit(False)
+        for term in line_blocklist:
+            blocked = blocked | F.contains(F.lower(line), F.lit(term))
+        return terminal & (words >= F.lit(min_line_words)) & ~blocked
+
+    p1 = df.select(
+        F.col(id_col),
+        F.coalesce(_c(text_col), F.lit("")).alias("__t__"),
+    )
+    p2 = p1.select(
+        F.col(id_col),
+        F.contains(F.lower(F.col("__t__")), F.lit("lorem ipsum")).alias(
+            "has_lorem_ipsum"
+        ),
+        F.contains(F.col("__t__"), F.lit("{")).alias("has_brace"),
+        F.split(F.col("__t__"), "\n").alias("__lines__"),
+    )
+    p3 = p2.select(
+        F.col(id_col),
+        "has_lorem_ipsum",
+        "has_brace",
+        F.size(F.col("__lines__")).cast("long").alias("n_lines"),
+        F.filter(F.col("__lines__"), _line_kept).alias("__kept__"),
+    )
+    p4 = p3.select(
+        F.col(id_col),
+        "n_lines",
+        F.size(F.col("__kept__")).cast("long").alias("n_kept_lines"),
+        F.array_join(F.col("__kept__"), "\n").alias("kept_text"),
+        "has_lorem_ipsum",
+        "has_brace",
+    )
+    n_sentences = (
+        count_occurrences(F.col("kept_text"), ".")
+        + count_occurrences(F.col("kept_text"), "!")
+        + count_occurrences(F.col("kept_text"), "?")
+    ).cast("long")
+    return p4.select(
+        F.col(id_col),
+        "n_lines",
+        "n_kept_lines",
+        "kept_text",
+        "has_lorem_ipsum",
+        "has_brace",
+        n_sentences.alias("n_sentences"),
+        (
+            ~F.col("has_lorem_ipsum")
+            & ~F.col("has_brace")
+            & (n_sentences >= F.lit(min_sentences))
+        ).alias("keep"),
+    )
+
+
 def strip_html(col: Column | str) -> Column:
     """Remove HTML tags and collapse the resulting whitespace — the first
     step of web-corpus cleaning. Pure regexp, codegen'd."""

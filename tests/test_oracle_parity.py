@@ -129,6 +129,7 @@ NO_R9_ROW_OR_NEW = {
     "x38_curation_fuzzy",
     "g5b_isc_summary_1401",
     "x39_gopher_rules",
+    "x40_c4_filter",
     # the 14 veterans promised r10 window priority by the r9 header
     "s5_batch_sessions",
     "x12_embedding_dedup",
@@ -144,7 +145,7 @@ NO_R9_ROW_OR_NEW = {
     "a10_cube",
     "o2_rolling_window",
     "l7_jsonl_ingest",
-    # r8-green veterans returning from the tail: 25 of the 43
+    # r8-green veterans returning from the tail: 24 of the 43
     "p11_season_derivation",
     "p23_json_extract",
     "p17_map_lookup",
@@ -162,7 +163,6 @@ NO_R9_ROW_OR_NEW = {
     "x16_hash_split",
     "x17_group_quota",
     "s4_upsert_sink",
-    "x20_tfidf_top_terms",
     "x21_asof_attribution",
     "x22_incremental_dedup",
     "s1_events_tumbling",
@@ -176,6 +176,7 @@ NO_R9_ROW_OR_NEW = {
 # (rationales in the queries() header); window priority in r11
 DISPLACED_R8_VETERANS = {
     "x8_cosine_topk",
+    "x20_tfidf_top_terms",
     "p4_string_scrub",
     "f3_distinct",
     "o1_top_k",
