@@ -225,6 +225,7 @@ def dedup_against(
     id_col: str = "doc_id",
     seen_text_col: str | None = None,
     keep: str = "min",
+    seen_fingerprint_col: str | None = None,
 ) -> DataFrame:
     """Incremental exact dedup: from ``incoming``, drop every document whose
     normalized-text fingerprint already exists in ``seen``, then collapse
@@ -235,16 +236,26 @@ def dedup_against(
     * the ``seen`` side reduces to a distinct fingerprint column before the
       join (project + partial-aggregable distinct — the store's documents
       themselves never move);
-    * the anti join shuffles only (fingerprint) against (fingerprint, row).
-      Keep the persistent store bucketed by fingerprint
-      (``sources/writer.py``) and the store side of the shuffle disappears
-      entirely on a real cluster;
+    * with ``seen_fingerprint_col``, the store's PERSISTED fingerprint
+      column is used as-is instead of re-hashing its text — the store
+      scan then reads exactly one column (pruning), and a store kept
+      BUCKETED by that column (``operators/scale.py:write_bucketed`` at
+      ingest) contributes NO store-side Exchange to the anti join: only
+      the (small) incoming batch shuffles. This is the 100-TB shape —
+      pinned by ``test_dedup_against_bucketed_store_shuffles_only_incoming``;
+    * the anti join otherwise shuffles (fingerprint) against
+      (fingerprint, row);
     * in-batch collapse reuses :func:`exact_dedup` (batch-sized, cheap).
     """
-    seen_fp = (
-        seen.select(doc_fingerprint(seen_text_col or text_col).alias("__sfp__"))
-        .distinct()
-    )
+    if seen_fingerprint_col is not None:
+        seen_fp = seen.select(
+            F.col(seen_fingerprint_col).alias("__sfp__")
+        ).distinct()
+    else:
+        seen_fp = (
+            seen.select(doc_fingerprint(seen_text_col or text_col).alias("__sfp__"))
+            .distinct()
+        )
     # fingerprint each incoming row ONCE: Catalyst does not CSE the
     # normalize+md5 expression between the join condition and the
     # downstream collapse aggregation

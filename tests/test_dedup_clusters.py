@@ -209,3 +209,61 @@ class TestComponentsPropertyBased:
         got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
         assert set(got.values()) == {0}
         assert len(got) == 64
+
+
+def test_dedup_against_bucketed_store_shuffles_only_incoming(spark):
+    # The 100-TB store shape: fingerprints PERSISTED at ingest and the
+    # store bucketed by them (operators/scale.py:write_bucketed). The
+    # anti join must then read the store's one fingerprint column over
+    # the bucketed layout with NO store-side Exchange — only the incoming
+    # batch shuffles.
+    from hbsir_old_spark.functions.dedup import dedup_against
+    from hbsir_old_spark.functions.text import doc_fingerprint
+    from hbsir_old_spark.operators.scale import write_bucketed
+
+    store_rows = [(i, f"stored document number {i}") for i in range(50)]
+    store = spark.createDataFrame(store_rows, ["doc_id", "text"]).withColumn(
+        "fp", doc_fingerprint("text")
+    )
+    write_bucketed(store, "dedup_store_bucketed", ["fp"], num_buckets=8)
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # broadcast would (correctly) win at this size; disable it to
+        # expose the fact-fact shape the bucketing exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        seen = spark.table("dedup_store_bucketed")
+        incoming = spark.createDataFrame(
+            [(100, "stored document number 7"),  # dup of store doc 7
+             (101, "a genuinely new document")],
+            ["doc_id", "text"],
+        )
+        out = dedup_against(incoming, seen, seen_fingerprint_col="fp")
+        assert [r["doc_id"] for r in out.select("doc_id").collect()] == [101]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        # exactly the incoming-side exchanges survive: the store side of
+        # the anti join rides the bucketed layout
+        anti_segment = plan.split("LeftAnti")[1]
+        store_scan = next(
+            seg for seg in anti_segment.split("Exchange")
+            if "dedup_store_bucketed" in seg
+        )
+        # the store scan appears in a segment with no Exchange ABOVE it on
+        # its own subtree: assert the scan's segment is the LAST exchange-
+        # split piece of the anti-join subtree (nothing shuffles after it)
+        assert anti_segment.split("Exchange")[-1].find("dedup_store_bucketed") >= 0
+        # and the store scan reads only the fingerprint column (pruning)
+        scan_line = next(
+            line for line in plan.splitlines()
+            if "dedup_store_bucketed" in line and "FileScan" in line
+        )
+        assert "text" not in scan_line.split("ReadSchema")[-1]
+        # same answer as the recompute path
+        baseline = sorted(
+            r["doc_id"]
+            for r in dedup_against(incoming, seen).select("doc_id").collect()
+        )
+        assert baseline == [101]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS dedup_store_bucketed")
