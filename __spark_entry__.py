@@ -4383,14 +4383,24 @@ def _l15_raw_loader(spark: SparkSession, sf_dir: str):
         if len(_L15_FRAME_CACHE) > 64:
             # the dict holds the ONLY handles to the persisted base
             # projections — unpersist them before dropping the refs, or
-            # the blocks stay pinned in the CacheManager for the session
+            # the blocks stay pinned in the CacheManager for the session.
+            # The CURRENT base is exempt: the era frames memoized right
+            # below depend on it, and unpersisting it here would silently
+            # de-optimize every later cache hit on cache_key back to five
+            # parquet re-scans
             for k, v in list(_L15_FRAME_CACHE.items()):
-                if isinstance(k, tuple) and k and k[-1] == "__l15_base__":
+                if (
+                    isinstance(k, tuple)
+                    and k
+                    and k[-1] == "__l15_base__"
+                    and v is not base
+                ):
                     try:
                         v.unpersist()
                     except Exception:
                         pass  # dead session/gateway: nothing left to free
             _L15_FRAME_CACHE.clear()
+            _L15_FRAME_CACHE[base_key] = base
         _L15_FRAME_CACHE[cache_key] = out
         return out
 
@@ -5182,7 +5192,7 @@ WITH corpus AS (
          len(w) AS n_words,
          coalesce(list_sum(list_transform(w, x -> length(x))), 0)
            AS total_chars,
-         string_split(t, chr(10)) AS lines,
+         string_split_regex(t, '\\r?\\n') AS lines,
          (length(t) - length(replace(t, '#', ''))) / 1
            + (length(t) - length(replace(t, '...', ''))) / 3 AS symbols,
          len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
@@ -5194,6 +5204,7 @@ WITH corpus AS (
 ), lfeats AS (
   SELECT *,
          len(lines) AS n_lines,
+         -- lines split mirrors Spark's \\r?\\n (CRLF-safe)
          len(list_filter(lines, l -> starts_with(trim(l), chr(8226))
                OR starts_with(trim(l), '-') OR starts_with(trim(l), '*')))
            AS bullet_lines,
@@ -5294,7 +5305,7 @@ WITH corpus AS (
 ), base AS (
   SELECT doc_id, coalesce(text, '') AS t FROM corpus
 ), linesd AS (
-  SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM base
+  SELECT doc_id, t, string_split_regex(t, '\\r?\\n') AS lines FROM base
 ), keptd AS (
   SELECT doc_id,
          contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,

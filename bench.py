@@ -266,7 +266,7 @@ def main() -> None:
             # warmed once at sf0.001 before timing (plus l15b's
             # target-SF layout), so queries_cold = first run AT THE
             # TARGET SF (scan + real data), not first-plan-compile
-            "warmup": "full-headline-sf0.001+l15b-layout",
+            "warmup": "full-headline-sf0.001+l15b-layout+l15-base-cache",
             "warmup_s": warmup_s,
         },
         "iters": iters,

@@ -200,7 +200,9 @@ def gopher_quality_rules(
     prepared = df.select(
         F.col(id_col),
         whitespace_tokens(text_col).alias("__toks__"),
-        F.split(text, "\n").alias("__lines__"),
+        # \r?\n: a CRLF document would otherwise leave \r on every line
+        # (F.trim strips only ASCII spaces), defeating endswith checks
+        F.split(text, "\\r?\\n").alias("__lines__"),
         # symbol occurrences derive from the raw text, not the arrays:
         # fold them here so the second select never touches text
         (count_occurrences(text, "#") + count_occurrences(text, "...")).alias(
@@ -349,7 +351,9 @@ def c4_line_filter(
             "has_lorem_ipsum"
         ),
         F.contains(F.col("__t__"), F.lit("{")).alias("has_brace"),
-        F.split(F.col("__t__"), "\n").alias("__lines__"),
+        # \r?\n: CRLF pages must not leave \r defeating the terminal-
+        # punctuation endswith (F.trim strips only ASCII spaces)
+        F.split(F.col("__t__"), "\\r?\\n").alias("__lines__"),
     )
     p3 = p2.select(
         F.col(id_col),

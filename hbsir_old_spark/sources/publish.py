@@ -46,6 +46,12 @@ class BucketClient(Protocol):
     ``head_size`` returns the remote object's byte size, or ``None`` when
     the key does not exist (the reference derives the same tri-state from
     an HTTP HEAD's Content-Length, maintainer.py:69-75).
+
+    A client MAY additionally expose ``put_file(key, path)``; when
+    present, :func:`publish_directory` streams uploads through it instead
+    of reading whole files into memory via ``put`` — with multi-GB
+    parquet parts and a pooled uploader, ``max_workers`` whole files in
+    RAM at once is exactly the spike the seam's own workflow would hit.
     """
 
     def head_size(self, key: str) -> int | None: ...
@@ -144,11 +150,15 @@ def publish_directory(
     ]
     report.skipped = [n for n in sorted(statuses) if n not in set(to_upload)]
 
+    put_file = getattr(client, "put_file", None)
+
     def upload(name: str) -> None:
-        client.put(
-            _object_key(online_directory, name),
-            local_directory.joinpath(name).read_bytes(),
-        )
+        key = _object_key(online_directory, name)
+        path = local_directory.joinpath(name)
+        if put_file is not None:
+            put_file(key, path)  # streamed: constant memory per worker
+        else:
+            client.put(key, path.read_bytes())
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=max_workers) as pool:
         list(pool.map(upload, to_upload))
@@ -184,15 +194,25 @@ def boto3_bucket_client(
         aws_secret_access_key=secret_key,
     ).Bucket(bucket_name)
 
+    from botocore.exceptions import ClientError  # type: ignore
+
     class _Boto3Client:
         def head_size(self, key: str) -> int | None:
-            objs = list(bucket.objects.filter(Prefix=key))
-            for obj in objs:
-                if obj.key == key:
-                    return int(obj.size)
-            return None
+            # one HEAD per file (the reference's shape, maintainer.py:69-75)
+            # — NOT objects.filter(Prefix=...): a LIST enumerates every
+            # prefix-sharing sibling, needs s3:ListBucket, and paginates
+            try:
+                return int(bucket.Object(key).content_length)
+            except ClientError as exc:
+                if exc.response.get("Error", {}).get("Code") in ("404", "NoSuchKey"):
+                    return None
+                raise
 
         def put(self, key: str, body: bytes) -> None:
             bucket.put_object(ACL=acl, Body=body, Key=key)
+
+        def put_file(self, key: str, path) -> None:
+            # streamed multipart upload, constant memory
+            bucket.upload_file(str(path), key, ExtraArgs={"ACL": acl})
 
     return _Boto3Client()

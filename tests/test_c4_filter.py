@@ -91,3 +91,11 @@ def test_c4_plan_is_map_only(spark):
     plan = c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_crlf_lines_are_retained(spark):
+    # \r\n documents: the \r must not defeat the terminal-punctuation
+    # check (F.trim strips only ASCII spaces)
+    crlf = GOOD_PAGE.replace("\n", "\r\n")
+    got = _run(spark, [(1, crlf)])[1]
+    assert got["n_kept_lines"] == 3 and got["keep"], got

@@ -244,10 +244,6 @@ def test_dedup_against_bucketed_store_shuffles_only_incoming(spark):
         # exactly the incoming-side exchanges survive: the store side of
         # the anti join rides the bucketed layout
         anti_segment = plan.split("LeftAnti")[1]
-        store_scan = next(
-            seg for seg in anti_segment.split("Exchange")
-            if "dedup_store_bucketed" in seg
-        )
         # the store scan appears in a segment with no Exchange ABOVE it on
         # its own subtree: assert the scan's segment is the LAST exchange-
         # split piece of the anti-join subtree (nothing shuffles after it)

@@ -106,3 +106,11 @@ def test_gopher_plan_is_map_only(spark):
     )
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_crlf_ellipsis_lines_counted(spark):
+    # \r\n line endings must not hide the trailing ellipsis from the
+    # line rule (the \r would otherwise survive trim and defeat endswith)
+    page = ("trailing off…\r\n" * 9) + GOOD
+    got = _run(spark, [(1, page)], min_words=10)
+    assert got[1]["verdict"] == "ellipsis_lines", got[1]

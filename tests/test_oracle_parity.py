@@ -117,9 +117,9 @@ def test_every_oracle_key_has_a_query():
 #      evidence for them;
 #  (c) only FULL-ORACLE gates with a green (hash-matched) driver row may
 #      sit past position 50 — normally from the PREVIOUS round; when new
-#      gates oversubscribe the window (round 10: 17 displaced r8-green +
-#      43 r8-green-in-tail ... the window holds 2 new full-oracle + 14
-#      promised veterans + 26 returning r8-green + 8 rows-only = 50),
+#      gates oversubscribe the window (round 10: the window holds 4 new
+#      full-oracle + 14 promised veterans + 24 returning r8-green + 8
+#      rows-only = 50, displacing 19 r8-green veterans to the tail),
 #      the overflow comes from gates whose operators re-run inside
 #      in-window gates or carried fresh sibling rows, and whose exactness
 #      the parity suite re-proves every run. They get window PRIORITY

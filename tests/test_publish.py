@@ -142,3 +142,25 @@ def test_boto3_adapter_is_a_guarded_seam():
     # until head/put) and must satisfy the BucketClient protocol
     client = boto3_bucket_client("b", "https://example.invalid", "k", "s")
     assert callable(client.head_size) and callable(client.put)
+
+
+def test_put_file_streaming_path_preferred_when_available(tmp_path):
+    # a client exposing put_file gets the streamed path (no whole-file
+    # bytes through put); plain two-method clients keep working via put
+    class StreamingBucket(FakeBucket):
+        def __init__(self):
+            super().__init__()
+            self.streamed: list[str] = []
+
+        def put_file(self, key, path):
+            with self._lock:
+                self.objects[key] = path.read_bytes()
+                self.streamed.append(key)
+
+    _mkfiles(tmp_path, {"a.parquet": b"x" * 64})
+    bucket = StreamingBucket()
+    report = publish_directory(tmp_path, "d", bucket)
+    assert report.uploaded == ["a.parquet"]
+    assert bucket.streamed == ["HBSIR/d/a.parquet"]
+    assert bucket.put_calls == []  # whole-bytes path never used
+    assert bucket.objects["HBSIR/d/a.parquet"] == b"x" * 64
