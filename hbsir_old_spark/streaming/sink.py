@@ -63,3 +63,82 @@ def run_windowed_upsert(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_ingest_batch_writer(
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Callable[[DataFrame, int], None]:
+    """A ``foreachBatch`` function implementing the production corpus-
+    ingest shape: each micro-batch dedups AGAINST THE GROWING STORE
+    (:func:`functions.dedup.dedup_against`) and appends only the novel
+    documents, with their fingerprint PERSISTED so
+
+    * the next batch's anti join consumes the stored ``__fp__`` column
+      as-is (``seen_fingerprint_col`` — one pruned column off the store,
+      no re-hash; bucket the store by it on a real deployment and the
+      store side of the join never shuffles), and
+    * a REPLAYED batch (failure between write and checkpoint commit) is
+      idempotent-by-construction: its documents are already in the store,
+      so the anti join drops every one and the append writes zero rows —
+      exactly-once effect without a transactional table format. The one
+      non-atomicity left is a crash MID-append (parquet is not
+      transactional here); that is the documented seam where a real
+      deployment swaps in a Delta/Iceberg transactional append, same as
+      the MERGE INTO seam above.
+
+    The store holds ``(id_col, text_col, __fp__)``.
+    """
+    from pyspark.sql import functions as F
+
+    from hbsir_old_spark.functions.dedup import dedup_against
+    from hbsir_old_spark.functions.text import doc_fingerprint
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            seen = spark.read.parquet(store_dir)
+            have_store = True
+        except Exception:
+            have_store = False
+        tagged = batch.select(id_col, text_col)
+        if have_store:
+            fresh = dedup_against(
+                tagged, seen, text_col=text_col, id_col=id_col,
+                seen_fingerprint_col="__fp__",
+            )
+        else:
+            from hbsir_old_spark.functions.dedup import exact_dedup
+
+            fresh = exact_dedup(tagged, text_col=text_col, id_col=id_col)
+        (
+            fresh.withColumn("__fp__", doc_fingerprint(text_col))
+            .write.mode("append")
+            .parquet(store_dir)
+        )
+
+    return write
+
+
+def run_dedup_ingest(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_available_now: bool = True,
+):
+    """Wire a streaming document source into the dedup-ingest sink:
+    ``readStream -> foreachBatch(dedup against store, append novel)``.
+    ``availableNow`` drains-and-stops for tests/backfills."""
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            dedup_ingest_batch_writer(store_dir, text_col=text_col, id_col=id_col)
+        )
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

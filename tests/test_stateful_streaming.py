@@ -65,3 +65,60 @@ def test_stateful_totals_match_batch(spark, multi_file_events):
     )
     assert (streamed["n_events"] == batch["n_events"]).all()
     assert (streamed["sum_value"] - batch["sum_value"]).abs().max() < 1e-6
+
+
+class TestDedupIngest:
+    """Streaming corpus ingest: dedup-against-store via foreachBatch
+    (streaming/sink.py:run_dedup_ingest)."""
+
+    def _ingest(self, spark, tmp_path, rows, name):
+        src = str(tmp_path / f"src_{name}")
+        store = str(tmp_path / f"store_{name}")
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        from hbsir_old_spark.streaming.sink import run_dedup_ingest
+
+        q = run_dedup_ingest(stream, store, ckpt)
+        q.awaitTermination(120)
+        return src, store, ckpt
+
+    def test_ingest_dedups_within_and_against_store(self, spark, tmp_path):
+        from hbsir_old_spark.streaming.sink import run_dedup_ingest
+
+        src, store, ckpt = self._ingest(
+            spark,
+            tmp_path,
+            [(1, "alpha doc"), (2, "ALPHA   doc"), (3, "beta doc")],  # 2 dups 1
+            "a",
+        )
+        first = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+        assert first == {1, 3}
+        # second delivery: one stored dup, one new
+        spark.createDataFrame(
+            [(10, "beta DOC"), (11, "gamma doc")], ["doc_id", "text"]
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = run_dedup_ingest(stream, store, ckpt)
+        q.awaitTermination(120)
+        rows = spark.read.parquet(store).collect()
+        assert {r["doc_id"] for r in rows} == {1, 3, 11}
+        # the persisted fingerprint column is the store's join key
+        assert all(r["__fp__"] is not None for r in rows)
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        # simulate a replay (crash between append and checkpoint commit):
+        # run the SAME source through a FRESH checkpoint — every doc is
+        # already in the store, so the anti join drops all of them
+        from hbsir_old_spark.streaming.sink import run_dedup_ingest
+
+        src, store, _ = self._ingest(
+            spark, tmp_path, [(1, "alpha doc"), (2, "beta doc")], "b"
+        )
+        n_before = spark.read.parquet(store).count()
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = run_dedup_ingest(stream, store, str(tmp_path / "ckpt_b2"))
+        q.awaitTermination(120)
+        assert spark.read.parquet(store).count() == n_before
