@@ -2404,6 +2404,119 @@ FROM wide ORDER BY Category, UR
 """
 
 
+def q_isc_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 — the 1401 summary notebook's Tables 10/11
+    (/root/reference/examples/ISC/summary_results/1401/summary-results.ipynb,
+    'Table 10'/'Table 11'): the per-DECILE Food/NonFood expenditure table —
+    two-year Expenditures -> Urban_Rural decode + Urban filter (J2/F2) ->
+    Food_NonFood classification (J1) -> per-(Year, ID) category sums ->
+    year-varying weights (J3) -> WEIGHTED deciles of total net
+    expenditure within each Year (W1/W2/P15 — the notebook's
+    ``calculate_quantile(on='Net_Expenditure', weighted=True)``) ->
+    per-(Year, Decile) weighted category means in thousands (A3/A4),
+    plus the notebook's 'All' row per year (Decile 0 here — its
+    ``all_country`` concat). The weighted-mean denominator is the group's
+    FULL weight sum (the notebook's wighted_average helper multiplies by
+    Weight and divides by summed Weight; a household missing one category
+    contributes NULL to that numerator only — pandas sum-skips it)."""
+    from hbsir_old_spark.metadata.corpus import build_reference_registry
+
+    registry = build_reference_registry(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    codes = F.array(*[F.lit(c) for c in _G5_CODES])
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        (F.lit(1400) + F.col("l_orderkey") % 2).alias("Year"),
+        _hh_id_1400(F.col("o_custkey")).alias("ID"),
+        F.element_at(codes, (F.col("l_partkey") % 6 + 1).cast("int")).alias("Code"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "Net_Expenditure"
+        ),
+    )
+    fact = registry.add_classification(fact, "Food_NonFood", years=[1400, 1401])
+    fact = registry.add_attribute(fact, "Urban_Rural")
+    fact = fact.filter(F.col("Urban_Rural") == "Urban")
+    hh = (
+        fact.groupBy("Year", "ID")
+        .agg(
+            F.sum("Net_Expenditure").alias("total_net"),
+            F.sum(
+                F.when(F.col("Food_NonFood") == "Food", F.col("Net_Expenditure"))
+            ).alias("Food_net"),
+            F.sum(
+                F.when(F.col("Food_NonFood") == "NonFood", F.col("Net_Expenditure"))
+            ).alias("NonFood_net"),
+        )
+        .withColumn("Weight", ((F.col("ID") + F.col("Year")) % 7 + 1).cast("double"))
+    )
+    binned = add_decile(
+        hh,
+        value_col="total_net",
+        weight_col="Weight",
+        group_cols=("Year",),
+        out_col="Decile",
+        tiebreaker_cols=("ID",),
+    )
+
+    def _means(grouped):
+        return grouped.agg(
+            F.round(
+                F.sum(F.col("Food_net") * F.col("Weight")) / F.sum("Weight") / 1000, 4
+            ).alias("Food"),
+            F.round(
+                F.sum(F.col("NonFood_net") * F.col("Weight")) / F.sum("Weight") / 1000,
+                4,
+            ).alias("NonFood"),
+        )
+
+    cells = _means(binned.groupBy("Year", "Decile"))
+    all_rows = _means(binned.groupBy("Year")).select(
+        "Year", F.lit(0).cast("int").alias("Decile"), "Food", "NonFood"
+    )
+    return cells.unionByName(all_rows).orderBy("Year", "Decile")
+
+
+SQL_ISC_DECILE_TABLE = """
+WITH fact AS (
+  SELECT 1400 + (l_orderkey % 2) AS year,
+         (1 + o_custkey % 2)::BIGINT * 10000000000 + o_custkey % 10000000000
+           AS id,
+         CASE WHEN [11230, 21300, 111400, 44120, 95210, 121300]
+                     [(l_partkey % 6 + 1)::INTEGER] IN (11230, 21300, 111400)
+              THEN 'Food' ELSE 'NonFood' END AS Category,
+         l_extendedprice * (1 - l_discount) AS net
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey % 2 = 0
+), hh AS (
+  SELECT year, id,
+         sum(net) AS total_net,
+         sum(CASE WHEN Category = 'Food' THEN net END) AS food,
+         sum(CASE WHEN Category = 'NonFood' THEN net END) AS nonfood,
+         (((id + year) % 7 + 1))::DOUBLE AS wt
+  FROM fact GROUP BY year, id
+), q AS (
+  SELECT *,
+         sum(wt) OVER (PARTITION BY year ORDER BY total_net, id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         / sum(wt) OVER (PARTITION BY year) AS quantile
+  FROM hh
+), d AS (
+  SELECT *, least(greatest(floor(quantile * 10) + 1, 1), 10)::INTEGER AS decile
+  FROM q
+)
+SELECT year AS Year, decile AS Decile,
+       round(sum(food * wt) / sum(wt) / 1000, 4) AS Food,
+       round(sum(nonfood * wt) / sum(wt) / 1000, 4) AS NonFood
+FROM d GROUP BY 1, 2
+UNION ALL
+SELECT year, 0::INTEGER,
+       round(sum(food * wt) / sum(wt) / 1000, 4),
+       round(sum(nonfood * wt) / sum(wt) / 1000, 4)
+FROM d GROUP BY year
+ORDER BY Year, Decile
+"""
+
+
 # --------------------------------------------------------------------------
 # G6 — the reference's published end-to-end poverty-rate workload
 # (/root/reference/examples/graphs/poverty_rate/script.py:31-52), the most
@@ -6538,14 +6651,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every full-oracle gate gets a driver row at least every other round
     # where the window allows; rows-only gates never leave the window.
     # Round 10 (counts audited after the r9 narrative drifted): the 43
-    # gates rowed GREEN in CORRECTNESS_r09.json rotate out; in come the 5
+    # gates rowed GREEN in CORRECTNESS_r09.json rotate out; in come the 6
     # new gates (x38 fuzzy-curation, g5b 1401-summary, x39 Gopher rules,
-    # x40 C4 filter — all full-oracle — plus the x38b rows-only LSH
-    # twin), the 14 veterans promised r10 window priority by the r9
-    # header (w1 w2 p13 x11 g1 l1 p16 u1 a6 a10 o2 l7 + s5 x12), and 24
-    # of the 43 r8-green veterans waiting in the tail (window: 4 + 14 +
-    # 24 + 8 rows-only = 50). That leaves 19 r8-green veterans displaced
-    # one more round —
+    # x40 C4 filter, g8 decile-table — all full-oracle — plus the x38b
+    # rows-only LSH twin), the 14 veterans promised r10 window priority
+    # by the r9 header (w1 w2 p13 x11 g1 l1 p16 u1 a6 a10 o2 l7 + s5
+    # x12), and 23 of the 43 r8-green veterans waiting in the tail
+    # (window: 5 + 14 + 23 + 8 rows-only = 50). That leaves 20 r8-green
+    # veterans displaced one more round —
     # each chosen because its operator either RE-RUNS VERBATIM inside an
     # in-window gate or carried a fresh r9-green row through a sibling:
     # x2/x19 (pair generation + connected components run inside x38's
@@ -6563,14 +6676,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-runs inside g5b/g3), x8 (exact cosine top-k re-runs inside
     # in-window x12; approximate twins x9/x13 pinned in-window), x20
     # (token-count base fresh-rowed r9 via x18; window top-k shape
-    # re-runs inside in-window x17). All 19 get window PRIORITY in r11
-    # and are re-proven exact every test run by tests/test_oracle_parity.py.
+    # re-runs inside in-window x17), j2 (pure-arithmetic ID decode
+    # re-runs inside in-window p16 and in anger inside g5b/g6/g8). All
+    # 20 get window PRIORITY in r11 and are re-proven exact every test
+    # run by tests/test_oracle_parity.py.
     return {
         # -- new in round 10 --
         "x38_curation_fuzzy": q_curation_fuzzy,
         "g5b_isc_summary_1401": q_real_isc_summary_1401,
         "x39_gopher_rules": q_gopher_rules,
         "x40_c4_filter": q_c4_filter,
+        "g8_isc_decile_table": q_isc_decile_table,
         # -- window priority: the 14 veterans promised by the r9 header --
         "s5_batch_sessions": q_batch_sessions,
         "x12_embedding_dedup": q_embedding_dedup,
@@ -6586,7 +6702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_cube": q_cube,
         "o2_rolling_window": q_rolling_window,
         "l7_jsonl_ingest": q_jsonl_ingest,
-        # -- no r9 row (r8-green, waited in the tail): 24 of the 43 --
+        # -- no r9 row (r8-green, waited in the tail): 23 of the 43 --
         "p11_season_derivation": q_season_derivation,
         "p23_json_extract": q_json_extract,
         "p17_map_lookup": q_map_lookup,
@@ -6595,7 +6711,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l15b_partitioned_span": q_partitioned_span_food,
         "x34_curation_pipeline": q_curation_pipeline,
         "x35_perplexity_prune": q_perplexity_prune,
-        "j2_dim_join_chain": q_dim_join_chain,
         "j6_fact_join": q_fact_join,
         "j8_geometry_join": q_geometry_join,
         "x14_text_cleaning": q_text_cleaning,
@@ -6625,7 +6740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MinHash candidates, recall < 1 by design => rows-only; the
         # planted-twin recall floor is pinned in tests/test_curation.py
         "x38b_curation_fuzzy_lsh": q_curation_fuzzy_lsh,
-        # -- rotated past position 50 this round: first the 19 displaced
+        # -- rotated past position 50 this round: first the 20 displaced
         # r8-green veterans (rationales in the header; window priority in
         # r11), then the 43 gates with green hash-matched rows in
         # CORRECTNESS_r09.json — all with full parity-suite coverage --
@@ -6637,6 +6752,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a fresh r9-green row via x18, and its window top-k ranking shape
         # re-runs inside in-window x17's group-quota ranking
         "x20_tfidf_top_terms": q_tfidf_top_terms,
+        # j2 displaced by g8 (r10 pressure): its pure-arithmetic ID decode
+        # re-runs inside in-window p16, and the attribute-decode path runs
+        # in anger inside in-window g5b/g6/g8 (Urban_Rural decode + filter)
+        "j2_dim_join_chain": q_dim_join_chain,
         "p4_string_scrub": q_string_scrub,
         "f3_distinct": q_distinct,
         "o1_top_k": q_top_k,
@@ -6781,6 +6900,7 @@ def oracle_sql() -> dict[str, str]:
         "g4_real_weighted_report": SQL_REAL_WEIGHTED_REPORT,
         "g5_real_isc_summary": SQL_REAL_ISC_SUMMARY,
         "g5b_isc_summary_1401": SQL_REAL_ISC_SUMMARY_1401,
+        "g8_isc_decile_table": SQL_ISC_DECILE_TABLE,
         "x25_repetition_filter": SQL_REPETITION_FILTER,
         "x26_kmeans_planted": SQL_KMEANS_PLANTED,
         "x27_semantic_dedup": SQL_SEMANTIC_DEDUP,

@@ -117,9 +117,9 @@ def test_every_oracle_key_has_a_query():
 #      evidence for them;
 #  (c) only FULL-ORACLE gates with a green (hash-matched) driver row may
 #      sit past position 50 — normally from the PREVIOUS round; when new
-#      gates oversubscribe the window (round 10: the window holds 4 new
-#      full-oracle + 14 promised veterans + 24 returning r8-green + 8
-#      rows-only = 50, displacing 19 r8-green veterans to the tail),
+#      gates oversubscribe the window (round 10: the window holds 5 new
+#      full-oracle + 14 promised veterans + 23 returning r8-green + 8
+#      rows-only = 50, displacing 20 r8-green veterans to the tail),
 #      the overflow comes from gates whose operators re-run inside
 #      in-window gates or carried fresh sibling rows, and whose exactness
 #      the parity suite re-proves every run. They get window PRIORITY
@@ -130,6 +130,7 @@ NO_R9_ROW_OR_NEW = {
     "g5b_isc_summary_1401",
     "x39_gopher_rules",
     "x40_c4_filter",
+    "g8_isc_decile_table",
     # the 14 veterans promised r10 window priority by the r9 header
     "s5_batch_sessions",
     "x12_embedding_dedup",
@@ -145,7 +146,7 @@ NO_R9_ROW_OR_NEW = {
     "a10_cube",
     "o2_rolling_window",
     "l7_jsonl_ingest",
-    # r8-green veterans returning from the tail: 24 of the 43
+    # r8-green veterans returning from the tail: 23 of the 43
     "p11_season_derivation",
     "p23_json_extract",
     "p17_map_lookup",
@@ -154,7 +155,6 @@ NO_R9_ROW_OR_NEW = {
     "l15b_partitioned_span",
     "x34_curation_pipeline",
     "x35_perplexity_prune",
-    "j2_dim_join_chain",
     "j6_fact_join",
     "j8_geometry_join",
     "x14_text_cleaning",
@@ -177,6 +177,7 @@ NO_R9_ROW_OR_NEW = {
 DISPLACED_R8_VETERANS = {
     "x8_cosine_topk",
     "x20_tfidf_top_terms",
+    "j2_dim_join_chain",
     "p4_string_scrub",
     "f3_distinct",
     "o1_top_k",
