@@ -5427,7 +5427,7 @@ WITH corpus AS (
          list_filter(lines, l ->
            (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
               OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
-           AND len(list_filter(string_split_regex(l, '[ \\t]+'),
+           AND len(list_filter(string_split_regex(l, '[ \\t\\n\\x0b\\f\\r]+'),
                                x -> x <> '')) >= 5
            AND NOT contains(lower(l), 'javascript')) AS kept
   FROM linesd

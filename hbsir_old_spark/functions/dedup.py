@@ -226,6 +226,7 @@ def dedup_against(
     seen_text_col: str | None = None,
     keep: str = "min",
     seen_fingerprint_col: str | None = None,
+    keep_fingerprint_col: str | None = None,
 ) -> DataFrame:
     """Incremental exact dedup: from ``incoming``, drop every document whose
     normalized-text fingerprint already exists in ``seen``, then collapse
@@ -245,7 +246,12 @@ def dedup_against(
       pinned by ``test_dedup_against_bucketed_store_shuffles_only_incoming``;
     * the anti join otherwise shuffles (fingerprint) against
       (fingerprint, row);
-    * in-batch collapse reuses :func:`exact_dedup` (batch-sized, cheap).
+    * in-batch collapse reuses :func:`exact_dedup` (batch-sized, cheap);
+    * ``keep_fingerprint_col`` returns the incoming side's (already paid
+      for) fingerprint under that name instead of dropping it — the
+      ingest sink persists it so the NEXT batch's store side never
+      re-hashes (Catalyst does not CSE the normalize+md5 chain, so a
+      caller re-deriving it would genuinely pay twice).
     """
     if seen_fingerprint_col is not None:
         seen_fp = seen.select(
@@ -263,9 +269,14 @@ def dedup_against(
     fresh = tagged.join(
         seen_fp, F.col("__fp__") == F.col("__sfp__"), "left_anti"
     )
-    return exact_dedup(
+    out = exact_dedup(
         fresh, text_col=text_col, id_col=id_col, keep=keep, fingerprint_col="__fp__"
-    ).drop("__fp__")
+    )
+    if keep_fingerprint_col is None:
+        return out.drop("__fp__")
+    if keep_fingerprint_col == "__fp__":
+        return out
+    return out.withColumnRenamed("__fp__", keep_fingerprint_col)
 
 
 def connected_components(

@@ -333,8 +333,11 @@ def c4_line_filter(
         terminal = F.endswith(t, F.lit(C4_TERMINAL_CHARS[0]))
         for ch in C4_TERMINAL_CHARS[1:]:
             terminal = terminal | F.endswith(t, F.lit(ch))
+        # \s+ — the SAME whitespace class as whitespace_tokens (the
+        # package's single-tokenizer invariant): a line-internal \x0b/\f
+        # must count words identically to every other token consumer
         words = F.size(
-            F.filter(F.split(line, "[ \t]+"), lambda w: w != F.lit(""))
+            F.filter(F.split(line, r"\s+"), lambda w: w != F.lit(""))
         )
         blocked = F.lit(False)
         for term in line_blocklist:

@@ -88,35 +88,51 @@ def dedup_ingest_batch_writer(
       deployment swaps in a Delta/Iceberg transactional append, same as
       the MERGE INTO seam above.
 
-    The store holds ``(id_col, text_col, __fp__)``.
+    The store holds ``(id_col, text_col, __fp__)``. NULL-text rows are
+    DROPPED at ingest (same rationale as chunking's empty-doc contract:
+    nothing to train on) — and necessarily so for the idempotence claim:
+    a NULL text fingerprints to NULL, which the anti join's ``=`` can
+    never match, so storing such a row would re-append it on every
+    replay, silently violating the store's dedup invariant.
     """
     from pyspark.sql import functions as F
 
-    from hbsir_old_spark.functions.dedup import dedup_against
+    from hbsir_old_spark.functions.dedup import dedup_against, exact_dedup
     from hbsir_old_spark.functions.text import doc_fingerprint
 
     def write(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         try:
             seen = spark.read.parquet(store_dir)
             have_store = True
-        except Exception:
+        except AnalysisException as exc:
+            # ONLY first-batch conditions count as "no store yet":
+            # missing path, or an existing-but-empty checkpointless dir.
+            # Anything else (corrupt footers, permissions, transient
+            # object-store failures) must FAIL the batch so the streaming
+            # checkpoint retries it — swallowing it would ingest the
+            # batch with in-batch dedup only and permanently duplicate
+            # every already-stored document it contains.
+            msg = str(exc)
+            if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
+                raise
             have_store = False
-        tagged = batch.select(id_col, text_col)
+        tagged = batch.select(id_col, text_col).filter(
+            F.col(text_col).isNotNull()
+        )
         if have_store:
             fresh = dedup_against(
                 tagged, seen, text_col=text_col, id_col=id_col,
-                seen_fingerprint_col="__fp__",
+                seen_fingerprint_col="__fp__", keep_fingerprint_col="__fp__",
             )
         else:
-            from hbsir_old_spark.functions.dedup import exact_dedup
-
-            fresh = exact_dedup(tagged, text_col=text_col, id_col=id_col)
-        (
-            fresh.withColumn("__fp__", doc_fingerprint(text_col))
-            .write.mode("append")
-            .parquet(store_dir)
-        )
+            fresh = exact_dedup(
+                tagged.withColumn("__fp__", doc_fingerprint(text_col)),
+                text_col=text_col, id_col=id_col, fingerprint_col="__fp__",
+            )
+        fresh.write.mode("append").parquet(store_dir)
 
     return write
 

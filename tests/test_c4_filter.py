@@ -99,3 +99,10 @@ def test_crlf_lines_are_retained(spark):
     crlf = GOOD_PAGE.replace("\n", "\r\n")
     got = _run(spark, [(1, crlf)])[1]
     assert got["n_kept_lines"] == 3 and got["keep"], got
+
+
+def test_line_word_count_uses_canonical_whitespace_class(spark):
+    # a line-internal vertical tab separates words exactly like a space
+    # (the package's single-tokenizer invariant): 5 words here, retained
+    got = _run(spark, [(1, "one\x0btwo three four five.")], min_sentences=1)[1]
+    assert got["n_kept_lines"] == 1 and got["keep"], got

@@ -122,3 +122,24 @@ class TestDedupIngest:
         q = run_dedup_ingest(stream, store, str(tmp_path / "ckpt_b2"))
         q.awaitTermination(120)
         assert spark.read.parquet(store).count() == n_before
+
+    def test_null_text_rows_are_dropped_not_stored(self, spark, tmp_path):
+        # a NULL text fingerprints to NULL, which the anti join can never
+        # match — storing it would re-append it on EVERY replay. The sink
+        # drops such rows at ingest (documented contract).
+        from hbsir_old_spark.streaming.sink import run_dedup_ingest
+
+        src = str(tmp_path / "src_n")
+        store = str(tmp_path / "store_n")
+        spark.createDataFrame(
+            [(1, "real doc"), (2, None)], "doc_id long, text string"
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = run_dedup_ingest(stream, store, str(tmp_path / "ckpt_n"))
+        q.awaitTermination(120)
+        assert {r["doc_id"] for r in spark.read.parquet(store).collect()} == {1}
+        # replay with a fresh checkpoint: still exactly one row
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = run_dedup_ingest(stream, store, str(tmp_path / "ckpt_n2"))
+        q.awaitTermination(120)
+        assert spark.read.parquet(store).count() == 1
