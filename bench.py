@@ -122,6 +122,10 @@ HEADLINE = [
     # round 10: the C4 line/document filter (line retention + reassembly +
     # page blocks — map-only array/string expressions)
     "x40_c4_filter",
+    # round 10: exact-substring dedup removal (window explode -> distinct-
+    # doc ownership -> coverage anti-join -> ordered reassembly; the
+    # shuffle-heavy counterpart of x32's map-side statistic)
+    "x41_substring_dedup",
     # x23_best_rep_dedup stays gate-only like x19: exact all-pairs n-gram
     # generation dominates its wall time (the scale path is x3's MinHash),
     # so it belongs to correctness, not the throughput suite. x26's k-means

@@ -33,6 +33,7 @@ from hbsir_old_spark.functions.text import (  # noqa: F401 (re-export)
     doc_fingerprint,
     exploded_word_shingles,
     normalize_text,
+    whitespace_tokens,
 )
 from hbsir_old_spark.session import ensure_min_partitions
 
@@ -685,4 +686,178 @@ def simhash_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def remove_duplicate_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    min_docs: int = 2,
+    keep: str = "first",
+) -> DataFrame:
+    """Cross-corpus exact-substring deduplication — the REMOVAL pass of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", ExactSubstr), token-window form: every ``width``-token
+    window of the normalized text that occurs in at least ``min_docs``
+    DISTINCT documents is a duplicated passage; the tokens it covers are
+    cut from the document and the remainder is reassembled in order.
+    The removal counterpart of :func:`text.cross_doc_dup_windows`, which
+    only reports the statistic — both mark exactly the same windows.
+
+    ``keep``:
+
+    * ``'first'`` (default, the paper's keep-one-copy behavior): for each
+      duplicated window the lexicographically smallest ``(id, position)``
+      occurrence is the canonical copy and survives; every other
+      occurrence is cut.
+    * ``'none'``: every occurrence of a duplicated window is cut (the
+      strict form — e.g. for removing licenses/boilerplate outright).
+
+    Semantics (pinned by tests):
+
+    * matching is on the NORMALIZED token stream
+      (:func:`text.normalize_text` — lowercased, whitespace-collapsed),
+      so case/spacing variants of a passage still match; the output text
+      preserves ORIGINAL token case;
+    * output text is the surviving token stream rejoined with single
+      spaces (the :func:`sampling.chunk_documents` convention) for every
+      document, touched or not — so downstream tokenization sees the
+      identical stream for untouched docs, and whitespace runs are not
+      round-tripped;
+    * documents shorter than ``width`` tokens contribute their whole-text
+      window (the :func:`word_shingles` position-1 convention): a short
+      doc duplicated elsewhere is removed entirely;
+    * duplication means ``min_docs`` DISTINCT documents — repetition
+      WITHIN one document never cuts (that is the Gopher within-doc
+      rule, :func:`text.repetition_filter`);
+    * NULL text passes through as NULL, empty/whitespace-only as ``''``,
+      both with ``n_tokens = n_removed = 0``; a fully-duplicated doc
+      comes back as ``''`` (empty string, never NULL).
+
+    Output: one row per input document —
+    ``(id_col, text_col cleaned, n_tokens, n_removed)``.
+
+    Scale shape (the 100-TB path): window explode is map-only and fuses
+    with the gram projection in one codegen span (the x32 lesson —
+    explode positions, then ``slice``/``concat_ws`` read the token array
+    in place); document frequency is distinct ``(hash, id)`` then a
+    plain count (two partial-aggregable stages, not ``countDistinct``'s
+    expand); the canonical pick is a partial-aggregable ``min(struct)``;
+    coverage expansion is bounded by ``width ×`` duplicated occurrences;
+    the final exclusion is one LEFT ANTI join on ``(id, position)``
+    against the covered set; reassembly is one ``groupBy(id)`` whose
+    state is bounded by a single document's tokens. No windows, no UDFs,
+    no driver collection, no all-pairs anywhere.
+
+    Reference analogue: none (beyond-reference LLM-pipeline operator).
+    """
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    if min_docs < 2:
+        raise ValueError(
+            f"min_docs must be >= 2 (cross-document duplication), got {min_docs}"
+        )
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+
+    base = df.select(id_col, text_col)
+    # original-case tokens for reassembly beside the normalized stream for
+    # matching; normalization never changes the token count (it only
+    # lowercases and collapses the same \s+ runs the tokenizer splits on),
+    # so positions align between the two arrays
+    toks = (
+        base.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            whitespace_tokens(F.col(text_col)).alias("__t__"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("__n__"),
+        )
+        .where(F.size("__t__") >= 1)
+    )
+    occ = toks.select(
+        F.col(id_col),
+        F.size("__t__").alias("__sz__"),
+        F.col("__n__"),
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("__t__") - (width - 1), F.lit(1))
+            )
+        ).alias("__pos__"),
+    ).select(
+        F.col(id_col),
+        F.col("__sz__"),
+        F.col("__pos__"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("__n__"), F.col("__pos__"), width))).alias(
+            "__h__"
+        ),
+    )
+    # ownership count and canonical pick fused into ONE two-stage
+    # aggregation so the window explode feeds a single shuffle: per
+    # (hash, doc) partials first (distinct-doc reduction + per-doc min
+    # position in one partial-aggregable groupBy), then per hash. The
+    # lexicographic min(struct(id, pos)) over all occurrences equals
+    # min(struct(id, min-pos-of-that-id)) over the per-doc rows, so the
+    # canonical pick rides the same reduced stream the count does —
+    # without this fusion Catalyst derives the explode subtree once per
+    # consumer (Spark reuses no subtrees) and aggregates it twice.
+    per_doc = occ.groupBy("__h__", id_col).agg(F.min("__pos__").alias("__mp__"))
+    dup_h = (
+        per_doc.groupBy("__h__")
+        .agg(
+            F.count("*").alias("__nd__"),
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("__mp__").alias("p"))
+            ).alias("__c__"),
+        )
+        .where(F.col("__nd__") >= min_docs)
+        .select("__h__", "__c__")
+    )
+    dup_occ = occ.join(dup_h, "__h__")
+    if keep == "first":
+        cut = dup_occ.where(
+            ~(
+                (F.col(id_col) == F.col("__c__.i"))
+                & (F.col("__pos__") == F.col("__c__.p"))
+            )
+        )
+    else:
+        cut = dup_occ
+    covered = cut.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.col("__pos__"),
+                F.least(F.col("__pos__") + (width - 1), F.col("__sz__")),
+            )
+        ).alias("__tp__"),
+    ).distinct()
+    tokpos = toks.select(
+        F.col(id_col),
+        F.posexplode("__t__").alias("__i0__", "__tok__"),
+    ).select(F.col(id_col), (F.col("__i0__") + 1).alias("__tp__"), F.col("__tok__"))
+    rebuilt = tokpos.join(covered, [id_col, "__tp__"], "left_anti").groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__tp__", "__tok__"))),
+                lambda s: s["__tok__"],
+            ),
+            " ",
+        ).alias("__clean__"),
+        F.count("*").alias("__nk__"),
+    )
+    return (
+        base.withColumn("__ntok__", F.size(whitespace_tokens(F.col(text_col))))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("__clean__"), F.lit("")))
+            .alias(text_col),
+            F.col("__ntok__").alias("n_tokens"),
+            (F.col("__ntok__") - F.coalesce(F.col("__nk__"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
     )

@@ -126,6 +126,7 @@ def test_every_oracle_key_has_a_query():
 #      next round.
 NO_R9_ROW_OR_NEW = {
     # new in round 10
+    "x41_substring_dedup",
     "x38_curation_fuzzy",
     "g5b_isc_summary_1401",
     "x39_gopher_rules",
@@ -146,7 +147,7 @@ NO_R9_ROW_OR_NEW = {
     "a10_cube",
     "o2_rolling_window",
     "l7_jsonl_ingest",
-    # r8-green veterans returning from the tail: 23 of the 43
+    # r8-green veterans returning from the tail: 22 of the 43
     "p11_season_derivation",
     "p23_json_extract",
     "p17_map_lookup",
@@ -169,12 +170,14 @@ NO_R9_ROW_OR_NEW = {
     "s3_events_sliding",
     "l14_multi_year_food",
     "x31_dsir_select",
-    "x32_dup_windows",
 }
 # displaced by round-10 window pressure: r8-green rows, each with its
 # operator re-running inside an in-window gate or a fresh r9 sibling row
 # (rationales in the queries() header); window priority in r11
 DISPLACED_R8_VETERANS = {
+    # x32 displaced by the new x41 (its window/hash/ownership stages
+    # re-run verbatim as x41's cut-set derivation)
+    "x32_dup_windows",
     "x8_cosine_topk",
     "x20_tfidf_top_terms",
     "j2_dim_join_chain",

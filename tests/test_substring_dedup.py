@@ -1,0 +1,126 @@
+"""remove_duplicate_passages (x41): Lee et al. exact-substring dedup removal."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hbsir_old_spark.functions.dedup import remove_duplicate_passages  # noqa: E402
+
+# a shared 5-token passage, planted mid-document in docs 1 and 2
+PASSAGE = "the quick brown fox jumps"
+
+
+def _docs(spark):
+    rows = [
+        (1, f"alpha beta {PASSAGE} gamma delta"),
+        (2, f"one two three {PASSAGE} four"),
+        (3, "totally unrelated content with no shared windows here"),
+        (4, None),
+        (5, ""),
+        (6, "   \t\n  "),
+        # within-doc repetition only: the window repeats inside ONE doc
+        (7, f"{PASSAGE} filler filler filler {PASSAGE}"),
+        # short doc (< width tokens) duplicated verbatim in another short doc
+        (8, "tiny dup doc"),
+        (9, "tiny dup doc"),
+        # case/spacing variant of doc 8's text: matches via normalization
+        (10, "TINY  DUP   DOC extra trailing words here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def _run(spark, width=5, keep="first", min_docs=2):
+    out = remove_duplicate_passages(
+        _docs(spark), width=width, keep=keep, min_docs=min_docs
+    )
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_keep_first_retains_canonical_copy(spark):
+    rows = _run(spark)
+    # doc 1 is the lexicographically-first occurrence: untouched
+    assert rows[1]["text"] == f"alpha beta {PASSAGE} gamma delta"
+    assert rows[1]["n_removed"] == 0 and rows[1]["n_tokens"] == 9
+    # doc 2 loses exactly the 5 passage tokens
+    assert rows[2]["text"] == "one two three four"
+    assert rows[2]["n_removed"] == 5 and rows[2]["n_tokens"] == 9
+
+
+def test_keep_none_cuts_every_occurrence(spark):
+    rows = _run(spark, keep="none")
+    assert rows[1]["text"] == "alpha beta gamma delta"
+    assert rows[1]["n_removed"] == 5
+    assert rows[2]["text"] == "one two three four"
+
+
+def test_within_doc_repetition_never_cuts_alone(spark):
+    # doc 7 contains the passage twice, but the passage also lives in docs
+    # 1 and 2 — under keep='first' doc 7 loses BOTH copies (doc 1 is
+    # canonical). The within-doc-only guarantee needs a window unique to
+    # doc 7: its repeated "filler filler filler" interior windows occur in
+    # no other document, so they survive.
+    rows = _run(spark)
+    assert "filler filler filler" in rows[7]["text"]
+    # both passage copies cut (canonical is doc 1)
+    assert PASSAGE not in rows[7]["text"]
+
+
+def test_short_doc_whole_text_window_and_normalization(spark):
+    rows = _run(spark)
+    # docs 8/9: 3-token docs share their whole-text window; 8 is canonical
+    assert rows[8]["text"] == "tiny dup doc"
+    assert rows[8]["n_removed"] == 0
+    assert rows[9]["text"] == ""
+    assert rows[9]["n_removed"] == 3
+    # doc 10 starts with the same normalized window "tiny dup doc …" only
+    # as part of longer windows (7 tokens, width 5) — its windows are
+    # 5-grams, none of which equal the short docs' whole-text 3-gram, so
+    # it is untouched; but its ORIGINAL case is preserved in the output
+    assert rows[10]["text"].startswith("TINY DUP DOC")
+    assert rows[10]["n_removed"] == 0
+
+
+def test_null_empty_blank_pass_through(spark):
+    rows = _run(spark)
+    assert rows[4]["text"] is None
+    assert rows[4]["n_tokens"] == 0 and rows[4]["n_removed"] == 0
+    assert rows[5]["text"] == "" and rows[5]["n_removed"] == 0
+    assert rows[6]["text"] == "" and rows[6]["n_tokens"] == 0
+    # untouched doc: token stream preserved, single-space rejoined
+    assert rows[3]["text"] == "totally unrelated content with no shared windows here"
+
+
+def test_overlapping_windows_coverage_union(spark):
+    # two docs share a 7-token passage; with width 5 the passage yields 3
+    # overlapping duplicated windows whose coverage must union to exactly
+    # the 7 passage tokens, not 15
+    p = "a b c d e f g"
+    df = spark.createDataFrame(
+        [(1, f"x {p} y"), (2, f"z {p}")], "doc_id int, text string"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicate_passages(df, width=5).collect()
+    }
+    assert out[1]["n_removed"] == 0  # canonical
+    assert out[2]["text"] == "z"
+    assert out[2]["n_removed"] == 7
+
+
+def test_validation(spark):
+    df = _docs(spark)
+    with pytest.raises(ValueError, match="keep"):
+        remove_duplicate_passages(df, keep="canonical")
+    with pytest.raises(ValueError, match="min_docs"):
+        remove_duplicate_passages(df, min_docs=1)
+    with pytest.raises(ValueError, match="width"):
+        remove_duplicate_passages(df, width=0)
+
+
+def test_plan_has_no_udfs_or_cartesian(spark):
+    plan = remove_duplicate_passages(_docs(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
