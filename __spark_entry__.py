@@ -6646,6 +6646,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X42 — product-quantization ANN (Jégou et al. 2011): m=4 subspace
+# codebooks (ks=16, L2 Lloyd, deterministic hash init), corpus encoded to
+# 4 codes/vector, per-query ADC table (m x ks subspace dots computed once),
+# IVF coarse pruning (n_coarse=16, n_probe=4), exact-cosine refine of the
+# top refine*k ADC candidates. Approximate => rows-only gate (q_cosine_topk
+# is the exact baseline); recall + soundness floors pinned in
+# tests/test_approx_quality.py.
+# --------------------------------------------------------------------------
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb_d.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(
+        emb_d,
+        queries,
+        k=5,
+        m=4,
+        ks=16,
+        refine=4,
+        n_coarse=16,
+        n_probe=4,
+        train_max_iter=4,
+    )
+
+
+# --------------------------------------------------------------------------
 # X41 — exact-substring dedup REMOVAL (Lee et al. 2022 ExactSubstr, token-
 # window form): every normalized 8-token window occurring in >= 2 distinct
 # documents is a duplicated passage; keep='first' retains the smallest
@@ -6734,14 +6768,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every full-oracle gate gets a driver row at least every other round
     # where the window allows; rows-only gates never leave the window.
     # Round 10 (counts audited after the r9 narrative drifted): the 43
-    # gates rowed GREEN in CORRECTNESS_r09.json rotate out; in come the 7
+    # gates rowed GREEN in CORRECTNESS_r09.json rotate out; in come the 8
     # new gates (x38 fuzzy-curation, g5b 1401-summary, x39 Gopher rules,
     # x40 C4 filter, g8 decile-table, x41 substring-dedup removal — all
-    # full-oracle — plus the x38b rows-only LSH twin), the 14 veterans
-    # promised r10 window priority by the r9 header (w1 w2 p13 x11 g1 l1
-    # p16 u1 a6 a10 o2 l7 + s5 x12), and 22 of the 43 r8-green veterans
-    # waiting in the tail (window: 6 + 14 + 22 + 8 rows-only = 50). That
-    # leaves 21 r8-green veterans displaced one more round —
+    # full-oracle — plus the rows-only x38b LSH twin and x42 PQ-ANN), the
+    # 14 veterans promised r10 window priority by the r9 header (w1 w2
+    # p13 x11 g1 l1 p16 u1 a6 a10 o2 l7 + s5 x12), and 21 of the 43
+    # r8-green veterans waiting in the tail (window: 6 + 14 + 21 + 9
+    # rows-only = 50). That leaves 22 r8-green veterans displaced one
+    # more round —
     # each chosen because its operator either RE-RUNS VERBATIM inside an
     # in-window gate or carried a fresh r9-green row through a sibling:
     # x2/x19 (pair generation + connected components run inside x38's
@@ -6800,7 +6835,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x35_perplexity_prune": q_perplexity_prune,
         "j6_fact_join": q_fact_join,
         "j8_geometry_join": q_geometry_join,
-        "x14_text_cleaning": q_text_cleaning,
         "g3_report_pivot_totals": q_report_pivot_totals,
         "l2_setup_roundtrip": q_setup_roundtrip,
         "x16_hash_split": q_hash_split,
@@ -6826,6 +6860,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MinHash candidates, recall < 1 by design => rows-only; the
         # planted-twin recall floor is pinned in tests/test_curation.py
         "x38b_curation_fuzzy_lsh": q_curation_fuzzy_lsh,
+        # x42: product-quantization ANN (codebook model + ADC + refine) —
+        # approximate like x9/x13; recall/soundness floors in
+        # tests/test_approx_quality.py
+        "x42_pq_topk": q_pq_topk,
         # -- rotated past position 50 this round: first the 21 displaced
         # r8-green veterans (rationales in the header; window priority in
         # r11), then the 43 gates with green hash-matched rows in
@@ -6834,6 +6872,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window/hash/ownership stages re-run verbatim as x41's cut-set
         # derivation — x41 removes exactly the windows x32 counts
         "x32_dup_windows": q_dup_windows,
+        # x14 displaced by x42 (r10 pressure; the rows-only pin forces the
+        # new approximate gate in-window): its three ops are pure map-only
+        # scalar expressions (strip_html, redact_pii, repeated-token
+        # ratio) — no join/agg/window shape to drift — and the least
+        # rotation-sensitive gate in the window; re-proven exact against
+        # DuckDB every pytest run
+        "x14_text_cleaning": q_text_cleaning,
         # x8 displaced by x39 (r10 pressure): its exact cosine top-k path
         # re-runs inside in-window x12's embedding-dedup verification, and
         # its approximate twins x9/x13 are rows-only pinned in-window

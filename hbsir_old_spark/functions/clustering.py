@@ -45,11 +45,15 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_col: str = "cluster",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Assign every row to its nearest (cosine) centroid — map-side only,
+    """Assign every row to its nearest centroid (cosine by default; ``'l2'``
+    for the product-quantization subspace metric) — map-side only,
     no shuffle. Output: (id_col, vec_col, cluster_col)."""
     cents_df = centroid_literal_df(df.sparkSession, centroids)
-    assigned = assign_nearest_centroids(df, id_col, vec_col, cents_df, keep=1)
+    assigned = assign_nearest_centroids(
+        df, id_col, vec_col, cents_df, keep=1, metric=metric
+    )
     return assigned.select(
         id_col, vec_col, F.col("__centroid__").cast("int").alias(cluster_col)
     )
@@ -81,8 +85,11 @@ def kmeans_fit(
     max_iter: int = 20,
     tol: float = 1e-6,
     init: list[list[float]] | None = None,
+    metric: str = "cosine",
 ) -> list[list[float]]:
-    """Fit spherical k-means; returns the k centroids (driver-side model).
+    """Fit k-means; returns the k centroids (driver-side model). Spherical
+    (cosine assignment) by default; ``metric='l2'`` gives classic Lloyd
+    (the product-quantization subspace objective).
 
     ``init`` supplies explicit initial centroids (e.g. one seed per known
     stratum — also what makes the planted-blob oracle gate deterministic);
@@ -103,7 +110,7 @@ def kmeans_fit(
     data = df.select(id_col, vec_col).persist()
     try:
         for _ in range(max_iter):
-            assigned = kmeans_assign(data, centroids, id_col, vec_col)
+            assigned = kmeans_assign(data, centroids, id_col, vec_col, metric=metric)
             stats = (
                 assigned.select(
                     "cluster", F.posexplode(F.col(vec_col)).alias("pos", "val")

@@ -139,12 +139,22 @@ def centroid_literal_df(spark, centroids: list[list[float]]) -> DataFrame:
     )
 
 
+def sq_l2(a: Column, b: Column) -> Column:
+    """Squared euclidean distance between two equal-length arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def assign_nearest_centroids(
     df: DataFrame,
     idc: str,
     vecc: str,
     centroid_arr: DataFrame,
     keep: int,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Map-side nearest-centroid assignment.
 
@@ -163,7 +173,20 @@ def assign_nearest_centroids(
     without the guard, ``sort_array`` ascending on ``-sim`` would rank a
     NULL similarity first (NULL sorts before everything), silently electing
     a broken centroid.
+
+    ``metric``: ``'cosine'`` (default — the spherical family) or ``'l2'``
+    (nearest by squared euclidean distance — the product-quantization
+    subspace metric; similarity := -sq_l2 so the same larger-is-better
+    ranking machinery applies).
     """
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
+
+    def _sim(vec: Column, cent: Column) -> Column:
+        if metric == "cosine":
+            return cosine_similarity(vec, cent)
+        return -sq_l2(vec, cent)
+
     scored = df.crossJoin(F.broadcast(centroid_arr))
     neg_inf = F.lit(float("-inf"))
     ranked = F.slice(
@@ -174,7 +197,7 @@ def assign_nearest_centroids(
                     (
                         -F.coalesce(
                             F.nanvl(
-                                cosine_similarity(F.col(vecc), cent["__centvec__"]),
+                                _sim(F.col(vecc), cent["__centvec__"]),
                                 neg_inf,
                             ),
                             neg_inf,
@@ -306,6 +329,272 @@ def lsh_bucket_topk(
     w = Window.partitionBy("__qid__").orderBy(F.col("__sim__").desc(), F.col("__cid__"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid__").alias(query_id_col),
+            F.col("__cid__").alias(id_col),
+            F.col("rank"),
+            F.round("__sim__", 6).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for Nearest
+# Neighbor Search"): compress each vector into m subspace codes, rank with
+# asymmetric distance computation (ADC) — per query, a tiny m x ks table of
+# subspace dot products is precomputed once, and every corpus row scores in
+# O(m) table lookups instead of O(d) multiplications. The compressed-domain
+# complement of ivf_topk's coarse pruning; pq_topk composes both (IVF-PQ
+# without residual encoding — documented simplification).
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    tol: float = 1e-4,
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Train the m per-subspace codebooks (ks centroids each) with classic
+    L2 Lloyd iterations over the sliced subvectors — m independent
+    :func:`clustering.kmeans_fit` runs (``metric='l2'``), each collecting
+    only ks x (dim/m) floats of model state per round. Deterministic: the
+    hash-pick init, no RNG. Returns ``codebooks[j][c]`` = centroid ``c``
+    of subspace ``j``."""
+    from hbsir_old_spark.functions.clustering import kmeans_fit
+
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("cannot train PQ codebooks on an empty frame")
+        dim = int(first["d"])
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim {dim} must divide evenly into m={m} subspaces")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col),
+        )
+        books.append(
+            kmeans_fit(
+                sub,
+                k=ks,
+                id_col=id_col,
+                vec_col=vec_col,
+                max_iter=max_iter,
+                tol=tol,
+                metric="l2",
+            )
+        )
+    return books
+
+
+def _codebooks_literal_df(spark, codebooks: list[list[list[float]]]) -> DataFrame:
+    """One-row DataFrame carrying the whole codebook set as
+    ``array<array<array<double>>>`` (subspace -> code -> centroid), the
+    centroid_literal_df model-as-data convention: the model travels as one
+    broadcast row, never as m x ks x d Literal expression nodes."""
+    rows = [[[float(v) for v in cent] for cent in book] for book in codebooks]
+    return spark.createDataFrame([(rows,)], "__books__ array<array<array<double>>>")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode every vector as its m nearest-subspace-centroid codes —
+    map-only (the codebook row broadcasts; zero shuffle of the corpus).
+    Output: ``(id_col, vec_col, codes_col array<int>)``; at scale the codes
+    column is what gets persisted (m bytes-ish per vector vs d floats).
+    Ties and degenerate distances (NULL/NaN subvectors) resolve to the
+    LOWEST code via the +inf guard, deterministically."""
+    m, ks = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    spark = df.sparkSession
+    books = _codebooks_literal_df(spark, codebooks)
+    inf = F.lit(float("inf"))
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.element_at(
+            F.sort_array(
+                F.transform(
+                    F.element_at(F.col("__books__"), j + 1),
+                    lambda cent, c: F.struct(
+                        F.coalesce(
+                            F.nanvl(
+                                sq_l2(
+                                    F.slice(F.col(vec_col), j * dsub + 1, dsub),
+                                    cent,
+                                ),
+                                inf,
+                            ),
+                            inf,
+                        ).alias("__d__"),
+                        c.alias("__code__"),
+                    ),
+                )
+            ),
+            1,
+        )["__code__"].cast("int"),
+    )
+    return (
+        df.crossJoin(F.broadcast(books))
+        .select(F.col(id_col), F.col(vec_col), codes.alias(codes_col))
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    m: int = 4,
+    ks: int = 16,
+    codebooks: list[list[list[float]]] | None = None,
+    refine: int = 4,
+    n_coarse: int | None = None,
+    n_probe: int = 4,
+    train_max_iter: int = 10,
+) -> DataFrame:
+    """Approximate top-k by product quantization with exact re-rank.
+
+    1. codebooks: an explicit trained set, else :func:`pq_train` on the
+       corpus (deterministic);
+    2. corpus rows encode to m codes (:func:`pq_encode`, map-only);
+    3. per query, the m x ks table of subspace dot products against every
+       sub-centroid is computed ONCE (tiny query side); ADC score of a
+       corpus row = sum of m table lookups — a flat codegen'd expression,
+       no per-dimension work on the hot path;
+    4. the top ``refine * k`` ADC candidates per query re-rank by exact
+       cosine (the standard ADC-then-refine shape);
+    5. optional IVF composition: ``n_coarse`` set => corpus rows join
+       queries only within probed coarse-centroid buckets (the IVF-PQ
+       layout, sans residual encoding — documented simplification) instead
+       of scanning every code row per query.
+
+    At 100 TB the encoded corpus (codes only) is the persisted artifact —
+    the ADC scan reads m ints per row instead of d floats, and the coarse
+    buckets prune files exactly as ivf_topk's inverted lists do. Recall <
+    1 by design — :func:`cosine_topk` is the exact baseline; floors pinned
+    in tests/test_approx_quality.py.
+    """
+    if refine < 1:
+        raise ValueError(f"refine must be >= 1, got {refine}")
+    corpus = ensure_min_partitions(corpus)
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col,
+            max_iter=train_max_iter,
+        )
+    m, ks = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    spark = corpus.sparkSession
+    books = _codebooks_literal_df(spark, codebooks)
+
+    enc = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("__cid__"), F.col("pq_codes").alias("__codes__")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("__qid__"), F.col(vec_col).alias("__qvec__")
+    )
+    # per-query ADC table: __tab__[j][c] = dot(q_sub_j, codebooks[j][c]);
+    # interpreted HOFs are fine here — the query side is tiny by contract
+    qtab = q.crossJoin(F.broadcast(books)).select(
+        "__qid__",
+        "__qvec__",
+        F.transform(
+            F.col("__books__"),
+            lambda book, j: F.transform(
+                book,
+                lambda cent: dot(
+                    F.slice(F.col("__qvec__"), j * dsub + 1, dsub), cent
+                ),
+            ),
+        ).alias("__tab__"),
+    )
+
+    if n_coarse is not None:
+        # IVF-PQ: coarse quantizer prunes the candidate pairs; same
+        # hash-pick seed convention as ivf_topk's untrained path
+        coarse_arr = (
+            corpus.select(
+                F.col(id_col).alias("__sid__"), F.col(vec_col).alias("__svec__")
+            )
+            .withColumn("__h__", F.xxhash64(F.col("__sid__")))
+            .orderBy("__h__", "__sid__")
+            .limit(n_coarse)
+            .select(
+                F.col("__sid__").alias("__centroid__"),
+                F.col("__svec__").alias("__centvec__"),
+            )
+            .agg(
+                F.collect_list(F.struct("__centroid__", "__centvec__")).alias(
+                    "__cents__"
+                )
+            )
+        )
+        assigned = assign_nearest_centroids(
+            corpus.select(F.col(id_col).alias("__cid__"), F.col(vec_col)),
+            "__cid__",
+            vec_col,
+            coarse_arr,
+            keep=1,
+        ).select("__cid__", "__centroid__")
+        probed = assign_nearest_centroids(
+            qtab.select("__qid__", F.col("__qvec__").alias(vec_col), "__tab__"),
+            "__qid__",
+            vec_col,
+            coarse_arr,
+            keep=n_probe,
+        ).select("__qid__", "__centroid__")
+        pairs = (
+            enc.join(assigned, "__cid__")
+            .join(F.broadcast(probed.join(qtab, "__qid__")), "__centroid__")
+        )
+    else:
+        pairs = enc.crossJoin(F.broadcast(qtab))
+
+    neg_inf = F.lit(float("-inf"))
+    adc_terms = [
+        F.element_at(
+            F.element_at(F.col("__tab__"), j + 1),
+            F.element_at(F.col("__codes__"), j + 1) + 1,
+        )
+        for j in range(m)
+    ]
+    adc = adc_terms[0]
+    for t in adc_terms[1:]:
+        adc = adc + t
+    scored = pairs.filter(F.col("__cid__") != F.col("__qid__")).withColumn(
+        "__adc__", F.coalesce(F.nanvl(adc, neg_inf), neg_inf)
+    )
+    w_adc = Window.partitionBy("__qid__").orderBy(
+        F.col("__adc__").desc(), F.col("__cid__")
+    )
+    cands = (
+        scored.withColumn("__r__", F.row_number().over(w_adc))
+        .filter(F.col("__r__") <= refine * k)
+        .select("__qid__", "__qvec__", "__cid__")
+    )
+    vecs = corpus.select(F.col(id_col).alias("__cid__"), F.col(vec_col).alias("__cvec__"))
+    sims = cands.join(vecs, "__cid__").withColumn(
+        "__sim__", cosine_similarity(F.col("__cvec__"), F.col("__qvec__"))
+    )
+    w = Window.partitionBy("__qid__").orderBy(F.col("__sim__").desc(), F.col("__cid__"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             F.col("__qid__").alias(query_id_col),

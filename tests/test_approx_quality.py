@@ -362,3 +362,62 @@ def test_weighted_breaks_null_weight_leading_bucket_grouped_matches_ungrouped(sp
     )
     bins_by_val = {r["val"]: r["b"] for r in binned.collect()}
     assert bins_by_val[1.0] == 1 and bins_by_val[17.0] == 2
+
+
+def test_pq_sound_and_recalls(spark, sf_dir, exact_topk):
+    approx = entry_mod.q_pq_topk(spark, sf_dir).collect()
+    assert len(approx) > 0
+    hits = sum(1 for r in approx if (r["query_id"], r["vec_id"]) in exact_topk)
+    # soundness: the refine stage computes EXACT cosine, so any neighbor
+    # shared with the exact baseline must carry the identical similarity
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_topk:
+            assert abs(r["cosine"] - round(exact_topk[key], 6)) < 2e-4
+    recall = hits / len(exact_topk)
+    assert recall >= 0.3, f"PQ recall collapsed: {recall:.2f}"
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_pq_determinism_and_shapes(spark, sf_dir):
+    from hbsir_old_spark.functions.similarity import pq_encode, pq_train
+
+    emb = (
+        entry_mod._t(spark, sf_dir, "embeddings")
+        .selectExpr("vec_id", "cast(embedding as array<double>) embedding")
+        .filter("vec_id < 100")
+    )
+    books = pq_train(emb, m=4, ks=8, max_iter=3)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)  # 64/4 dims
+    # training twice from the deterministic hash init gives the same model
+    assert books == pq_train(emb, m=4, ks=8, max_iter=3)
+    enc = pq_encode(emb, books).select("vec_id", "pq_codes").collect()
+    codes = {r["vec_id"]: r["pq_codes"] for r in enc}
+    assert len(codes) == 100
+    assert all(len(v) == 4 and all(0 <= c < 8 for c in v) for v in codes.values())
+    # encode is deterministic too
+    enc2 = pq_encode(emb, books).select("vec_id", "pq_codes").collect()
+    assert codes == {r["vec_id"]: r["pq_codes"] for r in enc2}
+
+
+def test_pq_validation(spark, sf_dir):
+    from hbsir_old_spark.functions.similarity import pq_topk, pq_train
+
+    emb = (
+        entry_mod._t(spark, sf_dir, "embeddings")
+        .selectExpr("vec_id", "cast(embedding as array<double>) embedding")
+        .filter("vec_id < 20")
+    )
+    with pytest.raises(ValueError, match="divide evenly"):
+        pq_train(emb, m=5, ks=4)  # 64 % 5 != 0
+    with pytest.raises(ValueError, match="refine"):
+        pq_topk(emb, emb.selectExpr("vec_id as query_id", "embedding"), refine=0)
+    with pytest.raises(ValueError, match="metric"):
+        from hbsir_old_spark.functions.clustering import kmeans_assign
+
+        kmeans_assign(emb, [[0.0] * 64], metric="manhattan")

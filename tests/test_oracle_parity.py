@@ -102,6 +102,7 @@ def test_every_oracle_key_has_a_query():
         "w4_approx_decile",
         "w4b_weighted_approx_decile",
         "x38b_curation_fuzzy_lsh",
+        "x42_pq_topk",
     }
 
 
@@ -127,6 +128,7 @@ def test_every_oracle_key_has_a_query():
 NO_R9_ROW_OR_NEW = {
     # new in round 10
     "x41_substring_dedup",
+    "x42_pq_topk",
     "x38_curation_fuzzy",
     "g5b_isc_summary_1401",
     "x39_gopher_rules",
@@ -147,7 +149,7 @@ NO_R9_ROW_OR_NEW = {
     "a10_cube",
     "o2_rolling_window",
     "l7_jsonl_ingest",
-    # r8-green veterans returning from the tail: 22 of the 43
+    # r8-green veterans returning from the tail: 21 of the 43
     "p11_season_derivation",
     "p23_json_extract",
     "p17_map_lookup",
@@ -158,7 +160,6 @@ NO_R9_ROW_OR_NEW = {
     "x35_perplexity_prune",
     "j6_fact_join",
     "j8_geometry_join",
-    "x14_text_cleaning",
     "g3_report_pivot_totals",
     "l2_setup_roundtrip",
     "x16_hash_split",
@@ -178,6 +179,9 @@ DISPLACED_R8_VETERANS = {
     # x32 displaced by the new x41 (its window/hash/ownership stages
     # re-run verbatim as x41's cut-set derivation)
     "x32_dup_windows",
+    # x14 displaced by the new rows-only x42 (pure map-only scalar ops,
+    # the least rotation-sensitive shape in the window)
+    "x14_text_cleaning",
     "x8_cosine_topk",
     "x20_tfidf_top_terms",
     "j2_dim_join_chain",
@@ -209,6 +213,7 @@ ROWS_ONLY_PINNED_IN_WINDOW = {
     "w4_approx_decile",
     "w4b_weighted_approx_decile",
     "x38b_curation_fuzzy_lsh",
+    "x42_pq_topk",
 }
 # every gate here is FULL-ORACLE with a green (hash-matched) row in
 # CORRECTNESS_r09.json (plus the displaced r8-green veterans above)
