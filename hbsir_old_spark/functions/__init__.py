@@ -23,9 +23,16 @@ from hbsir_old_spark.functions.dedup import (  # noqa: F401
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    remove_duplicate_passages,
     simhash,
 )
-from hbsir_old_spark.functions.similarity import cosine_similarity, cosine_topk  # noqa: F401
+from hbsir_old_spark.functions.similarity import (  # noqa: F401
+    cosine_similarity,
+    cosine_topk,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
 from hbsir_old_spark.functions.curation import (  # noqa: F401
     curate_corpus,
     curate_corpus_fuzzy,

@@ -734,9 +734,13 @@ def remove_duplicate_passages(
       rule, :func:`text.repetition_filter`);
     * NULL text passes through as NULL, empty/whitespace-only as ``''``,
       both with ``n_tokens = n_removed = 0``; a fully-duplicated doc
-      comes back as ``''`` (empty string, never NULL).
+      comes back as ``''`` (empty string, never NULL);
+    * NULL-id rows are dropped up front (the :func:`exact_dedup`
+      contract): a NULL id cannot anchor the canonical pick or match the
+      id-keyed reassembly join — keeping them would silently return
+      their text as ``''`` with every token counted removed.
 
-    Output: one row per input document —
+    Output: one row per (non-NULL-id) input document —
     ``(id_col, text_col cleaned, n_tokens, n_removed)``.
 
     Scale shape (the 100-TB path): window explode is map-only and fuses
@@ -762,7 +766,9 @@ def remove_duplicate_passages(
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
 
-    base = df.select(id_col, text_col)
+    base = ensure_min_partitions(
+        df.select(id_col, text_col).filter(F.col(id_col).isNotNull())
+    )
     # original-case tokens for reassembly beside the normalized stream for
     # matching; normalization never changes the token count (it only
     # lowercases and collapses the same \s+ runs the tokenizer splits on),

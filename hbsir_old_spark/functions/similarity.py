@@ -363,9 +363,11 @@ def pq_train(
     """Train the m per-subspace codebooks (ks centroids each) with classic
     L2 Lloyd iterations over the sliced subvectors — m independent
     :func:`clustering.kmeans_fit` runs (``metric='l2'``), each collecting
-    only ks x (dim/m) floats of model state per round. Deterministic: the
-    hash-pick init, no RNG. Returns ``codebooks[j][c]`` = centroid ``c``
-    of subspace ``j``."""
+    only ks x (dim/m) floats of model state per round. Deterministic in
+    structure (hash-pick init, no RNG); centroid floats may differ in the
+    last ulp across runs (double partial-sum merge order in the mean
+    aggregation), so compare trained models approximately. Returns
+    ``codebooks[j][c]`` = centroid ``c`` of subspace ``j``."""
     from hbsir_old_spark.functions.clustering import kmeans_fit
 
     if dim is None:
@@ -411,17 +413,22 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codes_col: str = "pq_codes",
+    _books: DataFrame | None = None,
 ) -> DataFrame:
     """Encode every vector as its m nearest-subspace-centroid codes —
     map-only (the codebook row broadcasts; zero shuffle of the corpus).
     Output: ``(id_col, vec_col, codes_col array<int>)``; at scale the codes
     column is what gets persisted (m bytes-ish per vector vs d floats).
     Ties and degenerate distances (NULL/NaN subvectors) resolve to the
-    LOWEST code via the +inf guard, deterministically."""
-    m, ks = len(codebooks), len(codebooks[0])
+    LOWEST code via the +inf guard, deterministically. ``_books`` lets
+    :func:`pq_topk` reuse its already-built codebook literal frame."""
+    m = len(codebooks)
     dsub = len(codebooks[0][0])
-    spark = df.sparkSession
-    books = _codebooks_literal_df(spark, codebooks)
+    books = (
+        _books
+        if _books is not None
+        else _codebooks_literal_df(df.sparkSession, codebooks)
+    )
     inf = F.lit(float("inf"))
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -498,14 +505,13 @@ def pq_topk(
             corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col,
             max_iter=train_max_iter,
         )
-    m, ks = len(codebooks), len(codebooks[0])
+    m = len(codebooks)
     dsub = len(codebooks[0][0])
-    spark = corpus.sparkSession
-    books = _codebooks_literal_df(spark, codebooks)
+    books = _codebooks_literal_df(corpus.sparkSession, codebooks)
 
-    enc = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("__cid__"), F.col("pq_codes").alias("__codes__")
-    )
+    enc = pq_encode(
+        corpus, codebooks, id_col=id_col, vec_col=vec_col, _books=books
+    ).select(F.col(id_col).alias("__cid__"), F.col("pq_codes").alias("__codes__"))
     q = queries.select(
         F.col(query_id_col).alias("__qid__"), F.col(vec_col).alias("__qvec__")
     )
@@ -553,7 +559,7 @@ def pq_topk(
             keep=1,
         ).select("__cid__", "__centroid__")
         probed = assign_nearest_centroids(
-            qtab.select("__qid__", F.col("__qvec__").alias(vec_col), "__tab__"),
+            qtab.select("__qid__", F.col("__qvec__").alias(vec_col)),
             "__qid__",
             vec_col,
             coarse_arr,

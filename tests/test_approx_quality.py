@@ -394,8 +394,13 @@ def test_pq_determinism_and_shapes(spark, sf_dir):
     books = pq_train(emb, m=4, ks=8, max_iter=3)
     assert len(books) == 4 and all(len(b) == 8 for b in books)
     assert all(len(c) == 16 for b in books for c in b)  # 64/4 dims
-    # training twice from the deterministic hash init gives the same model
-    assert books == pq_train(emb, m=4, ks=8, max_iter=3)
+    # training twice from the deterministic hash init reproduces the model
+    # (approx, not bitwise: double partial-sum merge order in the centroid
+    # mean aggregation can differ across runs)
+    books2 = pq_train(emb, m=4, ks=8, max_iter=3)
+    for b1, b2 in zip(books, books2):
+        for c1, c2 in zip(b1, b2):
+            assert c1 == pytest.approx(c2, abs=1e-9)
     enc = pq_encode(emb, books).select("vec_id", "pq_codes").collect()
     codes = {r["vec_id"]: r["pq_codes"] for r in enc}
     assert len(codes) == 100

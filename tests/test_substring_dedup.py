@@ -110,6 +110,18 @@ def test_overlapping_windows_coverage_union(spark):
     assert out[2]["n_removed"] == 7
 
 
+def test_null_id_rows_dropped_not_wiped(spark):
+    # a NULL id cannot anchor the reassembly join; without the up-front
+    # filter the row would come back as text='' with every token counted
+    # removed — the contract (exact_dedup's) is to drop it instead
+    df = spark.createDataFrame(
+        [(None, "perfectly unique text nobody shares"), (1, "other words")],
+        "doc_id int, text string",
+    )
+    rows = remove_duplicate_passages(df, width=5).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+
+
 def test_validation(spark):
     df = _docs(spark)
     with pytest.raises(ValueError, match="keep"):
