@@ -20,7 +20,10 @@ from hbsir_old_spark.functions.text import (  # noqa: F401
 from hbsir_old_spark.functions.sampling import chunk_documents  # noqa: F401
 from hbsir_old_spark.functions.standard import bin_by_breaks  # noqa: F401
 from hbsir_old_spark.functions.dedup import (  # noqa: F401
+    build_fingerprint_bloom,
+    dedup_against_bloom,
     exact_dedup,
+    merge_blooms,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     remove_duplicate_passages,

@@ -867,3 +867,169 @@ def remove_duplicate_passages(
             ),
         )
     )
+
+
+def build_fingerprint_bloom(
+    seen: DataFrame,
+    text_col: str = "text",
+    seen_fingerprint_col: str | None = None,
+    m_bits: int = 1 << 23,
+    k: int = 7,
+) -> dict:
+    """Build a Bloom filter over the store's fingerprints — the broadcast
+    membership pre-filter for :func:`dedup_against_bloom`.
+
+    Distributed build: every fingerprint contributes k ``(word, bit)``
+    positions (``pmod(xxhash64(i, fp), m)``, i = 0..k-1); a single
+    partial-aggregable ``groupBy(word).agg(bit_or(mask))`` reduces the
+    whole store to at most ``m_bits/64`` longs of model state, which is
+    all that reaches the driver (8 MiB at the default 2^23 bits — NOT
+    corpus data; same contract as kmeans_fit's k x d collect). At the
+    default sizing the filter holds ~10^6 fingerprints under 1% false
+    positives (m/n = 8.4, k = 7); size ``m_bits`` ~10x the expected store
+    cardinality and shard by fingerprint prefix beyond ~10^8.
+
+    Returns ``{"m_bits", "k", "words"}`` — a plain dict so the model can
+    be persisted beside the store and reused across batches WITHOUT a
+    rebuild, as long as it is kept covering: the filter must contain
+    every fingerprint currently in the store (a Bloom miss is treated as
+    definitely-novel, so a filter built before the store grew would
+    false-KEEP duplicates of the newer store rows). Blooms are monotone,
+    so the ingest loop maintains coverage cheaply — build a filter over
+    just each batch's appended (novel) docs and :func:`merge_blooms` it
+    into the persisted one; no store re-scan ever.
+    """
+    if m_bits < 64 or m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if seen_fingerprint_col is not None:
+        fps = seen.select(F.col(seen_fingerprint_col).alias("__fp__"))
+    else:
+        fps = seen.select(doc_fingerprint(text_col).alias("__fp__"))
+    positions = fps.where(F.col("__fp__").isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(i), F.col("__fp__")), F.lit(m_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("__h__")
+    )
+    words_rows = (
+        positions.select(
+            (F.col("__h__") / 64).cast("long").alias("__w__"),
+            F.call_function("shiftleft", F.lit(1).cast("long"), (F.col("__h__") % 64).cast("int")).alias(
+                "__m__"
+            ),
+        )
+        .groupBy("__w__")
+        .agg(F.bit_or("__m__").alias("__bits__"))
+        .collect()  # <= m_bits/64 longs of MODEL state, not data
+    )
+    words = [0] * (m_bits // 64)
+    for r in words_rows:
+        words[r["__w__"]] = r["__bits__"]
+    return {"m_bits": m_bits, "k": k, "words": words}
+
+
+def merge_blooms(a: dict, b: dict) -> dict:
+    """OR two Bloom filters built with identical ``(m_bits, k)`` — the
+    incremental-maintenance step: a filter over just an appended batch
+    merged into the store's persisted filter keeps the coverage contract
+    without ever re-scanning the store (Bloom filters are monotone:
+    the union's filter is exactly the bitwise OR)."""
+    if a["m_bits"] != b["m_bits"] or a["k"] != b["k"]:
+        raise ValueError(
+            f"bloom shape mismatch: ({a['m_bits']}, {a['k']}) vs "
+            f"({b['m_bits']}, {b['k']})"
+        )
+    return {
+        "m_bits": a["m_bits"],
+        "k": a["k"],
+        "words": [x | y for x, y in zip(a["words"], b["words"])],
+    }
+
+
+def dedup_against_bloom(
+    incoming: DataFrame,
+    seen: DataFrame,
+    bloom: dict | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seen_text_col: str | None = None,
+    keep: str = "min",
+    seen_fingerprint_col: str | None = None,
+    keep_fingerprint_col: str | None = None,
+    m_bits: int = 1 << 23,
+    k: int = 7,
+) -> DataFrame:
+    """:func:`dedup_against` with a broadcast Bloom pre-filter — result
+    IDENTICAL by construction (pinned by test), cost model different:
+
+    * the Bloom model rides to every task as one broadcast row; each
+      incoming doc probes it with k flat codegen'd bit tests — map-only;
+    * a MISS is definitely novel (a Bloom filter has no false negatives):
+      those rows never enter the verify join at all;
+    * only the HITS (true dups + the ~1% false positives) anti-join
+      against the store's fingerprints — at ingest scale, where most of
+      each batch is novel, the store-side verify join sees a sliver of
+      the batch instead of all of it.
+
+    Pass a prebuilt ``bloom`` (from :func:`build_fingerprint_bloom`,
+    persisted beside the store) to skip the build. COVERAGE CONTRACT:
+    the filter must contain every fingerprint in ``seen`` — only hits
+    reach the verify join, so a filter missing newer store rows would
+    false-keep their duplicates. Keep it covering incrementally: OR each
+    appended batch's filter into the persisted one (:func:`merge_blooms`).
+    """
+    if bloom is None:
+        bloom = build_fingerprint_bloom(
+            seen,
+            text_col=seen_text_col or text_col,
+            seen_fingerprint_col=seen_fingerprint_col,
+            m_bits=m_bits,
+            k=k,
+        )
+    m, kk, words = bloom["m_bits"], bloom["k"], bloom["words"]
+    spark = incoming.sparkSession
+    bloom_df = spark.createDataFrame([(words,)], "__bloomwords__ array<bigint>")
+
+    tagged = incoming.withColumn("__fp__", doc_fingerprint(text_col)).crossJoin(
+        F.broadcast(bloom_df)
+    )
+    hit = None
+    for i in range(kk):
+        h = F.pmod(F.xxhash64(F.lit(i), F.col("__fp__")), F.lit(m))
+        word = F.element_at(F.col("__bloomwords__"), ((h / 64).cast("int")) + 1)
+        test = word.bitwiseAND(
+            F.call_function("shiftleft", F.lit(1).cast("long"), (h % 64).cast("int"))
+        ) != 0
+        hit = test if hit is None else (hit & test)
+    # NULL fingerprints (NULL text) probe to some bucket; either branch
+    # keeps them — the verify join's equi-condition never matches NULL —
+    # matching dedup_against's behavior exactly
+    tagged = tagged.withColumn("__bloomhit__", hit).drop("__bloomwords__")
+
+    if seen_fingerprint_col is not None:
+        seen_fp = seen.select(F.col(seen_fingerprint_col).alias("__sfp__")).distinct()
+    else:
+        seen_fp = seen.select(
+            doc_fingerprint(seen_text_col or text_col).alias("__sfp__")
+        ).distinct()
+    misses = tagged.filter(~F.col("__bloomhit__")).drop("__bloomhit__")
+    verified = (
+        tagged.filter(F.col("__bloomhit__"))
+        .drop("__bloomhit__")
+        .join(seen_fp, F.col("__fp__") == F.col("__sfp__"), "left_anti")
+    )
+    fresh = misses.unionByName(verified)
+    out = exact_dedup(
+        fresh, text_col=text_col, id_col=id_col, keep=keep, fingerprint_col="__fp__"
+    )
+    if keep_fingerprint_col is None:
+        return out.drop("__fp__")
+    if keep_fingerprint_col == "__fp__":
+        return out
+    return out.withColumnRenamed("__fp__", keep_fingerprint_col)

@@ -263,3 +263,127 @@ def test_dedup_against_bucketed_store_shuffles_only_incoming(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP TABLE IF EXISTS dedup_store_bucketed")
+
+
+class TestBloomDedup:
+    def _store_and_batch(self, spark, n_store=200, n_batch=60):
+        # store: docs 0..n_store-1; batch: half dups of store texts, half novel
+        seen = spark.createDataFrame(
+            [(i, f"stored document number {i} body") for i in range(n_store)],
+            ["doc_id", "text"],
+        )
+        rows = []
+        for i in range(n_batch):
+            if i % 2 == 0:  # duplicate of store doc i (case-varied)
+                rows.append((1000 + i, f"STORED document number {i} BODY"))
+            else:
+                rows.append((1000 + i, f"novel incoming document {i}"))
+        return seen, spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_bloom_path_equals_exact_path(self, spark):
+        from hbsir_old_spark.functions.dedup import dedup_against, dedup_against_bloom
+
+        seen, batch = self._store_and_batch(spark)
+        exact = {
+            r["doc_id"] for r in dedup_against(batch, seen).select("doc_id").collect()
+        }
+        bloomed = {
+            r["doc_id"]
+            for r in dedup_against_bloom(batch, seen, m_bits=1 << 12, k=5)
+            .select("doc_id")
+            .collect()
+        }
+        assert bloomed == exact
+        assert exact == {1000 + i for i in range(60) if i % 2 == 1}
+
+    def test_no_false_negatives_and_bounded_fpp(self, spark):
+        from hbsir_old_spark.functions.dedup import build_fingerprint_bloom
+        from hbsir_old_spark.functions.text import doc_fingerprint
+        from pyspark.sql import functions as F
+
+        seen, _ = self._store_and_batch(spark, n_store=500, n_batch=2)
+        bloom = build_fingerprint_bloom(seen, m_bits=1 << 16, k=7)
+        assert len(bloom["words"]) == (1 << 16) // 64
+        # probe every STORED fingerprint: all must hit (no false negatives)
+        m, k, words = bloom["m_bits"], bloom["k"], bloom["words"]
+        probe_df = seen.withColumn("__fp__", doc_fingerprint("text")).crossJoin(
+            F.broadcast(
+                spark.createDataFrame([(words,)], "__bloomwords__ array<bigint>")
+            )
+        )
+        hit = None
+        for i in range(k):
+            h = F.pmod(F.xxhash64(F.lit(i), F.col("__fp__")), F.lit(m))
+            t = (
+                F.element_at(F.col("__bloomwords__"), (h / 64).cast("int") + 1)
+                .bitwiseAND(F.call_function("shiftleft", F.lit(1).cast("long"), (h % 64).cast("int")))
+                != 0
+            )
+            hit = t if hit is None else (hit & t)
+        assert probe_df.filter(~hit).count() == 0
+        # fresh fingerprints: false-positive rate stays near theory
+        novel = spark.range(2000, 4000).select(
+            F.md5(F.col("id").cast("string")).alias("__fp__")
+        ).crossJoin(
+            F.broadcast(
+                spark.createDataFrame([(words,)], "__bloomwords__ array<bigint>")
+            )
+        )
+        fp_hits = novel.filter(hit).count()
+        # n=500, m=2^16 -> m/n=131, k=7 => fpp ~ 4e-6; allow generous slack
+        assert fp_hits <= 5, f"false-positive rate collapsed: {fp_hits}/2000"
+
+    def test_coverage_contract_and_merge_maintenance(self, spark):
+        # the documented contract: a filter MISSING newer store rows
+        # false-keeps their duplicates (a miss is definitely-novel by
+        # design); merging the appended batch's filter restores coverage
+        # without re-scanning the store
+        from hbsir_old_spark.functions.dedup import (
+            build_fingerprint_bloom,
+            dedup_against_bloom,
+            merge_blooms,
+        )
+
+        seen_old = spark.createDataFrame([(1, "early doc")], ["doc_id", "text"])
+        appended = spark.createDataFrame([(2, "late doc")], ["doc_id", "text"])
+        seen_new = seen_old.unionByName(appended)
+        batch = spark.createDataFrame(
+            [(10, "late DOC"), (11, "genuinely new")], ["doc_id", "text"]
+        )
+        stale = build_fingerprint_bloom(seen_old, m_bits=1 << 10, k=5)
+        kept_stale = {
+            r["doc_id"]
+            for r in dedup_against_bloom(batch, seen_new, bloom=stale)
+            .select("doc_id")
+            .collect()
+        }
+        # doc 10 duplicates appended store doc 2 — the stale filter
+        # false-keeps it (the pinned, documented failure mode)
+        assert kept_stale == {10, 11}
+        # incremental maintenance: OR in a filter over just the appended
+        # rows; the merged filter dedups correctly
+        fresh = merge_blooms(
+            stale, build_fingerprint_bloom(appended, m_bits=1 << 10, k=5)
+        )
+        kept_fresh = {
+            r["doc_id"]
+            for r in dedup_against_bloom(batch, seen_new, bloom=fresh)
+            .select("doc_id")
+            .collect()
+        }
+        assert kept_fresh == {11}
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="shape mismatch"):
+            merge_blooms(stale, build_fingerprint_bloom(appended, m_bits=1 << 11, k=5))
+
+    def test_validation(self, spark):
+        from hbsir_old_spark.functions.dedup import build_fingerprint_bloom
+
+        seen = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="m_bits"):
+            build_fingerprint_bloom(seen, m_bits=100)
+        with _pytest.raises(ValueError, match="k must"):
+            build_fingerprint_bloom(seen, k=0)
