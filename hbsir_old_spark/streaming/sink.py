@@ -69,6 +69,9 @@ def dedup_ingest_batch_writer(
     store_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    use_bloom: bool = False,
+    bloom_m_bits: int = 1 << 23,
+    bloom_k: int = 7,
 ) -> Callable[[DataFrame, int], None]:
     """A ``foreachBatch`` function implementing the production corpus-
     ingest shape: each micro-batch dedups AGAINST THE GROWING STORE
@@ -94,11 +97,32 @@ def dedup_ingest_batch_writer(
     a NULL text fingerprints to NULL, which the anti join's ``=`` can
     never match, so storing such a row would re-append it on every
     replay, silently violating the store's dedup invariant.
+
+    ``use_bloom`` adds the broadcast membership pre-filter
+    (:func:`functions.dedup.dedup_against_bloom`): each batch probes a
+    driver-held Bloom filter, only hits reach the store anti join, and
+    the batch's own (novel) fingerprints are merged into the filter —
+    monotone OR, no store re-scan. The filter is SESSION state: a
+    restart rebuilds it from the store once, then it stays covering.
+    Ordering is crash-safe: the merge happens BEFORE the append, so a
+    failure between the two leaves the filter over-covering — extra
+    false positives route through the exact verify join and the retried
+    batch still appends correctly. (The reverse order would leave the
+    filter missing appended rows, and a Bloom MISS skips verification —
+    a silent duplicate on replay.)
     """
     from pyspark.sql import functions as F
 
-    from hbsir_old_spark.functions.dedup import dedup_against, exact_dedup
+    from hbsir_old_spark.functions.dedup import (
+        build_fingerprint_bloom,
+        dedup_against,
+        dedup_against_bloom,
+        exact_dedup,
+        merge_blooms,
+    )
     from hbsir_old_spark.functions.text import doc_fingerprint
+
+    bloom_state: dict = {"bloom": None}
 
     def write(batch: DataFrame, epoch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -123,14 +147,45 @@ def dedup_ingest_batch_writer(
             F.col(text_col).isNotNull()
         )
         if have_store:
-            fresh = dedup_against(
-                tagged, seen, text_col=text_col, id_col=id_col,
-                seen_fingerprint_col="__fp__", keep_fingerprint_col="__fp__",
-            )
+            if use_bloom:
+                if bloom_state["bloom"] is None:
+                    # session warmup: one store scan makes the filter
+                    # covering; every later batch maintains it by merge
+                    bloom_state["bloom"] = build_fingerprint_bloom(
+                        seen,
+                        seen_fingerprint_col="__fp__",
+                        m_bits=bloom_m_bits,
+                        k=bloom_k,
+                    )
+                fresh = dedup_against_bloom(
+                    tagged, seen, bloom=bloom_state["bloom"],
+                    text_col=text_col, id_col=id_col,
+                    seen_fingerprint_col="__fp__", keep_fingerprint_col="__fp__",
+                )
+            else:
+                fresh = dedup_against(
+                    tagged, seen, text_col=text_col, id_col=id_col,
+                    seen_fingerprint_col="__fp__", keep_fingerprint_col="__fp__",
+                )
         else:
             fresh = exact_dedup(
                 tagged.withColumn("__fp__", doc_fingerprint(text_col)),
                 text_col=text_col, id_col=id_col, fingerprint_col="__fp__",
+            )
+        if use_bloom:
+            # pin the novel slice once: the bloom build below and the
+            # append would otherwise each re-execute the dedup plan
+            fresh = fresh.localCheckpoint(eager=True)
+            batch_bloom = build_fingerprint_bloom(
+                fresh,
+                seen_fingerprint_col="__fp__",
+                m_bits=bloom_m_bits,
+                k=bloom_k,
+            )
+            bloom_state["bloom"] = (
+                batch_bloom
+                if bloom_state["bloom"] is None
+                else merge_blooms(bloom_state["bloom"], batch_bloom)
             )
         fresh.write.mode("append").parquet(store_dir)
 
@@ -144,15 +199,20 @@ def run_dedup_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     trigger_available_now: bool = True,
+    use_bloom: bool = False,
 ):
     """Wire a streaming document source into the dedup-ingest sink:
     ``readStream -> foreachBatch(dedup against store, append novel)``.
-    ``availableNow`` drains-and-stops for tests/backfills."""
+    ``availableNow`` drains-and-stops for tests/backfills. ``use_bloom``
+    turns on the broadcast membership pre-filter (see
+    :func:`dedup_ingest_batch_writer`)."""
     writer = (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
-            dedup_ingest_batch_writer(store_dir, text_col=text_col, id_col=id_col)
+            dedup_ingest_batch_writer(
+                store_dir, text_col=text_col, id_col=id_col, use_bloom=use_bloom
+            )
         )
     )
     if trigger_available_now:

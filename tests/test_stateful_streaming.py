@@ -143,3 +143,54 @@ class TestDedupIngest:
         q = run_dedup_ingest(stream, store, str(tmp_path / "ckpt_n2"))
         q.awaitTermination(120)
         assert spark.read.parquet(store).count() == 1
+
+
+class TestDedupIngestBloom:
+    """The bloom-accelerated ingest path must behave identically to the
+    exact path: cross-batch dedup, session-warmup rebuild, and replay
+    idempotence (the merge-before-append crash ordering)."""
+
+    def _run(self, spark, src, store, ckpt):
+        from hbsir_old_spark.streaming.sink import run_dedup_ingest
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = run_dedup_ingest(stream, store, ckpt, use_bloom=True)
+        q.awaitTermination(120)
+
+    def test_bloom_ingest_dedups_across_batches_and_sessions(
+        self, spark, tmp_path
+    ):
+        src = str(tmp_path / "src_bl")
+        store = str(tmp_path / "store_bl")
+        spark.createDataFrame(
+            [(1, "alpha doc"), (2, "ALPHA   doc"), (3, "beta doc")],
+            ["doc_id", "text"],
+        ).write.mode("append").parquet(src)
+        self._run(spark, src, store, str(tmp_path / "ckpt_bl1"))
+        assert {r["doc_id"] for r in spark.read.parquet(store).collect()} == {1, 3}
+        # second delivery, NEW writer (fresh bloom state): the session
+        # warmup must rebuild the filter from the store so doc 10 (a dup
+        # of stored doc 3) is dropped, not false-kept
+        spark.createDataFrame(
+            [(10, "beta DOC"), (11, "gamma doc")], ["doc_id", "text"]
+        ).write.mode("append").parquet(src)
+        self._run(spark, src, store, str(tmp_path / "ckpt_bl1"))
+        assert {r["doc_id"] for r in spark.read.parquet(store).collect()} == {
+            1,
+            3,
+            11,
+        }
+
+    def test_bloom_replay_is_idempotent(self, spark, tmp_path):
+        src = str(tmp_path / "src_br")
+        store = str(tmp_path / "store_br")
+        spark.createDataFrame(
+            [(1, "alpha doc"), (2, "beta doc")], ["doc_id", "text"]
+        ).write.mode("append").parquet(src)
+        self._run(spark, src, store, str(tmp_path / "ckpt_br1"))
+        n = spark.read.parquet(store).count()
+        # replay through a FRESH checkpoint AND fresh bloom state: the
+        # warmup rebuild covers the store, so every doc bloom-hits and the
+        # verify join drops them all
+        self._run(spark, src, store, str(tmp_path / "ckpt_br2"))
+        assert spark.read.parquet(store).count() == n
