@@ -6646,6 +6646,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X43 — deterministic global training-order shuffle: contiguous positions
+# 0..n-1 in md5(seed|id) order, computed WITHOUT a global sort or an
+# unpartitioned window (hash-prefix buckets are a deterministic coarse
+# range partition; one 256-long count collect; per-bucket windowed
+# row_number + broadcast offsets). Full oracle: DuckDB's row_number over
+# the same md5 order replays it exactly.
+# --------------------------------------------------------------------------
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.sampling import assign_global_order
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = assign_global_order(docs, seed=7)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "order_pos").orderBy(
+        "doc_id"
+    )
+
+
+SQL_GLOBAL_SHUFFLE = r"""
+SELECT doc_id::BIGINT AS doc_id,
+       (row_number() OVER (
+          ORDER BY md5('shuffle7|' || doc_id::VARCHAR), doc_id
+        ) - 1)::BIGINT AS order_pos
+FROM documents WHERE doc_id IS NOT NULL
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # X42 — product-quantization ANN (Jégou et al. 2011): m=4 subspace
 # codebooks (ks=16, L2 Lloyd, deterministic hash init), corpus encoded to
 # 4 codes/vector, per-query ADC table (m x ks subspace dots computed once),
@@ -6768,15 +6798,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every full-oracle gate gets a driver row at least every other round
     # where the window allows; rows-only gates never leave the window.
     # Round 10 (counts audited after the r9 narrative drifted): the 43
-    # gates rowed GREEN in CORRECTNESS_r09.json rotate out; in come the 8
+    # gates rowed GREEN in CORRECTNESS_r09.json rotate out; in come the 9
     # new gates (x38 fuzzy-curation, g5b 1401-summary, x39 Gopher rules,
-    # x40 C4 filter, g8 decile-table, x41 substring-dedup removal — all
-    # full-oracle — plus the rows-only x38b LSH twin and x42 PQ-ANN), the
-    # 14 veterans promised r10 window priority by the r9 header (w1 w2
-    # p13 x11 g1 l1 p16 u1 a6 a10 o2 l7 + s5 x12), and 21 of the 43
-    # r8-green veterans waiting in the tail (window: 6 + 14 + 21 + 9
-    # rows-only = 50). That leaves 22 r8-green veterans displaced one
-    # more round —
+    # x40 C4 filter, g8 decile-table, x41 substring-dedup removal, x43
+    # global-shuffle ordering — all full-oracle — plus the rows-only x38b
+    # LSH twin and x42 PQ-ANN), the 14 veterans promised r10 window
+    # priority by the r9 header (w1 w2 p13 x11 g1 l1 p16 u1 a6 a10 o2
+    # l7 + s5 x12), and 20 of the 43 r8-green veterans waiting in the
+    # tail (window: 7 + 14 + 20 + 9 rows-only = 50). That leaves 23
+    # r8-green veterans displaced one more round —
     # each chosen because its operator either RE-RUNS VERBATIM inside an
     # in-window gate or carried a fresh r9-green row through a sibling:
     # x2/x19 (pair generation + connected components run inside x38's
@@ -6804,6 +6834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 10 --
         "x41_substring_dedup": q_substring_dedup,
+        "x43_global_shuffle": q_global_shuffle,
         "x38_curation_fuzzy": q_curation_fuzzy,
         "g5b_isc_summary_1401": q_real_isc_summary_1401,
         "x39_gopher_rules": q_gopher_rules,
@@ -6837,7 +6868,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j8_geometry_join": q_geometry_join,
         "g3_report_pivot_totals": q_report_pivot_totals,
         "l2_setup_roundtrip": q_setup_roundtrip,
-        "x16_hash_split": q_hash_split,
         "x17_group_quota": q_group_quota,
         "s4_upsert_sink": q_upsert_sink,
         "x21_asof_attribution": q_asof_attribution,
@@ -6879,6 +6909,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation-sensitive gate in the window; re-proven exact against
         # DuckDB every pytest run
         "x14_text_cleaning": q_text_cleaning,
+        # x16 displaced by x43 (r10 pressure): its md5-keyed deterministic
+        # assignment primitive re-runs as x43's ordering key (the same
+        # seed|id hash family), and its ranking shape rides in-window x17
+        "x16_hash_split": q_hash_split,
         # x8 displaced by x39 (r10 pressure): its exact cosine top-k path
         # re-runs inside in-window x12's embedding-dedup verification, and
         # its approximate twins x9/x13 are rows-only pinned in-window
@@ -7063,6 +7097,7 @@ def oracle_sql() -> dict[str, str]:
         "x39_gopher_rules": SQL_GOPHER_RULES,
         "x40_c4_filter": SQL_C4_FILTER,
         "x41_substring_dedup": SQL_SUBSTRING_DEDUP,
+        "x43_global_shuffle": SQL_GLOBAL_SHUFFLE,
         "x34_curation_pipeline": _sql_curation_pipeline(),
         # x38b_curation_fuzzy_lsh: approximate by design (LSH recall < 1)
         # => rows-only; x38_curation_fuzzy is the exact-pair twin with the

@@ -126,6 +126,10 @@ HEADLINE = [
     # doc ownership -> coverage anti-join -> ordered reassembly; the
     # shuffle-heavy counterpart of x32's map-side statistic)
     "x41_substring_dedup",
+    # round 10: deterministic global training-order shuffle (hash-prefix
+    # bucketed enumeration — one count collect + partitioned window; the
+    # global-sort-free ordering probe)
+    "x43_global_shuffle",
     # x23_best_rep_dedup stays gate-only like x19: exact all-pairs n-gram
     # generation dominates its wall time (the scale path is x3's MinHash),
     # so it belongs to correctness, not the throughput suite. x26's k-means

@@ -549,3 +549,70 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).alias("n_tokens"),
     )
+
+
+def assign_global_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    order_col: str = "order_pos",
+    prefix_chars: int = 2,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    contiguous position ``0..n-1`` in the order of ``md5(seed|id)`` (id
+    ascending as tiebreak) — the "shuffle the corpus before training"
+    step as a reproducible column instead of a nondeterministic
+    ``ORDER BY rand()``. Completes the ordering half of the sampling
+    family (x16 splits, x17 quotas, x28 packs, x29 rebalances — nothing
+    ordered until now).
+
+    Scale shape — global enumeration WITHOUT a global sort or an
+    unpartitioned window, and without ``zipWithIndex``/
+    ``repartitionByRange`` (whose sampled boundaries differ between the
+    count pass and the final pass unless the input is checkpointed):
+
+    1. the first ``prefix_chars`` hex chars of the hash are a DETERMINISTIC
+       coarse range partition of the hash order (bucket ``'00'`` sorts
+       wholly before ``'01'``, ...);
+    2. one partial-aggregable ``groupBy(bucket).count()`` collects at most
+       ``16^prefix_chars`` longs of model state (256 at the default) to
+       compute each bucket's global offset;
+    3. position = bucket offset (broadcast join) + ``row_number`` within
+       the bucket — a PARTITIONED window over ~n/buckets rows, skew
+       bounded by md5 uniformity. Size ``prefix_chars`` so a bucket fits
+       an executor (3 chars = 4096 buckets at 100 TB).
+
+    NULL-id rows are dropped up front (the :func:`dedup.exact_dedup`
+    contract: a NULL id hashes to a NULL key and cannot be ordered
+    deterministically). Output: the input columns plus ``order_col``
+    (long).
+    """
+    if prefix_chars < 1 or prefix_chars > 8:
+        raise ValueError(f"prefix_chars must be in 1..8, got {prefix_chars}")
+    df = df.filter(F.col(id_col).isNotNull())
+    hash_expr = F.md5(
+        F.concat(F.lit(f"shuffle{int(seed)}|"), F.col(id_col).cast("string"))
+    )
+    keyed = df.withColumn("__ord__", hash_expr).withColumn(
+        "__bkt__", F.substring(F.col("__ord__"), 1, prefix_chars)
+    )
+    counts = (
+        keyed.groupBy("__bkt__").count().collect()
+    )  # <= 16^prefix_chars rows of model state, not data
+    offsets, running = {}, 0
+    for r in sorted(counts, key=lambda r: r["__bkt__"]):
+        offsets[r["__bkt__"]] = running
+        running += r["count"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "__bkt__ string, __off__ long"
+    )
+    w = Window.partitionBy("__bkt__").orderBy("__ord__", id_col)
+    return (
+        keyed.join(F.broadcast(off_df), "__bkt__")
+        .withColumn(
+            order_col,
+            (F.row_number().over(w) - 1 + F.col("__off__")).cast("long"),
+        )
+        .drop("__ord__", "__bkt__", "__off__")
+    )

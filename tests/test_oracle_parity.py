@@ -129,6 +129,7 @@ NO_R9_ROW_OR_NEW = {
     # new in round 10
     "x41_substring_dedup",
     "x42_pq_topk",
+    "x43_global_shuffle",
     "x38_curation_fuzzy",
     "g5b_isc_summary_1401",
     "x39_gopher_rules",
@@ -149,7 +150,7 @@ NO_R9_ROW_OR_NEW = {
     "a10_cube",
     "o2_rolling_window",
     "l7_jsonl_ingest",
-    # r8-green veterans returning from the tail: 21 of the 43
+    # r8-green veterans returning from the tail: 20 of the 43
     "p11_season_derivation",
     "p23_json_extract",
     "p17_map_lookup",
@@ -162,7 +163,6 @@ NO_R9_ROW_OR_NEW = {
     "j8_geometry_join",
     "g3_report_pivot_totals",
     "l2_setup_roundtrip",
-    "x16_hash_split",
     "x17_group_quota",
     "s4_upsert_sink",
     "x21_asof_attribution",
@@ -182,6 +182,9 @@ DISPLACED_R8_VETERANS = {
     # x14 displaced by the new rows-only x42 (pure map-only scalar ops,
     # the least rotation-sensitive shape in the window)
     "x14_text_cleaning",
+    # x16 displaced by the new x43 (same md5 seed|id assignment family;
+    # ranking shape rides in-window x17)
+    "x16_hash_split",
     "x8_cosine_topk",
     "x20_tfidf_top_terms",
     "j2_dim_join_chain",

@@ -395,3 +395,70 @@ def test_quantile_prune_plan_shape(spark):
     # JVM-side end to end; the threshold reaches the filter via broadcast
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestGlobalOrder:
+    """assign_global_order (x43): deterministic training-order shuffle."""
+
+    def test_positions_contiguous_and_hash_ordered(self, spark):
+        from hbsir_old_spark.functions.sampling import assign_global_order
+        import hashlib
+
+        df = spark.createDataFrame([(i,) for i in range(97)], ["doc_id"])
+        out = {
+            r["doc_id"]: r["order_pos"]
+            for r in assign_global_order(df, seed=3).collect()
+        }
+        assert sorted(out.values()) == list(range(97))
+        expected = sorted(
+            range(97),
+            key=lambda i: (hashlib.md5(f"shuffle3|{i}".encode()).hexdigest(), i),
+        )
+        assert [out[i] for i in expected] == list(range(97))
+
+    def test_prefix_width_and_seed_semantics(self, spark):
+        from hbsir_old_spark.functions.sampling import assign_global_order
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+        base = {
+            r["doc_id"]: r["order_pos"]
+            for r in assign_global_order(df, seed=1, prefix_chars=2).collect()
+        }
+        # bucket width is an execution detail, never a semantics change
+        wide = {
+            r["doc_id"]: r["order_pos"]
+            for r in assign_global_order(df, seed=1, prefix_chars=1).collect()
+        }
+        assert base == wide
+        # a different seed is a different permutation
+        other = {
+            r["doc_id"]: r["order_pos"]
+            for r in assign_global_order(df, seed=2).collect()
+        }
+        assert other != base and sorted(other.values()) == list(range(50))
+        with _pytest.raises(ValueError, match="prefix_chars"):
+            assign_global_order(df, prefix_chars=0)
+
+    def test_null_ids_dropped_and_columns_preserved(self, spark):
+        from hbsir_old_spark.functions.sampling import assign_global_order
+
+        df = spark.createDataFrame(
+            [(1, "a"), (None, "b"), (2, "c")], "doc_id int, text string"
+        )
+        rows = assign_global_order(df).collect()
+        assert {r["doc_id"] for r in rows} == {1, 2}
+        assert set(rows[0].asDict()) == {"doc_id", "text", "order_pos"}
+        assert sorted(r["order_pos"] for r in rows) == [0, 1]
+
+    def test_no_unpartitioned_window_in_plan(self, spark):
+        from hbsir_old_spark.functions.sampling import assign_global_order
+
+        df = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+        plan = (
+            assign_global_order(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the window must be partitioned by the hash-prefix bucket — an
+        # empty partition spec would serialize the whole corpus
+        assert "windowspecdefinition(__bkt__" in plan
