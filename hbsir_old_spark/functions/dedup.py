@@ -869,6 +869,23 @@ def remove_duplicate_passages(
     )
 
 
+def _bloom_word_mask(fp: Column, i: int, m_bits: int) -> Column:
+    """The i-th Bloom position of a fingerprint as a
+    ``struct<__w__: long, __m__: long>`` (word index, bit mask) —
+    THE single definition both the build and the probe derive from, so
+    the two can never desynchronize (a build/probe mismatch would break
+    the zero-false-negative guarantee silently). ``pmod`` keeps positions
+    non-negative; the mask uses SQL ``shiftleft`` via ``call_function``
+    because the PySpark wrapper only accepts literal shift amounts."""
+    h = F.pmod(F.xxhash64(F.lit(i), fp), F.lit(m_bits))
+    return F.struct(
+        (h / 64).cast("long").alias("__w__"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (h % 64).cast("int")
+        ).alias("__m__"),
+    )
+
+
 def build_fingerprint_bloom(
     seen: DataFrame,
     text_col: str = "text",
@@ -883,11 +900,12 @@ def build_fingerprint_bloom(
     positions (``pmod(xxhash64(i, fp), m)``, i = 0..k-1); a single
     partial-aggregable ``groupBy(word).agg(bit_or(mask))`` reduces the
     whole store to at most ``m_bits/64`` longs of model state, which is
-    all that reaches the driver (8 MiB at the default 2^23 bits — NOT
+    all that reaches the driver (1 MiB at the default 2^23 bits — NOT
     corpus data; same contract as kmeans_fit's k x d collect). At the
-    default sizing the filter holds ~10^6 fingerprints under 1% false
-    positives (m/n = 8.4, k = 7); size ``m_bits`` ~10x the expected store
-    cardinality and shard by fingerprint prefix beyond ~10^8.
+    default sizing the filter holds ~10^6 fingerprints at ~1.9% false
+    positives ((1 - e^(-k·n/m))^k with m/n = 8.4, k = 7); for <1% size
+    ``m_bits`` >= 10x the expected store cardinality (m/n = 10 -> ~0.8%),
+    and shard by fingerprint prefix beyond ~10^8.
 
     Returns ``{"m_bits", "k", "words"}`` — a plain dict so the model can
     be persisted beside the store and reused across batches WITHOUT a
@@ -911,18 +929,15 @@ def build_fingerprint_bloom(
         F.explode(
             F.array(
                 *[
-                    F.pmod(F.xxhash64(F.lit(i), F.col("__fp__")), F.lit(m_bits))
+                    _bloom_word_mask(F.col("__fp__"), i, m_bits)
                     for i in range(k)
                 ]
-            )
-        ).alias("__h__")
+            ).alias("__wm__")
+        ).alias("__wm__")
     )
     words_rows = (
         positions.select(
-            (F.col("__h__") / 64).cast("long").alias("__w__"),
-            F.call_function("shiftleft", F.lit(1).cast("long"), (F.col("__h__") % 64).cast("int")).alias(
-                "__m__"
-            ),
+            F.col("__wm__.__w__").alias("__w__"), F.col("__wm__.__m__").alias("__m__")
         )
         .groupBy("__w__")
         .agg(F.bit_or("__m__").alias("__bits__"))
@@ -945,6 +960,16 @@ def merge_blooms(a: dict, b: dict) -> dict:
             f"bloom shape mismatch: ({a['m_bits']}, {a['k']}) vs "
             f"({b['m_bits']}, {b['k']})"
         )
+    expected = a["m_bits"] // 64
+    for name, bl in (("left", a), ("right", b)):
+        if len(bl["words"]) != expected:
+            # zip() would silently truncate a short words list, and a
+            # short merged filter under-covers — the exact failure the
+            # coverage contract forbids; fail fast instead
+            raise ValueError(
+                f"{name} bloom words length {len(bl['words'])} != "
+                f"m_bits/64 = {expected} (truncated or corrupt filter)"
+            )
     return {
         "m_bits": a["m_bits"],
         "k": a["k"],
@@ -993,6 +1018,11 @@ def dedup_against_bloom(
             k=k,
         )
     m, kk, words = bloom["m_bits"], bloom["k"], bloom["words"]
+    if len(words) != m // 64:
+        raise ValueError(
+            f"bloom words length {len(words)} != m_bits/64 = {m // 64} "
+            f"(truncated or corrupt filter)"
+        )
     spark = incoming.sparkSession
     bloom_df = spark.createDataFrame([(words,)], "__bloomwords__ array<bigint>")
 
@@ -1001,11 +1031,9 @@ def dedup_against_bloom(
     )
     hit = None
     for i in range(kk):
-        h = F.pmod(F.xxhash64(F.lit(i), F.col("__fp__")), F.lit(m))
-        word = F.element_at(F.col("__bloomwords__"), ((h / 64).cast("int")) + 1)
-        test = word.bitwiseAND(
-            F.call_function("shiftleft", F.lit(1).cast("long"), (h % 64).cast("int"))
-        ) != 0
+        wm = _bloom_word_mask(F.col("__fp__"), i, m)
+        word = F.element_at(F.col("__bloomwords__"), wm["__w__"].cast("int") + 1)
+        test = word.bitwiseAND(wm["__m__"]) != 0
         hit = test if hit is None else (hit & test)
     # NULL fingerprints (NULL text) probe to some bucket; either branch
     # keeps them — the verify join's equi-condition never matches NULL —

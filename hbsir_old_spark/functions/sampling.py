@@ -586,6 +586,15 @@ def assign_global_order(
     contract: a NULL id hashes to a NULL key and cannot be ordered
     deterministically). Output: the input columns plus ``order_col``
     (long).
+
+    DETERMINISM CONTRACT: like every two-pass count-then-enumerate
+    algorithm (and unlike the single-pass-but-sampled
+    ``repartitionByRange``), the input must produce the SAME rows on both
+    executions — no ``F.rand()`` filters, no source appended mid-job;
+    persist/localCheckpoint a nondeterministic input first. Rows in a
+    bucket the count pass never saw fail loudly (``raise_error``, not a
+    silent inner-join drop); new rows landing in an already-counted
+    bucket are detectable only by the caller (positions would collide).
     """
     if prefix_chars < 1 or prefix_chars > 8:
         raise ValueError(f"prefix_chars must be in 1..8, got {prefix_chars}")
@@ -608,11 +617,24 @@ def assign_global_order(
         [(b, o) for b, o in offsets.items()], "__bkt__ string, __off__ long"
     )
     w = Window.partitionBy("__bkt__").orderBy("__ord__", id_col)
+    # LEFT join + raise_error: a row whose bucket the count pass never saw
+    # means the input violated the determinism contract — fail loudly
+    # instead of silently dropping it (an inner join would)
+    guarded_off = F.when(
+        F.col("__off__").isNull(),
+        F.raise_error(
+            F.lit(
+                "assign_global_order: row appeared in a bucket the count "
+                "pass never saw — the input is nondeterministic between "
+                "executions (see the determinism contract)"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__off__"))
     return (
-        keyed.join(F.broadcast(off_df), "__bkt__")
+        keyed.join(F.broadcast(off_df), "__bkt__", "left")
         .withColumn(
             order_col,
-            (F.row_number().over(w) - 1 + F.col("__off__")).cast("long"),
+            (F.row_number().over(w) - 1 + guarded_off).cast("long"),
         )
         .drop("__ord__", "__bkt__", "__off__")
     )

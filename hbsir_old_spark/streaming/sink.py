@@ -200,18 +200,27 @@ def run_dedup_ingest(
     id_col: str = "doc_id",
     trigger_available_now: bool = True,
     use_bloom: bool = False,
+    bloom_m_bits: int = 1 << 23,
+    bloom_k: int = 7,
 ):
     """Wire a streaming document source into the dedup-ingest sink:
     ``readStream -> foreachBatch(dedup against store, append novel)``.
     ``availableNow`` drains-and-stops for tests/backfills. ``use_bloom``
     turns on the broadcast membership pre-filter (see
-    :func:`dedup_ingest_batch_writer`)."""
+    :func:`dedup_ingest_batch_writer`); size ``bloom_m_bits`` >= 10x the
+    expected store cardinality or the saturated filter routes everything
+    through the verify join."""
     writer = (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
             dedup_ingest_batch_writer(
-                store_dir, text_col=text_col, id_col=id_col, use_bloom=use_bloom
+                store_dir,
+                text_col=text_col,
+                id_col=id_col,
+                use_bloom=use_bloom,
+                bloom_m_bits=bloom_m_bits,
+                bloom_k=bloom_k,
             )
         )
     )

@@ -304,7 +304,10 @@ class TestBloomDedup:
         seen, _ = self._store_and_batch(spark, n_store=500, n_batch=2)
         bloom = build_fingerprint_bloom(seen, m_bits=1 << 16, k=7)
         assert len(bloom["words"]) == (1 << 16) // 64
-        # probe every STORED fingerprint: all must hit (no false negatives)
+        # probe every STORED fingerprint: all must hit (no false negatives).
+        # The probe below is an INTENTIONALLY independent re-implementation
+        # (not _bloom_word_mask) so a build/probe desync in the shared
+        # helper cannot hide from this test.
         m, k, words = bloom["m_bits"], bloom["k"], bloom["words"]
         probe_df = seen.withColumn("__fp__", doc_fingerprint("text")).crossJoin(
             F.broadcast(
@@ -376,6 +379,14 @@ class TestBloomDedup:
 
         with _pytest.raises(ValueError, match="shape mismatch"):
             merge_blooms(stale, build_fingerprint_bloom(appended, m_bits=1 << 11, k=5))
+        # a truncated words list must fail fast, not silently under-merge
+        truncated = {**stale, "words": stale["words"][:-1]}
+        with _pytest.raises(ValueError, match="truncated or corrupt"):
+            merge_blooms(truncated, stale)
+        from hbsir_old_spark.functions.dedup import dedup_against_bloom as _dab
+
+        with _pytest.raises(ValueError, match="truncated or corrupt"):
+            _dab(batch, seen_new, bloom=truncated)
 
     def test_validation(self, spark):
         from hbsir_old_spark.functions.dedup import build_fingerprint_bloom
