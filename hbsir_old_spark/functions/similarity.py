@@ -59,6 +59,40 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     return out
 
 
+def ranked_topk_per_query(
+    scored: DataFrame, score_col: str, k: int, salt: int = 32
+) -> DataFrame:
+    """Two-level salted top-k per query — the scale-safe replacement for a
+    single ``Window.partitionBy(__qid__)``: that shape funnels EVERY
+    candidate of a query into one partition, which at corpus scale makes
+    each query a straggler (exactly the unpartitioned-window hazard the
+    rest of this package avoids). Stage 1 ranks within ``(query, salt)``
+    sub-partitions (``salt`` = hash of the candidate id, so the split is
+    deterministic) and keeps k per sub-partition; stage 2 re-ranks the
+    <= salt*k survivors per query. The global top-k of a query is a
+    subset of the union of its sub-partition top-ks, so the result —
+    including ranks and the (score desc, candidate id asc) tie order —
+    is IDENTICAL to the single-window formulation. Expects ``__qid__`` /
+    ``__cid__`` columns; returns rows with ``rank`` 1..k per query."""
+    w1 = Window.partitionBy("__qid__", "__salt__").orderBy(
+        F.col(score_col).desc(), F.col("__cid__")
+    )
+    pruned = (
+        scored.withColumn(
+            "__salt__", F.pmod(F.xxhash64(F.col("__cid__")), F.lit(salt))
+        )
+        .withColumn("__r1__", F.row_number().over(w1))
+        .filter(F.col("__r1__") <= k)
+        .drop("__salt__", "__r1__")
+    )
+    w2 = Window.partitionBy("__qid__").orderBy(
+        F.col(score_col).desc(), F.col("__cid__")
+    )
+    return pruned.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -81,11 +115,7 @@ def cosine_topk(
         c.join(F.broadcast(q), F.col("__cid__") != F.col("__qid__"))
         .withColumn("__sim__", cosine_similarity(F.col("__cvec__"), F.col("__qvec__")))
     )
-    w = Window.partitionBy("__qid__").orderBy(F.col("__sim__").desc(), F.col("__cid__"))
-    ranked = (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    ranked = ranked_topk_per_query(sim, "__sim__", k)
     sim_out = F.round("__sim__", round_to) if round_to is not None else F.col("__sim__")
     return ranked.select(
         F.col("__qid__").alias(query_id_col),
@@ -268,16 +298,11 @@ def ivf_topk(
         F.broadcast(probed), on="__centroid__"
     ).filter(F.col("__cid__") != F.col("__qid__"))
     sims = cand.withColumn("__sim__", cosine_similarity(F.col("__cvec__"), F.col("__qvec__")))
-    w = Window.partitionBy("__qid__").orderBy(F.col("__sim__").desc(), F.col("__cid__"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("__qid__").alias(query_id_col),
-            F.col("__cid__").alias(id_col),
-            F.col("rank"),
-            F.round("__sim__", 6).alias("cosine"),
-        )
+    return ranked_topk_per_query(sims, "__sim__", k).select(
+        F.col("__qid__").alias(query_id_col),
+        F.col("__cid__").alias(id_col),
+        F.col("rank"),
+        F.round("__sim__", 6).alias("cosine"),
     )
 
 
@@ -326,16 +351,11 @@ def lsh_bucket_topk(
         .dropDuplicates(["__qid__", "__cid__"])
         .withColumn("__sim__", cosine_similarity(F.col("__cvec__"), F.col("__qvec__")))
     )
-    w = Window.partitionBy("__qid__").orderBy(F.col("__sim__").desc(), F.col("__cid__"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("__qid__").alias(query_id_col),
-            F.col("__cid__").alias(id_col),
-            F.col("rank"),
-            F.round("__sim__", 6).alias("cosine"),
-        )
+    return ranked_topk_per_query(cand, "__sim__", k).select(
+        F.col("__qid__").alias(query_id_col),
+        F.col("__cid__").alias(id_col),
+        F.col("rank"),
+        F.round("__sim__", 6).alias("cosine"),
     )
 
 
@@ -586,18 +606,15 @@ def pq_topk(
     scored = pairs.filter(F.col("__cid__") != F.col("__qid__")).withColumn(
         "__adc__", F.coalesce(F.nanvl(adc, neg_inf), neg_inf)
     )
-    w_adc = Window.partitionBy("__qid__").orderBy(
-        F.col("__adc__").desc(), F.col("__cid__")
-    )
-    cands = (
-        scored.withColumn("__r__", F.row_number().over(w_adc))
-        .filter(F.col("__r__") <= refine * k)
-        .select("__qid__", "__qvec__", "__cid__")
+    cands = ranked_topk_per_query(scored, "__adc__", refine * k).select(
+        "__qid__", "__qvec__", "__cid__"
     )
     vecs = corpus.select(F.col(id_col).alias("__cid__"), F.col(vec_col).alias("__cvec__"))
     sims = cands.join(vecs, "__cid__").withColumn(
         "__sim__", cosine_similarity(F.col("__cvec__"), F.col("__qvec__"))
     )
+    # plain per-query window here is fine: the refine stage's input is
+    # already bounded at refine*k rows per query by the ADC prune
     w = Window.partitionBy("__qid__").orderBy(F.col("__sim__").desc(), F.col("__cid__"))
     return (
         sims.withColumn("rank", F.row_number().over(w))

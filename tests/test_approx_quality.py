@@ -426,3 +426,36 @@ def test_pq_validation(spark, sf_dir):
         from hbsir_old_spark.functions.clustering import kmeans_assign
 
         kmeans_assign(emb, [[0.0] * 64], metric="manhattan")
+
+
+def test_ranked_topk_per_query_matches_single_window(spark):
+    # the salted two-level top-k must be EXACTLY the single-window result
+    # (ranks included) on adversarial data: heavy score ties across salt
+    # buckets, k larger than some salt-bucket populations
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hbsir_old_spark.functions.similarity import ranked_topk_per_query
+
+    rng = random.Random(42)
+    rows = [
+        (q, c, rng.choice([0.1, 0.5, 0.5, 0.9]))
+        for q in range(3)
+        for c in rng.sample(range(1000), 200)
+    ]
+    df = spark.createDataFrame(rows, "__qid__ int, __cid__ int, __s__ double")
+    for k in (1, 7, 250):
+        got = {
+            (r["__qid__"], r["__cid__"], r["rank"])
+            for r in ranked_topk_per_query(df, "__s__", k, salt=8).collect()
+        }
+        w = Window.partitionBy("__qid__").orderBy(F.col("__s__").desc(), "__cid__")
+        want = {
+            (r["__qid__"], r["__cid__"], r["rank"])
+            for r in df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .collect()
+        }
+        assert got == want, f"k={k}"
