@@ -80,15 +80,29 @@ def group_quota(
 ) -> DataFrame:
     """Keep at most ``quota`` rows per group, by deterministic order
     (e.g. best-quality-first with ``order_col='quality', ascending=False``,
-    tiebreaking naturally on the unique order column)."""
+    tiebreaking naturally on the unique order column).
+
+    Scale shape: two-level salted selection, not one window per group —
+    a single ``Window.partitionBy(group)`` funnels a whole domain into
+    one partition (domains are few and HUGE in the corpus-mixing regime).
+    Stage 1 keeps ``quota`` per ``(group, hash(order_col) % 32)``
+    sub-partition; stage 2 re-ranks the <= 32*quota survivors. Identical
+    output (the per-group top-quota is a subset of the sub-partition
+    union; ``order_col`` is unique by contract so the order has no ties).
+    The stage-2 partition is bounded by 32*quota, not group size."""
     if quota < 0:
         raise ValueError(f"quota must be >= 0, got {quota}")
     order = F.col(order_col) if ascending else F.col(order_col).desc()
-    w = Window.partitionBy(group_col).orderBy(order)
+    salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(32))
+    w1 = Window.partitionBy(group_col, "__salt__").orderBy(order)
+    w2 = Window.partitionBy(group_col).orderBy(order)
     return (
-        df.withColumn("__rn__", F.row_number().over(w))
+        df.withColumn("__salt__", salt)
+        .withColumn("__rn1__", F.row_number().over(w1))
+        .filter(F.col("__rn1__") <= quota)
+        .withColumn("__rn__", F.row_number().over(w2))
         .filter(F.col("__rn__") <= quota)
-        .drop("__rn__")
+        .drop("__salt__", "__rn1__", "__rn__")
     )
 
 
@@ -154,11 +168,14 @@ def temperature_sample(
     budgeted, not silently dropped.
 
     Scale shape: one partial-aggregable count pass, a one-row total
-    broadcast, then the :func:`group_quota` shape — one hash Exchange on
-    the group key + in-partition topK. The quota floor adds a 1e-9 epsilon
-    before flooring in BOTH engines: mathematically-integer quotas (exact
-    proportional splits) would otherwise flip by one on the last ulp of
-    the order-dependent weight sum.
+    broadcast, then the :func:`group_quota` two-level salted selection
+    (stage 1 keeps the quota per ``(group, hash(key) % 32)``
+    sub-partition, stage 2 re-ranks the bounded survivors — identical
+    result, no whole-domain single partition). The quota floor adds a
+    1e-9 epsilon before flooring in BOTH engines:
+    mathematically-integer quotas (exact proportional splits) would
+    otherwise flip by one on the last ulp of the order-dependent weight
+    sum.
     """
     if target_rows <= 0:
         raise ValueError(f"target_rows must be > 0, got {target_rows}")
@@ -179,17 +196,20 @@ def temperature_sample(
             ).cast("long"),
         ).alias("__q__"),
     )
-    w = Window.partitionBy(group_col).orderBy(
-        hash_hex(order_col, salt), F.col(order_col)
-    )
+    keep_order = (hash_hex(order_col, salt), F.col(order_col))
+    w1 = Window.partitionBy(group_col, "__salt__").orderBy(*keep_order)
+    w2 = Window.partitionBy(group_col).orderBy(*keep_order)
     return (
-        df.withColumn("__rn__", F.row_number().over(w))
-        .join(
+        df.join(
             F.broadcast(quotas),
             F.col(group_col).eqNullSafe(F.col("__qg__")),
         )
+        .withColumn("__salt__", F.pmod(F.xxhash64(F.col(order_col)), F.lit(32)))
+        .withColumn("__rn1__", F.row_number().over(w1))
+        .filter(F.col("__rn1__") <= F.col("__q__"))
+        .withColumn("__rn__", F.row_number().over(w2))
         .filter(F.col("__rn__") <= F.col("__q__"))
-        .drop("__rn__", "__q__", "__qg__")
+        .drop("__salt__", "__rn1__", "__rn__", "__q__", "__qg__")
     )
 
 
