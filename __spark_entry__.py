@@ -5991,9 +5991,10 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # x24: per-language TOKEN-budget corpus mixing — keep docs in stable
     # md5-hash order until each language's cumulative whitespace-token
     # count reaches 5000; the doc that crosses the budget is included.
-    # One Exchange + in-partition sort, the same shape as x17's count
-    # quota — but bounding token MASS, which is what an LLM data mixture
-    # actually budgets.
+    # One Exchange + in-partition prefix scan (inherently sequential per
+    # group — unlike x17's count quota, which is now two-level salted) —
+    # bounding token MASS, which is what an LLM data mixture actually
+    # budgets.
     from hbsir_old_spark.functions.sampling import token_budget_sample
     from hbsir_old_spark.functions.text import token_count
 

@@ -10,18 +10,65 @@
   in any engine (the DuckDB oracle uses the identical expression). Pure
   map-side: no shuffle, no RNG state, whole-stage codegen.
 * **group_quota** — cap rows per group (per-language / per-domain document
-  quotas) with a deterministic keep order. One hash-partition Exchange on
-  the group key + in-partition topK; at 100 TB this is the standard
-  "balance the mixture" primitive. Skewed groups cost one hot partition —
-  the window's rank short-circuits, and AQE skew handling applies.
+  quotas) with a deterministic keep order. Two-level salted selection
+  (:func:`salted_limit_per_group`): quota kept per (group, hash-bucket)
+  sub-partition first, then re-ranked over the bounded survivors — no
+  whole-domain single partition, identical output. At 100 TB this is the
+  standard "balance the mixture" primitive.
 """
 
 from __future__ import annotations
+
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hbsir_old_spark.functions.text import whitespace_tokens
+
+
+def salted_limit_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    limit: int | Column,
+    bucket_col: str,
+    n_buckets: int = 32,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """THE two-level salted top-``limit`` selection — the scale-safe
+    replacement for one ``Window.partitionBy(group)``, which funnels a
+    whole group into a single partition (per-query ANN candidates,
+    per-domain quotas: groups are few and huge in exactly the regimes
+    these operators serve). Every top-per-group call site
+    (:func:`group_quota`, :func:`temperature_sample`,
+    :func:`similarity.ranked_topk_per_query`) derives from this one
+    definition so the invariant below is maintained in one place.
+
+    Stage 1 ranks within ``(group, xxhash64(bucket_col) % n_buckets)``
+    sub-partitions and keeps ``limit`` per sub-partition; stage 2
+    re-ranks the <= ``n_buckets * limit`` survivors per group. The
+    result — ranks and tie order included — is IDENTICAL to the single
+    window: under a total order (``order_by`` must be tie-free, e.g.
+    end with a unique column) the per-group top-``limit`` is a subset of
+    the union of its sub-partition top-``limit``s. ``limit`` may be a
+    per-row Column (per-group quotas joined on beforehand).
+    ``rank_col`` keeps the final 1..limit rank under that name;
+    otherwise the helper columns are dropped.
+    """
+    salt = F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
+    w1 = Window.partitionBy(*group_cols, "__salt__").orderBy(*order_by)
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_by)
+    out_rank = rank_col or "__rn2__"
+    out = (
+        df.withColumn("__salt__", salt)
+        .withColumn("__rn1__", F.row_number().over(w1))
+        .filter(F.col("__rn1__") <= limit)
+        .withColumn(out_rank, F.row_number().over(w2))
+        .filter(F.col(out_rank) <= limit)
+        .drop("__salt__", "__rn1__")
+    )
+    return out if rank_col else out.drop("__rn2__")
 
 #: md5 prefix length used for bucketing: 4 hex digits = 65536 buckets,
 #: giving split-fraction granularity of ~0.0015%
@@ -82,27 +129,15 @@ def group_quota(
     (e.g. best-quality-first with ``order_col='quality', ascending=False``,
     tiebreaking naturally on the unique order column).
 
-    Scale shape: two-level salted selection, not one window per group —
-    a single ``Window.partitionBy(group)`` funnels a whole domain into
-    one partition (domains are few and HUGE in the corpus-mixing regime).
-    Stage 1 keeps ``quota`` per ``(group, hash(order_col) % 32)``
-    sub-partition; stage 2 re-ranks the <= 32*quota survivors. Identical
-    output (the per-group top-quota is a subset of the sub-partition
-    union; ``order_col`` is unique by contract so the order has no ties).
-    The stage-2 partition is bounded by 32*quota, not group size."""
+    Scale shape: :func:`salted_limit_per_group` (two-level salted
+    selection — no whole-domain single partition; identical output since
+    ``order_col`` is unique by contract). The stage-2 partition is
+    bounded by 32*quota, not group size."""
     if quota < 0:
         raise ValueError(f"quota must be >= 0, got {quota}")
     order = F.col(order_col) if ascending else F.col(order_col).desc()
-    salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(32))
-    w1 = Window.partitionBy(group_col, "__salt__").orderBy(order)
-    w2 = Window.partitionBy(group_col).orderBy(order)
-    return (
-        df.withColumn("__salt__", salt)
-        .withColumn("__rn1__", F.row_number().over(w1))
-        .filter(F.col("__rn1__") <= quota)
-        .withColumn("__rn__", F.row_number().over(w2))
-        .filter(F.col("__rn__") <= quota)
-        .drop("__salt__", "__rn1__", "__rn__")
+    return salted_limit_per_group(
+        df, [group_col], [order], quota, bucket_col=order_col
     )
 
 
@@ -120,10 +155,15 @@ def token_budget_sample(
     are under budget, so the first crossing document is included and every
     group with any data yields at least one document (budget > 0).
 
-    One Exchange + in-partition sort per group (same shape as
-    :func:`group_quota`, which bounds document COUNT; this bounds token
-    mass — what an LLM data mixture actually budgets). Pass a unique
-    ``order_col`` (id or stable hash) for run-independent results.
+    One Exchange + in-partition sort per group — a prefix scan is
+    inherently sequential per group (each document's keep decision
+    depends on the cumulative sum before it), so the salted two-level
+    trick :func:`group_quota` uses does not apply; shard upstream (e.g.
+    :func:`pack_sequences`-style hash buckets as independent budget
+    streams) when a single group outgrows a partition. Bounds token
+    mass where ``group_quota`` bounds document COUNT — what an LLM data
+    mixture actually budgets. Pass a unique ``order_col`` (id or stable
+    hash) for run-independent results.
     """
     if budget <= 0:
         raise ValueError(f"budget must be > 0, got {budget}")
@@ -196,21 +236,16 @@ def temperature_sample(
             ).cast("long"),
         ).alias("__q__"),
     )
-    keep_order = (hash_hex(order_col, salt), F.col(order_col))
-    w1 = Window.partitionBy(group_col, "__salt__").orderBy(*keep_order)
-    w2 = Window.partitionBy(group_col).orderBy(*keep_order)
-    return (
-        df.join(
-            F.broadcast(quotas),
-            F.col(group_col).eqNullSafe(F.col("__qg__")),
-        )
-        .withColumn("__salt__", F.pmod(F.xxhash64(F.col(order_col)), F.lit(32)))
-        .withColumn("__rn1__", F.row_number().over(w1))
-        .filter(F.col("__rn1__") <= F.col("__q__"))
-        .withColumn("__rn__", F.row_number().over(w2))
-        .filter(F.col("__rn__") <= F.col("__q__"))
-        .drop("__salt__", "__rn1__", "__rn__", "__q__", "__qg__")
+    joined = df.join(
+        F.broadcast(quotas), F.col(group_col).eqNullSafe(F.col("__qg__"))
     )
+    return salted_limit_per_group(
+        joined,
+        [group_col],
+        [hash_hex(order_col, salt), F.col(order_col)],
+        F.col("__q__"),
+        bucket_col=order_col,
+    ).drop("__q__", "__qg__")
 
 
 def pack_sequences(

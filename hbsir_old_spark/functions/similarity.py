@@ -2,9 +2,10 @@
 
 * **cosine_topk** — exact brute-force top-k: broadcast the (small) query
   set against the corpus, dot products via zip_with/aggregate (JVM-side,
-  no UDF), rank with a window per query. At 100 TB the corpus side stays
-  partitioned; only queries are broadcast, so there is no shuffle of the
-  corpus at all.
+  no UDF), rank with the two-level salted top-k
+  (:func:`ranked_topk_per_query` — per-(query, hash-bucket) prune, then a
+  bounded re-rank; never one whole-corpus partition per query). At 100 TB
+  the corpus side stays partitioned; only queries are broadcast.
 * **lsh_bucket_topk** — the approximate scale path: sign-random-projection
   (SimHash for vectors) buckets; candidates = corpus rows whose signature
   matches the query's in any band; exact cosine re-rank on candidates.
@@ -60,36 +61,28 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
 
 
 def ranked_topk_per_query(
-    scored: DataFrame, score_col: str, k: int, salt: int = 32
+    scored: DataFrame, score_col: str, k: int, n_buckets: int = 32
 ) -> DataFrame:
     """Two-level salted top-k per query — the scale-safe replacement for a
     single ``Window.partitionBy(__qid__)``: that shape funnels EVERY
     candidate of a query into one partition, which at corpus scale makes
-    each query a straggler (exactly the unpartitioned-window hazard the
-    rest of this package avoids). Stage 1 ranks within ``(query, salt)``
-    sub-partitions (``salt`` = hash of the candidate id, so the split is
-    deterministic) and keeps k per sub-partition; stage 2 re-ranks the
-    <= salt*k survivors per query. The global top-k of a query is a
-    subset of the union of its sub-partition top-ks, so the result —
-    including ranks and the (score desc, candidate id asc) tie order —
-    is IDENTICAL to the single-window formulation. Expects ``__qid__`` /
-    ``__cid__`` columns; returns rows with ``rank`` 1..k per query."""
-    w1 = Window.partitionBy("__qid__", "__salt__").orderBy(
-        F.col(score_col).desc(), F.col("__cid__")
-    )
-    pruned = (
-        scored.withColumn(
-            "__salt__", F.pmod(F.xxhash64(F.col("__cid__")), F.lit(salt))
-        )
-        .withColumn("__r1__", F.row_number().over(w1))
-        .filter(F.col("__r1__") <= k)
-        .drop("__salt__", "__r1__")
-    )
-    w2 = Window.partitionBy("__qid__").orderBy(
-        F.col(score_col).desc(), F.col("__cid__")
-    )
-    return pruned.withColumn("rank", F.row_number().over(w2)).filter(
-        F.col("rank") <= k
+    each query a straggler. The ANN-flavored front end of
+    :func:`sampling.salted_limit_per_group` (one shared definition of the
+    two-level invariant); ``n_buckets`` is the sub-partition count, NOT a
+    hash-seed string like the ``salt`` params elsewhere. Expects
+    ``__qid__`` / ``__cid__`` columns; result — ranks and the
+    (score desc, candidate id asc) tie order included — is IDENTICAL to
+    the single-window formulation; returns rows with ``rank`` 1..k."""
+    from hbsir_old_spark.functions.sampling import salted_limit_per_group
+
+    return salted_limit_per_group(
+        scored,
+        ["__qid__"],
+        [F.col(score_col).desc(), F.col("__cid__")],
+        k,
+        bucket_col="__cid__",
+        n_buckets=n_buckets,
+        rank_col="rank",
     )
 
 

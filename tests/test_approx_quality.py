@@ -449,7 +449,7 @@ def test_ranked_topk_per_query_matches_single_window(spark):
     for k in (1, 7, 250):
         got = {
             (r["__qid__"], r["__cid__"], r["rank"])
-            for r in ranked_topk_per_query(df, "__s__", k, salt=8).collect()
+            for r in ranked_topk_per_query(df, "__s__", k, n_buckets=8).collect()
         }
         w = Window.partitionBy("__qid__").orderBy(F.col("__s__").desc(), "__cid__")
         want = {

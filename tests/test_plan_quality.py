@@ -156,10 +156,14 @@ def test_token_freq_prunes_to_text_and_partially_aggregates(spark, sf_dir):
 
 
 def test_group_quota_single_exchange(spark, sf_dir):
-    # x17: one hash Exchange on the group key, nothing more
+    # x17: the two-level salted selection spends its two hash Exchanges
+    # on the (group, salt) and (group) ranking windows; the gate's final
+    # agg rides the stage-2 partitioning (no third Exchange). A Spark
+    # version that stops reusing that partitioning for the agg would
+    # break this budget — loosen consciously if that happens.
     df = entry_mod.q_group_quota(spark, sf_dir)
     plan = plan_of(df)
-    assert plan.count("Exchange hashpartitioning") <= 2  # quota window + final agg
+    assert plan.count("Exchange hashpartitioning") <= 2
 
 
 def test_weighted_breaks_single_sketch_pass(spark, sf_dir):

@@ -462,3 +462,72 @@ class TestGlobalOrder:
         # the window must be partitioned by the hash-prefix bucket — an
         # empty partition spec would serialize the whole corpus
         assert "windowspecdefinition(__bkt__" in plan
+
+
+class TestSaltedSelectionIdentity:
+    """The salted two-level group_quota / temperature_sample must equal the
+    single-window formulation on data where stage 1 genuinely prunes
+    (groups much larger than 32 * quota per bucket) — a stage-1 bug that
+    degenerates on small fixtures cannot hide here."""
+
+    def test_group_quota_matches_single_window(self, spark):
+        import random
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from hbsir_old_spark.functions.sampling import group_quota
+
+        rng = random.Random(7)
+        rows = [
+            (f"g{g}", i, rng.random())
+            for g in range(3)
+            for i in rng.sample(range(100000), 2000)
+        ]
+        df = spark.createDataFrame(rows, "lang string, doc_id int, q double")
+        # order on doc_id (unique): every (group, salt) bucket holds ~60
+        # rows, so stage 1 must prune ~57 of each for quota=3
+        for quota, asc in ((3, True), (40, False)):
+            got = {
+                (r["lang"], r["doc_id"])
+                for r in group_quota(
+                    df, "lang", quota, "doc_id", ascending=asc
+                ).collect()
+            }
+            order = F.col("doc_id") if asc else F.col("doc_id").desc()
+            w = Window.partitionBy("lang").orderBy(order)
+            want = {
+                (r["lang"], r["doc_id"])
+                for r in df.withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") <= quota)
+                .collect()
+            }
+            assert got == want, f"quota={quota} ascending={asc}"
+
+    def test_temperature_sample_matches_single_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from hbsir_old_spark.functions.sampling import hash_hex, temperature_sample
+
+        # two heavily imbalanced groups: quotas differ per group and far
+        # exceed the per-bucket population for the small group
+        rows = [("big", i) for i in range(3000)] + [("small", 10_000 + i) for i in range(60)]
+        df = spark.createDataFrame(rows, "lang string, doc_id int")
+        got = {
+            (r["lang"], r["doc_id"])
+            for r in temperature_sample(
+                df, "lang", alpha=0.5, target_rows=400, order_col="doc_id"
+            ).collect()
+        }
+        # reference: quotas recomputed the same way, single window keep
+        counts = {r["lang"]: r["n"] for r in df.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        tw = sum(n ** 0.5 for n in counts.values())
+        quotas = {g: max(1, int(400 * (n ** 0.5) / tw + 1e-9)) for g, n in counts.items()}
+        w = Window.partitionBy("lang").orderBy(hash_hex("doc_id", "temp"), F.col("doc_id"))
+        ranked = df.withColumn("__rn__", F.row_number().over(w)).collect()
+        want = {
+            (r["lang"], r["doc_id"]) for r in ranked if r["__rn__"] <= quotas[r["lang"]]
+        }
+        assert got == want
+        assert len(got) == sum(quotas.values())
