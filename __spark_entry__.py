@@ -6647,6 +6647,154 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X44 — the END-TO-END training-data pipeline (the capstone composition):
+# curate (x34's four-stage funnel: lang-id -> quality -> exact-dedup
+# canonical -> contamination vs a held-out benchmark) -> temperature
+# mixture by language (x29, alpha=0.5) -> deterministic global training
+# order (x43, seed 11) -> GPT-style sequence packing (x28, seq_len 512,
+# keyed on the training order). Every stage deterministic, so the WHOLE
+# composition carries a full oracle — one CTE chain reusing the x34/x29/
+# x43/x28 oracle fragments verbatim. Output: one row per surviving
+# document with its language, training position, and pack assignment.
+# --------------------------------------------------------------------------
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.curation import curate_corpus
+    from hbsir_old_spark.functions.sampling import (
+        assign_global_order,
+        pack_sequences,
+        temperature_sample,
+    )
+    from hbsir_old_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    benchmark = docs.filter(F.col("doc_id") < 5).select("doc_id", "text")
+    verdicts = curate_corpus(
+        docs.select("doc_id", "text"), benchmark, quality_threshold=0.0, shingle_n=5
+    )
+    kept = docs.join(
+        verdicts.filter(F.col("verdict") == "keep").select("doc_id"), "doc_id"
+    )
+    mixed = temperature_sample(
+        kept, "lang", alpha=0.5, target_rows=200, order_col="doc_id"
+    )
+    ordered = assign_global_order(mixed, seed=11)
+    packed = pack_sequences(
+        ordered.withColumn("n_tokens", token_count("text").cast("long")),
+        seq_len=512,
+        token_col="n_tokens",
+        order_col="order_pos",
+    )
+    return packed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "order_pos",
+        "pack_bucket",
+        F.col("pack_chunk").cast("long").alias("pack_chunk"),
+        F.col("pack_offset").cast("long").alias("pack_offset"),
+        "n_tokens",
+    ).orderBy("doc_id")
+
+
+def _sql_pipeline_e2e() -> str:
+    scores = _sql_lang_scores()
+    norm = (
+        "trim(regexp_replace(translate(lower(text), 'ς', 'σ'),"
+        " '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
+    )
+    grams = (
+        "list_distinct(list_transform(range(1, greatest(len(t) - 4, 1) + 1),"
+        " i -> array_to_string(t[i:i+4], ' ')))"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+), lng AS (
+  SELECT doc_id, substr(greatest({scores}), 13, 2) = 'en' AS lang_ok FROM corpus
+), qbase AS (
+  SELECT doc_id, trim(text) AS t FROM corpus
+), qtoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(t, '[ \\t\\n\\x0b\\f\\r]+')) AS tok
+  FROM qbase WHERE t IS NOT NULL AND length(t) > 0
+), qw AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum((('0x' || substr(md5('qw|' || tok), 1, 3))::BIGINT * 2654435761)
+             % 4097 - 2048)::BIGINT AS score_sum
+  FROM qtoks GROUP BY doc_id
+), q AS (
+  SELECT b.doc_id,
+         coalesce(w.n_tokens > 0 AND w.score_sum / (w.n_tokens * 2048.0) > 0.0,
+                  FALSE) AS quality_pass
+  FROM qbase b LEFT JOIN qw w USING (doc_id)
+), fp AS (
+  SELECT doc_id, md5({norm}) AS f FROM corpus
+), canon AS (
+  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY f) AS is_canonical FROM fp
+), ctoks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM corpus
+), csh AS (
+  SELECT doc_id, unnest({grams}) AS g FROM ctoks
+), bsh AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest({grams}) AS g
+    FROM (SELECT string_split({norm}, ' ') AS t FROM documents WHERE doc_id < 5)
+  ) WHERE g <> ''
+), cont AS (
+  SELECT DISTINCT doc_id FROM csh
+  WHERE EXISTS (SELECT 1 FROM bsh WHERE bsh.g = csh.g)
+), kept AS (
+  SELECT c.doc_id, c.text, c.lang
+  FROM corpus c
+  JOIN lng USING (doc_id) JOIN q USING (doc_id) JOIN canon USING (doc_id)
+  LEFT JOIN cont ON cont.doc_id = c.doc_id
+  WHERE lng.lang_ok AND q.quality_pass AND canon.is_canonical
+    AND cont.doc_id IS NULL
+), counts AS (
+  SELECT lang, count(*)::DOUBLE AS n FROM kept GROUP BY lang
+), tot AS (
+  SELECT sum(pow(n, 0.5)) AS tw FROM counts
+), quota AS (
+  SELECT lang, greatest(1, floor(200 * pow(n, 0.5) / tw + 1e-9))::BIGINT AS qq
+  FROM counts, tot
+), ranked AS (
+  SELECT doc_id, text, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('temp' || '|' || doc_id::VARCHAR), doc_id
+         ) AS rn
+  FROM kept
+), mixed AS (
+  SELECT r.doc_id, r.text, r.lang
+  FROM ranked r JOIN quota ON r.lang IS NOT DISTINCT FROM quota.lang
+  WHERE r.rn <= quota.qq
+), ordered AS (
+  SELECT doc_id, text, lang,
+         (row_number() OVER (
+            ORDER BY md5('shuffle11|' || doc_id::VARCHAR), doc_id) - 1)::BIGINT
+           AS order_pos
+  FROM mixed
+), toks AS (
+  SELECT doc_id, lang, order_pos,
+         coalesce(len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
+                                  x -> x <> '')), 0)::BIGINT AS n_tokens,
+         substr(md5('pack' || '|' || order_pos::VARCHAR), 1, 2) AS pack_bucket
+  FROM ordered
+), cum AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY order_pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_tokens AS before_tokens
+  FROM toks
+)
+SELECT doc_id::BIGINT AS doc_id, lang, order_pos, pack_bucket,
+       (before_tokens // 512)::BIGINT AS pack_chunk,
+       (before_tokens % 512)::BIGINT AS pack_offset,
+       n_tokens
+FROM cum ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # X43 — deterministic global training-order shuffle: contiguous positions
 # 0..n-1 in md5(seed|id) order, computed WITHOUT a global sort or an
 # unpartitioned window (hash-prefix buckets are a deterministic coarse
@@ -6799,15 +6947,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every full-oracle gate gets a driver row at least every other round
     # where the window allows; rows-only gates never leave the window.
     # Round 10 (counts audited after the r9 narrative drifted): the 43
-    # gates rowed GREEN in CORRECTNESS_r09.json rotate out; in come the 9
-    # new gates (x38 fuzzy-curation, g5b 1401-summary, x39 Gopher rules,
-    # x40 C4 filter, g8 decile-table, x41 substring-dedup removal, x43
-    # global-shuffle ordering — all full-oracle — plus the rows-only x38b
-    # LSH twin and x42 PQ-ANN), the 14 veterans promised r10 window
-    # priority by the r9 header (w1 w2 p13 x11 g1 l1 p16 u1 a6 a10 o2
-    # l7 + s5 x12), and 20 of the 43 r8-green veterans waiting in the
-    # tail (window: 7 + 14 + 20 + 9 rows-only = 50). That leaves 23
-    # r8-green veterans displaced one more round —
+    # gates rowed GREEN in CORRECTNESS_r09.json rotate out; in come the
+    # 10 new gates (x38 fuzzy-curation, g5b 1401-summary, x39 Gopher
+    # rules, x40 C4 filter, g8 decile-table, x41 substring-dedup removal,
+    # x43 global-shuffle ordering, x44 end-to-end pipeline — all
+    # full-oracle — plus the rows-only x38b LSH twin and x42 PQ-ANN),
+    # the 14 veterans promised r10 window priority by the r9 header (w1
+    # w2 p13 x11 g1 l1 p16 u1 a6 a10 o2 l7 + s5 x12), and 19 of the 43
+    # r8-green veterans waiting in the tail (window: 8 + 14 + 19 + 9
+    # rows-only = 50). That leaves 24 r8-green veterans displaced one
+    # more round —
     # each chosen because its operator either RE-RUNS VERBATIM inside an
     # in-window gate or carried a fresh r9-green row through a sibling:
     # x2/x19 (pair generation + connected components run inside x38's
@@ -6836,6 +6985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 10 --
         "x41_substring_dedup": q_substring_dedup,
         "x43_global_shuffle": q_global_shuffle,
+        "x44_pipeline_e2e": q_pipeline_e2e,
         "x38_curation_fuzzy": q_curation_fuzzy,
         "g5b_isc_summary_1401": q_real_isc_summary_1401,
         "x39_gopher_rules": q_gopher_rules,
@@ -6863,7 +7013,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l16_monthly_cpi_chain": q_monthly_cpi_chain,
         "g6_poverty_rate": q_poverty_rate,
         "l15b_partitioned_span": q_partitioned_span_food,
-        "x34_curation_pipeline": q_curation_pipeline,
         "x35_perplexity_prune": q_perplexity_prune,
         "j6_fact_join": q_fact_join,
         "j8_geometry_join": q_geometry_join,
@@ -6914,6 +7063,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # assignment primitive re-runs as x43's ordering key (the same
         # seed|id hash family), and its ranking shape rides in-window x17
         "x16_hash_split": q_hash_split,
+        # x34 displaced by x44 (r10 pressure): its ENTIRE four-stage
+        # curation funnel re-runs verbatim as x44's stage 1 (and again
+        # inside in-window x38's fuzzy extension); it stays a bench
+        # headline query
+        "x34_curation_pipeline": q_curation_pipeline,
         # x8 displaced by x39 (r10 pressure): its exact cosine top-k path
         # re-runs inside in-window x12's embedding-dedup verification, and
         # its approximate twins x9/x13 are rows-only pinned in-window
@@ -7099,6 +7253,7 @@ def oracle_sql() -> dict[str, str]:
         "x40_c4_filter": SQL_C4_FILTER,
         "x41_substring_dedup": SQL_SUBSTRING_DEDUP,
         "x43_global_shuffle": SQL_GLOBAL_SHUFFLE,
+        "x44_pipeline_e2e": _sql_pipeline_e2e(),
         "x34_curation_pipeline": _sql_curation_pipeline(),
         # x38b_curation_fuzzy_lsh: approximate by design (LSH recall < 1)
         # => rows-only; x38_curation_fuzzy is the exact-pair twin with the

@@ -130,6 +130,10 @@ HEADLINE = [
     # bucketed enumeration — one count collect + partitioned window; the
     # global-sort-free ordering probe)
     "x43_global_shuffle",
+    # round 10: the end-to-end pipeline capstone (curation funnel ->
+    # temperature mixture -> global order -> sequence packing in ONE
+    # lazy plan — the integration throughput probe)
+    "x44_pipeline_e2e",
     # x23_best_rep_dedup stays gate-only like x19: exact all-pairs n-gram
     # generation dominates its wall time (the scale path is x3's MinHash),
     # so it belongs to correctness, not the throughput suite. x26's k-means

@@ -130,6 +130,7 @@ NO_R9_ROW_OR_NEW = {
     "x41_substring_dedup",
     "x42_pq_topk",
     "x43_global_shuffle",
+    "x44_pipeline_e2e",
     "x38_curation_fuzzy",
     "g5b_isc_summary_1401",
     "x39_gopher_rules",
@@ -150,14 +151,13 @@ NO_R9_ROW_OR_NEW = {
     "a10_cube",
     "o2_rolling_window",
     "l7_jsonl_ingest",
-    # r8-green veterans returning from the tail: 20 of the 43
+    # r8-green veterans returning from the tail: 19 of the 43
     "p11_season_derivation",
     "p23_json_extract",
     "p17_map_lookup",
     "l16_monthly_cpi_chain",
     "g6_poverty_rate",
     "l15b_partitioned_span",
-    "x34_curation_pipeline",
     "x35_perplexity_prune",
     "j6_fact_join",
     "j8_geometry_join",
@@ -185,6 +185,9 @@ DISPLACED_R8_VETERANS = {
     # x16 displaced by the new x43 (same md5 seed|id assignment family;
     # ranking shape rides in-window x17)
     "x16_hash_split",
+    # x34 displaced by the new x44 (its entire funnel re-runs verbatim as
+    # x44's stage 1 and inside in-window x38)
+    "x34_curation_pipeline",
     "x8_cosine_topk",
     "x20_tfidf_top_terms",
     "j2_dim_join_chain",
