@@ -136,3 +136,84 @@ def test_plan_has_no_udfs_or_cartesian(spark):
     plan = remove_duplicate_passages(_docs(spark))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+class TestRandomizedVsPythonReference:
+    """remove_duplicate_passages vs an independent pure-Python reference on
+    random small-vocab corpora (shared windows arise naturally) — pins the
+    window enumeration, distinct-doc ownership, canonical pick, coverage
+    union, and reassembly against a sequential implementation, across
+    widths, both keep modes, and NULL/empty docs."""
+
+    @staticmethod
+    def _reference(docs, width, min_docs, keep):
+        import re
+        from collections import defaultdict
+
+        def toks_of(t):
+            return [x for x in re.split(r"[ \t\n\x0b\f\r]+", t) if x]
+
+        occ = []
+        for d, t in docs.items():
+            if t is None:
+                continue
+            toks = toks_of(t)
+            n = len(toks)
+            if n == 0:
+                continue
+            ntoks = [x.lower() for x in toks]
+            for p in range(1, max(n - (width - 1), 1) + 1):
+                occ.append((d, p, n, " ".join(ntoks[p - 1 : p - 1 + width])))
+        owners, first = defaultdict(set), {}
+        for d, p, n, g in occ:
+            owners[g].add(d)
+            if g not in first or (d, p) < first[g]:
+                first[g] = (d, p)
+        dup = {g for g, s in owners.items() if len(s) >= min_docs}
+        covered = defaultdict(set)
+        for d, p, n, g in occ:
+            if g in dup and (keep == "none" or (d, p) != first[g]):
+                for tp in range(p, min(p + width - 1, n) + 1):
+                    covered[d].add(tp)
+        out = {}
+        for d, t in docs.items():
+            if t is None:
+                out[d] = (None, 0, 0)
+                continue
+            toks = toks_of(t)
+            kept = [tok for i, tok in enumerate(toks, 1) if i not in covered[d]]
+            out[d] = (" ".join(kept), len(toks), len(toks) - len(kept))
+        return out
+
+    def test_random_corpora_match_reference(self, spark):
+        import random
+
+        rng = random.Random(20260815)
+        vocab = ["a", "b", "c", "Dd", "e"]
+        for trial in range(4):
+            width = rng.choice([1, 2, 3])
+            keep = rng.choice(["first", "none"])
+            docs = {}
+            for d in range(rng.randint(4, 14)):
+                roll = rng.random()
+                if roll < 0.08:
+                    docs[d] = None
+                elif roll < 0.16:
+                    docs[d] = rng.choice(["", "   "])
+                else:
+                    docs[d] = " ".join(
+                        rng.choice(vocab) for _ in range(rng.randint(1, 12))
+                    )
+            expected = self._reference(docs, width, 2, keep)
+            df = spark.createDataFrame(
+                list(docs.items()), "doc_id int, text string"
+            )
+            got = {
+                r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+                for r in remove_duplicate_passages(
+                    df, width=width, keep=keep
+                ).collect()
+            }
+            assert got == expected, (
+                f"trial {trial}: width={width} keep={keep} docs={docs}"
+            )
