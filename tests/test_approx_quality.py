@@ -459,3 +459,20 @@ def test_ranked_topk_per_query_matches_single_window(spark):
             .collect()
         }
         assert got == want, f"k={k}"
+
+
+def test_pq_encode_is_map_only(spark, sf_dir):
+    # the encode path is the persisted-artifact builder at scale: it must
+    # stay one broadcast nested-loop against the codebook row, zero
+    # corpus Exchanges, no UDFs
+    from hbsir_old_spark.functions.similarity import pq_encode, pq_train
+
+    emb = (
+        entry_mod._t(spark, sf_dir, "embeddings")
+        .selectExpr("vec_id", "cast(embedding as array<double>) embedding")
+        .filter("vec_id < 50")
+    )
+    books = pq_train(emb, m=4, ks=4, max_iter=2)
+    plan = pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
