@@ -5000,23 +5000,32 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _sql_curation_pipeline() -> str:
-    scores = _sql_lang_scores()
-    norm = (
-        "trim(regexp_replace(translate(lower(text), 'ς', 'σ'),"
-        " '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
+#: Normalization expression of the DuckDB oracles (the normalize_text
+#: twin) — ONE definition; the x34/x38/x44 oracle builders all compose
+#: from it so the sigma fold / whitespace class can never silently fork.
+_SQL_NORM_EXPR = (
+    "trim(regexp_replace(translate(lower(text), 'ς', 'σ'),"
+    " '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
+)
+
+
+def _sql_grams_expr(width: int) -> str:
+    """Distinct word ``width``-gram list over a token array named ``t`` —
+    the word_shingles twin (position-1 whole-text gram for short docs)."""
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(t) - {width - 1}, 1) + 1),"
+        f" i -> array_to_string(t[i:i+{width - 1}], ' ')))"
     )
-    grams = (
-        "list_distinct(list_transform(range(1, greatest(len(t) - 4, 1) + 1),"
-        " i -> array_to_string(t[i:i+4], ' ')))"
-    )
-    return f"""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents
-), lang AS (
-  SELECT doc_id, substr(greatest({scores}), 13, 2) = 'en' AS lang_ok FROM corpus
+
+
+def _sql_curation_stage13_ctes() -> str:
+    """Stages 1-3 of the curation funnel (lang-id, hashed quality,
+    exact-dup canonical) as CTEs over a CTE named ``corpus``
+    ``(doc_id, text[, ...])`` — THE shared fragment of the x34 / x38 /
+    x44 oracles. Returns the inner CTE list (no WITH, no trailing
+    comma)."""
+    return f"""lang AS (
+  SELECT doc_id, substr(greatest({_sql_lang_scores()}), 13, 2) = 'en' AS lang_ok FROM corpus
 ), qbase AS (
   SELECT doc_id, trim(text) AS t FROM corpus
 ), qtoks AS (
@@ -5033,11 +5042,19 @@ WITH corpus AS (
                   FALSE) AS quality_pass
   FROM qbase b LEFT JOIN qw w USING (doc_id)
 ), fp AS (
-  SELECT doc_id, md5({norm}) AS f FROM corpus
+  SELECT doc_id, md5({_SQL_NORM_EXPR}) AS f FROM corpus
 ), canon AS (
   SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY f) AS is_canonical FROM fp
-), ctoks AS (
-  SELECT doc_id, string_split({norm}, ' ') AS t FROM corpus
+)"""
+
+
+def _sql_contamination_ctes(width: int = 5) -> str:
+    """Stage-4 contamination CTEs over ``corpus``: distinct ``width``-gram
+    overlap with the held-out benchmark (documents doc_id < 5) — shared
+    by the x34 / x38 / x44 oracles."""
+    grams = _sql_grams_expr(width)
+    return f"""ctoks AS (
+  SELECT doc_id, string_split({_SQL_NORM_EXPR}, ' ') AS t FROM corpus
 ), csh AS (
   SELECT doc_id, unnest({grams}) AS g FROM ctoks
 ), bsh AS (
@@ -5045,12 +5062,52 @@ WITH corpus AS (
   -- benchmark content (matches curate_corpus's bench-side filter)
   SELECT DISTINCT g FROM (
     SELECT unnest({grams}) AS g
-    FROM (SELECT string_split({norm}, ' ') AS t FROM documents WHERE doc_id < 5)
+    FROM (SELECT string_split({_SQL_NORM_EXPR}, ' ') AS t FROM documents WHERE doc_id < 5)
   ) WHERE g <> ''
 ), cont AS (
   SELECT DISTINCT doc_id FROM csh
   WHERE EXISTS (SELECT 1 FROM bsh WHERE bsh.g = csh.g)
-)
+)"""
+
+
+def _sql_mixture_ctes(src: str, target: int, cols: list[str]) -> str:
+    """Temperature (alpha=0.5) mixture CTEs over ``src`` grouped by
+    ``lang`` with the md5('temp|id') keep order, ending in a ``mixed``
+    CTE carrying ``cols`` — shared by the x29 and x44 oracles (epsilon,
+    null-safe quota join and all)."""
+    col_list = ", ".join(cols)
+    r_cols = ", ".join(f"r.{c}" for c in cols)
+    return f"""counts AS (
+  SELECT lang, count(*)::DOUBLE AS n FROM {src} GROUP BY lang
+), tot AS (
+  SELECT sum(pow(n, 0.5)) AS tw FROM counts
+), quota AS (
+  -- the 1e-9 epsilon mirrors the engine: it keeps mathematically-integer
+  -- quotas from flipping on the last ulp of the order-dependent weight sum
+  SELECT lang, greatest(1, floor({target} * pow(n, 0.5) / tw + 1e-9))::BIGINT AS qq
+  FROM counts, tot
+), ranked AS (
+  SELECT {col_list},
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('temp' || '|' || doc_id::VARCHAR), doc_id
+         ) AS rn
+  FROM {src}
+), mixed AS (
+  -- null-safe join: the engine budgets the NULL-lang group too
+  SELECT {r_cols}
+  FROM ranked r JOIN quota ON r.lang IS NOT DISTINCT FROM quota.lang
+  WHERE r.rn <= quota.qq
+)"""
+
+
+def _sql_curation_pipeline() -> str:
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+), {_sql_curation_stage13_ctes()}, {_sql_contamination_ctes()}
 SELECT c.doc_id, l.lang_ok, q.quality_pass, canon.is_canonical,
        (cont.doc_id IS NOT NULL) AS contaminated,
        CASE WHEN NOT l.lang_ok THEN 'lang'
@@ -5134,19 +5191,8 @@ def q_curation_fuzzy_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_curation_fuzzy() -> str:
-    scores = _sql_lang_scores()
-    norm = (
-        "trim(regexp_replace(translate(lower(text), 'ς', 'σ'),"
-        " '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
-    )
-    grams5 = (
-        "list_distinct(list_transform(range(1, greatest(len(t) - 4, 1) + 1),"
-        " i -> array_to_string(t[i:i+4], ' ')))"
-    )
-    grams2 = (
-        "list_distinct(list_transform(range(1, greatest(len(t) - 1, 1) + 1),"
-        " i -> array_to_string(t[i:i+1], ' ')))"
-    )
+    norm = _SQL_NORM_EXPR
+    grams2 = _sql_grams_expr(2)
     return f"""
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents
@@ -5155,28 +5201,7 @@ WITH RECURSIVE corpus AS (
   UNION ALL
   SELECT doc_id + 2000000 AS doc_id, text || ' perturbed suffix token' AS text
   FROM documents
-), lang AS (
-  SELECT doc_id, substr(greatest({scores}), 13, 2) = 'en' AS lang_ok FROM corpus
-), qbase AS (
-  SELECT doc_id, trim(text) AS t FROM corpus
-), qtoks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(t, '[ \\t\\n\\x0b\\f\\r]+')) AS tok
-  FROM qbase WHERE t IS NOT NULL AND length(t) > 0
-), qw AS (
-  SELECT doc_id, count(*)::BIGINT AS n_tokens,
-         sum((('0x' || substr(md5('qw|' || tok), 1, 3))::BIGINT * 2654435761)
-             % 4097 - 2048)::BIGINT AS score_sum
-  FROM qtoks GROUP BY doc_id
-), q AS (
-  SELECT b.doc_id,
-         coalesce(w.n_tokens > 0 AND w.score_sum / (w.n_tokens * 2048.0) > 0.0,
-                  FALSE) AS quality_pass
-  FROM qbase b LEFT JOIN qw w USING (doc_id)
-), fp AS (
-  SELECT doc_id, md5({norm}) AS f FROM corpus
-), canon AS (
-  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY f) AS is_canonical FROM fp
-), univ AS (
+), {_sql_curation_stage13_ctes()}, univ AS (
   -- near-dup universe: survivors of stages 1-3
   SELECT c.doc_id, c.text
   FROM corpus c
@@ -5210,19 +5235,7 @@ WITH RECURSIVE corpus AS (
   SELECT e.u, r.comp FROM nedges e JOIN nreach r ON e.v = r.u
 ), nnonrep AS (
   SELECT u AS doc_id FROM nreach GROUP BY u HAVING u <> min(comp)
-), ctoks AS (
-  SELECT doc_id, string_split({norm}, ' ') AS t FROM corpus
-), csh AS (
-  SELECT doc_id, unnest({grams5}) AS g FROM ctoks
-), bsh AS (
-  SELECT DISTINCT g FROM (
-    SELECT unnest({grams5}) AS g
-    FROM (SELECT string_split({norm}, ' ') AS t FROM documents WHERE doc_id < 5)
-  ) WHERE g <> ''
-), cont AS (
-  SELECT DISTINCT doc_id FROM csh
-  WHERE EXISTS (SELECT 1 FROM bsh WHERE bsh.g = csh.g)
-)
+), {_sql_contamination_ctes()}
 SELECT c.doc_id, l.lang_ok, q.quality_pass, canon.is_canonical,
        (nn.doc_id IS NULL) AS is_near_canonical,
        (cont.doc_id IS NOT NULL) AS contaminated,
@@ -5545,35 +5558,17 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TEMPERATURE_SAMPLE = """
-WITH counts AS (
-  SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang
-), tot AS (
-  SELECT sum(pow(n, 0.5)) AS tw FROM counts
-), quota AS (
-  -- the 1e-9 epsilon mirrors the engine: it keeps mathematically-integer
-  -- quotas from flipping on the last ulp of the order-dependent weight sum
-  SELECT lang,
-         greatest(1, floor(300 * pow(n, 0.5) / tw + 1e-9))::BIGINT AS q
-  FROM counts, tot
-), ranked AS (
-  SELECT doc_id, lang,
-         row_number() OVER (
-           PARTITION BY lang
-           ORDER BY md5('temp' || '|' || doc_id::VARCHAR), doc_id
-         ) AS rn
-  FROM documents
-)
-SELECT r.lang, count(*)::BIGINT AS n_docs,
+def _sql_temperature_sample() -> str:
+    # the mixture CTEs are the shared x29/x44 fragment (epsilon, null-safe
+    # quota join and all) — see _sql_mixture_ctes
+    return f"""
+WITH {_sql_mixture_ctes("documents", 300, ["doc_id", "lang"])}
+SELECT lang, count(*)::BIGINT AS n_docs,
        min(doc_id)::BIGINT AS min_doc_id,
        sum(doc_id)::BIGINT AS id_checksum
--- null-safe join: the engine budgets the NULL-lang group too (pinned by a
--- unit test); USING (lang) would silently drop it if the fixture ever
--- grows NULL langs
-FROM ranked r JOIN quota ON r.lang IS NOT DISTINCT FROM quota.lang
-WHERE r.rn <= quota.q
-GROUP BY r.lang
-ORDER BY r.lang
+FROM mixed
+GROUP BY lang
+ORDER BY lang
 """
 
 
@@ -6673,9 +6668,14 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdicts = curate_corpus(
         docs.select("doc_id", "text"), benchmark, quality_threshold=0.0, shingle_n=5
     )
+    # pin the narrow survivor frame ONCE (the curate_corpus_fuzzy
+    # precedent, functions/curation.py): temperature_sample derives its
+    # quota subtree from this same lineage and assign_global_order's
+    # count pass executes the plan again — without the checkpoint the
+    # whole four-stage funnel re-executes ~4x per run
     kept = docs.join(
         verdicts.filter(F.col("verdict") == "keep").select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint(eager=True)
     mixed = temperature_sample(
         kept, "lang", alpha=0.5, target_rows=200, order_col="doc_id"
     )
@@ -6698,77 +6698,23 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_pipeline_e2e() -> str:
-    scores = _sql_lang_scores()
-    norm = (
-        "trim(regexp_replace(translate(lower(text), 'ς', 'σ'),"
-        " '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
-    )
-    grams = (
-        "list_distinct(list_transform(range(1, greatest(len(t) - 4, 1) + 1),"
-        " i -> array_to_string(t[i:i+4], ' ')))"
-    )
+    # every stage is the SHARED oracle fragment of its standalone gate:
+    # curation (x34, _sql_curation_stage13_ctes + _sql_contamination_ctes),
+    # temperature mixture (x29, _sql_mixture_ctes); the global-order and
+    # pack CTEs mirror SQL_GLOBAL_SHUFFLE (seed 11) and SQL_SEQUENCE_PACK
+    # (seq_len 512, keyed on order_pos) — those two are 6-line arithmetic
+    # fragments pinned by their own gates AND by this one
     return f"""
 WITH corpus AS (
   SELECT doc_id, text, lang FROM documents
-), lng AS (
-  SELECT doc_id, substr(greatest({scores}), 13, 2) = 'en' AS lang_ok FROM corpus
-), qbase AS (
-  SELECT doc_id, trim(text) AS t FROM corpus
-), qtoks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(t, '[ \\t\\n\\x0b\\f\\r]+')) AS tok
-  FROM qbase WHERE t IS NOT NULL AND length(t) > 0
-), qw AS (
-  SELECT doc_id, count(*)::BIGINT AS n_tokens,
-         sum((('0x' || substr(md5('qw|' || tok), 1, 3))::BIGINT * 2654435761)
-             % 4097 - 2048)::BIGINT AS score_sum
-  FROM qtoks GROUP BY doc_id
-), q AS (
-  SELECT b.doc_id,
-         coalesce(w.n_tokens > 0 AND w.score_sum / (w.n_tokens * 2048.0) > 0.0,
-                  FALSE) AS quality_pass
-  FROM qbase b LEFT JOIN qw w USING (doc_id)
-), fp AS (
-  SELECT doc_id, md5({norm}) AS f FROM corpus
-), canon AS (
-  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY f) AS is_canonical FROM fp
-), ctoks AS (
-  SELECT doc_id, string_split({norm}, ' ') AS t FROM corpus
-), csh AS (
-  SELECT doc_id, unnest({grams}) AS g FROM ctoks
-), bsh AS (
-  SELECT DISTINCT g FROM (
-    SELECT unnest({grams}) AS g
-    FROM (SELECT string_split({norm}, ' ') AS t FROM documents WHERE doc_id < 5)
-  ) WHERE g <> ''
-), cont AS (
-  SELECT DISTINCT doc_id FROM csh
-  WHERE EXISTS (SELECT 1 FROM bsh WHERE bsh.g = csh.g)
-), kept AS (
+), {_sql_curation_stage13_ctes()}, {_sql_contamination_ctes()}, kept AS (
   SELECT c.doc_id, c.text, c.lang
   FROM corpus c
-  JOIN lng USING (doc_id) JOIN q USING (doc_id) JOIN canon USING (doc_id)
+  JOIN lang l USING (doc_id) JOIN q USING (doc_id) JOIN canon USING (doc_id)
   LEFT JOIN cont ON cont.doc_id = c.doc_id
-  WHERE lng.lang_ok AND q.quality_pass AND canon.is_canonical
+  WHERE l.lang_ok AND q.quality_pass AND canon.is_canonical
     AND cont.doc_id IS NULL
-), counts AS (
-  SELECT lang, count(*)::DOUBLE AS n FROM kept GROUP BY lang
-), tot AS (
-  SELECT sum(pow(n, 0.5)) AS tw FROM counts
-), quota AS (
-  SELECT lang, greatest(1, floor(200 * pow(n, 0.5) / tw + 1e-9))::BIGINT AS qq
-  FROM counts, tot
-), ranked AS (
-  SELECT doc_id, text, lang,
-         row_number() OVER (
-           PARTITION BY lang
-           ORDER BY md5('temp' || '|' || doc_id::VARCHAR), doc_id
-         ) AS rn
-  FROM kept
-), mixed AS (
-  SELECT r.doc_id, r.text, r.lang
-  FROM ranked r JOIN quota ON r.lang IS NOT DISTINCT FROM quota.lang
-  WHERE r.rn <= quota.qq
-), ordered AS (
+), {_sql_mixture_ctes("kept", 200, ["doc_id", "text", "lang"])}, ordered AS (
   SELECT doc_id, text, lang,
          (row_number() OVER (
             ORDER BY md5('shuffle11|' || doc_id::VARCHAR), doc_id) - 1)::BIGINT
@@ -7230,7 +7176,7 @@ def oracle_sql() -> dict[str, str]:
         "x27_semantic_dedup": SQL_SEMANTIC_DEDUP,
         "s7_stream_dedup": SQL_STREAM_DEDUP,
         "x28_sequence_pack": SQL_SEQUENCE_PACK,
-        "x29_temperature_sample": SQL_TEMPERATURE_SAMPLE,
+        "x29_temperature_sample": _sql_temperature_sample(),
         "x30_lm_perplexity": SQL_LM_PERPLEXITY,
         "l7_jsonl_ingest": SQL_JSONL_INGEST,
         "l8_orc_roundtrip": SQL_ORC_ROUNDTRIP,
