@@ -6642,6 +6642,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X42b — PQ ENCODE with fixed codebooks, full oracle (the deterministic
+# twin of rows-only x42, the x38/x38b pattern): embeddings are scaled to
+# integers (round(x*1000) — float32->double is exact and the products stay
+# far under 2^53), the codebooks are synthetic integer sub-centroids, so
+# every subspace distance is integer-EXACT in both engines and the argmin
+# (lowest-code tiebreak) can never flip on a last-ulp disagreement. Pins
+# pq_encode's slicing, distance, and tie semantics; the trained-codebook
+# ADC/refine path keeps its recall/soundness floors under x42.
+# --------------------------------------------------------------------------
+
+_X42B_M, _X42B_KS, _X42B_DSUB = 2, 4, 32
+
+
+def _x42b_books() -> list[list[list[float]]]:
+    return [
+        [
+            [
+                float(((j * 131 + c * 31 + i * 7) % 33 - 16) * 100)
+                for i in range(_X42B_DSUB)
+            ]
+            for c in range(_X42B_KS)
+        ]
+        for j in range(_X42B_M)
+    ]
+
+
+def q_pq_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.similarity import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000)
+        ).alias("embedding"),
+    )
+    enc = pq_encode(emb, _x42b_books())
+    return enc.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.element_at("pq_codes", 1).cast("long").alias("code_0"),
+        F.element_at("pq_codes", 2).cast("long").alias("code_1"),
+    ).orderBy("vec_id")
+
+
+def _sql_pq_encode_fixed() -> str:
+    bks = _x42b_books()
+    values = ",\n".join(
+        f"({j}, {c}, {[int(v) for v in bks[j][c]]})"
+        for j in range(_X42B_M)
+        for c in range(_X42B_KS)
+    )
+    d = _X42B_DSUB
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS v
+  FROM embeddings
+), books(j, c, bv) AS (
+  VALUES {values}
+), d AS (
+  SELECT vec_id, j, c,
+         list_sum(list_transform(range(1, {d} + 1),
+                  i -> (v[j * {d} + i] - bv[i]) * (v[j * {d} + i] - bv[i]))) AS dist
+  FROM e CROSS JOIN books
+), best AS (
+  SELECT vec_id, j, c,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+  FROM d
+)
+SELECT vec_id::BIGINT AS vec_id,
+       max(CASE WHEN j = 0 THEN c END)::BIGINT AS code_0,
+       max(CASE WHEN j = 1 THEN c END)::BIGINT AS code_1
+FROM best WHERE rn = 1
+GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
 # X44 — the END-TO-END training-data pipeline (the capstone composition):
 # curate (x34's four-stage funnel: lang-id -> quality -> exact-dedup
 # canonical -> contamination vs a held-out benchmark) -> temperature
@@ -6894,15 +6970,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # where the window allows; rows-only gates never leave the window.
     # Round 10 (counts audited after the r9 narrative drifted): the 43
     # gates rowed GREEN in CORRECTNESS_r09.json rotate out; in come the
-    # 10 new gates (x38 fuzzy-curation, g5b 1401-summary, x39 Gopher
+    # 11 new gates (x38 fuzzy-curation, g5b 1401-summary, x39 Gopher
     # rules, x40 C4 filter, g8 decile-table, x41 substring-dedup removal,
-    # x43 global-shuffle ordering, x44 end-to-end pipeline — all
-    # full-oracle — plus the rows-only x38b LSH twin and x42 PQ-ANN),
-    # the 14 veterans promised r10 window priority by the r9 header (w1
-    # w2 p13 x11 g1 l1 p16 u1 a6 a10 o2 l7 + s5 x12), and 19 of the 43
-    # r8-green veterans waiting in the tail (window: 8 + 14 + 19 + 9
-    # rows-only = 50). That leaves 24 r8-green veterans displaced one
-    # more round —
+    # x43 global-shuffle ordering, x44 end-to-end pipeline, x42b
+    # fixed-codebook PQ encode — all full-oracle — plus the rows-only
+    # x38b LSH twin and x42 PQ-ANN), the 14 veterans promised r10 window
+    # priority by the r9 header (w1 w2 p13 x11 g1 l1 p16 u1 a6 a10 o2
+    # l7 + s5 x12), and 18 of the 43 r8-green veterans waiting in the
+    # tail (window: 9 + 14 + 18 + 9 rows-only = 50). That leaves 25
+    # r8-green veterans displaced one more round —
     # each chosen because its operator either RE-RUNS VERBATIM inside an
     # in-window gate or carried a fresh r9-green row through a sibling:
     # x2/x19 (pair generation + connected components run inside x38's
@@ -6932,6 +7008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x41_substring_dedup": q_substring_dedup,
         "x43_global_shuffle": q_global_shuffle,
         "x44_pipeline_e2e": q_pipeline_e2e,
+        "x42b_pq_encode": q_pq_encode_fixed,
         "x38_curation_fuzzy": q_curation_fuzzy,
         "g5b_isc_summary_1401": q_real_isc_summary_1401,
         "x39_gopher_rules": q_gopher_rules,
@@ -6968,7 +7045,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_upsert_sink": q_upsert_sink,
         "x21_asof_attribution": q_asof_attribution,
         "x22_incremental_dedup": q_incremental_dedup,
-        "s1_events_tumbling": q_events_tumbling,
         "s3_events_sliding": q_events_sliding,
         "l14_multi_year_food": q_multi_year_food,
         "x31_dsir_select": q_dsir_select,
@@ -7014,6 +7090,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inside in-window x38's fuzzy extension); it stays a bench
         # headline query
         "x34_curation_pipeline": q_curation_pipeline,
+        # s1 displaced by x42b (r10 pressure): tumbling windows are the
+        # degenerate case of in-window s3's sliding windows (identical
+        # time_window agg machinery, slide == width)
+        "s1_events_tumbling": q_events_tumbling,
         # x8 displaced by x39 (r10 pressure): its exact cosine top-k path
         # re-runs inside in-window x12's embedding-dedup verification, and
         # its approximate twins x9/x13 are rows-only pinned in-window
@@ -7200,6 +7280,7 @@ def oracle_sql() -> dict[str, str]:
         "x41_substring_dedup": SQL_SUBSTRING_DEDUP,
         "x43_global_shuffle": SQL_GLOBAL_SHUFFLE,
         "x44_pipeline_e2e": _sql_pipeline_e2e(),
+        "x42b_pq_encode": _sql_pq_encode_fixed(),
         "x34_curation_pipeline": _sql_curation_pipeline(),
         # x38b_curation_fuzzy_lsh: approximate by design (LSH recall < 1)
         # => rows-only; x38_curation_fuzzy is the exact-pair twin with the

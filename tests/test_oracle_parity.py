@@ -129,6 +129,7 @@ NO_R9_ROW_OR_NEW = {
     # new in round 10
     "x41_substring_dedup",
     "x42_pq_topk",
+    "x42b_pq_encode",
     "x43_global_shuffle",
     "x44_pipeline_e2e",
     "x38_curation_fuzzy",
@@ -151,7 +152,7 @@ NO_R9_ROW_OR_NEW = {
     "a10_cube",
     "o2_rolling_window",
     "l7_jsonl_ingest",
-    # r8-green veterans returning from the tail: 19 of the 43
+    # r8-green veterans returning from the tail: 18 of the 43
     "p11_season_derivation",
     "p23_json_extract",
     "p17_map_lookup",
@@ -167,7 +168,6 @@ NO_R9_ROW_OR_NEW = {
     "s4_upsert_sink",
     "x21_asof_attribution",
     "x22_incremental_dedup",
-    "s1_events_tumbling",
     "s3_events_sliding",
     "l14_multi_year_food",
     "x31_dsir_select",
@@ -188,6 +188,9 @@ DISPLACED_R8_VETERANS = {
     # x34 displaced by the new x44 (its entire funnel re-runs verbatim as
     # x44's stage 1 and inside in-window x38)
     "x34_curation_pipeline",
+    # s1 displaced by the new x42b (tumbling = in-window s3's sliding
+    # machinery with slide == width)
+    "s1_events_tumbling",
     "x8_cosine_topk",
     "x20_tfidf_top_terms",
     "j2_dim_join_chain",
