@@ -6671,7 +6671,13 @@ def _x42b_books() -> list[list[list[float]]]:
 def q_pq_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.similarity import pq_encode
 
-    emb = _t(spark, sf_dir, "embeddings").select(
+    # dimension guard on BOTH sides: for a ragged (short) vector the two
+    # engines would legitimately diverge (DuckDB's list_sum skips NULL
+    # out-of-range terms -> partial-distance argmin; Spark's sq_l2 nulls
+    # the whole distance -> +inf guard -> code 0). All current fixtures
+    # are exactly 64-dim, so the filter is a no-op that keeps the gate
+    # immune to fixture drift.
+    emb = _t(spark, sf_dir, "embeddings").where(F.size("embedding") == 64).select(
         "vec_id",
         F.transform(
             "embedding", lambda x: F.round(x.cast("double") * 1000)
@@ -6696,7 +6702,7 @@ def _sql_pq_encode_fixed() -> str:
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS v
-  FROM embeddings
+  FROM embeddings WHERE len(embedding) = 64
 ), books(j, c, bv) AS (
   VALUES {values}
 ), d AS (

@@ -118,9 +118,9 @@ def test_every_oracle_key_has_a_query():
 #      evidence for them;
 #  (c) only FULL-ORACLE gates with a green (hash-matched) driver row may
 #      sit past position 50 — normally from the PREVIOUS round; when new
-#      gates oversubscribe the window (round 10: the window holds 5 new
-#      full-oracle + 14 promised veterans + 23 returning r8-green + 8
-#      rows-only = 50, displacing 20 r8-green veterans to the tail),
+#      gates oversubscribe the window (round 10 final: the window holds
+#      9 new full-oracle + 14 promised veterans + 18 returning r8-green
+#      + 9 rows-only = 50, displacing 25 r8-green veterans to the tail),
 #      the overflow comes from gates whose operators re-run inside
 #      in-window gates or carried fresh sibling rows, and whose exactness
 #      the parity suite re-proves every run. They get window PRIORITY
