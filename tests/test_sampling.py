@@ -531,3 +531,74 @@ class TestSaltedSelectionIdentity:
         }
         assert got == want
         assert len(got) == sum(quotas.values())
+
+
+class TestPrefixScanReferences:
+    """pack_sequences and token_budget_sample vs pure-Python references on
+    randomized inputs — the prefix-scan twins of the x41 reference test:
+    pins the bucket hashing, cumulative-sum semantics, NULL-token
+    handling, and the include-the-crossing-document budget rule against
+    independent sequential implementations."""
+
+    def test_pack_sequences_matches_reference(self, spark):
+        import hashlib
+        import random
+        from collections import defaultdict
+
+        from hbsir_old_spark.functions.sampling import pack_sequences
+
+        rng = random.Random(99)
+        rows = [
+            (i, rng.choice([None, 0, 1, 5, 100, 513]))
+            for i in rng.sample(range(100000), 300)
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+        got = {
+            r["doc_id"]: (r["pack_bucket"], r["pack_chunk"], r["pack_offset"])
+            for r in pack_sequences(
+                df, seq_len=512, token_col="n_tokens", order_col="doc_id"
+            ).collect()
+        }
+        # reference: group by md5('pack|id') 2-hex prefix, running sum in
+        # doc_id order within each bucket, integer division/modulo
+        buckets = defaultdict(list)
+        for d, n in rows:
+            b = hashlib.md5(f"pack|{d}".encode()).hexdigest()[:2]
+            buckets[b].append((d, 0 if n is None else n))
+        expected = {}
+        for b, docs in buckets.items():
+            before = 0
+            for d, n in sorted(docs):
+                expected[d] = (b, before // 512, before % 512)
+                before += n
+        assert got == expected
+
+    def test_token_budget_matches_reference(self, spark):
+        import random
+        from collections import defaultdict
+
+        from hbsir_old_spark.functions.sampling import token_budget_sample
+
+        rng = random.Random(123)
+        rows = [
+            (i, rng.choice(["en", "de", None]), rng.choice([None, 0, 3, 50, 120]))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, lang string, n_tokens int")
+        got = {
+            r["doc_id"]
+            for r in token_budget_sample(
+                df, "lang", budget=200, token_col="n_tokens", order_col="doc_id"
+            ).collect()
+        }
+        groups = defaultdict(list)
+        for d, g, n in rows:
+            groups[g].append((d, 0 if n is None else n))
+        expected = set()
+        for docs in groups.values():
+            before = 0
+            for d, n in sorted(docs):
+                if before < 200:  # crossing document included
+                    expected.add(d)
+                before += n
+        assert got == expected
