@@ -17,7 +17,11 @@ from hbsir_old_spark.functions.text import (  # noqa: F401
     token_count,
     whitespace_tokens,
 )
-from hbsir_old_spark.functions.sampling import chunk_documents  # noqa: F401
+from hbsir_old_spark.functions.sampling import (  # noqa: F401
+    assign_global_order,
+    chunk_documents,
+    salted_limit_per_group,
+)
 from hbsir_old_spark.functions.standard import bin_by_breaks  # noqa: F401
 from hbsir_old_spark.functions.dedup import (  # noqa: F401
     build_fingerprint_bloom,
