@@ -121,3 +121,71 @@ def test_plan_is_map_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestChunkingVsPythonReference:
+    """chunk_documents vs a pure-Python sliding-window reference on random
+    corpora — pins the chunk count formula, stride/overlap coverage, tail
+    sizing, and empty-doc handling against an independent sequential
+    implementation (the x41-style randomized cross-check)."""
+
+    @staticmethod
+    def _reference(docs, chunk_tokens, stride):
+        import re
+
+        out = {}
+        for d, t in docs.items():
+            toks = (
+                [x for x in re.split(r"[ \t\n\x0b\f\r]+", t) if x]
+                if t is not None
+                else []
+            )
+            n = len(toks)
+            chunks = []
+            if n > 0:
+                start = 0
+                while True:
+                    window = toks[start : start + chunk_tokens]
+                    chunks.append((" ".join(window), len(window)))
+                    if start + chunk_tokens >= n:
+                        break
+                    start += stride
+            out[d] = chunks
+        return out
+
+    def test_random_corpora_match_reference(self, spark):
+        import random
+
+        from hbsir_old_spark.functions.sampling import chunk_documents
+
+        rng = random.Random(314)
+        for trial in range(3):
+            ct = rng.choice([2, 3, 5])
+            stride = rng.randint(1, ct)
+            docs = {}
+            for d in range(rng.randint(5, 12)):
+                roll = rng.random()
+                if roll < 0.1:
+                    docs[d] = None
+                elif roll < 0.2:
+                    docs[d] = "  "
+                else:
+                    docs[d] = " ".join(
+                        f"w{rng.randint(0, 9)}" for _ in range(rng.randint(1, 17))
+                    )
+            expected = self._reference(docs, ct, stride)
+            df = spark.createDataFrame(
+                list(docs.items()), "doc_id int, text string"
+            )
+            rows = chunk_documents(
+                df, chunk_tokens=ct, stride=stride
+            ).collect()
+            got = {}
+            for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_index"])):
+                got.setdefault(r["doc_id"], []).append(
+                    (r["chunk_text"], r["n_tokens"])
+                )
+            expected_nonempty = {d: c for d, c in expected.items() if c}
+            assert got == expected_nonempty, (
+                f"trial {trial}: ct={ct} stride={stride} docs={docs}"
+            )
