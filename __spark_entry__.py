@@ -1191,6 +1191,89 @@ FROM per GROUP BY n_events ORDER BY session_length
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # strict-order conversion funnel over the event stream (beyond-reference
+    # events-analytics): view -> click -> purchase, each step strictly after
+    # the previous and within 7 days of the FIRST step. k-pass iterative
+    # min-agg shape (operators/temporal.py:funnel_steps): per-step filtered
+    # scan + user-keyed partial agg, O(1) per-user state — never a per-user
+    # collect_list, so a bot user can't blow executor memory at 100 TB.
+    from hbsir_old_spark.operators.temporal import funnel_counts
+
+    ev = _events(spark, sf_dir)
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], within="7 days",
+    ).orderBy("step_index")
+
+
+SQL_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.ts > s2.t2 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY e.user_id
+), c AS (
+  SELECT (SELECT count(*) FROM s1) AS c1,
+         (SELECT count(*) FROM s2) AS c2,
+         (SELECT count(*) FROM s3) AS c3
+)
+SELECT * FROM (
+  SELECT 1::INT AS step_index, 'view' AS step_name,
+         c1::BIGINT AS users, round(c1 / c1::DOUBLE, 4) AS conversion FROM c
+  UNION ALL
+  SELECT 2::INT, 'click', c2::BIGINT, round(c2 / c1::DOUBLE, 4) FROM c
+  UNION ALL
+  SELECT 3::INT, 'purchase', c3::BIGINT, round(c3 / c1::DOUBLE, 4) FROM c
+) ORDER BY step_index
+"""
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weekly retention cohorts (beyond-reference events-analytics): cohort =
+    # Monday-truncated week of each user's first event; active_users per
+    # (cohort, whole-week offset). Two partial aggs + one user-keyed join,
+    # no windows (operators/temporal.py:retention_cohorts) — the final
+    # rollup counts an already-distinct frame instead of countDistinct.
+    from hbsir_old_spark.operators.temporal import retention_cohorts
+
+    ev = _events(spark, sf_dir)
+    out = retention_cohorts(ev, "user_id", "ts")
+    # DATE -> ISO string for the driver's cross-engine hash (Spark DATE
+    # round-trips to pandas as object, DuckDB's as datetime64)
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "offset",
+        "active_users",
+    ).orderBy("cohort_week", "offset")
+
+
+SQL_RETENTION = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS period FROM events
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       (date_diff('day', cohort, period) // 7)::INT AS "offset",
+       count(*)::BIGINT AS active_users
+FROM activity JOIN firsts USING (user_id)
+GROUP BY cohort_week, "offset"
+ORDER BY cohort_week, "offset"
+"""
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # existence joins: customers with / without orders — no payload from the
     # right side ever moves (semi/anti short-circuit at the join)
@@ -6980,10 +7063,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rules, x40 C4 filter, g8 decile-table, x41 substring-dedup removal,
     # x43 global-shuffle ordering, x44 end-to-end pipeline, x42b
     # fixed-codebook PQ encode — all full-oracle — plus the rows-only
-    # x38b LSH twin and x42 PQ-ANN), the 14 veterans promised r10 window
-    # priority by the r9 header (w1 w2 p13 x11 g1 l1 p16 u1 a6 a10 o2
-    # l7 + s5 x12), and 18 of the 43 r8-green veterans waiting in the
-    # tail (window: 9 + 14 + 18 + 9 rows-only = 50). That leaves 25
+    # x38b LSH twin and x42 PQ-ANN; the continuation session added the
+    # s8 funnel and s9 retention full-oracle gates on top, 13 new total),
+    # the 14 veterans promised r10 window priority by the r9 header
+    # (w1 w2 p13 x11 g1 l1 p16 u1 a6 a10 o2 l7 + s5 x12), and 16 of the
+    # 43 r8-green veterans waiting in the tail (window: 11 + 14 + 16 +
+    # 9 rows-only = 50). That leaves 27
     # r8-green veterans displaced one more round —
     # each chosen because its operator either RE-RUNS VERBATIM inside an
     # in-window gate or carried a fresh r9-green row through a sibling:
@@ -7011,6 +7096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test run by tests/test_oracle_parity.py.
     return {
         # -- new in round 10 --
+        "s8_funnel": q_funnel,
+        "s9_retention": q_retention,
         "x41_substring_dedup": q_substring_dedup,
         "x43_global_shuffle": q_global_shuffle,
         "x44_pipeline_e2e": q_pipeline_e2e,
@@ -7038,7 +7125,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- no r9 row (r8-green, waited in the tail): 23 of the 43 --
         "p11_season_derivation": q_season_derivation,
         "p23_json_extract": q_json_extract,
-        "p17_map_lookup": q_map_lookup,
         "l16_monthly_cpi_chain": q_monthly_cpi_chain,
         "g6_poverty_rate": q_poverty_rate,
         "l15b_partitioned_span": q_partitioned_span_food,
@@ -7052,7 +7138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x21_asof_attribution": q_asof_attribution,
         "x22_incremental_dedup": q_incremental_dedup,
         "s3_events_sliding": q_events_sliding,
-        "l14_multi_year_food": q_multi_year_food,
         "x31_dsir_select": q_dsir_select,
         # -- rows-only gates (approximate by design, no oracle): the
         # driver's ONLY evidence for them is the per-round spark_rows
@@ -7076,6 +7161,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8-green veterans (rationales in the header; window priority in
         # r11), then the 43 gates with green hash-matched rows in
         # CORRECTNESS_r09.json — all with full parity-suite coverage --
+        # p17 displaced by s8 (continuation-session pressure): its
+        # map_codes dict-lookup operator re-runs VERBATIM inside in-window
+        # p11_season_derivation (same when-chain expression compiler, p11
+        # adds the default=None path's sibling)
+        "p17_map_lookup": q_map_lookup,
+        # l14 displaced by s9 (continuation-session pressure): its
+        # multi-year union + availability pruning re-run in anger inside
+        # in-window g5b and g8 (both two-year real-metadata loads), and
+        # the U1 union shape is pinned in-window via u1
+        "l14_multi_year_food": q_multi_year_food,
         # x32 displaced by x41 (r10 pressure): the dup-window statistic's
         # window/hash/ownership stages re-run verbatim as x41's cut-set
         # derivation — x41 removes exactly the windows x32 counts
@@ -7248,6 +7343,8 @@ def oracle_sql() -> dict[str, str]:
         "a10_cube": SQL_CUBE,
         "o2_rolling_window": SQL_ROLLING_WINDOW,
         "s5_batch_sessions": SQL_BATCH_SESSIONS,
+        "s8_funnel": SQL_FUNNEL,
+        "s9_retention": SQL_RETENTION,
         "l4_real_household_decode": SQL_REAL_HOUSEHOLD_DECODE,
         "x23_best_rep_dedup": SQL_BEST_REP_DEDUP,
         "l5_real_occupation_classification": SQL_REAL_OCCUPATION_CLASSIFICATION,

@@ -134,6 +134,11 @@ HEADLINE = [
     # temperature mixture -> global order -> sequence packing in ONE
     # lazy plan — the integration throughput probe)
     "x44_pipeline_e2e",
+    # round 10 continuation: batch events analytics — the k-pass iterative
+    # min-agg funnel (per-step filtered scan + user-keyed partial agg) and
+    # weekly retention cohorts (two partial aggs + one user-keyed join)
+    "s8_funnel",
+    "s9_retention",
     # x23_best_rep_dedup stays gate-only like x19: exact all-pairs n-gram
     # generation dominates its wall time (the scale path is x3's MinHash),
     # so it belongs to correctness, not the throughput suite. x26's k-means

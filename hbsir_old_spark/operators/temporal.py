@@ -230,3 +230,151 @@ def sessionize_batch(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(session_col, F.sum(new_session).over(running).cast("long"))
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    within: str | None = None,
+) -> DataFrame:
+    """Strict-order funnel: per user, step ``i`` is reached at the EARLIEST
+    event of type ``steps[i]`` occurring STRICTLY AFTER the step ``i-1``
+    reach time; optionally every later step must land ``within`` an
+    INTERVAL of the step-1 time (the classic conversion window, inclusive
+    at the deadline). Returns one row per user who reached step 1, with
+    columns ``user_col, step_1_ts .. step_k_ts`` — NULL from the first
+    stalled step onward (a stalled funnel can never resume: step i+1
+    filters on step i's timestamp, and ``ts > NULL`` is never true).
+
+    Scale shape — k-pass iterative min-aggregation, NOT per-user
+    ``collect_list`` + fold: each pass filters the event stream to ONE
+    step type (predicate pushes to the scan), shuffles only those rows on
+    ``user_col``, and partial-aggregates ``min(ts)`` map-side, so per-user
+    state is O(1) throughout — a bot user with 10^8 events costs a bigger
+    partial agg, never executor memory. The per-pass join's right side is
+    at most one row per step-1 user (already aggregated), so AQE sizes it
+    (broadcast when small). k passes over a pre-filtered stream beats one
+    pass that materializes every user's event array.
+
+    Reference analogue: none (beyond-reference events-analytics operator).
+    """
+    if len(steps) < 1:
+        raise ValueError("steps must name at least one event type")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be distinct, got {list(steps)}")
+    base = df.filter(F.col(type_col).isin(list(steps))).select(
+        user_col, ts_col, type_col
+    )
+    reached = (
+        base.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("step_1_ts"))
+    )
+    deadline = (
+        F.col("step_1_ts") + F.expr(f"INTERVAL {within}") if within else None
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        evs = base.filter(F.col(type_col) == step).select(user_col, ts_col)
+        cond = F.col(ts_col) > F.col(f"step_{i - 1}_ts")
+        if deadline is not None:
+            cond = cond & (F.col(ts_col) <= deadline)
+        t_i = (
+            evs.join(reached, user_col)
+            .filter(cond)
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"step_{i}_ts"))
+        )
+        reached = reached.join(t_i, user_col, "left")
+    return reached
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    within: str | None = None,
+) -> DataFrame:
+    """Funnel summary: ``(step_index, step_name, users, conversion)`` —
+    users reaching each step of :func:`funnel_steps` and the fraction of
+    step-1 users still converting (rounded to 4 places; 0 rows in → the
+    k rows report 0 users, conversion NULL).
+
+    One extra single-row aggregation over the per-user frame (count of
+    each ``step_i_ts``), then a k-element inline stack — no second pass
+    over the event stream, no window (conversion divides inside the one
+    agg row, where the step-1 count is a sibling column), and nothing
+    wider than k columns ever moves.
+    """
+    per_user = funnel_steps(df, user_col, ts_col, type_col, steps, within)
+    counts = per_user.agg(
+        *[
+            F.count(f"step_{i}_ts").cast("long").alias(f"c{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("step_index"),
+                F.lit(step).alias("step_name"),
+                F.col(f"c{i}").alias("users"),
+                # try_divide: 0 step-1 users -> NULL conversion under ANSI
+                F.round(F.try_divide(F.col(f"c{i}"), F.col("c1")), 4).alias(
+                    "conversion"
+                ),
+            )
+            for i, step in enumerate(steps, start=1)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention: cohort = the ``period`` (``week``/``day``/
+    ``month``) containing the user's FIRST event; a user is active at
+    offset ``n`` if they have any event in the period ``n`` whole periods
+    after their cohort period. Returns ``(cohort, offset, active_users)``
+    with ``cohort`` a DATE (Monday for weeks, the 1st for months); offset
+    0 is the cohort period itself, so every cohort's offset-0 row counts
+    its full size.
+
+    Scale shape: two partial aggregations + one user-keyed join — never a
+    window, never per-user state. ``min(ts)`` per user map-combines; the
+    distinct (user, period) activity set map-combines the same way (a
+    user's million events in a week collapse to one row before the
+    shuffle); the join carries at most |users| × |periods| rows; the final
+    (cohort, offset) rollup is a plain partial-agg count over an already-
+    distinct frame (deliberately NOT countDistinct's expand).
+
+    Reference analogue: none (beyond-reference events-analytics operator).
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"period must be day|week|month, got {period!r}")
+    first = df.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(ts_col)).cast("date").alias("cohort")
+    )
+    activity = df.select(
+        user_col, F.date_trunc(period, ts_col).cast("date").alias("__period__")
+    ).distinct()
+    if period == "day":
+        offset = F.datediff("__period__", "cohort")
+    elif period == "week":
+        offset = (F.datediff("__period__", "cohort") / 7).cast("int")
+    else:
+        offset = F.months_between("__period__", "cohort").cast("int")
+    return (
+        activity.join(first, user_col)
+        .select("cohort", offset.cast("int").alias("offset"))
+        .groupBy("cohort", "offset")
+        .agg(F.count("*").cast("long").alias("active_users"))
+    )

@@ -137,6 +137,9 @@ NO_R9_ROW_OR_NEW = {
     "x39_gopher_rules",
     "x40_c4_filter",
     "g8_isc_decile_table",
+    # new in the round-10 continuation session
+    "s8_funnel",
+    "s9_retention",
     # the 14 veterans promised r10 window priority by the r9 header
     "s5_batch_sessions",
     "x12_embedding_dedup",
@@ -152,10 +155,11 @@ NO_R9_ROW_OR_NEW = {
     "a10_cube",
     "o2_rolling_window",
     "l7_jsonl_ingest",
-    # r8-green veterans returning from the tail: 18 of the 43
+    # r8-green veterans returning from the tail: 16 of the 43 (p17/l14
+    # displaced again by the continuation session's s8/s9 — rationales in
+    # the queries() header; r11 window priority)
     "p11_season_derivation",
     "p23_json_extract",
-    "p17_map_lookup",
     "l16_monthly_cpi_chain",
     "g6_poverty_rate",
     "l15b_partitioned_span",
@@ -169,7 +173,6 @@ NO_R9_ROW_OR_NEW = {
     "x21_asof_attribution",
     "x22_incremental_dedup",
     "s3_events_sliding",
-    "l14_multi_year_food",
     "x31_dsir_select",
 }
 # displaced by round-10 window pressure: r8-green rows, each with its
@@ -191,6 +194,12 @@ DISPLACED_R8_VETERANS = {
     # s1 displaced by the new x42b (tumbling = in-window s3's sliding
     # machinery with slide == width)
     "s1_events_tumbling",
+    # p17 displaced by the new s8 (map_codes re-runs verbatim inside
+    # in-window p11's season derivation)
+    "p17_map_lookup",
+    # l14 displaced by the new s9 (multi-year union + availability
+    # pruning run in anger inside in-window g5b/g8; union shape via u1)
+    "l14_multi_year_food",
     "x8_cosine_topk",
     "x20_tfidf_top_terms",
     "j2_dim_join_chain",
