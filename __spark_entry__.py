@@ -6368,6 +6368,81 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the STREAMING twin of s8's batch funnel: per-user funnel state via
+    # applyInPandasWithState (streaming/stateful.py:streaming_funnel),
+    # replayed over a bounded single-batch stream — within-batch ts sort
+    # makes the greedy fold reproduce the batch semantics EXACTLY, so this
+    # carries a full oracle (same CTE chain as s8, per-user form). The
+    # sanctioned Arrow seam: three scalars of state per user, only
+    # (user, ms, type) of the k funnel types ever crosses to Python.
+    import shutil
+
+    from hbsir_old_spark.streaming.stateful import streaming_funnel
+
+    events = _events(spark, sf_dir)
+    workdir = _scratch_dir("s10_funnel", sf_dir)
+    qname = f"s10_mem_{_scratch_tag(sf_dir)}"
+    query = None
+    try:
+        src = f"{workdir}/in"
+        events.coalesce(1).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        funneled = streaming_funnel(
+            stream,
+            ["view", "click", "purchase"],
+            within_ms=7 * 86400 * 1000,
+        )
+        query = (
+            funneled.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .start()
+        )
+        if not query.awaitTermination(240):
+            raise RuntimeError("s10 streaming funnel did not finish within 240s")
+        query = None  # terminated; nothing to stop in the finally
+        # single batch -> exactly one update row per step-1 user
+        out = spark.table(qname).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(qname)
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
+    return out.orderBy("user_id")
+
+
+SQL_STREAM_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.ts > s2.t2 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       (CASE WHEN t3 IS NOT NULL THEN 3
+             WHEN t2 IS NOT NULL THEN 2
+             ELSE 1 END)::INT AS step_reached,
+       epoch_ms(t1)::BIGINT AS step_1_ms,
+       epoch_ms(coalesce(t3, t2, t1))::BIGINT AS last_step_ms
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # X19 — near-dup CLUSTERS: pair emission (exact n-gram Jaccard, the oracled
 # x2 path) -> connected components (O(log n)-round pointer-jumping label
@@ -7064,11 +7139,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # x43 global-shuffle ordering, x44 end-to-end pipeline, x42b
     # fixed-codebook PQ encode — all full-oracle — plus the rows-only
     # x38b LSH twin and x42 PQ-ANN; the continuation session added the
-    # s8 funnel and s9 retention full-oracle gates on top, 13 new total),
+    # s8 funnel, s9 retention, and s10 streaming-funnel full-oracle gates
+    # on top, 14 new total),
     # the 14 veterans promised r10 window priority by the r9 header
-    # (w1 w2 p13 x11 g1 l1 p16 u1 a6 a10 o2 l7 + s5 x12), and 16 of the
-    # 43 r8-green veterans waiting in the tail (window: 11 + 14 + 16 +
-    # 9 rows-only = 50). That leaves 27
+    # (w1 w2 p13 x11 g1 l1 p16 u1 a6 a10 o2 l7 + s5 x12), and 15 of the
+    # 43 r8-green veterans waiting in the tail (window: 12 + 14 + 15 +
+    # 9 rows-only = 50). That leaves 28
     # r8-green veterans displaced one more round —
     # each chosen because its operator either RE-RUNS VERBATIM inside an
     # in-window gate or carried a fresh r9-green row through a sibling:
@@ -7098,6 +7174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 10 --
         "s8_funnel": q_funnel,
         "s9_retention": q_retention,
+        "s10_stream_funnel": q_stream_funnel,
         "x41_substring_dedup": q_substring_dedup,
         "x43_global_shuffle": q_global_shuffle,
         "x44_pipeline_e2e": q_pipeline_e2e,
@@ -7132,7 +7209,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_fact_join": q_fact_join,
         "j8_geometry_join": q_geometry_join,
         "g3_report_pivot_totals": q_report_pivot_totals,
-        "l2_setup_roundtrip": q_setup_roundtrip,
         "x17_group_quota": q_group_quota,
         "s4_upsert_sink": q_upsert_sink,
         "x21_asof_attribution": q_asof_attribution,
@@ -7161,6 +7237,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8-green veterans (rationales in the header; window priority in
         # r11), then the 43 gates with green hash-matched rows in
         # CORRECTNESS_r09.json — all with full parity-suite coverage --
+        # l2 displaced by s10 (continuation-session pressure): the
+        # Access-DB/archive setup seam is pinned by injectable-connection
+        # tests (tests/test_acquire.py), and its cleaned-parquet product
+        # is exactly what in-window l1 verifies raw-vs-cleaned
+        "l2_setup_roundtrip": q_setup_roundtrip,
         # p17 displaced by s8 (continuation-session pressure): its
         # map_codes dict-lookup operator re-runs VERBATIM inside in-window
         # p11_season_derivation (same when-chain expression compiler, p11
@@ -7345,6 +7426,7 @@ def oracle_sql() -> dict[str, str]:
         "s5_batch_sessions": SQL_BATCH_SESSIONS,
         "s8_funnel": SQL_FUNNEL,
         "s9_retention": SQL_RETENTION,
+        "s10_stream_funnel": SQL_STREAM_FUNNEL,
         "l4_real_household_decode": SQL_REAL_HOUSEHOLD_DECODE,
         "x23_best_rep_dedup": SQL_BEST_REP_DEDUP,
         "l5_real_occupation_classification": SQL_REAL_OCCUPATION_CLASSIFICATION,

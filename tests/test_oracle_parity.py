@@ -140,6 +140,7 @@ NO_R9_ROW_OR_NEW = {
     # new in the round-10 continuation session
     "s8_funnel",
     "s9_retention",
+    "s10_stream_funnel",
     # the 14 veterans promised r10 window priority by the r9 header
     "s5_batch_sessions",
     "x12_embedding_dedup",
@@ -155,9 +156,9 @@ NO_R9_ROW_OR_NEW = {
     "a10_cube",
     "o2_rolling_window",
     "l7_jsonl_ingest",
-    # r8-green veterans returning from the tail: 16 of the 43 (p17/l14
-    # displaced again by the continuation session's s8/s9 — rationales in
-    # the queries() header; r11 window priority)
+    # r8-green veterans returning from the tail: 15 of the 43 (p17/l14/l2
+    # displaced again by the continuation session's s8/s9/s10 — rationales
+    # in the queries() header; r11 window priority)
     "p11_season_derivation",
     "p23_json_extract",
     "l16_monthly_cpi_chain",
@@ -167,7 +168,6 @@ NO_R9_ROW_OR_NEW = {
     "j6_fact_join",
     "j8_geometry_join",
     "g3_report_pivot_totals",
-    "l2_setup_roundtrip",
     "x17_group_quota",
     "s4_upsert_sink",
     "x21_asof_attribution",
@@ -200,6 +200,9 @@ DISPLACED_R8_VETERANS = {
     # l14 displaced by the new s9 (multi-year union + availability
     # pruning run in anger inside in-window g5b/g8; union shape via u1)
     "l14_multi_year_food",
+    # l2 displaced by the new s10 (the setup seam is pinned by
+    # injectable-connection tests; its cleaned product is what l1 checks)
+    "l2_setup_roundtrip",
     "x8_cosine_topk",
     "x20_tfidf_top_terms",
     "j2_dim_join_chain",

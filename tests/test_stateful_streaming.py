@@ -194,3 +194,165 @@ class TestDedupIngestBloom:
         # verify join drops them all
         self._run(spark, src, store, str(tmp_path / "ckpt_br2"))
         assert spark.read.parquet(store).count() == n
+
+
+class TestStreamingFunnel:
+    """streaming/stateful.py:streaming_funnel — the stateful streaming
+    twin of operators/temporal.py:funnel_steps."""
+
+    STEPS = ["view", "click", "purchase"]
+
+    def _run(self, spark, src, ckpt, qname, within_ms=None):
+        from hbsir_old_spark.streaming.stateful import streaming_funnel
+
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        query = (
+            streaming_funnel(stream, self.STEPS, within_ms=within_ms)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        assert query.awaitTermination(240), "streaming funnel hung"
+        # latest emitted row per user (one batch emits once per user;
+        # across restarts the highest step_reached is the latest state)
+        return {
+            r["user_id"]: (
+                r["step_reached"],
+                r["step_1_ms"],
+                r["last_step_ms"],
+            )
+            for r in spark.sql(
+                f"""
+                SELECT * FROM (
+                  SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY step_reached DESC
+                  ) rn FROM {qname}
+                ) WHERE rn = 1
+                """
+            ).collect()
+        }
+
+    def test_single_batch_replay_equals_batch_funnel(
+        self, spark, sf_dir, tmp_path
+    ):
+        from __spark_entry__ import _events
+        from hbsir_old_spark.operators.temporal import funnel_steps
+
+        events = _events(spark, sf_dir)
+        src = str(tmp_path / "src")
+        events.coalesce(1).write.mode("overwrite").parquet(src)
+        got = self._run(
+            spark, src, str(tmp_path / "ckpt"), "sfun_mem",
+            within_ms=7 * 86400 * 1000,
+        )
+        spark.catalog.dropTempView("sfun_mem")
+
+        want = {}
+        for r in funnel_steps(
+            spark.read.parquet(src), "user_id", "ts", "event_type",
+            self.STEPS, within="7 days",
+        ).collect():
+            hits = [
+                r[f"step_{i}_ts"]
+                for i in range(1, 4)
+                if r[f"step_{i}_ts"] is not None
+            ]
+            to_ms = lambda t: int(t.timestamp() * 1000)
+            want[r["user_id"]] = (
+                len(hits), to_ms(hits[0]), to_ms(hits[-1])
+            )
+        assert got == want and len(got) > 0
+
+    def _run_foreach(self, spark, src, ckpt, within_ms=None):
+        """foreachBatch sink: the memory sink cannot recover from a
+        checkpoint, foreachBatch can — so the restart tests use it to
+        prove state carries across stop/start micro-batches. Returns the
+        update rows emitted by THIS run, latest per user."""
+        from hbsir_old_spark.streaming.stateful import streaming_funnel
+
+        collected = []
+
+        def sink(batch_df, _bid):
+            collected.extend(batch_df.collect())
+
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        query = (
+            streaming_funnel(stream, self.STEPS, within_ms=within_ms)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        assert query.awaitTermination(240), "streaming funnel hung"
+        out = {}
+        for r in collected:  # later batches overwrite earlier
+            out[r["user_id"]] = (
+                r["step_reached"], r["step_1_ms"], r["last_step_ms"]
+            )
+        return out
+
+    def test_state_carries_across_restart_batches(self, spark, tmp_path):
+        import datetime as dt
+
+        src, ckpt = str(tmp_path / "src2"), str(tmp_path / "ckpt2")
+
+        def _write(rows):
+            spark.createDataFrame(
+                rows, "user_id long, ts timestamp, event_type string"
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        t0 = dt.datetime(2024, 1, 1)
+        # batch 1: user 1 views; user 2 views+clicks
+        _write([(1, t0, "view"), (2, t0, "view"),
+                (2, t0 + dt.timedelta(hours=1), "click")])
+        first = self._run_foreach(spark, src, ckpt)
+        assert first[1][0] == 1 and first[2][0] == 2
+
+        # batch 2 (same checkpoint -> resumes persisted state): user 1
+        # clicks then purchases; user 2 purchases — all LATER timestamps
+        _write([(1, t0 + dt.timedelta(days=1), "click"),
+                (1, t0 + dt.timedelta(days=2), "purchase"),
+                (2, t0 + dt.timedelta(days=1), "purchase")])
+        second = self._run_foreach(spark, src, ckpt)
+        assert second[1] == (
+            3,
+            int(t0.timestamp() * 1000),
+            int((t0 + dt.timedelta(days=2)).timestamp() * 1000),
+        )
+        assert second[2][0] == 3
+
+    def test_late_event_behind_state_is_ignored(self, spark, tmp_path):
+        import datetime as dt
+
+        src, ckpt = str(tmp_path / "src3"), str(tmp_path / "ckpt3")
+
+        def _write(rows):
+            spark.createDataFrame(
+                rows, "user_id long, ts timestamp, event_type string"
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        t0 = dt.datetime(2024, 1, 1)
+        # batch 1 advances to click @ t0+2h
+        _write([(1, t0, "view"), (1, t0 + dt.timedelta(hours=2), "click")])
+        self._run_foreach(spark, src, ckpt)
+        # batch 2 delivers a purchase BEFORE the click time (late data):
+        # the documented caveat — state already advanced past it
+        _write([(1, t0 + dt.timedelta(hours=1), "purchase")])
+        out = self._run_foreach(spark, src, ckpt)
+        assert out[1][0] == 2  # still at click; late purchase ignored
+
+    def test_validation(self, spark, sf_dir):
+        from __spark_entry__ import _events
+        from hbsir_old_spark.streaming.stateful import streaming_funnel
+
+        ev = _events(spark, sf_dir)
+        with pytest.raises(ValueError, match="distinct"):
+            streaming_funnel(ev, ["view", "view"])
+        with pytest.raises(ValueError, match="positive"):
+            streaming_funnel(ev, ["view"], within_ms=0)
