@@ -1274,6 +1274,52 @@ ORDER BY cohort_week, "offset"
 """
 
 
+def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # path analysis (beyond-reference events-analytics): frequency of every
+    # consecutive 3-step event-type sequence WITHIN a session (12-hour gap,
+    # s5's boundary semantics), top 20. Per-group state in the sequence agg
+    # is bounded by the session gap, not user history; the n-gram explode is
+    # map-only JVM (sequence + slice + concat_ws, short sessions guarded).
+    from hbsir_old_spark.operators.temporal import session_path_ngrams
+
+    ev = _events(spark, sf_dir)
+    out = session_path_ngrams(
+        ev, "user_id", "ts", "event_type",
+        gap="12 hours", n=3, tiebreakers=["event_id"],
+    )
+    return out.orderBy(F.desc("n_occurrences"), "path").limit(20)
+
+
+SQL_PATH_TRIGRAMS = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 12 HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+), seqs AS (
+  SELECT user_id, session_id,
+         list(event_type ORDER BY ts, event_id) AS seq
+  FROM sess GROUP BY user_id, session_id
+), grams AS (
+  -- generate_series(1, len-2) is empty for len < 3, so short sessions
+  -- contribute nothing (range() can't take lateral column params here)
+  SELECT array_to_string(seq[i:i+2], '>') AS path
+  FROM seqs, unnest(generate_series(1, len(seq) - 2)) AS u(i)
+)
+SELECT path, count(*)::BIGINT AS n_occurrences
+FROM grams GROUP BY path
+ORDER BY n_occurrences DESC, path LIMIT 20
+"""
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # existence joins: customers with / without orders — no payload from the
     # right side ever moves (semi/anti short-circuit at the join)
@@ -7139,12 +7185,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # x43 global-shuffle ordering, x44 end-to-end pipeline, x42b
     # fixed-codebook PQ encode — all full-oracle — plus the rows-only
     # x38b LSH twin and x42 PQ-ANN; the continuation session added the
-    # s8 funnel, s9 retention, and s10 streaming-funnel full-oracle gates
-    # on top, 14 new total),
+    # s8 funnel, s9 retention, s10 streaming-funnel, and s11 path-trigram
+    # full-oracle gates on top, 15 new total),
     # the 14 veterans promised r10 window priority by the r9 header
-    # (w1 w2 p13 x11 g1 l1 p16 u1 a6 a10 o2 l7 + s5 x12), and 15 of the
-    # 43 r8-green veterans waiting in the tail (window: 12 + 14 + 15 +
-    # 9 rows-only = 50). That leaves 28
+    # (w1 w2 p13 x11 g1 l1 p16 u1 a6 a10 o2 l7 + s5 x12), and 14 of the
+    # 43 r8-green veterans waiting in the tail (window: 13 + 14 + 14 +
+    # 9 rows-only = 50). That leaves 29
     # r8-green veterans displaced one more round —
     # each chosen because its operator either RE-RUNS VERBATIM inside an
     # in-window gate or carried a fresh r9-green row through a sibling:
@@ -7175,6 +7221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s8_funnel": q_funnel,
         "s9_retention": q_retention,
         "s10_stream_funnel": q_stream_funnel,
+        "s11_path_trigrams": q_path_trigrams,
         "x41_substring_dedup": q_substring_dedup,
         "x43_global_shuffle": q_global_shuffle,
         "x44_pipeline_e2e": q_pipeline_e2e,
@@ -7208,7 +7255,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x35_perplexity_prune": q_perplexity_prune,
         "j6_fact_join": q_fact_join,
         "j8_geometry_join": q_geometry_join,
-        "g3_report_pivot_totals": q_report_pivot_totals,
         "x17_group_quota": q_group_quota,
         "s4_upsert_sink": q_upsert_sink,
         "x21_asof_attribution": q_asof_attribution,
@@ -7237,6 +7283,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8-green veterans (rationales in the header; window priority in
         # r11), then the 43 gates with green hash-matched rows in
         # CORRECTNESS_r09.json — all with full parity-suite coverage --
+        # g3 displaced by s11 (continuation-session pressure): its pivot +
+        # totals-row shape carried a fresh r9-green row via g7's
+        # Income_Type unstack, and the totals-row machinery re-runs inside
+        # in-window g8's 'All' (Decile 0) row
+        "g3_report_pivot_totals": q_report_pivot_totals,
         # l2 displaced by s10 (continuation-session pressure): the
         # Access-DB/archive setup seam is pinned by injectable-connection
         # tests (tests/test_acquire.py), and its cleaned-parquet product
@@ -7427,6 +7478,7 @@ def oracle_sql() -> dict[str, str]:
         "s8_funnel": SQL_FUNNEL,
         "s9_retention": SQL_RETENTION,
         "s10_stream_funnel": SQL_STREAM_FUNNEL,
+        "s11_path_trigrams": SQL_PATH_TRIGRAMS,
         "l4_real_household_decode": SQL_REAL_HOUSEHOLD_DECODE,
         "x23_best_rep_dedup": SQL_BEST_REP_DEDUP,
         "l5_real_occupation_classification": SQL_REAL_OCCUPATION_CLASSIFICATION,

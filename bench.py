@@ -139,6 +139,10 @@ HEADLINE = [
     # weekly retention cohorts (two partial aggs + one user-keyed join)
     "s8_funnel",
     "s9_retention",
+    # session path trigrams: sessionize window + gap-bounded sequence agg
+    # + map-only n-gram explode (s10 stays gate-only like s7: its wall
+    # time is streaming-query lifecycle, not engine throughput)
+    "s11_path_trigrams",
     # x23_best_rep_dedup stays gate-only like x19: exact all-pairs n-gram
     # generation dominates its wall time (the scale path is x3's MinHash),
     # so it belongs to correctness, not the throughput suite. x26's k-means

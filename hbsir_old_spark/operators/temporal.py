@@ -378,3 +378,61 @@ def retention_cohorts(
         .groupBy("cohort", "offset")
         .agg(F.count("*").cast("long").alias("active_users"))
     )
+
+
+def session_path_ngrams(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    gap: str = "30 minutes",
+    n: int = 3,
+    tiebreakers: Sequence[str] = (),
+    sep: str = ">",
+) -> DataFrame:
+    """Path analysis: frequency of every length-``n`` consecutive
+    event-type sequence within a session (sessions per
+    :func:`sessionize_batch`, same ``gap`` semantics). Returns
+    ``(path, n_occurrences)`` — the "what do users do in what order"
+    primitive behind sankey/path reports.
+
+    Scale shape: one Exchange for sessionization (both windows share it),
+    one (user, session) aggregation whose per-group state is a single
+    session's events — bounded by the session ``gap``, not by user
+    history (a bot's year of events still splits into gap-bounded
+    sessions) — then a map-only JVM n-gram explode (``sequence`` +
+    ``slice`` + ``concat_ws``; the ``sequence(1, size-n+1)`` call is
+    guarded against the descending-sequence trap for short sessions) and
+    a partial-agg count. Sorting inside ``array_sort(collect_list(
+    struct(ts, *tiebreakers, type)))`` keeps the per-session order
+    deterministic when timestamps tie — pass the event id.
+
+    Reference analogue: none (beyond-reference events-analytics operator).
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    sess = sessionize_batch(
+        df, user_col, ts_col, gap=gap, tiebreakers=tiebreakers
+    )
+    order_struct = F.struct(ts_col, *tiebreakers, type_col)
+    seqs = (
+        sess.groupBy(user_col, "session_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(order_struct)),
+                lambda s: s[type_col],
+            ).alias("__seq__")
+        )
+        .filter(F.size("__seq__") >= n)  # guards sequence(1, <1) below
+    )
+    grams = seqs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__seq__") - (n - 1)),
+                lambda i: F.concat_ws(sep, F.slice("__seq__", i, n)),
+            )
+        ).alias("path")
+    )
+    return grams.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )

@@ -296,3 +296,94 @@ class TestPlanShape:
         assert join_pos != -1
         assert "Aggregate" in plan[join_pos:], plan
         assert "Window" not in plan
+
+
+class TestSessionPathNgrams:
+    """operators/temporal.py:session_path_ngrams — path analysis."""
+
+    def test_hand_built_paths_respect_session_boundaries(self, spark):
+        rows = [
+            # session 1 of user 1: view > click > purchase (one trigram)
+            (1, _ts(1, 10, 0), "view"),
+            (1, _ts(1, 10, 5), "click"),
+            (1, _ts(1, 10, 9), "purchase"),
+            # session 2 of user 1 (gap > 30 min): view > click only — no
+            # trigram, and NO cross-session view>click>view gram either
+            (1, _ts(1, 12, 0), "view"),
+            (1, _ts(1, 12, 10), "click"),
+            # user 2, one 4-event session: two overlapping trigrams
+            (2, _ts(1, 9, 0), "view"),
+            (2, _ts(1, 9, 1), "view"),
+            (2, _ts(1, 9, 2), "click"),
+            (2, _ts(1, 9, 3), "purchase"),
+        ]
+        from hbsir_old_spark.operators.temporal import session_path_ngrams
+
+        out = {
+            r["path"]: r["n_occurrences"]
+            for r in session_path_ngrams(
+                spark.createDataFrame(rows, EVENT_SCHEMA),
+                "user_id", "ts", "event_type", gap="30 minutes", n=3,
+            ).collect()
+        }
+        assert out == {
+            "view>click>purchase": 2,
+            "view>view>click": 1,
+        }
+
+    def test_short_sessions_yield_nothing(self, spark):
+        from hbsir_old_spark.operators.temporal import session_path_ngrams
+
+        rows = [(1, _ts(1), "view"), (1, _ts(1, 0, 5), "click")]
+        assert (
+            session_path_ngrams(
+                spark.createDataFrame(rows, EVENT_SCHEMA),
+                "user_id", "ts", "event_type", n=3,
+            ).count()
+            == 0
+        )
+
+    def test_validation(self, spark):
+        from hbsir_old_spark.operators.temporal import session_path_ngrams
+
+        df = spark.createDataFrame([], EVENT_SCHEMA)
+        with pytest.raises(ValueError, match="n must be"):
+            session_path_ngrams(df, "user_id", "ts", "event_type", n=1)
+
+    def test_matches_python_reference_on_real_events(self, spark, sf_dir):
+        from hbsir_old_spark.operators.temporal import session_path_ngrams
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        got = {
+            r["path"]: r["n_occurrences"]
+            for r in session_path_ngrams(
+                ev, "user_id", "ts", "event_type",
+                gap="12 hours", n=3, tiebreakers=["event_id"],
+            ).collect()
+        }
+        raw = [
+            (r["user_id"], r["ts"], r["event_id"], r["event_type"])
+            for r in ev.select(
+                "user_id", "ts", "event_id", "event_type"
+            ).collect()
+        ]
+        by_user = {}
+        for user, ts, eid, typ in raw:
+            by_user.setdefault(user, []).append((ts, eid, typ))
+        want = {}
+        gap = dt.timedelta(hours=12)
+        for evs in by_user.values():
+            evs.sort()
+            sessions, cur = [], []
+            for ts, eid, typ in evs:
+                if cur and ts > cur[-1][0] + gap:
+                    sessions.append(cur)
+                    cur = []
+                cur.append((ts, eid, typ))
+            sessions.append(cur)
+            for s in sessions:
+                types = [t for _, _, t in s]
+                for i in range(len(types) - 2):
+                    path = ">".join(types[i : i + 3])
+                    want[path] = want.get(path, 0) + 1
+        assert got == want and len(got) > 0

@@ -141,6 +141,7 @@ NO_R9_ROW_OR_NEW = {
     "s8_funnel",
     "s9_retention",
     "s10_stream_funnel",
+    "s11_path_trigrams",
     # the 14 veterans promised r10 window priority by the r9 header
     "s5_batch_sessions",
     "x12_embedding_dedup",
@@ -156,9 +157,9 @@ NO_R9_ROW_OR_NEW = {
     "a10_cube",
     "o2_rolling_window",
     "l7_jsonl_ingest",
-    # r8-green veterans returning from the tail: 15 of the 43 (p17/l14/l2
-    # displaced again by the continuation session's s8/s9/s10 — rationales
-    # in the queries() header; r11 window priority)
+    # r8-green veterans returning from the tail: 14 of the 43 (p17, l14,
+    # l2, and g3 displaced again by the continuation session's s8-s11 —
+    # rationales in the queries() header; r11 window priority)
     "p11_season_derivation",
     "p23_json_extract",
     "l16_monthly_cpi_chain",
@@ -167,7 +168,6 @@ NO_R9_ROW_OR_NEW = {
     "x35_perplexity_prune",
     "j6_fact_join",
     "j8_geometry_join",
-    "g3_report_pivot_totals",
     "x17_group_quota",
     "s4_upsert_sink",
     "x21_asof_attribution",
@@ -203,6 +203,9 @@ DISPLACED_R8_VETERANS = {
     # l2 displaced by the new s10 (the setup seam is pinned by
     # injectable-connection tests; its cleaned product is what l1 checks)
     "l2_setup_roundtrip",
+    # g3 displaced by the new s11 (pivot+totals shape rode g7's fresh
+    # r9 row; the totals-row machinery re-runs inside in-window g8)
+    "g3_report_pivot_totals",
     "x8_cosine_topk",
     "x20_tfidf_top_terms",
     "j2_dim_join_chain",
