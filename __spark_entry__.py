@@ -1791,6 +1791,91 @@ FROM documents
 """
 
 
+def q_bpe_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LEARNED byte-pair encoding (Sennrich et al. 2016), the real merge
+    # table beside x11's GPT-2-style regex heuristic: 20 merge rounds on
+    # the word-frequency table (ONE corpus-sized shuffle; every round is
+    # vocab-sized with a single-row argmax collect — the kmeans/pq_train
+    # model-state pattern), then the production vocab-join encode.
+    # Rows-only for the driver: iterative training is not SQL-expressible;
+    # the EXACT pure-Python parity (merge list, vocab symbols, per-doc
+    # encodings) is pinned by tests/test_bpe.py, and the encode join's
+    # full SQL oracle lives in the fixed-vocab twin x45b.
+    from hbsir_old_spark.functions.bpe import bpe_encode_by_vocab, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, vocab = bpe_train(docs, "text", n_merges=20, min_freq=2)
+    enc = bpe_encode_by_vocab(docs, vocab)
+    return enc.select(
+        "doc_id", F.size("bpe_tokens").cast("long").alias("n_bpe_tokens")
+    ).orderBy("doc_id")
+
+
+#: x45b's frozen vocabulary: a handful of real corpus words with
+#: hand-assigned subword splits; every other word exercises the OOV
+#: char-fallback path in BOTH engines.
+_X45B_VOCAB = [
+    ("join", ["jo", "in</w>"]),
+    ("hash", ["h", "ash</w>"]),
+    ("scan", ["scan</w>"]),
+    ("row", ["r", "o", "w</w>"]),
+]
+
+
+def q_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the deterministic FULL-ORACLE twin of rows-only x45 (the house
+    # x38/x38b, x42/x42b pattern): encoding against a FIXED literal
+    # vocabulary pins bpe_encode_by_vocab's word explode, vocab join,
+    # OOV character fallback, order-preserving reassembly, and
+    # empty-document semantics — while the learned-merge path keeps its
+    # exact python parity under x45. Tokens never contain \x1f, so the
+    # joined-string output compares bytewise across engines.
+    from hbsir_old_spark.functions.bpe import bpe_encode_by_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = spark.createDataFrame(
+        _X45B_VOCAB, "__word__ string, __syms__ array<string>"
+    )
+    enc = bpe_encode_by_vocab(docs, vocab)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
+        F.concat_ws("\u001f", "bpe_tokens").alias("encoded"),
+    ).orderBy("doc_id")
+
+
+SQL_BPE_ENCODE_FIXED = r"""
+WITH vocab(word, syms) AS (
+  VALUES ('join', ['jo', 'in</w>']),
+         ('hash', ['h', 'ash</w>']),
+         ('scan', ['scan</w>']),
+         ('row',  ['r', 'o', 'w</w>'])
+), toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+                     t -> t <> '') AS ws
+  FROM documents
+), words AS (
+  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+  FROM toks
+), enc AS (
+  SELECT w.doc_id, w.pos,
+         coalesce(v.syms,
+                  list_append(list_filter(string_split_regex(w.word, ''),
+                                          c -> c <> ''), '</w>')) AS syms
+  FROM words w LEFT JOIN vocab v ON w.word = v.word
+), agg AS (
+  SELECT doc_id, flatten(list(syms ORDER BY pos)) AS toks
+  FROM enc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(len(a.toks), 0)::BIGINT AS n_tokens,
+       coalesce(array_to_string(a.toks, chr(31)), '') AS encoded
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # G3 — the reference's README-walkthrough report golden (reference
 # tests/test_package/package/test_by_examples.py:43-69): classify -> weight
@@ -7185,12 +7270,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # x43 global-shuffle ordering, x44 end-to-end pipeline, x42b
     # fixed-codebook PQ encode — all full-oracle — plus the rows-only
     # x38b LSH twin and x42 PQ-ANN; the continuation session added the
-    # s8 funnel, s9 retention, s10 streaming-funnel, and s11 path-trigram
-    # full-oracle gates on top, 15 new total),
+    # s8 funnel, s9 retention, s10 streaming-funnel, s11 path-trigram,
+    # and x45b fixed-vocab BPE-encode full-oracle gates on top plus the
+    # rows-only x45 learned-BPE trainer, 16 new total),
     # the 14 veterans promised r10 window priority by the r9 header
-    # (w1 w2 p13 x11 g1 l1 p16 u1 a6 a10 o2 l7 + s5 x12), and 14 of the
-    # 43 r8-green veterans waiting in the tail (window: 13 + 14 + 14 +
-    # 9 rows-only = 50). That leaves 29
+    # (w1 w2 p13 x11 g1 l1 p16 u1 a6 a10 o2 l7 + s5 x12), and 12 of the
+    # 43 r8-green veterans waiting in the tail (window: 14 + 14 + 12 +
+    # 10 rows-only = 50). That leaves 31
     # r8-green veterans displaced one more round —
     # each chosen because its operator either RE-RUNS VERBATIM inside an
     # in-window gate or carried a fresh r9-green row through a sibling:
@@ -7222,6 +7308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_retention": q_retention,
         "s10_stream_funnel": q_stream_funnel,
         "s11_path_trigrams": q_path_trigrams,
+        "x45b_bpe_encode": q_bpe_encode_fixed,
         "x41_substring_dedup": q_substring_dedup,
         "x43_global_shuffle": q_global_shuffle,
         "x44_pipeline_e2e": q_pipeline_e2e,
@@ -7248,12 +7335,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l7_jsonl_ingest": q_jsonl_ingest,
         # -- no r9 row (r8-green, waited in the tail): 23 of the 43 --
         "p11_season_derivation": q_season_derivation,
-        "p23_json_extract": q_json_extract,
         "l16_monthly_cpi_chain": q_monthly_cpi_chain,
         "g6_poverty_rate": q_poverty_rate,
         "l15b_partitioned_span": q_partitioned_span_food,
         "x35_perplexity_prune": q_perplexity_prune,
-        "j6_fact_join": q_fact_join,
         "j8_geometry_join": q_geometry_join,
         "x17_group_quota": q_group_quota,
         "s4_upsert_sink": q_upsert_sink,
@@ -7279,6 +7364,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approximate like x9/x13; recall/soundness floors in
         # tests/test_approx_quality.py
         "x42_pq_topk": q_pq_topk,
+        # x45: learned BPE (iterative merge training is not
+        # SQL-expressible => rows-only), but the EXACT python parity of
+        # merges/vocab/encodings is pinned in tests/test_bpe.py and the
+        # encode join carries a full oracle via the fixed-vocab x45b
+        "x45_bpe_learned": q_bpe_learned,
         # -- rotated past position 50 this round: first the 21 displaced
         # r8-green veterans (rationales in the header; window priority in
         # r11), then the 43 gates with green hash-matched rows in
@@ -7293,6 +7383,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests (tests/test_acquire.py), and its cleaned-parquet product
         # is exactly what in-window l1 verifies raw-vs-cleaned
         "l2_setup_roundtrip": q_setup_roundtrip,
+        # p23 displaced by x45b (continuation-session pressure; the x14
+        # precedent): get_json_object extraction is pure map-only scalar
+        # expressions — no join/agg/window shape to drift — the least
+        # rotation-sensitive shape left in the window
+        "p23_json_extract": q_json_extract,
+        # j6 displaced by x45 (continuation-session pressure): its
+        # broadcast fact-dim join + agg shape runs in anger inside the
+        # in-window g5b/g6/g8 weights/CPI joins every round
+        "j6_fact_join": q_fact_join,
         # p17 displaced by s8 (continuation-session pressure): its
         # map_codes dict-lookup operator re-runs VERBATIM inside in-window
         # p11_season_derivation (same when-chain expression compiler, p11
@@ -7479,6 +7578,7 @@ def oracle_sql() -> dict[str, str]:
         "s9_retention": SQL_RETENTION,
         "s10_stream_funnel": SQL_STREAM_FUNNEL,
         "s11_path_trigrams": SQL_PATH_TRIGRAMS,
+        "x45b_bpe_encode": SQL_BPE_ENCODE_FIXED,
         "l4_real_household_decode": SQL_REAL_HOUSEHOLD_DECODE,
         "x23_best_rep_dedup": SQL_BEST_REP_DEDUP,
         "l5_real_occupation_classification": SQL_REAL_OCCUPATION_CLASSIFICATION,

@@ -143,6 +143,11 @@ HEADLINE = [
     # + map-only n-gram explode (s10 stays gate-only like s7: its wall
     # time is streaming-query lifecycle, not engine throughput)
     "s11_path_trigrams",
+    # fixed-vocab BPE encode: word explode + vocab join + ordered
+    # reassembly (x45's learned training stays gate-only like x26's
+    # Lloyd rounds: its wall time is per-round job latency, not engine
+    # throughput)
+    "x45b_bpe_encode",
     # x23_best_rep_dedup stays gate-only like x19: exact all-pairs n-gram
     # generation dominates its wall time (the scale path is x3's MinHash),
     # so it belongs to correctness, not the throughput suite. x26's k-means

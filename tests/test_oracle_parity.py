@@ -142,6 +142,7 @@ NO_R9_ROW_OR_NEW = {
     "s9_retention",
     "s10_stream_funnel",
     "s11_path_trigrams",
+    "x45b_bpe_encode",
     # the 14 veterans promised r10 window priority by the r9 header
     "s5_batch_sessions",
     "x12_embedding_dedup",
@@ -157,16 +158,15 @@ NO_R9_ROW_OR_NEW = {
     "a10_cube",
     "o2_rolling_window",
     "l7_jsonl_ingest",
-    # r8-green veterans returning from the tail: 14 of the 43 (p17, l14,
-    # l2, and g3 displaced again by the continuation session's s8-s11 —
-    # rationales in the queries() header; r11 window priority)
+    # r8-green veterans returning from the tail: 12 of the 43 (p17, l14,
+    # l2, g3, p23, and j6 displaced again by the continuation session's
+    # s8-s11 + x45/x45b — rationales in the queries() header; r11
+    # window priority)
     "p11_season_derivation",
-    "p23_json_extract",
     "l16_monthly_cpi_chain",
     "g6_poverty_rate",
     "l15b_partitioned_span",
     "x35_perplexity_prune",
-    "j6_fact_join",
     "j8_geometry_join",
     "x17_group_quota",
     "s4_upsert_sink",
@@ -206,6 +206,12 @@ DISPLACED_R8_VETERANS = {
     # g3 displaced by the new s11 (pivot+totals shape rode g7's fresh
     # r9 row; the totals-row machinery re-runs inside in-window g8)
     "g3_report_pivot_totals",
+    # p23 displaced by the new x45b (x14 precedent: map-only scalar
+    # JSON extraction, the least rotation-sensitive shape left)
+    "p23_json_extract",
+    # j6 displaced by the new x45 (its broadcast fact-dim join + agg
+    # shape runs in anger inside in-window g5b/g6/g8 every round)
+    "j6_fact_join",
     "x8_cosine_topk",
     "x20_tfidf_top_terms",
     "j2_dim_join_chain",
@@ -238,6 +244,7 @@ ROWS_ONLY_PINNED_IN_WINDOW = {
     "w4b_weighted_approx_decile",
     "x38b_curation_fuzzy_lsh",
     "x42_pq_topk",
+    "x45_bpe_learned",
 }
 # every gate here is FULL-ORACLE with a green (hash-matched) row in
 # CORRECTNESS_r09.json (plus the displaced r8-green veterans above)
