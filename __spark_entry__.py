@@ -1805,7 +1805,7 @@ def q_bpe_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     merges, vocab = bpe_train(docs, "text", n_merges=20, min_freq=2)
-    enc = bpe_encode_by_vocab(docs, vocab)
+    enc = bpe_encode_by_vocab(docs, vocab, broadcast_vocab=True)
     return enc.select(
         "doc_id", F.size("bpe_tokens").cast("long").alias("n_bpe_tokens")
     ).orderBy("doc_id")
@@ -1836,7 +1836,7 @@ def q_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = spark.createDataFrame(
         _X45B_VOCAB, "__word__ string, __syms__ array<string>"
     )
-    enc = bpe_encode_by_vocab(docs, vocab)
+    enc = bpe_encode_by_vocab(docs, vocab, broadcast_vocab=True)
     return enc.select(
         "doc_id",
         F.size("bpe_tokens").cast("long").alias("n_tokens"),

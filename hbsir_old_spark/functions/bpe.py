@@ -162,14 +162,23 @@ def bpe_encode_by_vocab(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "bpe_tokens",
+    broadcast_vocab: bool = False,
 ) -> DataFrame:
     """Encode each document against a trained vocabulary: explode words
-    with their position, join the word -> symbols table (one shuffle on
-    the word key, or a broadcast when the vocab is small — AQE decides),
-    fall back to character symbols for out-of-vocabulary words, and
-    reassemble per-document token arrays in word order via the
-    order-preserving ``array_sort(collect_list(struct(pos, syms)))``
-    idiom (per-group state bounded by one document's word count).
+    with their position, join the word -> symbols table, fall back to
+    character symbols for out-of-vocabulary words, and reassemble
+    per-document token arrays in word order via the order-preserving
+    ``array_sort(collect_list(struct(pos, syms)))`` idiom (per-group
+    state bounded by one document's word count).
+
+    Pass ``broadcast_vocab=True`` when the vocabulary fits an executor:
+    both :func:`bpe_train`'s localCheckpointed vocab and a
+    ``createDataFrame`` literal scan as ``ExistingRDD`` with UNKNOWN size
+    stats, so neither the static planner nor AQE will broadcast them on
+    its own — the exploded word stream then shuffles on the word key for
+    nothing (measured: the 4-row x45b vocab sort-merge-joined a corpus
+    explode). Leave it False for genuinely large vocabularies, where the
+    word-keyed shuffle join is the right plan.
 
     Documents with no tokens (NULL/empty/whitespace text) come through
     with an empty token array, not dropped.
@@ -180,9 +189,10 @@ def bpe_encode_by_vocab(
             "__pos__", "__word__"
         ),
     )
-    joined = words.join(
-        vocab.select("__word__", "__syms__"), "__word__", "left"
-    ).select(
+    vocab_side = vocab.select("__word__", "__syms__")
+    if broadcast_vocab:
+        vocab_side = F.broadcast(vocab_side)
+    joined = words.join(vocab_side, "__word__", "left").select(
         id_col,
         "__pos__",
         F.when(F.col("__word__").isNull(), F.array().cast("array<string>"))

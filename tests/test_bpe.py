@@ -152,6 +152,25 @@ class TestEncode:
         assert "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan
 
+    def test_broadcast_hint_kills_the_word_shuffle(self, spark, sf_dir):
+        # checkpointed/literal vocabs scan as ExistingRDD with unknown
+        # stats, so neither the planner nor AQE broadcasts them; the
+        # explicit hint must turn the word-keyed sort-merge join into a
+        # broadcast join (no Exchange on the exploded word stream)
+        import contextlib
+        import io
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _, vocab = bpe_train(docs.limit(50), "text", n_merges=2, min_freq=1)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            bpe_encode_by_vocab(
+                docs, vocab, broadcast_vocab=True
+            ).explain("formatted")
+        plan = buf.getvalue()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
 
 class TestRealCorpusCrossCheck:
     def test_train_and_encode_match_python_reference(self, spark, sf_dir):
