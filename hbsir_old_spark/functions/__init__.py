@@ -44,3 +44,7 @@ from hbsir_old_spark.functions.curation import (  # noqa: F401
     curate_corpus,
     curate_corpus_fuzzy,
 )
+from hbsir_old_spark.functions.bpe import (  # noqa: F401
+    bpe_encode_by_vocab,
+    bpe_train,
+)

@@ -17,3 +17,12 @@ from hbsir_old_spark.operators.attributes import (  # noqa: F401
     map_codes,
 )
 from hbsir_old_spark.operators.reshape import melt, pivot_table, union_tables  # noqa: F401
+from hbsir_old_spark.operators.temporal import (  # noqa: F401
+    asof_join,
+    funnel_counts,
+    funnel_steps,
+    retention_cohorts,
+    rolling_aggregate,
+    session_path_ngrams,
+    sessionize_batch,
+)
