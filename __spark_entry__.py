@@ -7333,7 +7333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_cube": q_cube,
         "o2_rolling_window": q_rolling_window,
         "l7_jsonl_ingest": q_jsonl_ingest,
-        # -- no r9 row (r8-green, waited in the tail): 23 of the 43 --
+        # -- no r9 row (r8-green, waited in the tail): 12 of the 43 after
+        # the continuation session displaced p23/p17/j6/g3/l2/l14 --
         "p11_season_derivation": q_season_derivation,
         "l16_monthly_cpi_chain": q_monthly_cpi_chain,
         "g6_poverty_rate": q_poverty_rate,

@@ -87,8 +87,10 @@ def streaming_funnel(
 
     from pyspark.sql import functions as F
 
+    user_type = events.schema[user_col].dataType.simpleString()
     output_schema = (
-        f"{user_col} long, step_reached int, step_1_ms long, last_step_ms long"
+        f"{user_col} {user_type}, step_reached int,"
+        " step_1_ms long, last_step_ms long"
     )
     state_schema = "step int, t1 long, last long"
     n_steps = len(steps)
@@ -127,7 +129,13 @@ def streaming_funnel(
                 }
             )
 
-    prepped = events.filter(F.col(type_col).isin(list(steps))).select(
+    # NULL timestamps are dropped JVM-side to match the batch twin (its
+    # min(ts)/strict-'>' comparisons skip NULLs); without this, NaN in
+    # the Arrow frame would crash int() inside the state function and
+    # poison checkpoint restarts of the same batch
+    prepped = events.filter(
+        F.col(type_col).isin(list(steps)) & F.col(ts_col).isNotNull()
+    ).select(
         F.col(user_col),
         F.unix_millis(F.col(ts_col)).alias("__ms__"),
         F.col(type_col),

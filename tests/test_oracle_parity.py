@@ -89,21 +89,13 @@ def test_rows_only_queries_run(name, spark, sf_dir):
 
 def test_every_oracle_key_has_a_query():
     """Guard the two hand-maintained dicts against drift: every oracle must
-    pair with a query, and the rows-only set is exactly the documented
-    approximate operators."""
+    pair with a query, and the rows-only set is exactly the pinned
+    in-window set (ONE source of truth — a second hardcoded copy here
+    drifted when x45 landed, so it asserts the shared constant now;
+    test_rows_only_pin_matches_oracle_registry checks the same equality
+    from the window side)."""
     assert set(ORACLES) <= set(QUERIES)
-    rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only == {
-        "x3_minhash_lsh",
-        "x4_simhash_pairs",
-        "x9_ann_lsh",
-        "x13_ivf_topk",
-        "a7_approx_distinct",
-        "w4_approx_decile",
-        "w4b_weighted_approx_decile",
-        "x38b_curation_fuzzy_lsh",
-        "x42_pq_topk",
-    }
+    assert set(QUERIES) - set(ORACLES) == ROWS_ONLY_PINNED_IN_WINDOW
 
 
 # The correctness driver records rows for only the first 50 entries of

@@ -356,3 +356,42 @@ class TestStreamingFunnel:
             streaming_funnel(ev, ["view", "view"])
         with pytest.raises(ValueError, match="positive"):
             streaming_funnel(ev, ["view"], within_ms=0)
+
+    def test_string_user_ids_and_null_ts(self, spark, tmp_path):
+        # review fixes pinned: (a) the output schema derives the user
+        # column's type from the input (string ids here — the old
+        # hardcoded 'long' broke Arrow conversion), (b) NULL-ts funnel
+        # events are dropped JVM-side like the batch twin, instead of
+        # crashing int(NaN) inside the state function
+        import datetime as dt
+
+        from hbsir_old_spark.streaming.stateful import streaming_funnel
+
+        src = str(tmp_path / "src4")
+        t0 = dt.datetime(2024, 1, 1)
+        spark.createDataFrame(
+            [("u1", t0, "view"),
+             ("u1", None, "click"),  # NULL ts: ignored, not a crash
+             ("u1", t0 + dt.timedelta(hours=1), "click")],
+            "user_id string, ts timestamp, event_type string",
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        query = (
+            streaming_funnel(stream, self.STEPS)
+            .writeStream.format("memory")
+            .queryName("sfun_mem6")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt4"))
+            .start()
+        )
+        assert query.awaitTermination(240), "streaming funnel hung"
+        rows = spark.sql("SELECT * FROM sfun_mem6").collect()
+        spark.catalog.dropTempView("sfun_mem6")
+        assert len(rows) == 1
+        assert rows[0]["user_id"] == "u1"
+        assert rows[0]["step_reached"] == 2
+        assert rows[0]["last_step_ms"] == int(
+            (t0 + dt.timedelta(hours=1)).timestamp() * 1000
+        )
