@@ -387,3 +387,105 @@ class TestSessionPathNgrams:
                     path = ">".join(types[i : i + 3])
                     want[path] = want.get(path, 0) + 1
         assert got == want and len(got) > 0
+
+
+class TestRandomizedCrossCheck:
+    """Seeded random event streams on a COARSE timestamp grid (so
+    equal-timestamp collisions actually happen) — funnel, retention, and
+    path n-grams each replayed against their pure-Python reference."""
+
+    def _random_events(self, seed, n_users=12, n_events=120):
+        import random
+
+        rng = random.Random(seed)
+        types = ["view", "click", "purchase", "error", "signup"]
+        rows = []
+        for i in range(n_events):
+            rows.append(
+                (
+                    rng.randrange(1, n_users + 1),
+                    # 20-slot grid over 3 days: dense ties + real gaps
+                    dt.datetime(2024, 1, 1)
+                    + dt.timedelta(hours=4 * rng.randrange(20)),
+                    rng.choice(types),
+                )
+            )
+        return rows
+
+    @pytest.mark.parametrize("seed", [7, 23, 101])
+    def test_funnel_matches_python(self, spark, seed):
+        rows = self._random_events(seed)
+        df = spark.createDataFrame(rows, EVENT_SCHEMA)
+        got = {
+            r["user_id"]: tuple(
+                t
+                for t in (r["step_1_ts"], r["step_2_ts"], r["step_3_ts"])
+                if t is not None
+            )
+            for r in funnel_steps(
+                df, "user_id", "ts", "event_type", STEPS, within="1 days"
+            ).collect()
+        }
+        assert got == _python_funnel(rows, STEPS, within_days=1)
+
+    @pytest.mark.parametrize("seed", [7, 23, 101])
+    def test_retention_matches_python(self, spark, seed):
+        rows = self._random_events(seed)
+        df = spark.createDataFrame(rows, EVENT_SCHEMA)
+        got = {
+            (r["cohort"], r["offset"]): r["active_users"]
+            for r in retention_cohorts(df, "user_id", "ts").collect()
+        }
+        firsts, weeks = {}, set()
+        for user, ts, _ in rows:
+            wk = ts.date() - dt.timedelta(days=ts.weekday())
+            weeks.add((user, wk))
+            if user not in firsts or wk < firsts[user]:
+                firsts[user] = wk
+        want = {}
+        for user, wk in weeks:
+            key = (firsts[user], (wk - firsts[user]).days // 7)
+            want[key] = want.get(key, 0) + 1
+        assert got == want
+
+    @pytest.mark.parametrize("seed", [7, 23, 101])
+    def test_path_ngrams_match_python(self, spark, seed):
+        from hbsir_old_spark.operators.temporal import session_path_ngrams
+
+        # unique per-row event ids make tie order deterministic in both
+        # implementations (the operator's documented tiebreaker contract)
+        rows = [
+            (u, ts, i, typ)
+            for i, (u, ts, typ) in enumerate(self._random_events(seed))
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        got = {
+            r["path"]: r["n_occurrences"]
+            for r in session_path_ngrams(
+                df, "user_id", "ts", "event_type",
+                gap="8 hours", n=2, tiebreakers=["event_id"],
+            ).collect()
+        }
+        by_user = {}
+        for u, ts, eid, typ in rows:
+            by_user.setdefault(u, []).append((ts, eid, typ))
+        want = {}
+        gap = dt.timedelta(hours=8)
+        for evs in by_user.values():
+            evs.sort()
+            cur = []
+            sessions = []
+            for ts, eid, typ in evs:
+                if cur and ts > cur[-1][0] + gap:
+                    sessions.append(cur)
+                    cur = []
+                cur.append((ts, eid, typ))
+            sessions.append(cur)
+            for s in sessions:
+                types = [t for _, _, t in s]
+                for i in range(len(types) - 1):
+                    p = ">".join(types[i : i + 2])
+                    want[p] = want.get(p, 0) + 1
+        assert got == want
