@@ -501,6 +501,65 @@ GROUP BY o_orderpriority
 """
 
 
+def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the TPC-H Q5 shape — the deepest join tree in the registry (6 tables:
+    # 2 facts + 4 dims, plus the c_nationkey = s_nationkey LOCAL-supplier
+    # correlation that makes naive join orders explode). Declared flat and
+    # left to Catalyst: region/nation (and supplier at this sf) broadcast,
+    # the r_name and o_orderdate filters push to the scans, and the two
+    # fact tables meet in the one unavoidable shuffle join. The point of
+    # the gate is join REORDERING + broadcast-cascade plan quality, pinned
+    # by test_plan_quality.
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+SQL_LOCAL_SUPPLIER_REVENUE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # A2 + P12 — count/predicated-sum + equivalence-scale arithmetic
 # --------------------------------------------------------------------------
@@ -7271,12 +7330,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fixed-codebook PQ encode — all full-oracle — plus the rows-only
     # x38b LSH twin and x42 PQ-ANN; the continuation session added the
     # s8 funnel, s9 retention, s10 streaming-funnel, s11 path-trigram,
-    # and x45b fixed-vocab BPE-encode full-oracle gates on top plus the
-    # rows-only x45 learned-BPE trainer, 16 new total),
+    # x45b fixed-vocab BPE-encode, and j10 TPC-H-Q5-shape full-oracle
+    # gates on top plus the rows-only x45 learned-BPE trainer, 17 new
+    # total),
     # the 14 veterans promised r10 window priority by the r9 header
-    # (w1 w2 p13 x11 g1 l1 p16 u1 a6 a10 o2 l7 + s5 x12), and 12 of the
-    # 43 r8-green veterans waiting in the tail (window: 14 + 14 + 12 +
-    # 10 rows-only = 50). That leaves 31
+    # (w1 w2 p13 x11 g1 l1 p16 u1 a6 a10 o2 l7 + s5 x12), and 11 of the
+    # 43 r8-green veterans waiting in the tail (window: 15 + 14 + 11 +
+    # 10 rows-only = 50). That leaves 32
     # r8-green veterans displaced one more round —
     # each chosen because its operator either RE-RUNS VERBATIM inside an
     # in-window gate or carried a fresh r9-green row through a sibling:
@@ -7309,6 +7369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_stream_funnel": q_stream_funnel,
         "s11_path_trigrams": q_path_trigrams,
         "x45b_bpe_encode": q_bpe_encode_fixed,
+        "j10_local_supplier_revenue": q_local_supplier_revenue,
         "x41_substring_dedup": q_substring_dedup,
         "x43_global_shuffle": q_global_shuffle,
         "x44_pipeline_e2e": q_pipeline_e2e,
@@ -7341,7 +7402,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l15b_partitioned_span": q_partitioned_span_food,
         "x35_perplexity_prune": q_perplexity_prune,
         "j8_geometry_join": q_geometry_join,
-        "x17_group_quota": q_group_quota,
         "s4_upsert_sink": q_upsert_sink,
         "x21_asof_attribution": q_asof_attribution,
         "x22_incremental_dedup": q_incremental_dedup,
@@ -7384,6 +7444,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests (tests/test_acquire.py), and its cleaned-parquet product
         # is exactly what in-window l1 verifies raw-vs-cleaned
         "l2_setup_roundtrip": q_setup_roundtrip,
+        # x17 displaced by j10 (continuation-session pressure): its
+        # group_quota two-level salted selection re-runs VERBATIM inside
+        # in-window x44's temperature-mixture stage (x29 rides the same
+        # unified salted_limit_per_group primitive)
+        "x17_group_quota": q_group_quota,
         # p23 displaced by x45b (continuation-session pressure; the x14
         # precedent): get_json_object extraction is pure map-only scalar
         # expressions — no join/agg/window shape to drift — the least
@@ -7580,6 +7645,7 @@ def oracle_sql() -> dict[str, str]:
         "s10_stream_funnel": SQL_STREAM_FUNNEL,
         "s11_path_trigrams": SQL_PATH_TRIGRAMS,
         "x45b_bpe_encode": SQL_BPE_ENCODE_FIXED,
+        "j10_local_supplier_revenue": SQL_LOCAL_SUPPLIER_REVENUE,
         "l4_real_household_decode": SQL_REAL_HOUSEHOLD_DECODE,
         "x23_best_rep_dedup": SQL_BEST_REP_DEDUP,
         "l5_real_occupation_classification": SQL_REAL_OCCUPATION_CLASSIFICATION,

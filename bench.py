@@ -148,6 +148,10 @@ HEADLINE = [
     # Lloyd rounds: its wall time is per-round job latency, not engine
     # throughput)
     "x45b_bpe_encode",
+    # TPC-H Q5 shape: the deepest join tree in the registry (6 tables,
+    # broadcast cascade + one fact-fact shuffle join) — the join-
+    # reordering throughput probe
+    "j10_local_supplier_revenue",
     # x23_best_rep_dedup stays gate-only like x19: exact all-pairs n-gram
     # generation dominates its wall time (the scale path is x3's MinHash),
     # so it belongs to correctness, not the throughput suite. x26's k-means

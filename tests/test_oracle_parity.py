@@ -135,6 +135,7 @@ NO_R9_ROW_OR_NEW = {
     "s10_stream_funnel",
     "s11_path_trigrams",
     "x45b_bpe_encode",
+    "j10_local_supplier_revenue",
     # the 14 veterans promised r10 window priority by the r9 header
     "s5_batch_sessions",
     "x12_embedding_dedup",
@@ -150,17 +151,16 @@ NO_R9_ROW_OR_NEW = {
     "a10_cube",
     "o2_rolling_window",
     "l7_jsonl_ingest",
-    # r8-green veterans returning from the tail: 12 of the 43 (p17, l14,
-    # l2, g3, p23, and j6 displaced again by the continuation session's
-    # s8-s11 + x45/x45b — rationales in the queries() header; r11
-    # window priority)
+    # r8-green veterans returning from the tail: 11 of the 43 (p17, l14,
+    # l2, g3, p23, j6, and x17 displaced again by the continuation
+    # session's s8-s11 + x45/x45b + j10 — rationales in the queries()
+    # header; r11 window priority)
     "p11_season_derivation",
     "l16_monthly_cpi_chain",
     "g6_poverty_rate",
     "l15b_partitioned_span",
     "x35_perplexity_prune",
     "j8_geometry_join",
-    "x17_group_quota",
     "s4_upsert_sink",
     "x21_asof_attribution",
     "x22_incremental_dedup",
@@ -204,6 +204,9 @@ DISPLACED_R8_VETERANS = {
     # j6 displaced by the new x45 (its broadcast fact-dim join + agg
     # shape runs in anger inside in-window g5b/g6/g8 every round)
     "j6_fact_join",
+    # x17 displaced by the new j10 (its group_quota salted selection
+    # re-runs verbatim inside in-window x44's temperature mixture)
+    "x17_group_quota",
     "x8_cosine_topk",
     "x20_tfidf_top_terms",
     "j2_dim_join_chain",

@@ -310,3 +310,19 @@ def test_multi_year_partitioned_layout_prunes_by_year(spark, sf_dir, tmp_path):
     plan = plan_of(branch.select("ADDRESS", "COL4_5"))
     assert "PartitionFilters: [isnotnull(Year" in plan, plan
     assert "1394" in plan[plan.index("PartitionFilters") :].splitlines()[0], plan
+
+
+def test_j10_broadcasts_dims_and_pushes_filters(spark, sf_dir):
+    """The TPC-H Q5 shape must compile to a broadcast cascade: the
+    region/nation dims broadcast (never shuffle the fact side on their
+    keys), the r_name and o_orderdate filters reach the scans, and
+    nothing degenerates into a cartesian product."""
+    plan = plan_of(entry_mod.queries()["j10_local_supplier_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan or (
+        "EqualTo(r_name,ASIA)" in plan
+    ), "r_name filter did not reach the region scan"
+    assert "GreaterThanOrEqual(o_orderdate" in plan, (
+        "o_orderdate range did not reach the orders scan"
+    )
