@@ -1543,6 +1543,96 @@ WHERE round(c / (len(sa.s) + len(sb.s) - c), 6) >= 0.05
 """
 
 
+def q_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the incremental corpus-refresh composition — the fuzzy quadrant the
+    # incremental family lacked (x22 exact / bloom / streaming ingest all
+    # exist): a new batch is screened against the existing store for BOTH
+    # exact copies (fingerprint anti-probe, x22's machinery) and NEAR
+    # duplicates (near_dedup_against in mode='exact' — deterministic
+    # cross-table n-gram Jaccard, so the whole composition carries a full
+    # oracle; the LSH scale path of the same operator is pinned by a
+    # planted-twin recall floor in tests/test_dedup_clusters.py). Store =
+    # odd doc_ids, batch = even doc_ids + 5 planted exact copies of store
+    # docs, so all three verdicts occur (0 natural exact dups cross-split).
+    from hbsir_old_spark.functions.dedup import near_dedup_against
+    from hbsir_old_spark.functions.text import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    store = docs.filter(F.col("doc_id") % 2 == 1)
+    planted = store.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 0).unionByName(planted)
+    near = near_dedup_against(batch, store, mode="exact", threshold=0.5, n=3)
+    store_fp = store.select(doc_fingerprint("text").alias("__sfp__")).distinct()
+    out = near.withColumn("__fp__", doc_fingerprint("text")).join(
+        store_fp, F.col("__fp__") == F.col("__sfp__"), "left"
+    )
+    verdict = (
+        F.when(F.col("__sfp__").isNotNull(), "exact_duplicate")
+        .when(F.col("near_dup_of").isNotNull(), "near_duplicate")
+        .otherwise("novel")
+    )
+    return out.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        "near_dup_of",
+        F.col("near_dup_jaccard").alias("jaccard"),
+    ).orderBy("doc_id")
+
+
+def _sql_corpus_refresh() -> str:
+    norm = _SQL_NORM_EXPR
+    grams = _sql_grams_expr(3)
+    return f"""
+WITH store AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+), batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 10000, text FROM store WHERE doc_id < 10
+), bt AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM batch
+), st AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM store
+), bs AS (
+  SELECT doc_id, {grams} AS s FROM bt
+), ss AS (
+  SELECT doc_id, {grams} AS s FROM st
+), be AS (
+  SELECT doc_id, unnest(s) AS g FROM bs
+), se AS (
+  SELECT doc_id, unnest(s) AS g FROM ss
+), common AS (
+  SELECT b.doc_id AS bid, s.doc_id AS sid, count(*)::BIGINT AS c
+  FROM be b JOIN se s ON b.g = s.g GROUP BY 1, 2
+), jac AS (
+  SELECT bid, sid, round(c / (len(x.s) + len(y.s) - c), 6) AS j
+  FROM common JOIN bs x ON x.doc_id = bid JOIN ss y ON y.doc_id = sid
+), best AS (
+  SELECT bid, sid, j FROM (
+    SELECT bid, sid, j,
+           row_number() OVER (PARTITION BY bid ORDER BY sid) AS rn
+    FROM jac WHERE j >= 0.5
+  ) WHERE rn = 1
+), sfp AS (
+  SELECT DISTINCT md5({norm}) AS f FROM store
+), bfp AS (
+  SELECT doc_id, md5({norm}) AS f FROM batch
+)
+SELECT b.doc_id,
+       CASE WHEN bfp.f IN (SELECT f FROM sfp) THEN 'exact_duplicate'
+            WHEN best.sid IS NOT NULL THEN 'near_duplicate'
+            ELSE 'novel' END AS verdict,
+       best.sid AS near_dup_of,
+       best.j AS jaccard
+FROM batch b
+JOIN bfp ON bfp.doc_id = b.doc_id
+LEFT JOIN best ON best.bid = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate near-dup detection at its honest operating point: bands=4,
     # rows=4 => collision threshold ~(1/4)^(1/4) ~ 0.7, so only true
@@ -7330,13 +7420,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fixed-codebook PQ encode — all full-oracle — plus the rows-only
     # x38b LSH twin and x42 PQ-ANN; the continuation session added the
     # s8 funnel, s9 retention, s10 streaming-funnel, s11 path-trigram,
-    # x45b fixed-vocab BPE-encode, and j10 TPC-H-Q5-shape full-oracle
-    # gates on top plus the rows-only x45 learned-BPE trainer, 17 new
-    # total),
+    # x45b fixed-vocab BPE-encode, j10 TPC-H-Q5-shape, and x46
+    # corpus-refresh full-oracle gates on top plus the rows-only x45
+    # learned-BPE trainer, 18 new total),
     # the 14 veterans promised r10 window priority by the r9 header
-    # (w1 w2 p13 x11 g1 l1 p16 u1 a6 a10 o2 l7 + s5 x12), and 11 of the
-    # 43 r8-green veterans waiting in the tail (window: 15 + 14 + 11 +
-    # 10 rows-only = 50). That leaves 32
+    # (w1 w2 p13 x11 g1 l1 p16 u1 a6 a10 o2 l7 + s5 x12), and 10 of the
+    # 43 r8-green veterans waiting in the tail (window: 16 + 14 + 10 +
+    # 10 rows-only = 50). That leaves 33
     # r8-green veterans displaced one more round —
     # each chosen because its operator either RE-RUNS VERBATIM inside an
     # in-window gate or carried a fresh r9-green row through a sibling:
@@ -7370,6 +7460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_path_trigrams": q_path_trigrams,
         "x45b_bpe_encode": q_bpe_encode_fixed,
         "j10_local_supplier_revenue": q_local_supplier_revenue,
+        "x46_corpus_refresh": q_corpus_refresh,
         "x41_substring_dedup": q_substring_dedup,
         "x43_global_shuffle": q_global_shuffle,
         "x44_pipeline_e2e": q_pipeline_e2e,
@@ -7404,7 +7495,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j8_geometry_join": q_geometry_join,
         "s4_upsert_sink": q_upsert_sink,
         "x21_asof_attribution": q_asof_attribution,
-        "x22_incremental_dedup": q_incremental_dedup,
         "s3_events_sliding": q_events_sliding,
         "x31_dsir_select": q_dsir_select,
         # -- rows-only gates (approximate by design, no oracle): the
@@ -7444,6 +7534,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests (tests/test_acquire.py), and its cleaned-parquet product
         # is exactly what in-window l1 verifies raw-vs-cleaned
         "l2_setup_roundtrip": q_setup_roundtrip,
+        # x22 displaced by x46 (continuation-session pressure): its
+        # fingerprint anti-probe IS x46's exact stage (doc_fingerprint +
+        # distinct store set + null-surviving left probe run verbatim
+        # inside the in-window refresh composition)
+        "x22_incremental_dedup": q_incremental_dedup,
         # x17 displaced by j10 (continuation-session pressure): its
         # group_quota two-level salted selection re-runs VERBATIM inside
         # in-window x44's temperature-mixture stage (x29 rides the same
@@ -7646,6 +7741,7 @@ def oracle_sql() -> dict[str, str]:
         "s11_path_trigrams": SQL_PATH_TRIGRAMS,
         "x45b_bpe_encode": SQL_BPE_ENCODE_FIXED,
         "j10_local_supplier_revenue": SQL_LOCAL_SUPPLIER_REVENUE,
+        "x46_corpus_refresh": _sql_corpus_refresh(),
         "l4_real_household_decode": SQL_REAL_HOUSEHOLD_DECODE,
         "x23_best_rep_dedup": SQL_BEST_REP_DEDUP,
         "l5_real_occupation_classification": SQL_REAL_OCCUPATION_CLASSIFICATION,

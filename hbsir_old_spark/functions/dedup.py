@@ -1061,3 +1061,106 @@ def dedup_against_bloom(
     if keep_fingerprint_col == "__fp__":
         return out
     return out.withColumnRenamed("__fp__", keep_fingerprint_col)
+
+
+def near_dedup_against(
+    batch: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    store_id_col: str | None = None,
+    store_text_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+    mode: str = "lsh",
+    num_perm: int = 16,
+    bands: int | None = 4,
+    out_col: str = "near_dup_of",
+    jaccard_col: str = "near_dup_jaccard",
+) -> DataFrame:
+    """Incremental NEAR dedup: annotate every ``batch`` document with the
+    store document it near-duplicates (Jaccard over word ``n``-grams >=
+    ``threshold``), or NULL when novel — the missing quadrant beside the
+    exact incremental path (:func:`dedup_against`), completing the
+    production corpus-refresh shape: new data is screened against the
+    existing store for BOTH exact and fuzzy copies without the store's
+    payloads ever moving through a window.
+
+    ``mode='lsh'`` (the 100-TB scale path) reuses
+    :func:`minhash_lsh_pairs` verbatim — banded signatures, candidates
+    carrying only (id, band-hash), exact-Jaccard verify on candidates
+    alone — over the tagged union of the two sides, then keeps only the
+    CROSS pairs. Recall < 1 by LSH design (the planted-twin floor lives in
+    tests). ``mode='exact'`` reuses :func:`ngram_jaccard_pairs` the same
+    way: every cross pair sharing >= 1 shingle, deterministic, so the
+    composed operator admits a full SQL oracle (the x38/x38b twin
+    pattern).
+
+    The union trick buys full reuse of the verified pair machinery at the
+    cost of also generating within-store candidate work; a store that
+    persists its band hashes at ingest (the signature analogue of
+    ``dedup_against(seen_fingerprint_col=...)``) skips that — the
+    documented production extension, not built here because the pair
+    stage's semantics are what the oracle pins.
+
+    Ties: among qualifying store matches the MINIMUM store id wins (its
+    jaccard is reported) — same deterministic rule as the x23/x38
+    canonical pick.
+    """
+    if mode not in ("lsh", "exact"):
+        raise ValueError(f"mode must be 'lsh' or 'exact', got {mode!r}")
+    sid = store_id_col or id_col
+    stext = store_text_col or text_col
+    for c in (out_col, jaccard_col):
+        if c in batch.columns:
+            raise ValueError(f"batch already has a column named {c!r}")
+
+    # disjoint string surrogates: 'b:<id>' / 's:<id>' — pair ORDER from the
+    # underlying pair fn is irrelevant here (we only classify sides), and
+    # the store id is cast back to its real type before the min-match pick
+    b_tagged = batch.select(
+        F.concat(F.lit("b:"), F.col(id_col).cast("string")).alias("__uid__"),
+        F.col(text_col).alias("__text__"),
+    )
+    s_tagged = store.select(
+        F.concat(F.lit("s:"), F.col(sid).cast("string")).alias("__uid__"),
+        F.col(stext).alias("__text__"),
+    )
+    union = b_tagged.unionByName(s_tagged)
+    if mode == "lsh":
+        pairs = minhash_lsh_pairs(
+            union, id_col="__uid__", text_col="__text__",
+            n=n, num_perm=num_perm, bands=bands, threshold=threshold,
+        )
+    else:
+        pairs = ngram_jaccard_pairs(
+            union, id_col="__uid__", text_col="__text__",
+            n=n, threshold=threshold,
+        )
+    side = lambda c: F.substring(c, 1, 2)
+    raw = lambda c: F.expr(f"substring({c}, 3)")
+    cross = pairs.filter(side(F.col("id_a")) != side(F.col("id_b")))
+    store_type = store.schema[sid].dataType
+    batch_type = batch.schema[id_col].dataType
+    normalized = cross.select(
+        F.when(side(F.col("id_a")) == "b:", raw("id_a"))
+        .otherwise(raw("id_b"))
+        .cast(batch_type)
+        .alias("__bid__"),
+        F.when(side(F.col("id_a")) == "s:", raw("id_a"))
+        .otherwise(raw("id_b"))
+        .cast(store_type)
+        .alias("__sid__"),
+        "jaccard",
+    )
+    best = normalized.groupBy("__bid__").agg(
+        F.min(F.struct(F.col("__sid__"), F.col("jaccard"))).alias("__m__")
+    )
+    return (
+        batch.join(best, F.col(id_col) == F.col("__bid__"), "left")
+        .select(
+            *batch.columns,
+            F.col("__m__.__sid__").alias(out_col),
+            F.col("__m__.jaccard").alias(jaccard_col),
+        )
+    )

@@ -398,3 +398,132 @@ class TestBloomDedup:
             build_fingerprint_bloom(seen, m_bits=100)
         with _pytest.raises(ValueError, match="k must"):
             build_fingerprint_bloom(seen, k=0)
+
+
+class TestNearDedupAgainst:
+    """functions/dedup.py:near_dedup_against — the fuzzy quadrant of the
+    incremental-dedup family (exact: dedup_against; the x46 gate carries
+    the full exact-mode oracle)."""
+
+    def _frames(self, spark):
+        store = spark.createDataFrame(
+            [
+                (101, "the quick brown fox jumps over the lazy dog today"),
+                (103, "the quick brown fox jumps over the lazy dog today"),
+                (105, "completely unrelated store text about spark plans"),
+            ],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [
+                # near-dups BOTH 101 and 103 (one word changed) -> the
+                # MIN store id (101) must win the tie deterministically
+                (2, "the quick brown fox jumps over the lazy dog tonight"),
+                # novel
+                (4, "totally different batch document with fresh words"),
+                # shares the id VALUE 101 with a store doc but different
+                # text: the surrogate tagging must keep the sides apart
+                (101, "another novel batch document nothing alike"),
+            ],
+            ["doc_id", "text"],
+        )
+        return batch, store
+
+    def test_exact_mode_min_store_id_wins_and_novel_is_null(self, spark):
+        from hbsir_old_spark.functions.dedup import near_dedup_against
+
+        batch, store = self._frames(spark)
+        out = {
+            r["doc_id"]: (r["near_dup_of"], r["near_dup_jaccard"])
+            for r in near_dedup_against(
+                batch, store, mode="exact", threshold=0.3, n=3
+            ).collect()
+        }
+        assert out[2][0] == 101 and out[2][1] is not None
+        assert out[4] == (None, None)
+        assert out[101] == (None, None)
+        assert len(out) == 3  # every batch row survives, annotated
+
+    def test_exact_mode_matches_python_bruteforce(self, spark):
+        import random
+
+        from hbsir_old_spark.functions.dedup import near_dedup_against
+        from hbsir_old_spark.functions.text import normalize_text  # noqa: F401
+
+        rng = random.Random(42)
+        vocab = [f"w{i}" for i in range(12)]
+        mk = lambda k: " ".join(rng.choice(vocab) for _ in range(k))
+        store_rows = [(i, mk(rng.randrange(4, 15))) for i in range(50, 70)]
+        batch_rows = [(i, mk(rng.randrange(4, 15))) for i in range(20)]
+        store = spark.createDataFrame(store_rows, ["doc_id", "text"])
+        batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["near_dup_of"], r["near_dup_jaccard"])
+            for r in near_dedup_against(
+                batch, store, mode="exact", threshold=0.2, n=3
+            ).collect()
+        }
+
+        def grams(text, n=3):
+            t = text.lower().split()
+            if len(t) <= n - 1:
+                return {" ".join(t)}
+            return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+        want = {}
+        for bid, btext in batch_rows:
+            bg = grams(btext)
+            best = None
+            for sid, stext in sorted(store_rows):
+                sg = grams(stext)
+                inter = len(bg & sg)
+                if not inter:
+                    continue
+                j = round(inter / (len(bg) + len(sg) - inter), 6)
+                if j >= 0.2 and best is None:
+                    best = (sid, j)
+            want[bid] = best if best else (None, None)
+        assert got == want
+
+    def test_lsh_mode_finds_planted_twins(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from hbsir_old_spark.functions.dedup import near_dedup_against
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        store = docs.filter("doc_id < 100")
+        # plant EXACT copies of 20 store docs (jaccard 1.0 survives any
+        # banding) among genuinely novel batch docs
+        twins = store.filter("doc_id < 20").select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+        novel = docs.filter("doc_id >= 400").select(
+            (F.col("doc_id") + 20000).alias("doc_id"), "text"
+        )
+        batch = twins.unionByName(novel)
+        out = near_dedup_against(
+            batch, store, mode="lsh", threshold=0.9, num_perm=16, bands=4
+        )
+        found = {
+            r["doc_id"]: r["near_dup_of"]
+            for r in out.filter(F.col("near_dup_of").isNotNull()).collect()
+        }
+        # planted-twin recall floor: every exact copy must be caught and
+        # attributed to its source (or a byte-identical sibling)
+        for i in range(20):
+            assert 10000 + i in found, f"planted twin {10000+i} missed"
+
+    def test_validation(self, spark):
+        import pytest
+
+        from hbsir_old_spark.functions.dedup import near_dedup_against
+
+        batch, store = self._frames(spark)
+        with pytest.raises(ValueError, match="mode"):
+            near_dedup_against(batch, store, mode="bogus")
+        with pytest.raises(ValueError, match="already has"):
+            near_dedup_against(
+                batch.withColumn("near_dup_of", F.lit(1)), store
+            )

@@ -136,6 +136,7 @@ NO_R9_ROW_OR_NEW = {
     "s11_path_trigrams",
     "x45b_bpe_encode",
     "j10_local_supplier_revenue",
+    "x46_corpus_refresh",
     # the 14 veterans promised r10 window priority by the r9 header
     "s5_batch_sessions",
     "x12_embedding_dedup",
@@ -151,10 +152,10 @@ NO_R9_ROW_OR_NEW = {
     "a10_cube",
     "o2_rolling_window",
     "l7_jsonl_ingest",
-    # r8-green veterans returning from the tail: 11 of the 43 (p17, l14,
-    # l2, g3, p23, j6, and x17 displaced again by the continuation
-    # session's s8-s11 + x45/x45b + j10 — rationales in the queries()
-    # header; r11 window priority)
+    # r8-green veterans returning from the tail: 10 of the 43 (p17, l14,
+    # l2, g3, p23, j6, x17, and x22 displaced again by the continuation
+    # session's s8-s11 + x45/x45b + j10 + x46 — rationales in the
+    # queries() header; r11 window priority)
     "p11_season_derivation",
     "l16_monthly_cpi_chain",
     "g6_poverty_rate",
@@ -163,7 +164,6 @@ NO_R9_ROW_OR_NEW = {
     "j8_geometry_join",
     "s4_upsert_sink",
     "x21_asof_attribution",
-    "x22_incremental_dedup",
     "s3_events_sliding",
     "x31_dsir_select",
 }
@@ -207,6 +207,9 @@ DISPLACED_R8_VETERANS = {
     # x17 displaced by the new j10 (its group_quota salted selection
     # re-runs verbatim inside in-window x44's temperature mixture)
     "x17_group_quota",
+    # x22 displaced by the new x46 (its fingerprint anti-probe runs
+    # verbatim as x46's exact stage)
+    "x22_incremental_dedup",
     "x8_cosine_topk",
     "x20_tfidf_top_terms",
     "j2_dim_join_chain",
