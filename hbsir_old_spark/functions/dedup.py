@@ -1086,22 +1086,22 @@ def near_dedup_against(
     existing store for BOTH exact and fuzzy copies without the store's
     payloads ever moving through a window.
 
-    ``mode='lsh'`` (the 100-TB scale path) reuses
-    :func:`minhash_lsh_pairs` verbatim — banded signatures, candidates
-    carrying only (id, band-hash), exact-Jaccard verify on candidates
-    alone — over the tagged union of the two sides, then keeps only the
-    CROSS pairs. Recall < 1 by LSH design (the planted-twin floor lives in
-    tests). ``mode='exact'`` reuses :func:`ngram_jaccard_pairs` the same
-    way: every cross pair sharing >= 1 shingle, deterministic, so the
-    composed operator admits a full SQL oracle (the x38/x38b twin
-    pattern).
-
-    The union trick buys full reuse of the verified pair machinery at the
-    cost of also generating within-store candidate work; a store that
+    ``mode='exact'`` computes TWO-SIDED pairs directly — batch grams
+    joined against store grams, so the work is |B| x |S| gram collisions
+    and within-store pairs are never generated (an incremental operator
+    whose cost scaled with store² would defeat its own point; a review
+    pass caught the earlier union-self-join form doing exactly that).
+    Deterministic, so the composed operator admits a full SQL oracle
+    (the x38/x38b twin pattern). ``mode='lsh'`` (the 100-TB scale path)
+    reuses :func:`minhash_lsh_pairs` verbatim — banded signatures,
+    candidates carrying only (id, band-hash), exact-Jaccard verify on
+    candidates alone — over a side-tagged union of the two sides, then
+    keeps only the CROSS pairs: within-store work is candidates-only
+    there (bounded by band collisions, not store²), and a store that
     persists its band hashes at ingest (the signature analogue of
-    ``dedup_against(seen_fingerprint_col=...)``) skips that — the
-    documented production extension, not built here because the pair
-    stage's semantics are what the oracle pins.
+    ``dedup_against(seen_fingerprint_col=...)``) skips even that — the
+    documented production extension. Recall < 1 by LSH design (the
+    planted-twin floor lives in tests).
 
     Ties: among qualifying store matches the MINIMUM store id wins (its
     jaccard is reported) — same deterministic rule as the x23/x38
@@ -1111,48 +1111,80 @@ def near_dedup_against(
         raise ValueError(f"mode must be 'lsh' or 'exact', got {mode!r}")
     sid = store_id_col or id_col
     stext = store_text_col or text_col
-    for c in (out_col, jaccard_col):
+    # reserve the output names AND the internal working names — a batch
+    # column named __bid__/__m__ would otherwise surface as an opaque
+    # ambiguous-reference AnalysisException at the final join
+    for c in (out_col, jaccard_col, "__bid__", "__m__"):
         if c in batch.columns:
             raise ValueError(f"batch already has a column named {c!r}")
-
-    # disjoint string surrogates: 'b:<id>' / 's:<id>' — pair ORDER from the
-    # underlying pair fn is irrelevant here (we only classify sides), and
-    # the store id is cast back to its real type before the min-match pick
-    b_tagged = batch.select(
-        F.concat(F.lit("b:"), F.col(id_col).cast("string")).alias("__uid__"),
-        F.col(text_col).alias("__text__"),
-    )
-    s_tagged = store.select(
-        F.concat(F.lit("s:"), F.col(sid).cast("string")).alias("__uid__"),
-        F.col(stext).alias("__text__"),
-    )
-    union = b_tagged.unionByName(s_tagged)
-    if mode == "lsh":
-        pairs = minhash_lsh_pairs(
-            union, id_col="__uid__", text_col="__text__",
-            n=n, num_perm=num_perm, bands=bands, threshold=threshold,
-        )
-    else:
-        pairs = ngram_jaccard_pairs(
-            union, id_col="__uid__", text_col="__text__",
-            n=n, threshold=threshold,
-        )
-    side = lambda c: F.substring(c, 1, 2)
-    raw = lambda c: F.expr(f"substring({c}, 3)")
-    cross = pairs.filter(side(F.col("id_a")) != side(F.col("id_b")))
     store_type = store.schema[sid].dataType
     batch_type = batch.schema[id_col].dataType
-    normalized = cross.select(
-        F.when(side(F.col("id_a")) == "b:", raw("id_a"))
-        .otherwise(raw("id_b"))
-        .cast(batch_type)
-        .alias("__bid__"),
-        F.when(side(F.col("id_a")) == "s:", raw("id_a"))
-        .otherwise(raw("id_b"))
-        .cast(store_type)
-        .alias("__sid__"),
-        "jaccard",
-    )
+
+    if mode == "lsh":
+        # disjoint string surrogates: 'b:<id>' / 's:<id>' — pair ORDER from
+        # the pair fn is irrelevant here (we only classify sides), and the
+        # ids are cast back to their real types before the min-match pick
+        b_tagged = batch.select(
+            F.concat(F.lit("b:"), F.col(id_col).cast("string")).alias("__uid__"),
+            F.col(text_col).alias("__text__"),
+        )
+        s_tagged = store.select(
+            F.concat(F.lit("s:"), F.col(sid).cast("string")).alias("__uid__"),
+            F.col(stext).alias("__text__"),
+        )
+        pairs = minhash_lsh_pairs(
+            b_tagged.unionByName(s_tagged), id_col="__uid__",
+            text_col="__text__", n=n, num_perm=num_perm, bands=bands,
+            threshold=threshold,
+        )
+        side = lambda c: F.substring(c, 1, 2)
+        raw = lambda c: F.expr(f"substring({c}, 3)")
+        cross = pairs.filter(side(F.col("id_a")) != side(F.col("id_b")))
+        normalized = cross.select(
+            F.when(side(F.col("id_a")) == "b:", raw("id_a"))
+            .otherwise(raw("id_b"))
+            .cast(batch_type)
+            .alias("__bid__"),
+            F.when(side(F.col("id_a")) == "s:", raw("id_a"))
+            .otherwise(raw("id_b"))
+            .cast(store_type)
+            .alias("__sid__"),
+            "jaccard",
+        )
+    else:
+        # two-sided exact pairs: batch grams JOIN store grams (the x46
+        # oracle's own shape) — |B| x |S| collisions, zero store-store work
+        bsh = batch.select(
+            F.col(id_col).alias("__bid__"),
+            word_shingles(text_col, n).alias("__sh__"),
+        )
+        ssh = store.select(
+            F.col(sid).alias("__sid__"),
+            word_shingles(stext, n).alias("__sh__"),
+        )
+        bsz = bsh.select("__bid__", F.size("__sh__").alias("__bn__"))
+        ssz = ssh.select("__sid__", F.size("__sh__").alias("__sn__"))
+        be = bsh.select("__bid__", F.explode("__sh__").alias("__g__"))
+        se = ssh.select("__sid__", F.explode("__sh__").alias("__g__"))
+        common = (
+            be.join(se, "__g__")
+            .groupBy("__bid__", "__sid__")
+            .agg(F.count("*").alias("__common__"))
+        )
+        normalized = (
+            common.join(bsz, "__bid__")
+            .join(ssz, "__sid__")
+            .select(
+                "__bid__",
+                "__sid__",
+                F.round(
+                    F.col("__common__")
+                    / (F.col("__bn__") + F.col("__sn__") - F.col("__common__")),
+                    6,
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
     best = normalized.groupBy("__bid__").agg(
         F.min(F.struct(F.col("__sid__"), F.col("jaccard"))).alias("__m__")
     )

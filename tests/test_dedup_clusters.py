@@ -527,3 +527,26 @@ class TestNearDedupAgainst:
             near_dedup_against(
                 batch.withColumn("near_dup_of", F.lit(1)), store
             )
+
+    def test_exact_mode_is_two_sided_no_union_self_join(self, spark):
+        # review fix pinned: exact mode must join batch grams against
+        # store grams (|B| x |S|), never self-join a tagged union (which
+        # paid the full store-squared pair cost) — the surrogate literals
+        # only exist on the LSH path
+        import contextlib
+        import io
+
+        from hbsir_old_spark.functions.dedup import near_dedup_against
+
+        batch, store = self._frames(spark)
+        out = near_dedup_against(batch, store, mode="exact", threshold=0.3)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        # the 'b:'/'s:' surrogate concat and the Union node exist only on
+        # the LSH path ("s:" alone would false-match "Arguments:")
+        assert "concat(b:" not in plan and "concat(s:" not in plan, (
+            "exact mode went through the tagged-union self-join path"
+        )
+        assert "Union" not in plan

@@ -320,9 +320,13 @@ def test_j10_broadcasts_dims_and_pushes_filters(spark, sf_dir):
     plan = plan_of(entry_mod.queries()["j10_local_supplier_revenue"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan
-    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan or (
-        "EqualTo(r_name,ASIA)" in plan
-    ), "r_name filter did not reach the region scan"
-    assert "GreaterThanOrEqual(o_orderdate" in plan, (
-        "o_orderdate range did not reach the orders scan"
+    # the filters must appear INSIDE a PushedFilters list (a post-scan
+    # Filter node would also contain the predicate text — the earlier
+    # substring-only check was satisfiable without any pushdown)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo(r_name,ASIA)" in ln for ln in pushed), (
+        "r_name filter did not reach the region scan's PushedFilters"
+    )
+    assert any("GreaterThanOrEqual(o_orderdate" in ln for ln in pushed), (
+        "o_orderdate range did not reach the orders scan's PushedFilters"
     )
