@@ -28,7 +28,9 @@ from hbsir_old_spark.functions.dedup import (  # noqa: F401
     dedup_against_bloom,
     exact_dedup,
     merge_blooms,
+    minhash_band_hashes,
     minhash_lsh_pairs,
+    near_dedup_against,
     ngram_jaccard_pairs,
     remove_duplicate_passages,
     simhash,

@@ -455,44 +455,30 @@ def lsh_band_plan(
     return best[1], best[2]
 
 
-def minhash_lsh_pairs(
+def _band_hash_table(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    num_perm: int = 16,
-    bands: int | None = 4,
-    threshold: float = 0.2,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_perm: int,
+    bands: int,
 ) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
+    """Internal: ``(__id__, __band__ struct<band,bh>)`` — the shared
+    signature/banding stage of :func:`minhash_lsh_pairs` and
+    :func:`minhash_band_hashes` (extracted verbatim; callers validate
+    the bands/num_perm contract).
 
-    Pipeline: signature -> split into ``bands`` row-chunks -> explode band
-    hashes -> self-join on (band, hash) for candidates -> exact Jaccard on
-    the candidates only. Output schema matches :func:`ngram_jaccard_pairs`.
-
-    ``bands=None`` sizes the banding automatically from ``threshold`` via
-    :func:`lsh_band_plan` (minimum weighted FP+FN area of the S-curve).
-    The explicit default (4 over 16 permutations) is kept for replay
-    stability of existing callers.
-    """
-    if bands is None:
-        bands, _ = lsh_band_plan(threshold, num_perm)
-    if bands <= 0 or num_perm % bands != 0:
-        raise ValueError(
-            f"bands ({bands}) must evenly divide num_perm ({num_perm}); "
-            "otherwise signature rows would be silently dropped"
-        )
+    One streaming pass over exploded shingles builds the signatures; the
+    full shingle table is never cached (a corpus-sized array<string>
+    cache was the old cold-run cliff — and at 100 TB it would not fit
+    anywhere). Verify stages recompute shingles for CANDIDATE docs only.
+    Positions explode and each shingle builds with plain slice/concat_ws
+    (whole-stage codegen; no interpreted transform lambda, no per-row
+    array materialization) — duplicates are NOT removed here because
+    groupBy-min is duplicate-oblivious; word_shingles' array form (with
+    array_distinct) stays for the exact-Jaccard verifies."""
     rows_per_band = num_perm // bands
     df = ensure_min_partitions(df)
-    # One streaming pass over exploded shingles builds the signatures; the
-    # full shingle table is never cached (a corpus-sized array<string> cache
-    # was the old cold-run cliff — and at 100 TB it would not fit anywhere).
-    # The verify stage recomputes shingles for CANDIDATE docs only, below.
-    # Positions explode and each shingle builds with plain slice/concat_ws
-    # (whole-stage codegen; no interpreted transform lambda, no per-row
-    # array materialization) — duplicates are NOT removed here because
-    # groupBy-min is duplicate-oblivious; word_shingles' array form (with
-    # array_distinct) stays for the exact-Jaccard verify below.
     tokens = F.split(normalize_text(F.col(text_col)), " ")
     shingle_count = F.greatest(F.size(F.col("__t__")) - (n - 1), F.lit(1))
     exploded = (
@@ -523,8 +509,8 @@ def minhash_lsh_pairs(
         ]
     )
     # bands carry ONLY (id, band-hash): the shingle arrays never ride
-    # through the candidate self-join / dedup shuffle
-    banded = sig.select(
+    # through candidate joins / dedup shuffles
+    return sig.select(
         "__id__",
         F.explode(
             F.array(
@@ -540,6 +526,72 @@ def minhash_lsh_pairs(
             )
         ).alias("__band__"),
     )
+
+
+def minhash_band_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Per-document LSH band hashes as a persistable table: ``(id_col,
+    band, bh)``, one row per document per band — the signature analogue
+    of the fingerprint column :func:`dedup_against` consumes via
+    ``seen_fingerprint_col``. Persist this at ingest and every later
+    batch's near-dedup screens against the STORE'S BANDS without
+    re-reading or re-hashing the store's text
+    (:func:`near_dedup_against` ``store_bands=``).
+
+    The (n, num_perm, bands) triple is part of the table's CONTRACT:
+    hashes computed under different parameters are silently incomparable
+    — persist the triple alongside the table (a parquet key or path
+    suffix) exactly as a fingerprint store pins its normalization.
+    Deterministic across runs/sessions/clusters (fixed-seed permutation
+    constants).
+    """
+    if bands <= 0 or num_perm % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_perm ({num_perm}); "
+            "otherwise signature rows would be silently dropped"
+        )
+    banded = _band_hash_table(df, id_col, text_col, n, num_perm, bands)
+    return banded.select(
+        F.col("__id__").alias(id_col),
+        F.col("__band__.band").alias("band"),
+        F.col("__band__.bh").alias("bh"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int | None = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
+
+    Pipeline: signature -> split into ``bands`` row-chunks -> explode band
+    hashes -> self-join on (band, hash) for candidates -> exact Jaccard on
+    the candidates only. Output schema matches :func:`ngram_jaccard_pairs`.
+
+    ``bands=None`` sizes the banding automatically from ``threshold`` via
+    :func:`lsh_band_plan` (minimum weighted FP+FN area of the S-curve).
+    The explicit default (4 over 16 permutations) is kept for replay
+    stability of existing callers.
+    """
+    if bands is None:
+        bands, _ = lsh_band_plan(threshold, num_perm)
+    if bands <= 0 or num_perm % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_perm ({num_perm}); "
+            "otherwise signature rows would be silently dropped"
+        )
+    banded = _band_hash_table(df, id_col, text_col, n, num_perm, bands)
     # Materialize the band table before the self-join: the two join sides
     # carry different attribute ids, so Spark does NOT reuse the upstream
     # exchange and the whole shingle->signature pipeline would execute once
@@ -1077,6 +1129,7 @@ def near_dedup_against(
     bands: int | None = 4,
     out_col: str = "near_dup_of",
     jaccard_col: str = "near_dup_jaccard",
+    store_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR dedup: annotate every ``batch`` document with the
     store document it near-duplicates (Jaccard over word ``n``-grams >=
@@ -1097,11 +1150,18 @@ def near_dedup_against(
     candidates carrying only (id, band-hash), exact-Jaccard verify on
     candidates alone — over a side-tagged union of the two sides, then
     keeps only the CROSS pairs: within-store work is candidates-only
-    there (bounded by band collisions, not store²), and a store that
-    persists its band hashes at ingest (the signature analogue of
-    ``dedup_against(seen_fingerprint_col=...)``) skips even that — the
-    documented production extension. Recall < 1 by LSH design (the
-    planted-twin floor lives in tests).
+    there (bounded by band collisions, not store²). Recall < 1 by LSH
+    design (the planted-twin floor lives in tests).
+
+    ``store_bands`` (LSH mode only) is the 100-TB refresh shape: pass the
+    store's PERSISTED band-hash table (:func:`minhash_band_hashes`,
+    written at ingest like ``dedup_against``'s fingerprint column) and
+    only the BATCH is signed — candidates come from a batch-bands x
+    store-bands equi-join (no store re-hash, no within-store candidates
+    at all), and the store's text is touched only for the candidate
+    sliver's exact-Jaccard verify (semi-join pruned). The (n, num_perm,
+    bands) triple must match the one the table was built with — that
+    contract is the table's schema, not checkable here.
 
     Ties: among qualifying store matches the MINIMUM store id wins (its
     jaccard is reported) — same deterministic rule as the x23/x38
@@ -1109,6 +1169,8 @@ def near_dedup_against(
     """
     if mode not in ("lsh", "exact"):
         raise ValueError(f"mode must be 'lsh' or 'exact', got {mode!r}")
+    if store_bands is not None and mode != "lsh":
+        raise ValueError("store_bands is only meaningful with mode='lsh'")
     sid = store_id_col or id_col
     stext = store_text_col or text_col
     # reserve the output names AND the internal working names — a batch
@@ -1120,7 +1182,60 @@ def near_dedup_against(
     store_type = store.schema[sid].dataType
     batch_type = batch.schema[id_col].dataType
 
-    if mode == "lsh":
+    if mode == "lsh" and store_bands is not None:
+        if bands is None:
+            bands, _ = lsh_band_plan(threshold, num_perm)
+        if bands <= 0 or num_perm % bands != 0:
+            raise ValueError(
+                f"bands ({bands}) must evenly divide num_perm ({num_perm})"
+            )
+        # sign ONLY the batch; the store side is its persisted band table
+        bb = minhash_band_hashes(
+            batch, id_col=id_col, text_col=text_col,
+            n=n, num_perm=num_perm, bands=bands,
+        ).select(F.col(id_col).alias("__bid__"), "band", "bh")
+        sb = store_bands.select(F.col(sid).alias("__sid__"), "band", "bh")
+        cand = (
+            bb.join(sb, ["band", "bh"])
+            .select("__bid__", "__sid__")
+            .dropDuplicates(["__bid__", "__sid__"])
+            # feeds two semi-joins + the verify join; without the
+            # checkpoint the batch signature pipeline re-executes per use
+            .localCheckpoint(eager=True)
+        )
+        bsliver = (
+            batch.join(
+                cand.select("__bid__"),
+                F.col(id_col) == F.col("__bid__"),
+                "left_semi",
+            )
+            .select(
+                F.col(id_col).alias("__jbid__"),
+                word_shingles(text_col, n).alias("__bsh__"),
+            )
+        )
+        ssliver = (
+            store.join(
+                cand.select("__sid__"),
+                F.col(sid) == F.col("__sid__"),
+                "left_semi",
+            )
+            .select(
+                F.col(sid).alias("__jsid__"),
+                word_shingles(stext, n).alias("__ssh__"),
+            )
+        )
+        verified = cand.join(
+            bsliver, F.col("__bid__") == F.col("__jbid__")
+        ).join(ssliver, F.col("__sid__") == F.col("__jsid__"))
+        inter = F.size(F.array_intersect("__bsh__", "__ssh__"))
+        union_sz = F.size(F.array_union("__bsh__", "__ssh__"))
+        normalized = verified.select(
+            "__bid__",
+            "__sid__",
+            F.round(inter / union_sz, 6).alias("jaccard"),
+        ).filter(F.col("jaccard") >= threshold)
+    elif mode == "lsh":
         # disjoint string surrogates: 'b:<id>' / 's:<id>' — pair ORDER from
         # the pair fn is irrelevant here (we only classify sides), and the
         # ids are cast back to their real types before the min-match pick

@@ -550,3 +550,63 @@ class TestNearDedupAgainst:
             "exact mode went through the tagged-union self-join path"
         )
         assert "Union" not in plan
+
+    def test_store_bands_path_equals_recompute_path(self, spark, sf_dir):
+        # the persisted-band-table refresh shape must return EXACTLY what
+        # the recompute path returns (band hashes are deterministic), and
+        # its plan must never sign the store (no tagged union — the store
+        # text appears only under the verify semi-join)
+        from pyspark.sql import functions as F
+
+        from hbsir_old_spark.functions.dedup import (
+            minhash_band_hashes,
+            near_dedup_against,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        store = docs.filter("doc_id < 100")
+        batch = (
+            store.filter("doc_id < 15")
+            .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+            .unionByName(
+                docs.filter("doc_id >= 450").select(
+                    (F.col("doc_id") + 20000).alias("doc_id"), "text"
+                )
+            )
+        )
+        persisted = minhash_band_hashes(
+            store, n=3, num_perm=16, bands=4
+        )
+        via_bands = near_dedup_against(
+            batch, store, mode="lsh", threshold=0.9,
+            num_perm=16, bands=4, store_bands=persisted,
+        )
+        via_recompute = near_dedup_against(
+            batch, store, mode="lsh", threshold=0.9, num_perm=16, bands=4
+        )
+        key = lambda df: {
+            r["doc_id"]: (r["near_dup_of"], r["near_dup_jaccard"])
+            for r in df.collect()
+        }
+        assert key(via_bands) == key(via_recompute)
+        # every planted twin caught through the persisted table
+        got = key(via_bands)
+        for i in range(15):
+            assert got[10000 + i][0] is not None
+
+    def test_store_bands_validation(self, spark):
+        import pytest
+
+        from hbsir_old_spark.functions.dedup import (
+            minhash_band_hashes,
+            near_dedup_against,
+        )
+
+        batch, store = self._frames(spark)
+        persisted = minhash_band_hashes(store)
+        with pytest.raises(ValueError, match="store_bands"):
+            near_dedup_against(
+                batch, store, mode="exact", store_bands=persisted
+            )
