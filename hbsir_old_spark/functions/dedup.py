@@ -591,6 +591,12 @@ def minhash_lsh_pairs(
             f"bands ({bands}) must evenly divide num_perm ({num_perm}); "
             "otherwise signature rows would be silently dropped"
         )
+    # repartition HERE, not only inside _band_hash_table: the verify
+    # stage's candidate-sliver shingle recompute below reads this same
+    # frame, and running it on a single input split cost the x3/x38b
+    # gates ~3x warm when the helper extraction dropped it (caught by the
+    # final bench record, fixed same-session)
+    df = ensure_min_partitions(df)
     banded = _band_hash_table(df, id_col, text_col, n, num_perm, bands)
     # Materialize the band table before the self-join: the two join sides
     # carry different attribute ids, so Spark does NOT reuse the upstream
@@ -1181,6 +1187,11 @@ def near_dedup_against(
             raise ValueError(f"batch already has a column named {c!r}")
     store_type = store.schema[sid].dataType
     batch_type = batch.schema[id_col].dataType
+
+    # shingle/signature recomputes below read these frames directly; a
+    # single-split parquet input would serialize them (the x3 lesson)
+    batch = ensure_min_partitions(batch)
+    store = ensure_min_partitions(store)
 
     if mode == "lsh" and store_bands is not None:
         if bands is None:
