@@ -1167,7 +1167,9 @@ def near_dedup_against(
     at all), and the store's text is touched only for the candidate
     sliver's exact-Jaccard verify (semi-join pruned). The (n, num_perm,
     bands) triple must match the one the table was built with — that
-    contract is the table's schema, not checkable here.
+    contract is the table's schema, not checkable here, which is also
+    why ``bands=None`` is REFUSED with ``store_bands`` (auto-planning a
+    different banding would silently match nothing).
 
     Ties: among qualifying store matches the MINIMUM store id wins (its
     jaccard is reported) — same deterministic rule as the x23/x38
@@ -1177,30 +1179,41 @@ def near_dedup_against(
         raise ValueError(f"mode must be 'lsh' or 'exact', got {mode!r}")
     if store_bands is not None and mode != "lsh":
         raise ValueError("store_bands is only meaningful with mode='lsh'")
+    if store_bands is not None and bands is None:
+        # refusing beats silently deriving a banding from `threshold` that
+        # differs from the persisted table's: mismatched bands make the
+        # (band, bh) equi-join miss on everything — every batch doc would
+        # quietly verdict 'novel' with recall ~0
+        raise ValueError(
+            "store_bands requires an explicit `bands` matching the one the "
+            "table was built with (bands=None would auto-plan a banding "
+            "that can silently disagree with the persisted hashes)"
+        )
     sid = store_id_col or id_col
     stext = store_text_col or text_col
-    # reserve the output names AND the internal working names — a batch
-    # column named __bid__/__m__ would otherwise surface as an opaque
-    # ambiguous-reference AnalysisException at the final join
+    # reserve the output names AND the internal working names — a
+    # caller column named __bid__/__sid__/__m__ would otherwise surface
+    # as an opaque ambiguous-reference AnalysisException at a join
     for c in (out_col, jaccard_col, "__bid__", "__m__"):
         if c in batch.columns:
             raise ValueError(f"batch already has a column named {c!r}")
+    if store_bands is not None and "__sid__" in store.columns:
+        raise ValueError(
+            "store already has a column named '__sid__' (reserved by the "
+            "store_bands verify join)"
+        )
     store_type = store.schema[sid].dataType
     batch_type = batch.schema[id_col].dataType
 
-    # shingle/signature recomputes below read these frames directly; a
-    # single-split parquet input would serialize them (the x3 lesson)
-    batch = ensure_min_partitions(batch)
-    store = ensure_min_partitions(store)
-
     if mode == "lsh" and store_bands is not None:
-        if bands is None:
-            bands, _ = lsh_band_plan(threshold, num_perm)
-        if bands <= 0 or num_perm % bands != 0:
-            raise ValueError(
-                f"bands ({bands}) must evenly divide num_perm ({num_perm})"
-            )
+        # the verify slivers below read batch/store shingle-wise directly;
+        # a single-split parquet input would serialize them (the x3
+        # lesson). The plain-LSH branch skips this: minhash_lsh_pairs
+        # repartitions the union itself.
+        batch = ensure_min_partitions(batch)
+        store = ensure_min_partitions(store)
         # sign ONLY the batch; the store side is its persisted band table
+        # (minhash_band_hashes re-validates the bands/num_perm contract)
         bb = minhash_band_hashes(
             batch, id_col=id_col, text_col=text_col,
             n=n, num_perm=num_perm, bands=bands,
@@ -1236,6 +1249,10 @@ def near_dedup_against(
                 word_shingles(stext, n).alias("__ssh__"),
             )
         )
+        # two-sided twin of minhash_lsh_pairs' verify stage (semi-join the
+        # sliver BEFORE shingling, round(intersect/union, 6), filter >=
+        # threshold) — keep the two recipes in lockstep: the test pins
+        # this path's result EXACTLY equal to the recompute path's
         verified = cand.join(
             bsliver, F.col("__bid__") == F.col("__jbid__")
         ).join(ssliver, F.col("__sid__") == F.col("__jsid__"))
@@ -1278,6 +1295,10 @@ def near_dedup_against(
             "jaccard",
         )
     else:
+        # gram explodes below read batch/store directly (the x3 lesson —
+        # the union-LSH branch leaves this to minhash_lsh_pairs instead)
+        batch = ensure_min_partitions(batch)
+        store = ensure_min_partitions(store)
         # two-sided exact pairs: batch grams JOIN store grams (the x46
         # oracle's own shape) — |B| x |S| collisions, zero store-store work
         bsh = batch.select(

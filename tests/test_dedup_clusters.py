@@ -595,6 +595,26 @@ class TestNearDedupAgainst:
         got = key(via_bands)
         for i in range(15):
             assert got[10000 + i][0] is not None
+        # and the plan must really be the no-store-re-sign shape: the
+        # tagged-union recompute path (concat surrogates + Union) must
+        # not appear — result equality alone could not tell a regressed
+        # dispatch apart from the real persisted-bands path
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            near_dedup_against(
+                batch, store, mode="lsh", threshold=0.9,
+                num_perm=16, bands=4, store_bands=persisted,
+            ).explain("formatted")
+        plan = buf.getvalue()
+        # (the batch INPUT itself contains a Union — twins ++ novel — so
+        # the pin is the recompute path's surrogate concat, which only
+        # the tagged-union re-sign would produce)
+        assert "concat(b:" not in plan and "concat(s:" not in plan, (
+            "store_bands path fell back to the tagged-union recompute"
+        )
 
     def test_store_bands_validation(self, spark):
         import pytest
@@ -609,4 +629,20 @@ class TestNearDedupAgainst:
         with pytest.raises(ValueError, match="store_bands"):
             near_dedup_against(
                 batch, store, mode="exact", store_bands=persisted
+            )
+        # bands=None would auto-plan a banding that can disagree with the
+        # persisted table (e.g. lsh_band_plan(0.3, 16) -> 8 bands vs the
+        # table's 4): the equi-join would match nothing and every doc
+        # would silently verdict novel — refused up front
+        with pytest.raises(ValueError, match="explicit"):
+            near_dedup_against(
+                batch, store, mode="lsh", bands=None, store_bands=persisted
+            )
+        with pytest.raises(ValueError, match="__sid__"):
+            near_dedup_against(
+                batch,
+                store.withColumn("__sid__", F.lit(1)),
+                mode="lsh",
+                bands=4,
+                store_bands=persisted,
             )
