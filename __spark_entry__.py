@@ -1559,8 +1559,10 @@ def q_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     store = docs.filter(F.col("doc_id") % 2 == 1)
+    # house +1_000_000 surrogate offset (ADVICE r10): +10000 could collide
+    # with real doc_ids at a larger sf, silently merging distinct docs
     planted = store.filter(F.col("doc_id") < 10).select(
-        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
     batch = docs.filter(F.col("doc_id") % 2 == 0).unionByName(planted)
     near = near_dedup_against(batch, store, mode="exact", threshold=0.5, n=3)
@@ -1590,7 +1592,7 @@ WITH store AS (
 ), batch AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
   UNION ALL
-  SELECT doc_id + 10000, text FROM store WHERE doc_id < 10
+  SELECT doc_id + 1000000, text FROM store WHERE doc_id < 10
 ), bt AS (
   SELECT doc_id, string_split({norm}, ' ') AS t FROM batch
 ), st AS (

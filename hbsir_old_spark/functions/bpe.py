@@ -52,11 +52,16 @@ END_OF_WORD = "</w>"
 
 
 def _char_symbols(word: Column) -> Column:
-    """Initial symbol array: the word's characters plus END_OF_WORD.
-    ``split(word, '')`` yields one UTF-16 unit per element; the corpus
-    guard for astral-plane characters lives in the cross-check test."""
+    """Initial symbol array: the word's code points plus END_OF_WORD.
+    ``regexp_extract_all(word, '(?s).')`` matches one Unicode CODE POINT
+    per element (Java regex treats a surrogate pair as one character),
+    so astral-plane input (emoji, musical symbols) yields whole
+    characters — matching both the pure-Python reference (str iterates
+    code points) and DuckDB's per-codepoint split. ``split(word, '')``
+    would instead emit unpaired UTF-16 surrogate halves; pinned by the
+    astral-plane case in tests/test_bpe.py."""
     return F.concat(
-        F.array_remove(F.split(word, ""), ""),
+        F.regexp_extract_all(word, F.lit(r"(?s)."), 0),
         F.array(F.lit(END_OF_WORD)),
     )
 
@@ -189,7 +194,16 @@ def bpe_encode_by_vocab(
             "__pos__", "__word__"
         ),
     )
-    vocab_side = vocab.select("__word__", "__syms__")
+    # Guard against a caller-supplied vocab with duplicate __word__ rows:
+    # a duplicated word would fan out the join and silently duplicate that
+    # word's tokens in every document. bpe_train's groupBy guarantees
+    # uniqueness; re-impose it here deterministically (min over the
+    # comparable symbol arrays, not dropDuplicates' arbitrary row).
+    vocab_side = (
+        vocab.select("__word__", "__syms__")
+        .groupBy("__word__")
+        .agg(F.min("__syms__").alias("__syms__"))
+    )
     if broadcast_vocab:
         vocab_side = F.broadcast(vocab_side)
     joined = words.join(vocab_side, "__word__", "left").select(

@@ -17,10 +17,36 @@ also makes ties deterministic.
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: day-time INTERVAL literal body: one or more "<int> <unit>" groups
+#: (e.g. "30 minutes", "1 hour 30 minutes"). Year/month units are
+#: deliberately excluded — they would make a year-month interval, which
+#: cannot be added to a timestamp together with day-time units.
+_INTERVAL_RE = re.compile(
+    r"^\s*\d+\s+(?:microsecond|millisecond|second|minute|hour|day|week)s?"
+    r"(?:\s+\d+\s+(?:microsecond|millisecond|second|minute|hour|day|week)s?)*\s*$",
+    re.IGNORECASE,
+)
+
+
+def interval_expr(value: str, param: str) -> Column:
+    """Validated ``INTERVAL`` literal. Caller-supplied strings like
+    ``gap``/``within`` are interpolated into ``F.expr(f"INTERVAL ...")``;
+    without this check a malformed or config-driven value becomes an
+    arbitrary SQL expression (or an opaque parse error far from the call
+    site). Accepts day-time forms ("30 minutes", "1 hour 30 minutes");
+    rejects everything else with a ValueError naming the parameter."""
+    if not isinstance(value, str) or not _INTERVAL_RE.match(value):
+        raise ValueError(
+            f"{param} must be a day-time INTERVAL literal like '30 minutes' "
+            f"or '1 hour 30 minutes', got {value!r}"
+        )
+    return F.expr(f"INTERVAL {value}")
 
 
 def asof_join(
@@ -217,7 +243,7 @@ def sessionize_batch(
     INTERVAL literal; the boundary is exclusive (gap strictly greater
     starts a new session), matching Spark's session_window semantics.
     """
-    gap_expr = F.expr(f"INTERVAL {gap}")
+    gap_expr = interval_expr(gap, "gap")
     order = [ts_col, *tiebreakers]
     w = Window.partitionBy(user_col).orderBy(*order)
     prev_ts = F.lag(ts_col).over(w)
@@ -274,7 +300,7 @@ def funnel_steps(
         .agg(F.min(ts_col).alias("step_1_ts"))
     )
     deadline = (
-        F.col("step_1_ts") + F.expr(f"INTERVAL {within}") if within else None
+        F.col("step_1_ts") + interval_expr(within, "within") if within else None
     )
     for i, step in enumerate(steps[1:], start=2):
         evs = base.filter(F.col(type_col) == step).select(user_col, ts_col)

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hbsir_old_spark.operators.temporal import interval_expr
+
 
 def _maybe_watermark(df: DataFrame, ts_col: str, with_watermark: str | None) -> DataFrame:
     return df.withWatermark(ts_col, with_watermark) if with_watermark else df
@@ -118,6 +120,6 @@ def interval_join(
     cond = (
         (l[key_col] == r[key_col])
         & (F.col(rts) > F.col(ts_col))
-        & (F.col(rts) <= F.col(ts_col) + F.expr(f"INTERVAL {within}"))
+        & (F.col(rts) <= F.col(ts_col) + interval_expr(within, "within"))
     )
     return l.join(r, cond).drop(r[key_col])

@@ -117,6 +117,22 @@ class TestTrainSemantics:
         with pytest.raises(ValueError, match="min_freq"):
             bpe_train(df, "text", min_freq=0)
 
+    def test_astral_plane_words_split_per_codepoint(self, spark):
+        # U+1D11E (musical symbol G clef) and U+1F600 (emoji) live outside
+        # the BMP: split(word, '') yields unpaired UTF-16 surrogate halves,
+        # the code-point regex keeps them whole — matching the pure-Python
+        # reference, whose str iteration is per code point (ADVICE r10)
+        texts = ["\U0001d11ex \U0001d11ex \U0001f600 ab"]
+        df = spark.createDataFrame([(t,) for t in texts], ["text"])
+        merges, vocab = bpe_train(df, "text", n_merges=3, min_freq=1)
+        want_merges, want_syms = _py_train(texts, 3, 1)
+        assert merges == want_merges
+        got = {r["__word__"]: list(r["__syms__"]) for r in vocab.collect()}
+        assert got == want_syms
+        assert "\U0001d11e" in {s for ss in got.values() for s in ss} or any(
+            "\U0001d11e" in s for ss in got.values() for s in ss
+        )
+
 
 class TestEncode:
     def test_encode_with_oov_fallback_and_empty_docs(self, spark):
@@ -135,6 +151,20 @@ class TestEncode:
             syms["low"] + list("unseen") + [END_OF_WORD] + syms["low"]
         )
         assert out[2] == [] and out[3] == [] and out[4] == []
+
+    def test_duplicate_vocab_rows_do_not_fan_out(self, spark):
+        # a caller-supplied vocab with a duplicated __word__ must not fan
+        # out the join (which would silently duplicate that word's tokens
+        # in every document); the guard dedups deterministically via the
+        # min of the comparable symbol arrays (ADVICE r10)
+        docs = spark.createDataFrame([(1, "low low")], ["doc_id", "text"])
+        vocab = spark.createDataFrame(
+            [("low", ["lo", "w</w>"]), ("low", ["l", "ow</w>"])],
+            "__word__ string, __syms__ array<string>",
+        )
+        out = bpe_encode_by_vocab(docs, vocab).collect()
+        toks = list(out[0]["bpe_tokens"])
+        assert toks == ["l", "ow</w>", "l", "ow</w>"]
 
     def test_encode_plan_no_udf_no_cartesian(self, spark, sf_dir):
         import contextlib

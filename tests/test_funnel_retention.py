@@ -126,6 +126,32 @@ class TestFunnelSemantics:
                 toy_events, "user_id", "ts", "event_type", ["view", "view"]
             )
 
+    def test_malformed_within_interval_raises_early(self, toy_events):
+        # the caller string is interpolated into an INTERVAL literal; a
+        # malformed/config-driven value must be a clear ValueError at the
+        # call site, not an arbitrary SQL expression or an opaque parse
+        # error at execution time (ADVICE r10)
+        # (within="" is falsy and means "no deadline", like within=None)
+        for bad in ("7 fortnights", "1; DROP TABLE x", "hours 3"):
+            with pytest.raises(ValueError, match="within"):
+                funnel_steps(
+                    toy_events,
+                    "user_id",
+                    "ts",
+                    "event_type",
+                    ["view", "cart"],
+                    within=bad,
+                )
+        # compound day-time literals stay accepted
+        funnel_steps(
+            toy_events,
+            "user_id",
+            "ts",
+            "event_type",
+            ["view", "cart"],
+            within="1 day 12 hours",
+        ).collect()
+
 
 def _python_funnel(rows, steps, within_days=None):
     """Pure-Python strict-order funnel over (user, ts, type) tuples."""

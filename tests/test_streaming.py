@@ -145,6 +145,19 @@ class TestUpsertSink:
         assert spark.read.parquet(target).count() == first
 
 
+def test_interval_join_malformed_within_raises(spark, event_stream_dir):
+    # the within string feeds an INTERVAL literal (same ADVICE-r10 guard
+    # as sessionize_batch's gap / funnel_steps' within)
+    import pytest
+
+    from hbsir_old_spark.streaming.events import interval_join
+
+    df = spark.read.parquet(event_stream_dir)
+    left = df.select("user_id", "ts", "event_id")
+    with pytest.raises(ValueError, match="within"):
+        interval_join(left, df, within="30 lightyears")
+
+
 def test_interval_join_stream_matches_batch(spark, event_stream_dir):
     """Stream-stream interval join: two watermarked readStream sources join
     on (key, time-range); append mode emits exactly the batch pairs once

@@ -111,6 +111,15 @@ class TestSessionizeBatch:
         got = {r["event_id"]: r["session_id"] for r in out.collect()}
         assert (got[1], got[2]) == (1, 2)
 
+    def test_malformed_gap_raises_early(self, events):
+        # same ADVICE-r10 guard as funnel_steps' within: the gap string
+        # feeds an INTERVAL literal and must fail loudly at the call site
+        import pytest
+
+        for bad in ("30 parsecs", "x; SELECT 1", ""):
+            with pytest.raises(ValueError, match="gap"):
+                sessionize_batch(events, "user_id", "ts", gap=bad)
+
     def test_both_windows_share_one_exchange(self, events):
         """The lag window and the running-sum window sort identically, so
         Catalyst must plan ONE Exchange + sort — re-shuffling between the
