@@ -35,6 +35,7 @@ from hbsir_old_spark.functions.text import (  # noqa: F401 (re-export)
     normalize_text,
     whitespace_tokens,
 )
+from hbsir_old_spark.functions.sampling import salted_limit_per_group
 from hbsir_old_spark.session import ensure_min_partitions
 
 
@@ -572,6 +573,8 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     bands: int | None = 4,
     threshold: float = 0.2,
+    hot_bucket_cap: int | None = 256,
+    hot_bucket_anchors: int = 8,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
 
@@ -583,6 +586,32 @@ def minhash_lsh_pairs(
     :func:`lsh_band_plan` (minimum weighted FP+FN area of the S-curve).
     The explicit default (4 over 16 permutations) is kept for replay
     stability of existing callers.
+
+    **Hot band-buckets** (the classic LSH blow-up): a near-duplicate
+    mega-cluster — 10^5+ boilerplate variants of one template that survive
+    exact dedup — lands every member in the SAME (band, hash) bucket, and
+    all-pairs generation inside that bucket is quadratic in its size. A
+    bucket with more than ``hot_bucket_cap`` members therefore switches to
+    STAR candidate generation: every member pairs only with the bucket's
+    ``hot_bucket_anchors`` smallest-id members (selected via the two-level
+    salted primitive, never one whole-bucket window partition), so the
+    bucket's candidate count is ``m * k`` instead of ``m^2 / 2``. Buckets
+    at or under the cap keep exact all-pairs semantics, so normal corpora
+    are bit-identical with the cap on or off (pinned by test). Inside a
+    true mega-cluster every member is near-identical to the anchors, so
+    the verified star edges keep the cluster CONNECTED — downstream
+    consumers (:func:`connected_components` ->
+    :func:`keep_cluster_representatives`, the curation funnel) dedup by
+    cluster membership and lose nothing; what is deliberately given up is
+    the exhaustive pair LIST within pathological buckets (a dissimilar
+    hash-collision pair whose only shared bucket is hot can be missed —
+    LSH recall is already probabilistic, and the adversarial planted
+    10^4-member cluster test pins both the linear candidate bound and the
+    single-cluster recall). ``hot_bucket_cap=None`` restores unbounded
+    all-pairs generation. The same hazard in ``simhash_pairs`` and the
+    cross-table ``near_dedup_against`` LSH probe is bounded by their much
+    smaller batch side; this self-join is where the quadratic actually
+    detonates at corpus scale.
     """
     if bands is None:
         bands, _ = lsh_band_plan(threshold, num_perm)
@@ -591,6 +620,10 @@ def minhash_lsh_pairs(
             f"bands ({bands}) must evenly divide num_perm ({num_perm}); "
             "otherwise signature rows would be silently dropped"
         )
+    if hot_bucket_cap is not None and hot_bucket_cap < 1:
+        raise ValueError(f"hot_bucket_cap must be >= 1 or None, got {hot_bucket_cap}")
+    if hot_bucket_anchors < 1:
+        raise ValueError(f"hot_bucket_anchors must be >= 1, got {hot_bucket_anchors}")
     # repartition HERE, not only inside _band_hash_table: the verify
     # stage's candidate-sliver shingle recompute below reads this same
     # frame, and running it on a single input split cost the x3/x38b
@@ -619,16 +652,46 @@ def minhash_lsh_pairs(
     # rewrite (explode positions + slice/concat_ws, see exploded above)
     # further cuts the signature stage's expression cost ~5x.
     banded = banded.localCheckpoint(eager=True)
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
+    if hot_bucket_cap is not None:
+        # one partial agg over the (tiny) checkpointed band table; the
+        # size join shuffles on the same __band__ key the pair join needs
+        sizes = banded.groupBy("__band__").agg(F.count("*").alias("__bsz__"))
+        with_sz = banded.join(sizes, "__band__")
+        cold = with_sz.filter(F.col("__bsz__") <= hot_bucket_cap).drop("__bsz__")
+        hot = with_sz.filter(F.col("__bsz__") > hot_bucket_cap).drop("__bsz__")
+        anchors = salted_limit_per_group(
+            hot,
+            ["__band__"],
+            [F.col("__id__")],
+            hot_bucket_anchors,
+            "__id__",
+        ).select("__band__", F.col("__id__").alias("__anchor__"))
+        a, b = cold.alias("a"), cold.alias("b")
+        cold_pairs = a.join(
             b,
             (F.col("a.__band__") == F.col("b.__band__"))
             & (F.col("a.__id__") < F.col("b.__id__")),
+        ).select(F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b"))
+        hot_pairs = (
+            hot.join(anchors, "__band__")
+            .filter(F.col("__id__") != F.col("__anchor__"))
+            .select(
+                F.least("__id__", "__anchor__").alias("id_a"),
+                F.greatest("__id__", "__anchor__").alias("id_b"),
+            )
         )
-        .select(F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        cand = cold_pairs.unionByName(hot_pairs).dropDuplicates(["id_a", "id_b"])
+    else:
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.__band__") == F.col("b.__band__"))
+                & (F.col("a.__id__") < F.col("b.__id__")),
+            )
+            .select(F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     # Materialize the candidate pairs once: they feed both the id semi-join
     # and the verify join, and re-deriving them would re-run the whole
     # signature pipeline. Candidate pairs are tiny relative to the corpus

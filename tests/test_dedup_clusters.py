@@ -646,3 +646,113 @@ class TestNearDedupAgainst:
                 bands=4,
                 store_bands=persisted,
             )
+
+
+class TestLshHotBuckets:
+    """The LSH mega-cluster blow-up bound (VERDICT r10 next-round #2):
+    a near-duplicate mega-cluster lands every member in the same
+    (band, hash) buckets, and unbounded all-pairs generation inside those
+    buckets is quadratic. minhash_lsh_pairs' hot_bucket_cap switches such
+    buckets to star generation around k anchors — linear candidates,
+    cluster connectivity preserved."""
+
+    MEGA = 10_000
+
+    def _mega_cluster(self, spark):
+        # 10^4 near-identical variants of one 25-word template: any two
+        # members share ~24 of ~26 bigram shingles (pairwise Jaccard
+        # ~0.86), so every band bucket holds the whole cluster
+        base = " ".join(f"w{i}" for i in range(25))
+        return spark.range(self.MEGA).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", F.lit(base), F.concat(F.lit("v"), F.col("id"))).alias(
+                "text"
+            ),
+        )
+
+    def test_planted_mega_cluster_stays_linear_and_connected(self, spark):
+        from hbsir_old_spark.functions.dedup import (
+            minhash_band_hashes,
+            minhash_lsh_pairs,
+        )
+
+        mega = self._mega_cluster(spark)
+        # sanity: the plant really is adversarial — at least one band
+        # bucket far exceeds the cap (without the cap this corpus would
+        # generate ~MEGA^2/2 candidate pairs per hot band)
+        bucket_sizes = (
+            minhash_band_hashes(mega, n=2, num_perm=16, bands=4)
+            .groupBy("band", "bh")
+            .count()
+        )
+        max_bucket = bucket_sizes.agg(F.max("count")).collect()[0][0]
+        assert max_bucket > 256, f"plant failed to create a hot bucket ({max_bucket})"
+
+        pairs = minhash_lsh_pairs(
+            mega,
+            n=2,
+            num_perm=16,
+            bands=4,
+            threshold=0.5,
+            hot_bucket_cap=256,
+            hot_bucket_anchors=8,
+        ).localCheckpoint(eager=True)
+        cnt = pairs.count()
+        # linear bound: ~m*k star edges (plus small cold buckets), never
+        # the ~5*10^7 of quadratic generation
+        assert cnt <= self.MEGA * 20, f"candidate blow-up: {cnt} pairs"
+        # connectivity: the verified star edges must keep the planted
+        # cluster in ONE connected component (downstream dedup works by
+        # cluster membership, not by the exhaustive pair list)
+        comp = connected_components(pairs)
+        n_nodes = comp.count()
+        # a handful of members whose unique token wins enough minhash
+        # positions land in singleton buckets and are missed by the
+        # BANDING itself (identical outcome with the cap off — they share
+        # no bucket with anyone); that is LSH recall, not the cap
+        assert n_nodes >= self.MEGA * 0.995, (
+            f"only {n_nodes} docs reached the pair graph"
+        )
+        biggest = (
+            comp.groupBy("component").count().agg(F.max("count")).collect()[0][0]
+        )
+        assert biggest >= n_nodes * 0.995, (
+            f"mega-cluster fragmented: biggest component {biggest}/{n_nodes}"
+        )
+
+    def test_cap_is_a_noop_on_normal_corpora(self, spark, sf_dir):
+        # buckets at or under the cap keep exact all-pairs semantics: on a
+        # corpus with no hot buckets the pair set is bit-identical with
+        # the cap on (default) and off
+        from hbsir_old_spark.functions.dedup import minhash_lsh_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        perturbed = docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" perturbed suffix token")).alias("text"),
+        )
+        corpus = docs.unionByName(perturbed)
+
+        def pair_set(cap):
+            out = minhash_lsh_pairs(
+                corpus, n=2, num_perm=16, bands=4, threshold=0.5,
+                hot_bucket_cap=cap,
+            )
+            return {
+                (r["id_a"], r["id_b"], r["jaccard"]) for r in out.collect()
+            }
+
+        assert pair_set(256) == pair_set(None)
+
+    def test_validation(self, spark):
+        import pytest
+
+        from hbsir_old_spark.functions.dedup import minhash_lsh_pairs
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="hot_bucket_cap"):
+            minhash_lsh_pairs(df, hot_bucket_cap=0)
+        with pytest.raises(ValueError, match="hot_bucket_anchors"):
+            minhash_lsh_pairs(df, hot_bucket_anchors=0)
