@@ -152,6 +152,22 @@ HEADLINE = [
     # broadcast cascade + one fact-fact shuffle join) — the join-
     # reordering throughput probe
     "j10_local_supplier_revenue",
+    # round 11: the ingest-loop shapes a 100-TB user actually runs
+    # (VERDICT r10 #7) — x22's incremental dedup through the broadcast
+    # Bloom pre-filter (misses never reach the verify join; the filter
+    # build is part of the measured path, as in a first-batch ingest);
+    # the exact+near+verdict corpus-refresh composition; and its
+    # bench-only LSH twin whose near stage consumes the store's
+    # PERSISTED band-hash parquet (only the batch is signed; the store
+    # side contributes zero Exchange — the artifact write is setup,
+    # materialized before the timed loop like l15b's layout)
+    "x22b_bloom_dedup",
+    "x46_corpus_refresh",
+    "x46b_refresh_lsh_store",
+    # round 11: the capstone with the fuzzy funnel — five-stage curation
+    # (near-dup on the exact pair path) -> mixture -> order -> pack in
+    # ONE lazy plan (x44's sibling; proves the two r10 flagships compose)
+    "x44b_pipeline_fuzzy",
     # x23_best_rep_dedup stays gate-only like x19: exact all-pairs n-gram
     # generation dominates its wall time (the scale path is x3's MinHash),
     # so it belongs to correctness, not the throughput suite. x26's k-means
@@ -194,7 +210,7 @@ def main() -> None:
     quiet_timeout = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "600"))
     quiet_wait_s, quiet_host = wait_for_quiet_host(quiet_threshold, quiet_timeout)
     spark = get_spark("hbsir-old-spark-bench")
-    queries = entry_mod.queries()
+    queries = {**entry_mod.queries(), **entry_mod.bench_only_queries()}
 
     # JVM/codegen warmup: one pass of EVERY headline query at the smallest
     # SF, so the timed runs measure engine throughput, not one-time
@@ -222,6 +238,10 @@ def main() -> None:
     # measures — and an un-warmed first run would trip the
     # cold_storm_suspects annotation below with a false host-stall label
     entry_mod._l15_warm_base(spark, sf_dir)
+    # x46b's persisted band-hash table is likewise an ingest-time
+    # artifact: materialize it at the target SF so the timed runs
+    # measure the refresh read path, not the one-time parquet write
+    entry_mod._x46b_bands_root(spark, sf_dir)
     warmup_s = round(time.perf_counter() - warmup_t0, 1)
     # the warmup itself drives every core for minutes — re-gate before
     # timing, and let the POST-warmup check (the state the timed loop
