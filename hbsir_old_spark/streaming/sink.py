@@ -20,9 +20,74 @@ in ``MERGE INTO``.
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+
+# -- manifest-committed store layout -----------------------------------------
+#
+# The dedup-ingest store is NOT a flat parquet directory: each batch's
+# novel rows land in their own data subdirectory, and a single JSON
+# manifest names the COMMITTED batch directories. Readers resolve the
+# manifest; a data directory a crash left half-written (or fully written
+# but never committed) is simply invisible. The commit itself is
+# write-temp + fsync + os.replace — an atomic rename on POSIX
+# filesystems and HDFS, which closes the mid-append crash window a plain
+# `mode("append")` parquet write leaves open (the r10-documented
+# Delta/Iceberg seam, now closed without a table format; on S3-like
+# stores swap _commit_manifest for a conditional PUT — same one-function
+# seam as the S6/S11 injectable clients).
+#
+#   store_dir/
+#     manifest.json            {"batches": ["batch-00000000", ...]}
+#     data/batch-<epoch id>/   one parquet dir per committed batch
+#
+# Batch data directories are keyed by the foreachBatch EPOCH id, so a
+# replayed batch overwrites its own (uncommitted) directory instead of
+# leaking orphans.
+
+
+def _manifest_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "manifest.json")
+
+
+def _read_manifest(store_dir: str) -> list[str]:
+    try:
+        with open(_manifest_path(store_dir)) as f:
+            return json.load(f)["batches"]
+    except FileNotFoundError:
+        return []
+
+
+def _commit_manifest(store_dir: str, batches: list[str]) -> None:
+    """Atomically publish the committed-batch list: write a temp file,
+    fsync it (the rename must not outrun its contents on power loss),
+    then os.replace onto manifest.json — readers see the old or the new
+    manifest, never a torn one."""
+    path = _manifest_path(store_dir)
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"batches": batches}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def read_dedup_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """THE reader for a manifest-committed dedup store: the union of the
+    manifest's committed batch directories, or ``None`` when no batch has
+    committed yet. Uncommitted/half-written data directories are never
+    read — that is the point of the manifest."""
+    batches = _read_manifest(store_dir)
+    if not batches:
+        return None
+    return spark.read.parquet(
+        *[os.path.join(store_dir, "data", b) for b in batches]
+    )
 
 
 def upsert_batch_writer(
@@ -84,12 +149,19 @@ def dedup_ingest_batch_writer(
       store side of the join never shuffles), and
     * a REPLAYED batch (failure between write and checkpoint commit) is
       idempotent-by-construction: its documents are already in the store,
-      so the anti join drops every one and the append writes zero rows —
-      exactly-once effect without a transactional table format. The one
-      non-atomicity left is a crash MID-append (parquet is not
-      transactional here); that is the documented seam where a real
-      deployment swaps in a Delta/Iceberg transactional append, same as
-      the MERGE INTO seam above.
+      so the anti join drops every one and nothing new commits —
+      exactly-once effect without a transactional table format.
+
+    Appends are MANIFEST-COMMITTED (layout at the top of this module):
+    each batch's novel rows are written to their own
+    ``data/batch-<epoch>`` directory — invisible to readers — and become
+    part of the store only when the atomic manifest rename lands. A crash
+    mid-write leaves an unreferenced directory the replay simply
+    overwrites (same epoch id => same directory); a crash between data
+    write and manifest rename replays the same way; a crash after the
+    rename but before the checkpoint commit replays into an all-duplicate
+    batch that commits nothing. There is no instant at which a reader
+    (:func:`read_dedup_store`) can observe a torn store.
 
     The store holds ``(id_col, text_col, __fp__)``. NULL-text rows are
     DROPPED at ingest (same rationale as chunking's empty-doc contract:
@@ -125,24 +197,15 @@ def dedup_ingest_batch_writer(
     bloom_state: dict = {"bloom": None}
 
     def write(batch: DataFrame, epoch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         spark = batch.sparkSession
-        try:
-            seen = spark.read.parquet(store_dir)
-            have_store = True
-        except AnalysisException as exc:
-            # ONLY first-batch conditions count as "no store yet":
-            # missing path, or an existing-but-empty checkpointless dir.
-            # Anything else (corrupt footers, permissions, transient
-            # object-store failures) must FAIL the batch so the streaming
-            # checkpoint retries it — swallowing it would ingest the
-            # batch with in-batch dedup only and permanently duplicate
-            # every already-stored document it contains.
-            msg = str(exc)
-            if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
-                raise
-            have_store = False
+        # the manifest IS the existence check: a store with no committed
+        # batch is "no store yet" (first batch), and any read failure of
+        # a COMMITTED directory must fail the batch so the streaming
+        # checkpoint retries it — swallowing it would ingest the batch
+        # with in-batch dedup only and permanently duplicate every
+        # already-stored document it contains.
+        seen = read_dedup_store(spark, store_dir)
+        have_store = seen is not None
         tagged = batch.select(id_col, text_col).filter(
             F.col(text_col).isNotNull()
         )
@@ -172,10 +235,15 @@ def dedup_ingest_batch_writer(
                 tagged.withColumn("__fp__", doc_fingerprint(text_col)),
                 text_col=text_col, id_col=id_col, fingerprint_col="__fp__",
             )
+        # pin the novel slice once: the emptiness check, the bloom build,
+        # and the data write would otherwise each re-execute the dedup plan
+        fresh = fresh.localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            # all-duplicate batch (the replay-after-commit case): commit
+            # nothing — an empty data directory would be unreadable and
+            # pollute the manifest
+            return
         if use_bloom:
-            # pin the novel slice once: the bloom build below and the
-            # append would otherwise each re-execute the dedup plan
-            fresh = fresh.localCheckpoint(eager=True)
             batch_bloom = build_fingerprint_bloom(
                 fresh,
                 seen_fingerprint_col="__fp__",
@@ -187,7 +255,17 @@ def dedup_ingest_batch_writer(
                 if bloom_state["bloom"] is None
                 else merge_blooms(bloom_state["bloom"], batch_bloom)
             )
-        fresh.write.mode("append").parquet(store_dir)
+        # manifest commit: data to an epoch-keyed directory nobody reads
+        # yet (overwrite => a crashed prior attempt of THIS epoch is
+        # replaced, not duplicated), then the atomic manifest rename
+        # publishes it
+        dir_name = f"batch-{epoch_id:08d}"
+        fresh.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "data", dir_name)
+        )
+        batches = _read_manifest(store_dir)
+        if dir_name not in batches:
+            _commit_manifest(store_dir, batches + [dir_name])
 
     return write
 

@@ -69,7 +69,8 @@ def test_stateful_totals_match_batch(spark, multi_file_events):
 
 class TestDedupIngest:
     """Streaming corpus ingest: dedup-against-store via foreachBatch
-    (streaming/sink.py:run_dedup_ingest)."""
+    (streaming/sink.py:run_dedup_ingest). The store is MANIFEST-committed
+    (write-temp + atomic rename), so reads go through read_dedup_store."""
 
     def _ingest(self, spark, tmp_path, rows, name):
         src = str(tmp_path / f"src_{name}")
@@ -85,6 +86,13 @@ class TestDedupIngest:
         q.awaitTermination(120)
         return src, store, ckpt
 
+    @staticmethod
+    def _store_rows(spark, store):
+        from hbsir_old_spark.streaming.sink import read_dedup_store
+
+        df = read_dedup_store(spark, store)
+        return [] if df is None else df.collect()
+
     def test_ingest_dedups_within_and_against_store(self, spark, tmp_path):
         from hbsir_old_spark.streaming.sink import run_dedup_ingest
 
@@ -94,7 +102,7 @@ class TestDedupIngest:
             [(1, "alpha doc"), (2, "ALPHA   doc"), (3, "beta doc")],  # 2 dups 1
             "a",
         )
-        first = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+        first = {r["doc_id"] for r in self._store_rows(spark, store)}
         assert first == {1, 3}
         # second delivery: one stored dup, one new
         spark.createDataFrame(
@@ -103,25 +111,31 @@ class TestDedupIngest:
         stream = spark.readStream.schema("doc_id long, text string").parquet(src)
         q = run_dedup_ingest(stream, store, ckpt)
         q.awaitTermination(120)
-        rows = spark.read.parquet(store).collect()
+        rows = self._store_rows(spark, store)
         assert {r["doc_id"] for r in rows} == {1, 3, 11}
         # the persisted fingerprint column is the store's join key
         assert all(r["__fp__"] is not None for r in rows)
 
     def test_replayed_batch_is_idempotent(self, spark, tmp_path):
-        # simulate a replay (crash between append and checkpoint commit):
+        # simulate a replay (crash between commit and checkpoint commit):
         # run the SAME source through a FRESH checkpoint — every doc is
-        # already in the store, so the anti join drops all of them
-        from hbsir_old_spark.streaming.sink import run_dedup_ingest
+        # already in the store, so the anti join drops all of them and
+        # the all-duplicate batch commits nothing (no empty batch dirs)
+        from hbsir_old_spark.streaming.sink import (
+            _read_manifest,
+            run_dedup_ingest,
+        )
 
         src, store, _ = self._ingest(
             spark, tmp_path, [(1, "alpha doc"), (2, "beta doc")], "b"
         )
-        n_before = spark.read.parquet(store).count()
+        n_before = len(self._store_rows(spark, store))
+        manifest_before = _read_manifest(store)
         stream = spark.readStream.schema("doc_id long, text string").parquet(src)
         q = run_dedup_ingest(stream, store, str(tmp_path / "ckpt_b2"))
         q.awaitTermination(120)
-        assert spark.read.parquet(store).count() == n_before
+        assert len(self._store_rows(spark, store)) == n_before
+        assert _read_manifest(store) == manifest_before
 
     def test_null_text_rows_are_dropped_not_stored(self, spark, tmp_path):
         # a NULL text fingerprints to NULL, which the anti join can never
@@ -137,18 +151,118 @@ class TestDedupIngest:
         stream = spark.readStream.schema("doc_id long, text string").parquet(src)
         q = run_dedup_ingest(stream, store, str(tmp_path / "ckpt_n"))
         q.awaitTermination(120)
-        assert {r["doc_id"] for r in spark.read.parquet(store).collect()} == {1}
+        assert {r["doc_id"] for r in self._store_rows(spark, store)} == {1}
         # replay with a fresh checkpoint: still exactly one row
         stream = spark.readStream.schema("doc_id long, text string").parquet(src)
         q = run_dedup_ingest(stream, store, str(tmp_path / "ckpt_n2"))
         q.awaitTermination(120)
-        assert spark.read.parquet(store).count() == 1
+        assert len(self._store_rows(spark, store)) == 1
+
+
+class TestDedupIngestManifestCommit:
+    """The atomic-commit seam itself (VERDICT r10 next-round #4): a batch
+    becomes part of the store ONLY when the manifest rename lands — a
+    kill between data write and manifest commit replays with no
+    duplicate and no loss, and uncommitted/torn data directories are
+    invisible to readers."""
+
+    def test_uncommitted_and_torn_dirs_are_invisible(self, spark, tmp_path):
+        import os
+
+        from hbsir_old_spark.streaming.sink import read_dedup_store
+
+        src = str(tmp_path / "src_t")
+        store = str(tmp_path / "store_t")
+        spark.createDataFrame(
+            [(1, "alpha doc")], ["doc_id", "text"]
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        from hbsir_old_spark.streaming.sink import run_dedup_ingest
+
+        q = run_dedup_ingest(stream, store, str(tmp_path / "ckpt_t"))
+        q.awaitTermination(120)
+        # a crash mid-write leaves a half-written (here: torn) data dir
+        # that no manifest references — readers must not see it
+        torn = os.path.join(store, "data", "batch-zz-crashed")
+        os.makedirs(torn)
+        with open(os.path.join(torn, "part-00000.parquet"), "wb") as f:
+            f.write(b"\x00not a parquet footer")
+        rows = read_dedup_store(spark, store).collect()
+        assert {r["doc_id"] for r in rows} == {1}
+
+    def test_kill_between_data_write_and_commit_replays_clean(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import os
+
+        import hbsir_old_spark.streaming.sink as sink_mod
+
+        src = str(tmp_path / "src_k")
+        store = str(tmp_path / "store_k")
+        ckpt = str(tmp_path / "ckpt_k")
+        spark.createDataFrame(
+            [(1, "alpha doc"), (2, "ALPHA   doc"), (3, "beta doc")],
+            ["doc_id", "text"],
+        ).write.mode("append").parquet(src)
+
+        real_commit = sink_mod._commit_manifest
+        calls = {"n": 0}
+
+        def crashing_commit(store_dir, batches):
+            calls["n"] += 1
+            raise OSError("injected crash before manifest rename")
+
+        monkeypatch.setattr(sink_mod, "_commit_manifest", crashing_commit)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = sink_mod.run_dedup_ingest(stream, store, ckpt)
+        failed = False
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            failed = True
+        failed = failed or q.exception() is not None
+        assert failed, "query should have failed on the injected crash"
+        assert calls["n"] >= 1
+        # the data directory exists but nothing committed: readers see an
+        # empty store
+        assert sink_mod.read_dedup_store(spark, store) is None
+        assert os.path.isdir(os.path.join(store, "data"))
+
+        # restart with the SAME checkpoint: the failed batch replays,
+        # overwrites its own epoch directory, and commits — exactly the
+        # expected rows, exactly one committed batch, no duplicates
+        monkeypatch.setattr(sink_mod, "_commit_manifest", real_commit)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = sink_mod.run_dedup_ingest(stream, store, ckpt)
+        q.awaitTermination(120)
+        rows = sink_mod.read_dedup_store(spark, store).collect()
+        assert {r["doc_id"] for r in rows} == {1, 3}
+        assert len(rows) == 2
+        assert sink_mod._read_manifest(store) == ["batch-00000000"]
+
+    def test_commit_is_atomic_rename(self, spark, tmp_path):
+        # no window where manifest.json is torn: the temp file is written
+        # and fsynced first, and os.replace publishes it whole. Pin the
+        # mechanism (no .tmp leftovers after a clean commit).
+        import os
+
+        from hbsir_old_spark.streaming.sink import (
+            _commit_manifest,
+            _read_manifest,
+        )
+
+        store = str(tmp_path / "store_a")
+        os.makedirs(store)
+        _commit_manifest(store, ["batch-00000000"])
+        assert _read_manifest(store) == ["batch-00000000"]
+        leftovers = [p for p in os.listdir(store) if p.startswith("manifest.json.tmp")]
+        assert leftovers == []
 
 
 class TestDedupIngestBloom:
     """The bloom-accelerated ingest path must behave identically to the
     exact path: cross-batch dedup, session-warmup rebuild, and replay
-    idempotence (the merge-before-append crash ordering)."""
+    idempotence (the merge-before-commit crash ordering)."""
 
     def _run(self, spark, src, store, ckpt):
         from hbsir_old_spark.streaming.sink import run_dedup_ingest
@@ -156,6 +270,13 @@ class TestDedupIngestBloom:
         stream = spark.readStream.schema("doc_id long, text string").parquet(src)
         q = run_dedup_ingest(stream, store, ckpt, use_bloom=True)
         q.awaitTermination(120)
+
+    @staticmethod
+    def _ids(spark, store):
+        from hbsir_old_spark.streaming.sink import read_dedup_store
+
+        df = read_dedup_store(spark, store)
+        return set() if df is None else {r["doc_id"] for r in df.collect()}
 
     def test_bloom_ingest_dedups_across_batches_and_sessions(
         self, spark, tmp_path
@@ -167,7 +288,7 @@ class TestDedupIngestBloom:
             ["doc_id", "text"],
         ).write.mode("append").parquet(src)
         self._run(spark, src, store, str(tmp_path / "ckpt_bl1"))
-        assert {r["doc_id"] for r in spark.read.parquet(store).collect()} == {1, 3}
+        assert self._ids(spark, store) == {1, 3}
         # second delivery, NEW writer (fresh bloom state): the session
         # warmup must rebuild the filter from the store so doc 10 (a dup
         # of stored doc 3) is dropped, not false-kept
@@ -175,11 +296,7 @@ class TestDedupIngestBloom:
             [(10, "beta DOC"), (11, "gamma doc")], ["doc_id", "text"]
         ).write.mode("append").parquet(src)
         self._run(spark, src, store, str(tmp_path / "ckpt_bl1"))
-        assert {r["doc_id"] for r in spark.read.parquet(store).collect()} == {
-            1,
-            3,
-            11,
-        }
+        assert self._ids(spark, store) == {1, 3, 11}
 
     def test_bloom_replay_is_idempotent(self, spark, tmp_path):
         src = str(tmp_path / "src_br")
@@ -188,12 +305,12 @@ class TestDedupIngestBloom:
             [(1, "alpha doc"), (2, "beta doc")], ["doc_id", "text"]
         ).write.mode("append").parquet(src)
         self._run(spark, src, store, str(tmp_path / "ckpt_br1"))
-        n = spark.read.parquet(store).count()
+        n = len(self._ids(spark, store))
         # replay through a FRESH checkpoint AND fresh bloom state: the
         # warmup rebuild covers the store, so every doc bloom-hits and the
         # verify join drops them all
         self._run(spark, src, store, str(tmp_path / "ckpt_br2"))
-        assert spark.read.parquet(store).count() == n
+        assert len(self._ids(spark, store)) == n
 
 
 class TestStreamingFunnel:
