@@ -1,11 +1,12 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the actual decode is STUBBED:
-``decode_image``/``decode_audio`` raise NotImplementedError unless a
-deterministic fake decoder is requested. Everything Spark-side is real and
-tested — schemas, batch iteration, partitioning, UDF signatures — so
-swapping in PIL/torchaudio later touches only ``_real_decode_*``.
+Image decode is REAL behind an optional-dependency guard: Pillow when
+installed, else a built-in minimal pure-stdlib PNG decoder (so the real
+path stays exercisable end-to-end in codec-less containers); audio decode
+remains a stub raising NotImplementedError (install soundfile/torchaudio
+and fill in ``_real_decode_audio``). Everything Spark-side is real and
+tested — schemas, batch iteration, partitioning, UDF signatures.
 
 Scale notes: media bytes ride in parquet binary columns; mapInPandas streams
 Arrow record batches so a 100 TB corpus is processed one batch at a time per
@@ -56,15 +57,120 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("content_sha", T.StringType(), True),
         T.StructField("features", T.ArrayType(T.FloatType()), True),
+        # real decode results (width/height/channels) when the REAL
+        # decode path ran; NULL on the fake path and for kinds whose
+        # codec is still stubbed
+        T.StructField(
+            "decoded",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("channels", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
     ]
 )
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png_minimal(content: bytes) -> np.ndarray:
+    """Minimal pure-stdlib PNG decoder (the public PNG spec / RFC 2083):
+    8-bit non-interlaced greyscale/RGB/RGBA, all five scanline filters
+    (None/Sub/Up/Average/Paeth). Exists so the REAL decode path is
+    exercisable end-to-end in codec-less environments — per-pixel Python
+    unfiltering is fine for small fixtures, and production environments
+    install Pillow, which takes precedence in :func:`_real_decode_image`.
+    Returns an HxWxC uint8 array."""
+    import struct
+    import zlib
+
+    if not content or not content.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG byte stream")
+    pos = len(_PNG_MAGIC)
+    width = height = colortype = None
+    idat = b""
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bitdepth, colortype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bitdepth != 8 or interlace != 0 or colortype not in (0, 2, 6):
+                raise NotImplementedError(
+                    "minimal PNG decoder handles 8-bit non-interlaced "
+                    "greyscale/RGB/RGBA only; install pillow for the rest"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR chunk")
+    channels = {0: 1, 2: 3, 6: 4}[colortype]
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    bpp = channels
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for y in range(height):
+        f = raw[p]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=p + 1).copy()
+        p += stride + 1
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (int(line[i]) + int(line[i - bpp])) & 0xFF
+        elif f == 2:  # Up
+            line = ((line.astype(np.int32) + prev) & 0xFF).astype(np.uint8)
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                line[i] = (int(line[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (int(line[i]) + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = line
+        prev = line
+    return out.reshape(height, width, channels)
+
 
 def _real_decode_image(content: bytes) -> np.ndarray:
-    raise NotImplementedError(
-        "image codecs are not available in this container; "
-        "install pillow and decode here (bytes -> HxWxC array)"
-    )
+    """Real image decode (bytes -> HxWxC uint8 array) behind the optional-
+    dependency guard: Pillow when installed (any format it reads);
+    otherwise the built-in minimal PNG decoder for PNG bytes; otherwise
+    the documented NotImplementedError seam."""
+    try:
+        from PIL import Image  # optional; absent in this container
+    except ImportError:
+        if content and content.startswith(_PNG_MAGIC):
+            return _decode_png_minimal(content)
+        raise NotImplementedError(
+            "no image codec available for these bytes: install pillow "
+            "(any format), or supply PNG bytes for the built-in minimal "
+            "decoder"
+        )
+    import io
+
+    arr = np.asarray(Image.open(io.BytesIO(content)))
+    return arr if arr.ndim == 3 else arr[:, :, None]
 
 
 def _real_decode_audio(content: bytes) -> np.ndarray:
@@ -87,18 +193,33 @@ def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 def extract_features(assets: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
     """Decode + featurize every asset via mapInPandas (Arrow batches).
 
-    With ``use_fake_decoder=False`` this calls the real (stubbed) codecs and
-    raises NotImplementedError — the documented extension point.
+    With ``use_fake_decoder=False`` images run the REAL decode path
+    (:func:`_real_decode_image`: Pillow when installed, the built-in
+    minimal PNG decoder otherwise) and the ``decoded`` struct carries the
+    true (width, height, channels); audio still raises
+    NotImplementedError — the remaining documented extension point. The
+    fake path leaves ``decoded`` NULL and touches no codec.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_fake_decoder:
+            decoded: list[dict | None] = []
+            if use_fake_decoder:
+                decoded = [None] * len(pdf)
+            else:
                 for kind, content in zip(pdf["kind"], pdf["content"]):
                     if kind == "audio":
                         _real_decode_audio(content)
+                        decoded.append(None)
                     else:
-                        _real_decode_image(content)
+                        arr = _real_decode_image(content)
+                        decoded.append(
+                            {
+                                "width": int(arr.shape[1]),
+                                "height": int(arr.shape[0]),
+                                "channels": int(arr.shape[2]),
+                            }
+                        )
             out = pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -108,6 +229,7 @@ def extract_features(assets: DataFrame, use_fake_decoder: bool = True) -> DataFr
                         lambda b: hashlib.sha256(b or b"").hexdigest()
                     ),
                     "features": pdf["content"].map(lambda b: _fake_features(b).tolist()),
+                    "decoded": decoded,
                 }
             )
             yield out
