@@ -769,14 +769,31 @@ def simhash_pairs(
     bits: int = 32,
     chunk_bits: int = 8,
     max_hamming: int = 3,
+    hot_bucket_cap: int | None = 256,
+    hot_bucket_anchors: int = 8,
 ) -> DataFrame:
     """SimHash near-dup pairs. Candidates = docs sharing any ``chunk_bits``
     slice of the fingerprint. Pigeonhole guarantee: recall is COMPLETE only
     for ``max_hamming <= bits/chunk_bits - 1`` (the default); a larger
     ``max_hamming`` still works but pairs whose differing bits spread
-    across every chunk are missed (approximate, like every banding LSH)."""
+    across every chunk are missed (approximate, like every banding LSH).
+
+    Hot chunk-buckets are bounded exactly like
+    :func:`minhash_lsh_pairs`'s band buckets (a near-dup mega-cluster
+    shares every fingerprint chunk): buckets above ``hot_bucket_cap``
+    switch to star generation around the ``hot_bucket_anchors``
+    smallest-id members — candidates linear in bucket size, hamming
+    still computed exactly on every emitted pair, cluster connectivity
+    preserved for true near-identical clusters (their members sit within
+    ``max_hamming`` of the anchors too). At/under the cap the pair set
+    is bit-identical to the uncapped path; ``hot_bucket_cap=None``
+    restores unbounded all-pairs generation."""
     chunks = bits // chunk_bits
     mask = (1 << chunk_bits) - 1
+    if hot_bucket_cap is not None and hot_bucket_cap < 1:
+        raise ValueError(f"hot_bucket_cap must be >= 1 or None, got {hot_bucket_cap}")
+    if hot_bucket_anchors < 1:
+        raise ValueError(f"hot_bucket_anchors must be >= 1, got {hot_bucket_anchors}")
     df = ensure_min_partitions(df)
     sh = df.select(F.col(id_col).alias("__id__"), simhash(text_col, bits).alias("__sh__"))
     banded = sh.select(
@@ -794,19 +811,54 @@ def simhash_pairs(
             )
         ).alias("__c__"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.__c__") == F.col("b.__c__")) & (F.col("a.__id__") < F.col("b.__id__")),
+    if hot_bucket_cap is not None:
+        # materialize once: the size agg, both cold join sides, the hot
+        # sliver, and the anchor selection would otherwise each re-run
+        # the simhash fold (the minhash path's checkpoint rationale)
+        banded = banded.localCheckpoint(eager=True)
+        sizes = banded.groupBy("__c__").agg(F.count("*").alias("__bsz__"))
+        with_sz = banded.join(sizes, "__c__")
+        cold = with_sz.filter(F.col("__bsz__") <= hot_bucket_cap).drop("__bsz__")
+        hot = with_sz.filter(F.col("__bsz__") > hot_bucket_cap).drop("__bsz__")
+        anchors = salted_limit_per_group(
+            hot, ["__c__"], [F.col("__id__")], hot_bucket_anchors, "__id__"
+        ).select(
+            "__c__",
+            F.col("__id__").alias("__aid__"),
+            F.col("__sh__").alias("__ash__"),
         )
-        .select(
+        a, b = cold.alias("a"), cold.alias("b")
+        cold_pairs = a.join(
+            b,
+            (F.col("a.__c__") == F.col("b.__c__"))
+            & (F.col("a.__id__") < F.col("b.__id__")),
+        ).select(
             F.col("a.__id__").alias("id_a"),
             F.col("b.__id__").alias("id_b"),
             hamming_distance(F.col("a.__sh__"), F.col("b.__sh__")).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= max_hamming)
+        hot_pairs = (
+            hot.join(anchors, "__c__")
+            .filter(F.col("__id__") != F.col("__aid__"))
+            .select(
+                F.least("__id__", "__aid__").alias("id_a"),
+                F.greatest("__id__", "__aid__").alias("id_b"),
+                hamming_distance(F.col("__sh__"), F.col("__ash__")).alias("hamming"),
+            )
+        )
+        cand = cold_pairs.unionByName(hot_pairs)
+    else:
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.__c__") == F.col("b.__c__")) & (F.col("a.__id__") < F.col("b.__id__")),
+        ).select(
+            F.col("a.__id__").alias("id_a"),
+            F.col("b.__id__").alias("id_b"),
+            hamming_distance(F.col("a.__sh__"), F.col("b.__sh__")).alias("hamming"),
+        )
+    return cand.dropDuplicates(["id_a", "id_b"]).filter(
+        F.col("hamming") <= max_hamming
     )
 
 
@@ -1199,6 +1251,8 @@ def near_dedup_against(
     out_col: str = "near_dup_of",
     jaccard_col: str = "near_dup_jaccard",
     store_bands: DataFrame | None = None,
+    hot_bucket_cap: int | None = 256,
+    hot_bucket_anchors: int = 8,
 ) -> DataFrame:
     """Incremental NEAR dedup: annotate every ``batch`` document with the
     store document it near-duplicates (Jaccard over word ``n``-grams >=
@@ -1237,6 +1291,18 @@ def near_dedup_against(
     Ties: among qualifying store matches the MINIMUM store id wins (its
     jaccard is reported) — same deterministic rule as the x23/x38
     canonical pick.
+
+    ``hot_bucket_cap``/``hot_bucket_anchors`` bound the LSH paths' hot
+    band-buckets (LSH modes only; exact mode has no buckets): the
+    side-tagged union path inherits :func:`minhash_lsh_pairs`' star
+    generation, and the ``store_bands`` probe caps hot STORE buckets to
+    their ``hot_bucket_anchors`` smallest-id members — a batch doc
+    probing a near-dup mega-cluster verifies against the cluster's
+    smallest ids instead of all 10^5+ of them, and since the output
+    keeps the MINIMUM verified store id, a true mega-cluster match
+    reports the same id capped or not (the min id IS an anchor). Only a
+    dissimilar hash-collision pair hiding in a hot bucket can be missed
+    — the same probabilistic trade LSH already makes.
     """
     if mode not in ("lsh", "exact"):
         raise ValueError(f"mode must be 'lsh' or 'exact', got {mode!r}")
@@ -1282,6 +1348,30 @@ def near_dedup_against(
             n=n, num_perm=num_perm, bands=bands,
         ).select(F.col(id_col).alias("__bid__"), "band", "bh")
         sb = store_bands.select(F.col(sid).alias("__sid__"), "band", "bh")
+        if hot_bucket_cap is not None:
+            if hot_bucket_cap < 1:
+                raise ValueError(
+                    f"hot_bucket_cap must be >= 1 or None, got {hot_bucket_cap}"
+                )
+            if hot_bucket_anchors < 1:
+                raise ValueError(
+                    f"hot_bucket_anchors must be >= 1, got {hot_bucket_anchors}"
+                )
+            # one partial agg over the persisted band table; the size join
+            # pre-shuffles sb on the (band, bh) key the candidate join
+            # needs anyway. Hot store buckets collapse to their k
+            # smallest-id members (see the docstring trade).
+            ssizes = sb.groupBy("band", "bh").agg(F.count("*").alias("__bsz__"))
+            sbz = sb.join(ssizes, ["band", "bh"])
+            s_cold = sbz.filter(F.col("__bsz__") <= hot_bucket_cap).drop("__bsz__")
+            s_hot = salted_limit_per_group(
+                sbz.filter(F.col("__bsz__") > hot_bucket_cap).drop("__bsz__"),
+                ["band", "bh"],
+                [F.col("__sid__")],
+                hot_bucket_anchors,
+                "__sid__",
+            )
+            sb = s_cold.unionByName(s_hot)
         cand = (
             bb.join(sb, ["band", "bh"])
             .select("__bid__", "__sid__")
@@ -1341,7 +1431,8 @@ def near_dedup_against(
         pairs = minhash_lsh_pairs(
             b_tagged.unionByName(s_tagged), id_col="__uid__",
             text_col="__text__", n=n, num_perm=num_perm, bands=bands,
-            threshold=threshold,
+            threshold=threshold, hot_bucket_cap=hot_bucket_cap,
+            hot_bucket_anchors=hot_bucket_anchors,
         )
         side = lambda c: F.substring(c, 1, 2)
         raw = lambda c: F.expr(f"substring({c}, 3)")

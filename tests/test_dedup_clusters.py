@@ -756,3 +756,148 @@ class TestLshHotBuckets:
             minhash_lsh_pairs(df, hot_bucket_cap=0)
         with pytest.raises(ValueError, match="hot_bucket_anchors"):
             minhash_lsh_pairs(df, hot_bucket_anchors=0)
+
+
+class TestSimhashHotBuckets:
+    """simhash_pairs shares minhash_lsh_pairs' mega-cluster hazard (all
+    members share every fingerprint chunk); same star bound, same pins."""
+
+    MEGA = 8_000
+
+    def _mega(self, spark):
+        base = " ".join(f"w{i}" for i in range(25))
+        return spark.range(self.MEGA).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", F.lit(base), F.concat(F.lit("v"), F.col("id"))).alias(
+                "text"
+            ),
+        )
+
+    def test_mega_cluster_linear_and_connected(self, spark):
+        from hbsir_old_spark.functions.dedup import simhash_pairs
+
+        pairs = simhash_pairs(
+            self._mega(spark),
+            bits=32,
+            chunk_bits=8,
+            max_hamming=3,
+            hot_bucket_cap=256,
+            hot_bucket_anchors=8,
+        ).localCheckpoint(eager=True)
+        cnt = pairs.count()
+        assert 0 < cnt <= self.MEGA * 40, f"candidate blow-up: {cnt} pairs"
+        comp = connected_components(pairs)
+        n_nodes = comp.count()
+        # members whose unique token flips > max_hamming bits vs the
+        # anchors are missed by SIMHASH itself, not the cap
+        assert n_nodes >= self.MEGA * 0.9, f"only {n_nodes} docs in pair graph"
+        biggest = (
+            comp.groupBy("component").count().agg(F.max("count")).collect()[0][0]
+        )
+        assert biggest >= n_nodes * 0.95, (
+            f"mega-cluster fragmented: biggest {biggest}/{n_nodes}"
+        )
+
+    def test_cap_is_a_noop_on_normal_corpora(self, spark, sf_dir):
+        from hbsir_old_spark.functions.dedup import simhash_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        perturbed = docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+        corpus = docs.unionByName(perturbed)
+
+        def pair_set(cap):
+            out = simhash_pairs(corpus, bits=32, chunk_bits=8, hot_bucket_cap=cap)
+            return {(r["id_a"], r["id_b"], r["hamming"]) for r in out.collect()}
+
+        assert pair_set(256) == pair_set(None)
+
+    def test_validation(self, spark):
+        import pytest
+
+        from hbsir_old_spark.functions.dedup import simhash_pairs
+
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="hot_bucket_cap"):
+            simhash_pairs(df, hot_bucket_cap=0)
+        with pytest.raises(ValueError, match="hot_bucket_anchors"):
+            simhash_pairs(df, hot_bucket_anchors=0)
+
+
+class TestStoreBandsHotBuckets:
+    """The store_bands refresh probe's hot-bucket bound: a mega-cluster
+    in the STORE collapses to its smallest-id anchors per bucket, and
+    because the output keeps the MINIMUM verified store id, a true
+    cluster match reports the same id capped or uncapped."""
+
+    def test_mega_cluster_store_probe_keeps_min_id_matches(self, spark):
+        from hbsir_old_spark.functions.dedup import (
+            minhash_band_hashes,
+            near_dedup_against,
+        )
+
+        base = " ".join(f"w{i}" for i in range(25))
+        # store: 5000-member near-identical cluster (ids 100..5099) plus
+        # distinct normal docs (ids 0..9)
+        cluster = spark.range(100, 5100).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", F.lit(base), F.concat(F.lit("s"), F.col("id"))).alias(
+                "text"
+            ),
+        )
+        normal = spark.range(10).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("unique"), F.col("id")),
+                F.concat(F.lit("topic"), F.col("id") * 7),
+                F.concat(F.lit("words"), F.col("id") * 13),
+                F.concat(F.lit("here"), F.col("id") * 29),
+            ).alias("text"),
+        )
+        store = cluster.unionByName(normal)
+        persisted = minhash_band_hashes(
+            store, n=2, num_perm=16, bands=4
+        ).localCheckpoint(eager=True)
+        # batch: 20 fresh near-copies of the cluster template + 5 novel
+        probe = spark.range(20).select(
+            (F.col("id") + 1_000_000).alias("doc_id"),
+            F.concat_ws(" ", F.lit(base), F.concat(F.lit("b"), F.col("id"))).alias(
+                "text"
+            ),
+        )
+        novel = spark.range(5).select(
+            (F.col("id") + 2_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("fresh"), F.col("id")),
+                F.concat(F.lit("novel"), F.col("id") * 3),
+                F.concat(F.lit("content"), F.col("id") * 11),
+            ).alias("text"),
+        )
+        batch = probe.unionByName(novel)
+        out = near_dedup_against(
+            batch,
+            store,
+            mode="lsh",
+            threshold=0.5,
+            n=2,
+            num_perm=16,
+            bands=4,
+            store_bands=persisted,
+            hot_bucket_cap=256,
+            hot_bucket_anchors=8,
+        )
+        got = {r["doc_id"]: r["near_dup_of"] for r in out.collect()}
+        # every cluster near-copy matches, and to the cluster's MINIMUM
+        # id (100) — the anchor property: the min id survives the cap
+        for i in range(20):
+            assert got[1_000_000 + i] == 100, (
+                f"batch doc {1_000_000 + i} matched {got[1_000_000 + i]}"
+            )
+        for i in range(5):
+            assert got[2_000_000 + i] is None
