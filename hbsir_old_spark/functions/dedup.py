@@ -565,6 +565,45 @@ def minhash_band_hashes(
     )
 
 
+def cap_band_buckets(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    hot_bucket_cap: int = 256,
+    hot_bucket_anchors: int = 8,
+) -> DataFrame:
+    """WRITE-TIME star-cap for a persisted band-hash table
+    (:func:`minhash_band_hashes`): buckets above ``hot_bucket_cap``
+    keep only their ``hot_bucket_anchors`` smallest-id members. Apply
+    this once at ingest, before persisting/bucketing the table
+    (``operators/scale.py:write_bucketed`` on ``["band", "bh"]``), and
+    every later refresh probes a bounded table with ZERO store-side work
+    — pass ``hot_bucket_cap=None`` to :func:`near_dedup_against` then,
+    so the probe rides the bucketed layout with no store-side Exchange
+    (probe-side capping re-shuffles the band table and is only the
+    fallback for tables persisted without this cap).
+
+    Keeping the smallest ids preserves the probe's min-id output rule
+    for true mega-clusters: the minimum id of the cluster is always
+    among the retained members. Appends stay bounded: each appended
+    batch's table is capped independently, so a bucket grows by at most
+    ``hot_bucket_anchors`` per append."""
+    if hot_bucket_cap < 1:
+        raise ValueError(f"hot_bucket_cap must be >= 1, got {hot_bucket_cap}")
+    if hot_bucket_anchors < 1:
+        raise ValueError(f"hot_bucket_anchors must be >= 1, got {hot_bucket_anchors}")
+    sizes = bands.groupBy("band", "bh").agg(F.count("*").alias("__bsz__"))
+    with_sz = bands.join(sizes, ["band", "bh"])
+    cold = with_sz.filter(F.col("__bsz__") <= hot_bucket_cap).drop("__bsz__")
+    hot = salted_limit_per_group(
+        with_sz.filter(F.col("__bsz__") > hot_bucket_cap).drop("__bsz__"),
+        ["band", "bh"],
+        [F.col(id_col)],
+        hot_bucket_anchors,
+        id_col,
+    )
+    return cold.unionByName(hot.select(*cold.columns))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1302,7 +1341,11 @@ def near_dedup_against(
     keeps the MINIMUM verified store id, a true mega-cluster match
     reports the same id capped or not (the min id IS an anchor). Only a
     dissimilar hash-collision pair hiding in a hot bucket can be missed
-    — the same probabilistic trade LSH already makes.
+    — the same probabilistic trade LSH already makes. Probe-side capping
+    re-shuffles the band table, so for a table already capped AT INGEST
+    (:func:`cap_band_buckets`) and bucketed on ``(band, bh)``, pass
+    ``hot_bucket_cap=None``: the probe then rides the bucketed layout
+    with no store-side Exchange at all (pinned by test).
     """
     if mode not in ("lsh", "exact"):
         raise ValueError(f"mode must be 'lsh' or 'exact', got {mode!r}")

@@ -901,3 +901,105 @@ class TestStoreBandsHotBuckets:
             )
         for i in range(5):
             assert got[2_000_000 + i] is None
+
+
+class TestCapBandBuckets:
+    """Write-time star cap for persisted band tables: the ingest-side
+    complement of the probe-side cap — cap once, probe zero-Exchange."""
+
+    def test_noop_below_cap_and_star_above(self, spark):
+        from hbsir_old_spark.functions.dedup import cap_band_buckets
+
+        rows = (
+            # cold bucket: 3 members, all survive
+            [(i, 0, 111) for i in range(3)]
+            # hot bucket: 50 members, only the k smallest ids survive
+            + [(i, 1, 222) for i in range(50)]
+        )
+        bands = spark.createDataFrame(rows, "doc_id long, band int, bh int")
+        out = cap_band_buckets(bands, hot_bucket_cap=10, hot_bucket_anchors=4)
+        got = {(r["band"], r["bh"]): [] for r in out.collect()}
+        for r in out.collect():
+            got[(r["band"], r["bh"])].append(r["doc_id"])
+        assert sorted(got[(0, 111)]) == [0, 1, 2]
+        assert sorted(got[(1, 222)]) == [0, 1, 2, 3]  # the 4 smallest ids
+
+    def test_validation(self, spark):
+        import pytest
+
+        from hbsir_old_spark.functions.dedup import cap_band_buckets
+
+        bands = spark.createDataFrame([(1, 0, 1)], "doc_id long, band int, bh int")
+        with pytest.raises(ValueError, match="hot_bucket_cap"):
+            cap_band_buckets(bands, hot_bucket_cap=0)
+        with pytest.raises(ValueError, match="hot_bucket_anchors"):
+            cap_band_buckets(bands, hot_bucket_anchors=0)
+
+    def test_bucketed_capped_store_probe_has_no_store_side_exchange(self, spark):
+        # THE 100-TB refresh shape end-to-end: bands capped at ingest
+        # (cap_band_buckets) -> bucketed on (band, bh) -> probe with
+        # hot_bucket_cap=None rides the bucketed layout: no Exchange above
+        # the store-bands scan in the candidate join, only the batch side
+        # shuffles (the dedup_against bucketed-fingerprint precedent)
+        from hbsir_old_spark.functions.dedup import (
+            cap_band_buckets,
+            minhash_band_hashes,
+            near_dedup_against,
+        )
+        from hbsir_old_spark.operators.scale import write_bucketed
+
+        store = spark.createDataFrame(
+            [(i, f"stored document number {i} with shared words") for i in range(40)],
+            ["doc_id", "text"],
+        )
+        bands = cap_band_buckets(
+            minhash_band_hashes(store, n=2, num_perm=16, bands=4)
+        )
+        write_bucketed(bands, "near_store_bands_bucketed", ["band", "bh"], 8)
+        threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            persisted = spark.table("near_store_bands_bucketed")
+            batch = spark.createDataFrame(
+                [
+                    (100, "stored document number 7 with shared words"),
+                    (101, "a genuinely novel text string nothing shares"),
+                ],
+                ["doc_id", "text"],
+            )
+            out = near_dedup_against(
+                batch,
+                store,
+                mode="lsh",
+                # 0.6 keeps only the true twin: every other store doc
+                # shares exactly 4 of 6 bigrams = jaccard 0.5
+                threshold=0.6,
+                n=2,
+                num_perm=16,
+                bands=4,
+                store_bands=persisted,
+                hot_bucket_cap=None,
+            )
+            got = {r["doc_id"]: r["near_dup_of"] for r in out.collect()}
+            assert got[100] == 7 and got[101] is None
+            # the probe's candidate join sits behind an eager
+            # localCheckpoint inside near_dedup_against, so pin the plan
+            # on the SAME join shape explicitly: batch bands x bucketed
+            # store bands on (band, bh)
+            bb = minhash_band_hashes(
+                batch, n=2, num_perm=16, bands=4
+            ).select(F.col("doc_id").alias("__bid__"), "band", "bh")
+            cand = bb.join(
+                persisted.select(F.col("doc_id").alias("__sid__"), "band", "bh"),
+                ["band", "bh"],
+            )
+            plan = cand._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            # no Exchange between the join and the bucketed scan: the
+            # scan sits in the LAST exchange-split segment of the plan
+            # (only the batch side shuffles)
+            tail_after_last_exchange = plan.split("Exchange")[-1]
+            assert "near_store_bands_bucketed" in tail_after_last_exchange
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+            spark.sql("DROP TABLE IF EXISTS near_store_bands_bucketed")
