@@ -270,6 +270,171 @@ def dedup_ingest_batch_writer(
     return write
 
 
+def read_near_dedup_store(
+    spark: SparkSession, store_dir: str
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """Reader for a manifest-committed NEAR-dedup store: each committed
+    batch directory holds BOTH the novel documents (``docs/``, with
+    their persisted ``__fp__`` fingerprints) and their write-capped
+    band-hash table (``bands/``) — one manifest rename publishes the
+    PAIR atomically, so the two tables can never be observed out of
+    sync. Returns ``(docs, bands)`` or ``(None, None)`` before the first
+    commit."""
+    batches = _read_manifest(store_dir)
+    if not batches:
+        return None, None
+    docs = spark.read.parquet(
+        *[os.path.join(store_dir, "data", b, "docs") for b in batches]
+    )
+    bands = spark.read.parquet(
+        *[os.path.join(store_dir, "data", b, "bands") for b in batches]
+    )
+    return docs, bands
+
+
+def near_dedup_ingest_batch_writer(
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    hot_bucket_cap: int = 256,
+    hot_bucket_anchors: int = 8,
+) -> Callable[[DataFrame, int], None]:
+    """The FUZZY production ingest shape — the near-dedup composition of
+    this module's exact loop (the x44 pattern: the composition IS the
+    deliverable, no new operator code):
+
+    1. in-batch EXACT dedup (:func:`functions.dedup.exact_dedup`, min-id
+       canonical, fingerprints persisted as ``__fp__``);
+    2. in-batch NEAR dedup (:func:`minhash_lsh_pairs` — hot-bucket
+       bounded — then :func:`keep_cluster_representatives`);
+    3. cross-store EXACT screen: anti join on the store's persisted
+       fingerprint column (one pruned column, no re-hash);
+    4. cross-store NEAR screen: :func:`near_dedup_against` probing the
+       store's PERSISTED, WRITE-CAPPED band table (only the batch is
+       signed; ``hot_bucket_cap=None`` on the probe because
+       :func:`cap_band_buckets` already bounded the table at write
+       time);
+    5. manifest commit of the survivors' ``docs/`` AND their capped
+       ``bands/`` in ONE atomic rename — the two tables stay in sync
+       through any crash, and a replayed batch is all-exact-duplicates
+       (step 3 empties it) so it commits nothing.
+
+    The per-append band cap keeps every bucket's growth bounded by
+    ``hot_bucket_anchors`` per commit, so probe fan-out stays linear in
+    batch size even as the store accumulates boilerplate clusters.
+    """
+    from pyspark.sql import functions as F
+
+    from hbsir_old_spark.functions.dedup import (
+        cap_band_buckets,
+        exact_dedup,
+        keep_cluster_representatives,
+        minhash_band_hashes,
+        minhash_lsh_pairs,
+        near_dedup_against,
+    )
+    from hbsir_old_spark.functions.text import doc_fingerprint
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        docs, band_tbl = read_near_dedup_store(spark, store_dir)
+        tagged = batch.select(id_col, text_col).filter(F.col(text_col).isNotNull())
+        fresh = exact_dedup(
+            tagged.withColumn("__fp__", doc_fingerprint(text_col)),
+            text_col=text_col, id_col=id_col, fingerprint_col="__fp__",
+        )
+        in_batch_pairs = minhash_lsh_pairs(
+            fresh, id_col=id_col, text_col=text_col, n=n,
+            num_perm=num_perm, bands=bands, threshold=threshold,
+            hot_bucket_cap=hot_bucket_cap,
+            hot_bucket_anchors=hot_bucket_anchors,
+        )
+        fresh = keep_cluster_representatives(fresh, in_batch_pairs, id_col=id_col)
+        if docs is not None:
+            seen_fp = docs.select(F.col("__fp__").alias("__sfp__")).distinct()
+            fresh = fresh.join(
+                seen_fp, F.col("__fp__") == F.col("__sfp__"), "left_anti"
+            )
+            near = near_dedup_against(
+                fresh, docs, text_col=text_col, id_col=id_col,
+                mode="lsh", threshold=threshold, n=n,
+                num_perm=num_perm, bands=bands, store_bands=band_tbl,
+                hot_bucket_cap=None,  # the persisted table is write-capped
+            )
+            fresh = near.filter(F.col("near_dup_of").isNull()).drop(
+                "near_dup_of", "near_dup_jaccard"
+            )
+        # pin the survivors once: the emptiness check, the docs write,
+        # and the band-table derivation would each re-run the whole
+        # dedup cascade otherwise
+        fresh = fresh.localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            return
+        dir_name = f"batch-{epoch_id:08d}"
+        base = os.path.join(store_dir, "data", dir_name)
+        fresh.write.mode("overwrite").parquet(os.path.join(base, "docs"))
+        new_bands = cap_band_buckets(
+            minhash_band_hashes(
+                fresh, id_col=id_col, text_col=text_col,
+                n=n, num_perm=num_perm, bands=bands,
+            ),
+            id_col=id_col,
+            hot_bucket_cap=hot_bucket_cap,
+            hot_bucket_anchors=hot_bucket_anchors,
+        )
+        new_bands.write.mode("overwrite").parquet(os.path.join(base, "bands"))
+        batches = _read_manifest(store_dir)
+        if dir_name not in batches:
+            _commit_manifest(store_dir, batches + [dir_name])
+
+    return write
+
+
+def run_near_dedup_ingest(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_available_now: bool = True,
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    hot_bucket_cap: int = 256,
+    hot_bucket_anchors: int = 8,
+):
+    """Wire a streaming document source into the FUZZY dedup-ingest sink
+    (see :func:`near_dedup_ingest_batch_writer`): each micro-batch is
+    exact- AND near-deduped within itself and against the growing store,
+    and the novel survivors commit atomically together with their
+    write-capped band-hash table."""
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            near_dedup_ingest_batch_writer(
+                store_dir,
+                text_col=text_col,
+                id_col=id_col,
+                n=n,
+                num_perm=num_perm,
+                bands=bands,
+                threshold=threshold,
+                hot_bucket_cap=hot_bucket_cap,
+                hot_bucket_anchors=hot_bucket_anchors,
+            )
+        )
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_dedup_ingest(
     stream: DataFrame,
     store_dir: str,

@@ -330,3 +330,19 @@ def test_j10_broadcasts_dims_and_pushes_filters(spark, sf_dir):
     assert any("GreaterThanOrEqual(o_orderdate" in ln for ln in pushed), (
         "o_orderdate range did not reach the orders scan's PushedFilters"
     )
+
+
+def test_x22b_bloom_probe_is_broadcast_and_map_side(spark, sf_dir):
+    """The bloom ingest gate's shape: the filter rides to every task as
+    ONE broadcast row (BroadcastNestedLoopJoin against the single-row
+    bloom frame), the fingerprint verify is a (broadcast) hash anti join
+    — never a sort-merge join — and no Python executes anywhere. The
+    union-of-filters pattern re-reads the batch once per branch (misses /
+    hits), which is map-only; the point at scale is that only the HIT
+    sliver reaches the verify join's exchange."""
+    plan = plan_of(entry_mod.queries()["x22b_bloom_dedup"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # the broadcast bloom row
+    assert "LeftAnti" in plan  # the fingerprint verify
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan or "BuildRight, Cross" in plan

@@ -512,3 +512,104 @@ class TestStreamingFunnel:
         assert rows[0]["last_step_ms"] == int(
             (t0 + dt.timedelta(hours=1)).timestamp() * 1000
         )
+
+
+class TestNearDedupIngest:
+    """The FUZZY ingest loop (streaming/sink.py:run_near_dedup_ingest):
+    exact + near dedup within each batch and against the growing store,
+    with the docs and their write-capped band table committed atomically
+    by one manifest rename."""
+
+    A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    C = "one two three four five six seven eight nine ten"
+
+    def _run(self, spark, src, store, ckpt):
+        from hbsir_old_spark.streaming.sink import run_near_dedup_ingest
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        # bands=8 over 16 perms (rows=2): a jaccard-0.89 near copy
+        # misses all bands with prob ~7e-6 instead of the 4x4
+        # banding's ~2% (deterministic hashes, but keep the fixture
+        # far from the recall cliff)
+        q = run_near_dedup_ingest(stream, store, ckpt, threshold=0.5, bands=8)
+        q.awaitTermination(180)
+
+    @staticmethod
+    def _ids(spark, store):
+        from hbsir_old_spark.streaming.sink import read_near_dedup_store
+
+        docs, _ = read_near_dedup_store(spark, store)
+        return set() if docs is None else {r["doc_id"] for r in docs.collect()}
+
+    def test_fuzzy_ingest_dedups_within_and_across_batches(self, spark, tmp_path):
+        src = str(tmp_path / "src_nf")
+        store = str(tmp_path / "store_nf")
+        ckpt = str(tmp_path / "ckpt_nf")
+        spark.createDataFrame(
+            [
+                (1, self.A),
+                (2, self.A + " lambda"),  # in-batch NEAR copy of 1
+                (3, self.C),
+            ],
+            ["doc_id", "text"],
+        ).write.mode("append").parquet(src)
+        self._run(spark, src, store, ckpt)
+        assert self._ids(spark, store) == {1, 3}
+        # second delivery: an exact copy of a stored doc, a near copy of
+        # a stored doc, and a genuinely novel doc
+        spark.createDataFrame(
+            [
+                (10, self.C),               # exact copy of stored 3
+                (11, self.A + " mu"),       # NEAR copy of stored 1
+                (12, "red orange yellow green blue indigo violet pink brown black"),
+            ],
+            ["doc_id", "text"],
+        ).write.mode("append").parquet(src)
+        self._run(spark, src, store, ckpt)
+        assert self._ids(spark, store) == {1, 3, 12}
+
+    def test_replay_is_idempotent_and_commits_nothing(self, spark, tmp_path):
+        from hbsir_old_spark.streaming.sink import _read_manifest
+
+        src = str(tmp_path / "src_nr")
+        store = str(tmp_path / "store_nr")
+        spark.createDataFrame(
+            [(1, self.A), (2, self.C)], ["doc_id", "text"]
+        ).write.mode("append").parquet(src)
+        self._run(spark, src, store, str(tmp_path / "ckpt_nr1"))
+        ids = self._ids(spark, store)
+        manifest = _read_manifest(store)
+        # fresh checkpoint = full replay: the exact screen empties the
+        # batch, nothing commits (no empty batch dirs in the manifest)
+        self._run(spark, src, store, str(tmp_path / "ckpt_nr2"))
+        assert self._ids(spark, store) == ids
+        assert _read_manifest(store) == manifest
+
+    def test_docs_and_bands_commit_as_an_atomic_pair(self, spark, tmp_path):
+        import os
+
+        from hbsir_old_spark.streaming.sink import (
+            _read_manifest,
+            read_near_dedup_store,
+        )
+
+        src = str(tmp_path / "src_np")
+        store = str(tmp_path / "store_np")
+        spark.createDataFrame(
+            [(1, self.A), (2, self.C)], ["doc_id", "text"]
+        ).write.mode("append").parquet(src)
+        self._run(spark, src, store, str(tmp_path / "ckpt_np"))
+        docs, bands = read_near_dedup_store(spark, store)
+        doc_ids = {r["doc_id"] for r in docs.collect()}
+        band_rows = bands.collect()
+        # every committed doc has its band rows (8 bands each), and no
+        # band row references a doc outside the committed set — the two
+        # tables can never desync because one rename publishes both
+        assert {r["doc_id"] for r in band_rows} == doc_ids
+        per_doc = {}
+        for r in band_rows:
+            per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+        assert all(v == 8 for v in per_doc.values())
+        for b in _read_manifest(store):
+            assert os.path.isdir(os.path.join(store, "data", b, "docs"))
+            assert os.path.isdir(os.path.join(store, "data", b, "bands"))
