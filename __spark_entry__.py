@@ -1653,14 +1653,20 @@ def _x46b_bands_root(spark: SparkSession, sf_dir: str) -> str:
     root = _X46B_BANDS_ROOTS.get(sf_dir)
     if root is not None:
         return root
-    from hbsir_old_spark.functions.dedup import minhash_band_hashes
+    from hbsir_old_spark.functions.dedup import (
+        cap_band_buckets,
+        minhash_band_hashes,
+    )
 
     root = tempfile.mkdtemp(prefix="x46b_bands_")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     store = docs.filter(F.col("doc_id") % 2 == 1)
-    minhash_band_hashes(store, n=3, num_perm=16, bands=4).write.mode(
-        "overwrite"
-    ).parquet(root)
+    # write-capped, the recommended ingest shape: hot buckets star-capped
+    # ONCE here (a no-op on this corpus), so the probe runs with its own
+    # cap off and zero store-side re-shuffle
+    cap_band_buckets(
+        minhash_band_hashes(store, n=3, num_perm=16, bands=4)
+    ).write.mode("overwrite").parquet(root)
     _X46B_BANDS_ROOTS[sf_dir] = root
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     return root
@@ -1693,6 +1699,7 @@ def q_corpus_refresh_lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_perm=16,
         bands=4,
         store_bands=spark.read.parquet(root),
+        hot_bucket_cap=None,  # the persisted table is write-capped above
     )
     return near.select(
         "doc_id", "near_dup_of", F.col("near_dup_jaccard").alias("jaccard")
