@@ -586,11 +586,17 @@ def cap_band_buckets(
     for true mega-clusters: the minimum id of the cluster is always
     among the retained members. Appends stay bounded: each appended
     batch's table is capped independently, so a bucket grows by at most
-    ``hot_bucket_anchors`` per append."""
+    ``hot_bucket_cap`` per append (``hot_bucket_anchors`` when the
+    batch's own bucket was hot) — size probe fan-out from the cap, not
+    the anchor count."""
     if hot_bucket_cap < 1:
         raise ValueError(f"hot_bucket_cap must be >= 1, got {hot_bucket_cap}")
     if hot_bucket_anchors < 1:
         raise ValueError(f"hot_bucket_anchors must be >= 1, got {hot_bucket_anchors}")
+    # materialize once: the size agg, the size join, and both union
+    # branches would otherwise each re-run the caller's signature
+    # pipeline (the minhash/simhash checkpoint rationale)
+    bands = bands.localCheckpoint(eager=True)
     sizes = bands.groupBy("band", "bh").agg(F.count("*").alias("__bsz__"))
     with_sz = bands.join(sizes, ["band", "bh"])
     cold = with_sz.filter(F.col("__bsz__") <= hot_bucket_cap).drop("__bsz__")
@@ -1460,15 +1466,23 @@ def near_dedup_against(
             F.round(inter / union_sz, 6).alias("jaccard"),
         ).filter(F.col("jaccard") >= threshold)
     elif mode == "lsh":
-        # disjoint string surrogates: 'b:<id>' / 's:<id>' — pair ORDER from
-        # the pair fn is irrelevant here (we only classify sides), and the
-        # ids are cast back to their real types before the min-match pick
+        # disjoint string surrogates: 'a:<id>' = STORE, 'b:<id>' = batch —
+        # pair ORDER from the pair fn is irrelevant here (we only classify
+        # sides), and the ids are cast back to their real types before the
+        # min-match pick. The store prefix must sort FIRST: the hot-bucket
+        # star picks a bucket's smallest ids as anchors, and only
+        # batch<->store edges survive the cross filter below — store-first
+        # ordering makes a mixed mega-cluster's anchors store-side, so
+        # every non-anchor batch member keeps a surviving cross edge
+        # (batch-prefix-first anchors would leave only batch-batch star
+        # edges, silently reporting the whole cluster novel; caught by a
+        # review pass, pinned by TestUnionLshHotBuckets)
         b_tagged = batch.select(
             F.concat(F.lit("b:"), F.col(id_col).cast("string")).alias("__uid__"),
             F.col(text_col).alias("__text__"),
         )
         s_tagged = store.select(
-            F.concat(F.lit("s:"), F.col(sid).cast("string")).alias("__uid__"),
+            F.concat(F.lit("a:"), F.col(sid).cast("string")).alias("__uid__"),
             F.col(stext).alias("__text__"),
         )
         pairs = minhash_lsh_pairs(
@@ -1485,7 +1499,7 @@ def near_dedup_against(
             .otherwise(raw("id_b"))
             .cast(batch_type)
             .alias("__bid__"),
-            F.when(side(F.col("id_a")) == "s:", raw("id_a"))
+            F.when(side(F.col("id_a")) == "a:", raw("id_a"))
             .otherwise(raw("id_b"))
             .cast(store_type)
             .alias("__sid__"),

@@ -169,7 +169,15 @@ def _real_decode_image(content: bytes) -> np.ndarray:
         )
     import io
 
-    arr = np.asarray(Image.open(io.BytesIO(content)))
+    img = Image.open(io.BytesIO(content))
+    # normalize to the contract: palette images would otherwise surface
+    # raw palette INDICES as channels=1, and 16-bit/float modes uint16/
+    # float arrays — convert anything outside plain 8-bit grey/RGB/RGBA
+    if img.mode == "P":
+        img = img.convert("RGBA" if "transparency" in img.info else "RGB")
+    elif img.mode not in ("L", "RGB", "RGBA"):
+        img = img.convert("RGB")
+    arr = np.asarray(img)
     return arr if arr.ndim == 3 else arr[:, :, None]
 
 

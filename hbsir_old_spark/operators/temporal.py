@@ -27,9 +27,15 @@ from pyspark.sql import functions as F
 #: (e.g. "30 minutes", "1 hour 30 minutes"). Year/month units are
 #: deliberately excluded — they would make a year-month interval, which
 #: cannot be added to a timestamp together with day-time units.
+#: a fraction is allowed ONLY on the seconds unit — Spark's own
+#: unit-list parser raises INVALID_INTERVAL_FORMAT.INVALID_FRACTION for
+#: "0.5 hours"/"0.5 minutes"/even "0.5 milliseconds" (probed on 4.1)
+_INTERVAL_TERM = (
+    r"(?:\d+\s+(?:microsecond|millisecond|minute|hour|day|week)s?"
+    r"|\d+(?:\.\d+)?\s+seconds?)"
+)
 _INTERVAL_RE = re.compile(
-    r"^\s*\d+\s+(?:microsecond|millisecond|second|minute|hour|day|week)s?"
-    r"(?:\s+\d+\s+(?:microsecond|millisecond|second|minute|hour|day|week)s?)*\s*$",
+    rf"^\s*{_INTERVAL_TERM}(?:\s+{_INTERVAL_TERM})*\s*$",
     re.IGNORECASE,
 )
 
@@ -39,8 +45,11 @@ def interval_expr(value: str, param: str) -> Column:
     ``gap``/``within`` are interpolated into ``F.expr(f"INTERVAL ...")``;
     without this check a malformed or config-driven value becomes an
     arbitrary SQL expression (or an opaque parse error far from the call
-    site). Accepts day-time forms ("30 minutes", "1 hour 30 minutes");
-    rejects everything else with a ValueError naming the parameter."""
+    site). Accepts exactly the day-time forms Spark's unit-list parser
+    does ("30 minutes", "1 hour 30 minutes", fractional seconds like
+    "1.5 seconds" — fractions on any other unit are invalid in Spark
+    too); rejects everything else with a ValueError naming the
+    parameter."""
     if not isinstance(value, str) or not _INTERVAL_RE.match(value):
         raise ValueError(
             f"{param} must be a day-time INTERVAL literal like '30 minutes' "

@@ -43,12 +43,17 @@ from pyspark.sql import DataFrame, SparkSession
 # seam as the S6/S11 injectable clients).
 #
 #   store_dir/
-#     manifest.json            {"batches": ["batch-00000000", ...]}
-#     data/batch-<epoch id>/   one parquet dir per committed batch
+#     manifest.json                    {"batches": ["batch-00000000-ab12cd34", ...]}
+#     data/batch-<epoch id>-<token>/   one parquet dir per committed batch
 #
-# Batch data directories are keyed by the foreachBatch EPOCH id, so a
-# replayed batch overwrites its own (uncommitted) directory instead of
-# leaking orphans.
+# Batch data directories are keyed by the foreachBatch EPOCH id plus a
+# per-writer random token. The epoch key lets an intra-run retry (same
+# writer instance) overwrite its own uncommitted directory instead of
+# leaking orphans; the token keeps a RESTARTED query — whose epoch ids
+# begin at 0 again under a fresh/replaced checkpoint — from clobbering a
+# committed directory of the same epoch number (a review pass caught the
+# token-less form losing committed docs exactly that way). A directory
+# orphaned by a crash-then-restart stays unreferenced and invisible.
 
 
 def _manifest_path(store_dir: str) -> str:
@@ -77,11 +82,39 @@ def _commit_manifest(store_dir: str, batches: list[str]) -> None:
     os.replace(tmp, path)
 
 
+def _assert_not_legacy_store(store_dir: str) -> None:
+    """A store directory with CONTENT but no manifest is a pre-manifest
+    (flat ``mode('append')``) layout — treating it as "no store yet"
+    would silently skip the dedup screen and permanently duplicate every
+    already-stored document on the next batch, so refuse loudly instead.
+    Only the manifest-layout's own entries (``data/`` and manifest temp
+    files) are expected beside a missing manifest (a crash before the
+    very first commit leaves exactly those)."""
+    if os.path.exists(_manifest_path(store_dir)) or not os.path.isdir(store_dir):
+        return
+    stray = [
+        p
+        for p in os.listdir(store_dir)
+        if p != "data" and not p.startswith("manifest.json.tmp")
+    ]
+    if stray:
+        raise RuntimeError(
+            f"store_dir {store_dir!r} contains files but no manifest.json — "
+            f"this looks like a pre-manifest flat-parquet store (found "
+            f"{stray[:3]}...). Migrate it first: move the existing parquet "
+            f"under data/batch-00000000-legacy/ and write a manifest "
+            f"listing it; ingesting now would silently re-duplicate every "
+            f"stored document."
+        )
+
+
 def read_dedup_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
     """THE reader for a manifest-committed dedup store: the union of the
     manifest's committed batch directories, or ``None`` when no batch has
     committed yet. Uncommitted/half-written data directories are never
-    read — that is the point of the manifest."""
+    read — that is the point of the manifest. Refuses a manifest-less
+    directory that already contains data (:func:`_assert_not_legacy_store`)."""
+    _assert_not_legacy_store(store_dir)
     batches = _read_manifest(store_dir)
     if not batches:
         return None
@@ -195,6 +228,8 @@ def dedup_ingest_batch_writer(
     from hbsir_old_spark.functions.text import doc_fingerprint
 
     bloom_state: dict = {"bloom": None}
+    # per-writer token: see the layout note at the top of this module
+    writer_token = uuid.uuid4().hex[:8]
 
     def write(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -255,11 +290,12 @@ def dedup_ingest_batch_writer(
                 if bloom_state["bloom"] is None
                 else merge_blooms(bloom_state["bloom"], batch_bloom)
             )
-        # manifest commit: data to an epoch-keyed directory nobody reads
-        # yet (overwrite => a crashed prior attempt of THIS epoch is
-        # replaced, not duplicated), then the atomic manifest rename
-        # publishes it
-        dir_name = f"batch-{epoch_id:08d}"
+        # manifest commit: data to an (epoch, writer-token)-keyed directory
+        # nobody reads yet (overwrite => a crashed prior attempt of THIS
+        # epoch in THIS run is replaced, not duplicated; the token keeps a
+        # restarted run's epoch 0 from touching a committed dir), then the
+        # atomic manifest rename publishes it
+        dir_name = f"batch-{epoch_id:08d}-{writer_token}"
         fresh.write.mode("overwrite").parquet(
             os.path.join(store_dir, "data", dir_name)
         )
@@ -279,7 +315,9 @@ def read_near_dedup_store(
     band-hash table (``bands/``) — one manifest rename publishes the
     PAIR atomically, so the two tables can never be observed out of
     sync. Returns ``(docs, bands)`` or ``(None, None)`` before the first
-    commit."""
+    commit. Refuses a manifest-less directory that already contains data
+    (:func:`_assert_not_legacy_store`)."""
+    _assert_not_legacy_store(store_dir)
     batches = _read_manifest(store_dir)
     if not batches:
         return None, None
@@ -323,9 +361,10 @@ def near_dedup_ingest_batch_writer(
        through any crash, and a replayed batch is all-exact-duplicates
        (step 3 empties it) so it commits nothing.
 
-    The per-append band cap keeps every bucket's growth bounded by
-    ``hot_bucket_anchors`` per commit, so probe fan-out stays linear in
-    batch size even as the store accumulates boilerplate clusters.
+    The per-append band cap bounds every bucket's growth at
+    ``hot_bucket_cap`` per commit (``hot_bucket_anchors`` when the
+    batch's own bucket was hot), so probe fan-out stays bounded per
+    append even as the store accumulates boilerplate clusters.
     """
     from pyspark.sql import functions as F
 
@@ -338,6 +377,9 @@ def near_dedup_ingest_batch_writer(
         near_dedup_against,
     )
     from hbsir_old_spark.functions.text import doc_fingerprint
+
+    # per-writer token: see the layout note at the top of this module
+    writer_token = uuid.uuid4().hex[:8]
 
     def write(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -374,7 +416,7 @@ def near_dedup_ingest_batch_writer(
         fresh = fresh.localCheckpoint(eager=True)
         if fresh.isEmpty():
             return
-        dir_name = f"batch-{epoch_id:08d}"
+        dir_name = f"batch-{epoch_id:08d}-{writer_token}"
         base = os.path.join(store_dir, "data", dir_name)
         fresh.write.mode("overwrite").parquet(os.path.join(base, "docs"))
         new_bands = cap_band_buckets(

@@ -544,9 +544,9 @@ class TestNearDedupAgainst:
         with contextlib.redirect_stdout(buf):
             out.explain("formatted")
         plan = buf.getvalue()
-        # the 'b:'/'s:' surrogate concat and the Union node exist only on
-        # the LSH path ("s:" alone would false-match "Arguments:")
-        assert "concat(b:" not in plan and "concat(s:" not in plan, (
+        # the 'b:'/'a:' surrogate concat and the Union node exist only on
+        # the LSH path (the bare letters alone would false-match)
+        assert "concat(b:" not in plan and "concat(a:" not in plan, (
             "exact mode went through the tagged-union self-join path"
         )
         assert "Union" not in plan
@@ -612,7 +612,7 @@ class TestNearDedupAgainst:
         # (the batch INPUT itself contains a Union — twins ++ novel — so
         # the pin is the recompute path's surrogate concat, which only
         # the tagged-union re-sign would produce)
-        assert "concat(b:" not in plan and "concat(s:" not in plan, (
+        assert "concat(b:" not in plan and "concat(a:" not in plan, (
             "store_bands path fell back to the tagged-union recompute"
         )
 
@@ -1003,3 +1003,40 @@ class TestCapBandBuckets:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
             spark.sql("DROP TABLE IF EXISTS near_store_bands_bucketed")
+
+
+class TestUnionLshHotBuckets:
+    """Review-pass regression: in near_dedup_against's side-tagged union
+    LSH path, hot-bucket star anchors must come from the STORE side (the
+    'a:' prefix sorts before 'b:'), or every non-anchor batch member of a
+    mixed mega-cluster would carry only batch-batch star edges — all
+    dropped by the cross filter — and be reported novel."""
+
+    def test_mixed_mega_cluster_batch_members_still_match(self, spark):
+        from hbsir_old_spark.functions.dedup import near_dedup_against
+
+        base = " ".join(f"w{i}" for i in range(25))
+        store = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", F.lit(base), F.concat(F.lit("s"), F.col("id"))).alias(
+                "text"
+            ),
+        )
+        # 400 batch near-copies: the shared (band, hash) buckets hold
+        # ~500 members, far above the 256 cap — without store-side
+        # anchors every non-anchor batch doc would verdict novel
+        batch = spark.range(400).select(
+            (F.col("id") + 1_000_000).alias("doc_id"),
+            F.concat_ws(" ", F.lit(base), F.concat(F.lit("b"), F.col("id"))).alias(
+                "text"
+            ),
+        )
+        out = near_dedup_against(
+            batch, store, mode="lsh", threshold=0.5, n=2,
+            num_perm=16, bands=4,
+            hot_bucket_cap=256, hot_bucket_anchors=8,
+        )
+        matched = out.filter(F.col("near_dup_of").isNotNull()).count()
+        # a few members whose unique token wins enough minhash positions
+        # miss every band (LSH recall, not the cap)
+        assert matched >= 396, f"only {matched}/400 mega-cluster members matched"

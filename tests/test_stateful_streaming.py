@@ -238,7 +238,8 @@ class TestDedupIngestManifestCommit:
         rows = sink_mod.read_dedup_store(spark, store).collect()
         assert {r["doc_id"] for r in rows} == {1, 3}
         assert len(rows) == 2
-        assert sink_mod._read_manifest(store) == ["batch-00000000"]
+        manifest = sink_mod._read_manifest(store)
+        assert len(manifest) == 1 and manifest[0].startswith("batch-00000000-")
 
     def test_commit_is_atomic_rename(self, spark, tmp_path):
         # no window where manifest.json is torn: the temp file is written
@@ -253,8 +254,8 @@ class TestDedupIngestManifestCommit:
 
         store = str(tmp_path / "store_a")
         os.makedirs(store)
-        _commit_manifest(store, ["batch-00000000"])
-        assert _read_manifest(store) == ["batch-00000000"]
+        _commit_manifest(store, ["batch-00000000-ab12cd34"])
+        assert _read_manifest(store) == ["batch-00000000-ab12cd34"]
         leftovers = [p for p in os.listdir(store) if p.startswith("manifest.json.tmp")]
         assert leftovers == []
 
@@ -613,3 +614,75 @@ class TestNearDedupIngest:
         for b in _read_manifest(store):
             assert os.path.isdir(os.path.join(store, "data", b, "docs"))
             assert os.path.isdir(os.path.join(store, "data", b, "bands"))
+
+
+class TestIngestRestartSafety:
+    """Review-pass regressions: a restarted query's epoch ids begin at 0
+    again, and a pre-manifest flat store must be refused, not silently
+    treated as empty."""
+
+    def test_fresh_checkpoint_restart_does_not_clobber_committed_batches(
+        self, spark, tmp_path
+    ):
+        # run 1 (checkpoint A) commits docs {1,2}; run 2 uses a FRESH
+        # checkpoint (epoch restarts at 0) over a source holding one
+        # novel doc and one stored dup. Without the per-writer token the
+        # epoch-0 directory name collides and mode('overwrite') would
+        # replace the committed batch — losing docs 1 and 2.
+        from hbsir_old_spark.streaming.sink import (
+            read_dedup_store,
+            run_dedup_ingest,
+        )
+
+        src1 = str(tmp_path / "src_r1")
+        src2 = str(tmp_path / "src_r2")
+        store = str(tmp_path / "store_r")
+        spark.createDataFrame(
+            [(1, "alpha doc"), (2, "beta doc")], ["doc_id", "text"]
+        ).write.mode("append").parquet(src1)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src1)
+        q = run_dedup_ingest(stream, store, str(tmp_path / "ckpt_r1"))
+        q.awaitTermination(120)
+        assert {
+            r["doc_id"] for r in read_dedup_store(spark, store).collect()
+        } == {1, 2}
+
+        spark.createDataFrame(
+            [(3, "gamma doc"), (10, "ALPHA doc")], ["doc_id", "text"]
+        ).write.mode("append").parquet(src2)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src2)
+        q = run_dedup_ingest(stream, store, str(tmp_path / "ckpt_r2"))
+        q.awaitTermination(120)
+        assert {
+            r["doc_id"] for r in read_dedup_store(spark, store).collect()
+        } == {1, 2, 3}
+
+    def test_pre_manifest_flat_store_is_refused_loudly(self, spark, tmp_path):
+        import pytest
+
+        from hbsir_old_spark.streaming.sink import (
+            read_dedup_store,
+            run_dedup_ingest,
+        )
+
+        store = str(tmp_path / "store_legacy")
+        # a flat mode('append') store from the pre-manifest layout
+        spark.createDataFrame(
+            [(1, "old doc", "fp1")], ["doc_id", "text", "__fp__"]
+        ).write.mode("append").parquet(store)
+        with pytest.raises(RuntimeError, match="pre-manifest"):
+            read_dedup_store(spark, store)
+        # the ingest writer fails the batch rather than duplicating
+        src = str(tmp_path / "src_legacy")
+        spark.createDataFrame(
+            [(2, "old doc")], ["doc_id", "text"]
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = run_dedup_ingest(stream, store, str(tmp_path / "ckpt_legacy"))
+        failed = False
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            failed = True
+        failed = failed or q.exception() is not None
+        assert failed, "ingest into a manifest-less non-empty store must fail"

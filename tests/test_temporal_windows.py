@@ -116,9 +116,22 @@ class TestSessionizeBatch:
         # feeds an INTERVAL literal and must fail loudly at the call site
         import pytest
 
-        for bad in ("30 parsecs", "x; SELECT 1", ""):
+        # "0.5 hours" is invalid in Spark itself (INVALID_FRACTION) —
+        # the validator mirrors that rule with a clearer error
+        for bad in ("30 parsecs", "x; SELECT 1", "", "0.5 hours"):
             with pytest.raises(ValueError, match="gap"):
                 sessionize_batch(events, "user_id", "ts", gap=bad)
+        # fractional SECONDS are valid Spark INTERVALs and must pass
+        # (review-pass regression: the first validator rejected them)
+        out = sessionize_batch(events, "user_id", "ts", gap="1800.0 seconds")
+        got = {r["event_id"]: r["session_id"] for r in out.collect()}
+        want = {
+            r["event_id"]: r["session_id"]
+            for r in sessionize_batch(
+                events, "user_id", "ts", gap="30 minutes"
+            ).collect()
+        }
+        assert got == want
 
     def test_both_windows_share_one_exchange(self, events):
         """The lag window and the running-sum window sort identically, so
