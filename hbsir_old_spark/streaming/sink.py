@@ -46,6 +46,13 @@ from pyspark.sql import DataFrame, SparkSession
 #     manifest.json                    {"batches": ["batch-00000000-ab12cd34", ...]}
 #     data/batch-<epoch id>-<token>/   one parquet dir per committed batch
 #
+# SINGLE-WRITER assumption (the standard streaming-sink contract): one
+# streaming query owns a store at a time — its checkpoint serializes the
+# batches, so the read-manifest/commit-manifest sequence never races.
+# Concurrent INDEPENDENT queries appending to one store would need a
+# compare-and-swap commit (the conditional-PUT seam above); readers are
+# always safe (they see some committed prefix).
+#
 # Batch data directories are keyed by the foreachBatch EPOCH id plus a
 # per-writer random token. The epoch key lets an intra-run retry (same
 # writer instance) overwrite its own uncommitted directory instead of
