@@ -1476,7 +1476,14 @@ def near_dedup_against(
         # every non-anchor batch member keeps a surviving cross edge
         # (batch-prefix-first anchors would leave only batch-batch star
         # edges, silently reporting the whole cluster novel; caught by a
-        # review pass, pinned by TestUnionLshHotBuckets)
+        # review pass, pinned by TestUnionLshHotBuckets). NOTE the anchor
+        # order here is LEXICOGRAPHIC over the string surrogate ('a:10' <
+        # 'a:2'), so inside a capped hot bucket the reported near_dup_of
+        # is the min VERIFIED id among those anchors, not necessarily the
+        # cluster's numeric minimum — detection is unaffected (anchors
+        # are near-identical to every member), and the strict min-id
+        # guarantee belongs to the store_bands path, whose anchors order
+        # by the real typed id (cap_band_buckets / the probe-side cap).
         b_tagged = batch.select(
             F.concat(F.lit("b:"), F.col(id_col).cast("string")).alias("__uid__"),
             F.col(text_col).alias("__text__"),

@@ -152,6 +152,22 @@ def _decode_png_minimal(content: bytes) -> np.ndarray:
     return out.reshape(height, width, channels)
 
 
+def _scale_wide_to_uint8(wide: np.ndarray, mode: str) -> np.ndarray:
+    """Scale a 16-bit/int32/float pixel array to uint8 — never clip.
+    16-bit modes map 0..65535 onto 0..255 (divide by 257, full-range
+    preserving); int32/float have no defined range, so they min-max
+    normalize per image (deterministic; documented heuristic). Pure
+    numpy so the math is testable without Pillow installed."""
+    wide = wide.astype(np.float64)
+    if mode.startswith("I;16"):
+        wide = wide / 257.0
+    else:
+        lo = float(wide.min()) if wide.size else 0.0
+        hi = float(wide.max()) if wide.size else 0.0
+        wide = (wide - lo) * (255.0 / (hi - lo)) if hi > lo else wide * 0.0
+    return np.clip(np.round(wide), 0, 255).astype(np.uint8)
+
+
 def _real_decode_image(content: bytes) -> np.ndarray:
     """Real image decode (bytes -> HxWxC uint8 array) behind the optional-
     dependency guard: Pillow when installed (any format it reads);
@@ -170,11 +186,19 @@ def _real_decode_image(content: bytes) -> np.ndarray:
     import io
 
     img = Image.open(io.BytesIO(content))
-    # normalize to the contract: palette images would otherwise surface
-    # raw palette INDICES as channels=1, and 16-bit/float modes uint16/
-    # float arrays — convert anything outside plain 8-bit grey/RGB/RGBA
+    # normalize to the contract (8-bit HxWxC): palette images would
+    # otherwise surface raw palette INDICES as channels=1; grey+alpha
+    # keeps its alpha (LA/PA -> RGBA, not RGB — convert('RGB') would
+    # silently drop the band); 16-bit/int/float modes are SCALED to
+    # uint8, never convert('RGB')-ed, which clips at 255 and destroys
+    # high-bit-depth data (review-pass finding)
     if img.mode == "P":
         img = img.convert("RGBA" if "transparency" in img.info else "RGB")
+    elif img.mode in ("LA", "PA"):
+        img = img.convert("RGBA")
+    elif img.mode in ("I", "I;16", "I;16B", "I;16L", "I;16N", "F"):
+        arr = _scale_wide_to_uint8(np.asarray(img), img.mode)
+        return arr if arr.ndim == 3 else arr[:, :, None]
     elif img.mode not in ("L", "RGB", "RGBA"):
         img = img.convert("RGB")
     arr = np.asarray(img)

@@ -187,3 +187,23 @@ def test_audio_decode_remains_stubbed(spark):
     with pytest.raises(Exception) as err:
         extract_features(assets, use_fake_decoder=False).collect()
     assert "codec" in str(err.value) or "NotImplementedError" in str(err.value)
+
+
+def test_wide_mode_scaling_never_clips():
+    # review-pass regression: convert('RGB') on 16-bit/float modes CLIPS
+    # at 255 (a 16-bit scan would decode near-uniform white); the scaler
+    # must map the full range instead
+    import numpy as np
+
+    from hbsir_old_spark.functions.multimodal import _scale_wide_to_uint8
+
+    sixteen = np.array([[0, 257, 65535]], dtype=np.uint16)
+    out = _scale_wide_to_uint8(sixteen, "I;16")
+    assert out.tolist() == [[0, 1, 255]]
+    # int32 / float: min-max normalized, not clipped
+    wide = np.array([[300.0, 30000.0, 65535.0]])
+    out = _scale_wide_to_uint8(wide, "F")
+    assert out[0][0] == 0 and out[0][2] == 255 and 0 < out[0][1] < 255
+    # degenerate constant image -> zeros, no division blow-up
+    const = np.full((2, 2), 4242, dtype=np.int32)
+    assert _scale_wide_to_uint8(const, "I").max() == 0
