@@ -1335,7 +1335,18 @@ def near_dedup_against(
 
     Ties: among qualifying store matches the MINIMUM store id wins (its
     jaccard is reported) — same deterministic rule as the x23/x38
-    canonical pick.
+    canonical pick. Scope of the STRICT rule: in ``mode='exact'`` and on
+    the ``store_bands`` path it is the typed minimum over ALL qualifying
+    store docs (those paths order candidates by the real typed id). In
+    the union-LSH path (``mode='lsh'`` without ``store_bands``) with the
+    default-on ``hot_bucket_cap``, a capped hot bucket restricts
+    candidates to anchors chosen in LEXICOGRAPHIC order over string
+    surrogates (``'a:10' < 'a:2'``), so the reported id is the minimum
+    VERIFIED id among those anchors — deterministic, but not necessarily
+    the cluster's typed minimum (a generic surrogate encoding cannot
+    make lexicographic order agree with BOTH integer and string id
+    ordering). When the strict minimum matters on that path, pass
+    ``hot_bucket_cap=None`` or use ``store_bands``.
 
     ``hot_bucket_cap``/``hot_bucket_anchors`` bound the LSH paths' hot
     band-buckets (LSH modes only; exact mode has no buckets): the

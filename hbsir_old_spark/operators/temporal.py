@@ -248,9 +248,16 @@ def sessionize_batch(
 
     Classic two-window formulation over ONE shuffle: both windows hash by
     ``user_col`` and sort by (ts, tiebreakers), so Catalyst reuses a single
-    Exchange + sort for the lag and the running sum. ``gap`` is any Spark
-    INTERVAL literal; the boundary is exclusive (gap strictly greater
-    starts a new session), matching Spark's session_window semantics.
+    Exchange + sort for the lag and the running sum. The boundary is
+    exclusive (gap strictly greater starts a new session), matching
+    Spark's session_window semantics.
+
+    ``gap`` grammar (validated by :func:`interval_expr`): one or more
+    ``"<int> <unit>"`` terms with FULL unit names — ``microsecond(s)
+    millisecond(s) second(s) minute(s) hour(s) day(s) week(s)`` — e.g.
+    ``"30 minutes"`` or ``"1 hour 30 minutes"``; a fraction only on
+    seconds (Spark's own rule); no year/month units, no abbreviations
+    (``"30m"``), no negatives (a negative session gap is meaningless).
     """
     gap_expr = interval_expr(gap, "gap")
     order = [ts_col, *tiebreakers]
@@ -279,7 +286,9 @@ def funnel_steps(
     event of type ``steps[i]`` occurring STRICTLY AFTER the step ``i-1``
     reach time; optionally every later step must land ``within`` an
     INTERVAL of the step-1 time (the classic conversion window, inclusive
-    at the deadline). Returns one row per user who reached step 1, with
+    at the deadline; grammar as documented on :func:`sessionize_batch` —
+    full day-time unit names only, positive, validated by
+    :func:`interval_expr`). Returns one row per user who reached step 1, with
     columns ``user_col, step_1_ts .. step_k_ts`` — NULL from the first
     stalled step onward (a stalled funnel can never resume: step i+1
     filters on step i's timestamp, and ``ts > NULL`` is never true).

@@ -100,7 +100,12 @@ def interval_join(
     """Event-pair (stream-stream capable) interval join: each left event
     pairs with the right events of the same key whose timestamp falls in
     ``(left.ts, left.ts + within]`` — the click→conversion attribution
-    primitive.
+    primitive. ``within`` grammar (validated by
+    :func:`~hbsir_old_spark.operators.temporal.interval_expr`): one or
+    more ``"<int> <unit>"`` terms with full day-time unit names
+    (``seconds``/``minutes``/``hours``/``days``/``weeks``/...), fraction
+    only on seconds, positive only — no year/month units, no
+    abbreviations, no negatives (the window is forward by construction).
 
     The same call runs in batch (equi+range join; Spark plans a hash join
     on the key with the range as a post-filter — no cross product) and on

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from typing import Callable
 
@@ -35,12 +36,19 @@ from pyspark.sql import DataFrame, SparkSession
 # manifest names the COMMITTED batch directories. Readers resolve the
 # manifest; a data directory a crash left half-written (or fully written
 # but never committed) is simply invisible. The commit itself is
-# write-temp + fsync + os.replace — an atomic rename on POSIX
-# filesystems and HDFS, which closes the mid-append crash window a plain
-# `mode("append")` parquet write leaves open (the r10-documented
-# Delta/Iceberg seam, now closed without a table format; on S3-like
-# stores swap _commit_manifest for a conditional PUT — same one-function
-# seam as the S6/S11 injectable clients).
+# write-temp + fsync + os.replace + directory fsync — an atomic, durable
+# rename on POSIX filesystems, which closes the mid-append crash window a
+# plain `mode("append")` parquet write leaves open (the r10-documented
+# Delta/Iceberg seam, now closed without a table format).
+#
+# The manifest layer is LOCAL-FILESYSTEM-ONLY: manifest reads/commits use
+# driver-local open/os.replace, so a remote store_dir (hdfs://, s3a://,
+# ...) would silently read an empty manifest and treat a populated store
+# as new. _require_local_store_dir rejects URI-schemed paths up front; a
+# remote deployment swaps _read_manifest/_commit_manifest for the Hadoop
+# FileSystem API (HDFS rename is atomic too) or a conditional PUT on
+# S3-like stores — the same one-function seam as the S6/S11 injectable
+# clients.
 #
 #   store_dir/
 #     manifest.json                    {"batches": ["batch-00000000-ab12cd34", ...]}
@@ -63,11 +71,30 @@ from pyspark.sql import DataFrame, SparkSession
 # orphaned by a crash-then-restart stays unreferenced and invisible.
 
 
+def _require_local_store_dir(store_dir: str) -> None:
+    """Reject URI-schemed store paths (``hdfs://``, ``s3a://``, even
+    ``file://``) up front. Manifest I/O is driver-local ``open``/
+    ``os.replace``; on a remote URI ``_read_manifest`` would return ``[]``
+    (a populated store read as empty — the dedup screen silently skipped)
+    and the batch would only fail later at the commit. Remote stores plug
+    in at the ``_read_manifest``/``_commit_manifest`` seam (Hadoop
+    FileSystem API or conditional PUT) — until then, fail loudly here."""
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", store_dir):
+        raise ValueError(
+            f"store_dir {store_dir!r} is a URI; the manifest-committed "
+            f"store layer is local-filesystem-only (manifest reads/commits "
+            f"use driver-local open/os.replace). Pass a plain local path, "
+            f"or swap _read_manifest/_commit_manifest for your "
+            f"filesystem's atomic-publish primitive."
+        )
+
+
 def _manifest_path(store_dir: str) -> str:
     return os.path.join(store_dir, "manifest.json")
 
 
 def _read_manifest(store_dir: str) -> list[str]:
+    _require_local_store_dir(store_dir)
     try:
         with open(_manifest_path(store_dir)) as f:
             return json.load(f)["batches"]
@@ -78,8 +105,12 @@ def _read_manifest(store_dir: str) -> list[str]:
 def _commit_manifest(store_dir: str, batches: list[str]) -> None:
     """Atomically publish the committed-batch list: write a temp file,
     fsync it (the rename must not outrun its contents on power loss),
-    then os.replace onto manifest.json — readers see the old or the new
-    manifest, never a torn one."""
+    os.replace onto manifest.json — readers see the old or the new
+    manifest, never a torn one — then fsync the store DIRECTORY so the
+    rename itself is durable (without it, power loss could persist the
+    later streaming-checkpoint commit but not this rename, marking the
+    batch done while its novel docs never entered the store)."""
+    _require_local_store_dir(store_dir)
     path = _manifest_path(store_dir)
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -87,6 +118,11 @@ def _commit_manifest(store_dir: str, batches: list[str]) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    dir_fd = os.open(store_dir, os.O_DIRECTORY)
+    try:
+        os.fsync(dir_fd)
+    finally:
+        os.close(dir_fd)
 
 
 def _assert_not_legacy_store(store_dir: str) -> None:

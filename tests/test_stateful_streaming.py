@@ -259,6 +259,33 @@ class TestDedupIngestManifestCommit:
         leftovers = [p for p in os.listdir(store) if p.startswith("manifest.json.tmp")]
         assert leftovers == []
 
+    def test_remote_store_uri_rejected_up_front(self, spark, tmp_path):
+        # the manifest layer is local-FS-only (driver-local open/os.replace):
+        # a remote URI used to silently read a populated store as EMPTY
+        # ([] from the FileNotFoundError branch) and skip the dedup screen;
+        # now every manifest entry point refuses URIs loudly (ADVICE r11)
+        import pytest as _pytest
+
+        from hbsir_old_spark.streaming.sink import (
+            _commit_manifest,
+            _read_manifest,
+            read_dedup_store,
+            read_near_dedup_store,
+        )
+
+        for uri in ("hdfs://nn:8020/store", "s3a://bucket/store", "file:///x"):
+            with _pytest.raises(ValueError, match="local-filesystem-only"):
+                _read_manifest(uri)
+            with _pytest.raises(ValueError, match="local-filesystem-only"):
+                _commit_manifest(uri, ["batch-00000000-ab12cd34"])
+            with _pytest.raises(ValueError, match="local-filesystem-only"):
+                read_dedup_store(spark, uri)
+            with _pytest.raises(ValueError, match="local-filesystem-only"):
+                read_near_dedup_store(spark, uri)
+        # a plain local path (even one that doesn't exist yet) still reads
+        # as the empty store — the loud path is only for URIs
+        assert _read_manifest(str(tmp_path / "not_yet")) == []
+
 
 class TestDedupIngestBloom:
     """The bloom-accelerated ingest path must behave identically to the
