@@ -3,10 +3,12 @@ typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 Image decode is REAL behind an optional-dependency guard: Pillow when
 installed, else a built-in minimal pure-stdlib PNG decoder (so the real
-path stays exercisable end-to-end in codec-less containers); audio decode
-remains a stub raising NotImplementedError (install soundfile/torchaudio
-and fill in ``_real_decode_audio``). Everything Spark-side is real and
-tested — schemas, batch iteration, partitioning, UDF signatures.
+path stays exercisable end-to-end in codec-less containers). Audio decode
+follows the same pattern: soundfile when installed (any format it reads),
+else a pure-stdlib WAV/PCM decoder (the ``wave`` module — 8/16/24/32-bit
+PCM), else the documented NotImplementedError seam for exotic formats.
+Everything Spark-side is real and tested — schemas, batch iteration,
+partitioning, UDF signatures.
 
 Scale notes: media bytes ride in parquet binary columns; mapInPandas streams
 Arrow record batches so a 100 TB corpus is processed one batch at a time per
@@ -57,9 +59,9 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("content_sha", T.StringType(), True),
         T.StructField("features", T.ArrayType(T.FloatType()), True),
-        # real decode results (width/height/channels) when the REAL
-        # decode path ran; NULL on the fake path and for kinds whose
-        # codec is still stubbed
+        # real decode results when the REAL decode path ran; NULL on the
+        # fake path. Images fill (width, height, channels); audio fills
+        # (channels, sample_rate, n_frames) and leaves width/height NULL
         T.StructField(
             "decoded",
             T.StructType(
@@ -67,6 +69,8 @@ FEATURES_SCHEMA = T.StructType(
                     T.StructField("width", T.IntegerType(), True),
                     T.StructField("height", T.IntegerType(), True),
                     T.StructField("channels", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
                 ]
             ),
             True,
@@ -205,11 +209,88 @@ def _real_decode_image(content: bytes) -> np.ndarray:
     return arr if arr.ndim == 3 else arr[:, :, None]
 
 
-def _real_decode_audio(content: bytes) -> np.ndarray:
-    raise NotImplementedError(
-        "audio codecs are not available in this container; "
-        "install soundfile/torchaudio and decode here (bytes -> samples)"
+_WAV_MAGIC_RIFF = b"RIFF"
+_WAV_MAGIC_WAVE = b"WAVE"
+
+
+def _decode_wav_stdlib(content: bytes) -> tuple[np.ndarray, int]:
+    """Pure-stdlib WAV/PCM decode via the ``wave`` module (the r11 PNG
+    pattern applied to audio): 8/16/24/32-bit integer PCM, any channel
+    count. Returns ``(samples, sample_rate)`` with ``samples`` an
+    ``(n_frames, channels)`` int32 array — 8-bit WAV is unsigned and is
+    recentred to signed (-128..127) so every width shares one convention.
+    Integer-exact by construction (no float resampling), which is what
+    lets the x47 gate oracle recompute sample sums arithmetically."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content)) as w:
+        sample_rate = w.getframerate()
+        channels = w.getnchannels()
+        width = w.getsampwidth()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    if width == 1:
+        vals = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+    elif width == 2:
+        vals = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    elif width == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        vals = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+    elif width == 4:
+        vals = np.frombuffer(raw, dtype="<i4").astype(np.int32)
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    return vals.reshape(-1, channels), sample_rate
+
+
+def _real_decode_audio(content: bytes) -> tuple[np.ndarray, int]:
+    """Real audio decode (bytes -> ``(samples[n_frames, channels],
+    sample_rate)``) behind the optional-dependency guard: soundfile when
+    installed (any format it reads, asked for int16 so integer WAVs stay
+    exact); otherwise the built-in stdlib WAV decoder for RIFF/WAVE
+    bytes; otherwise the documented NotImplementedError seam."""
+    try:
+        import soundfile  # optional; absent in this container
+    except ImportError:
+        if (
+            content
+            and content[:4] == _WAV_MAGIC_RIFF
+            and content[8:12] == _WAV_MAGIC_WAVE
+        ):
+            return _decode_wav_stdlib(content)
+        raise NotImplementedError(
+            "no audio codec available for these bytes: install soundfile "
+            "(any format), or supply WAV/PCM bytes for the built-in "
+            "stdlib decoder"
+        )
+    import io
+
+    data, sample_rate = soundfile.read(
+        io.BytesIO(content), dtype="int16", always_2d=True
     )
+    return data.astype(np.int32), int(sample_rate)
+
+
+def build_wav(
+    samples: np.ndarray, sample_rate: int, channels: int = 1
+) -> bytes:
+    """Encode int16 samples (interleaved 1-D, or ``(n_frames, channels)``)
+    as 16-bit PCM WAV bytes via the stdlib ``wave`` module. The fixture/
+    ingest counterpart of :func:`_real_decode_audio` — tests and the x47
+    gate round-trip through a REAL RIFF container, not a fake."""
+    import io
+    import wave
+
+    arr = np.asarray(samples, dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(arr.tobytes())
+    return buf.getvalue()
 
 
 def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -225,12 +306,12 @@ def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 def extract_features(assets: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
     """Decode + featurize every asset via mapInPandas (Arrow batches).
 
-    With ``use_fake_decoder=False`` images run the REAL decode path
-    (:func:`_real_decode_image`: Pillow when installed, the built-in
-    minimal PNG decoder otherwise) and the ``decoded`` struct carries the
-    true (width, height, channels); audio still raises
-    NotImplementedError — the remaining documented extension point. The
-    fake path leaves ``decoded`` NULL and touches no codec.
+    With ``use_fake_decoder=False`` both media kinds run their REAL decode
+    path (:func:`_real_decode_image`: Pillow else built-in PNG;
+    :func:`_real_decode_audio`: soundfile else built-in WAV) and the
+    ``decoded`` struct carries the true (width, height, channels) for
+    images / (channels, sample_rate, n_frames) for audio. The fake path
+    leaves ``decoded`` NULL and touches no codec.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -241,8 +322,16 @@ def extract_features(assets: DataFrame, use_fake_decoder: bool = True) -> DataFr
             else:
                 for kind, content in zip(pdf["kind"], pdf["content"]):
                     if kind == "audio":
-                        _real_decode_audio(content)
-                        decoded.append(None)
+                        samples, sr = _real_decode_audio(content)
+                        decoded.append(
+                            {
+                                "width": None,
+                                "height": None,
+                                "channels": int(samples.shape[1]),
+                                "sample_rate": int(sr),
+                                "n_frames": int(samples.shape[0]),
+                            }
+                        )
                     else:
                         arr = _real_decode_image(content)
                         decoded.append(
@@ -250,6 +339,8 @@ def extract_features(assets: DataFrame, use_fake_decoder: bool = True) -> DataFr
                                 "width": int(arr.shape[1]),
                                 "height": int(arr.shape[0]),
                                 "channels": int(arr.shape[2]),
+                                "sample_rate": None,
+                                "n_frames": None,
                             }
                         )
             out = pd.DataFrame(
@@ -267,6 +358,57 @@ def extract_features(assets: DataFrame, use_fake_decoder: bool = True) -> DataFr
             yield out
 
     return assets.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_sum", T.LongType(), True),
+        T.StructField("sample_abs_max", T.IntegerType(), True),
+    ]
+)
+
+
+def audio_stats(assets: DataFrame) -> DataFrame:
+    """Decode every audio asset's bytes (REAL path:
+    :func:`_real_decode_audio`) and emit integer-exact per-asset stats:
+    ``(asset_id, sample_rate, n_frames, channels, sample_sum,
+    sample_abs_max)``. Integer sums over PCM samples are reproducible in
+    any engine from the generating formula, so this operator carries the
+    x47 full-oracle gate; rows whose ``kind`` isn't audio are ignored.
+
+    Scale shape: mapInPandas over Arrow batches — the only Python on the
+    path is the codec itself (the documented multimodal boundary), one
+    batch of blobs per task, no driver collection."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                samples, sr = _real_decode_audio(content)
+                rows.append(
+                    {
+                        "asset_id": int(asset_id),
+                        "sample_rate": int(sr),
+                        "n_frames": int(samples.shape[0]),
+                        "channels": int(samples.shape[1]),
+                        "sample_sum": int(samples.sum()),
+                        "sample_abs_max": int(
+                            np.abs(samples).max() if samples.size else 0
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in AUDIO_STATS_SCHEMA.fields],
+            )
+
+    return assets.filter(F.col("kind") == "audio").mapInPandas(
+        run, schema=AUDIO_STATS_SCHEMA
+    )
 
 
 def frame_sample(assets: DataFrame, every_n: int = 10) -> DataFrame:

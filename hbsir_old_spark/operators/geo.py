@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: reference map_drawer.add_geometry auto-detection order (Region first)
@@ -65,6 +65,86 @@ def load_geometry_dim(
         if code in name_by_code and geom is not None
     }
     return geometry_dim(spark, mapping, area)
+
+
+def wkt_polygon_points(wkt: Column | str) -> Column:
+    """Parse a simple-polygon WKT (``POLYGON ((x y, x y, ...))``, outer
+    ring only, no holes) into ``array<struct<x:double, y:double>>``. Pure
+    JVM-side expressions (regexp + split + transform) — whole-stage
+    codegen, no UDF — so downstream area/centroid math stays on the fast
+    path. NULL/non-polygon strings parse to NULL/empty (the left-join
+    "area without a geometry" rows flow through as NULL analytics).
+
+    The spatial scope is deliberately minimal (reference map_drawer.py
+    stops at attaching geometry; rendering is out of core per SURVEY §2):
+    these helpers make the joined frame ANALYZABLE — area/centroid for
+    choropleth binning and label placement — while full spatial algebra
+    remains the documented Sedona/GeoPandas seam."""
+    wkt = F.col(wkt) if isinstance(wkt, str) else wkt
+    body = F.regexp_extract(wkt, r"POLYGON\s*\(\(([^)]*)\)\)", 1)
+    return F.when(body != "", F.transform(
+        F.split(body, r",\s*"),
+        lambda s: F.struct(
+            F.split(F.trim(s), r"\s+")[0].cast("double").alias("x"),
+            F.split(F.trim(s), r"\s+")[1].cast("double").alias("y"),
+        ),
+    ))
+
+
+def _shoelace_terms(pts: Column) -> Column:
+    """Cross-products ``x_i*y_{i+1} - x_{i+1}*y_i`` over consecutive ring
+    points (the ring repeats its first point last, so consecutive pairs
+    cover every edge exactly once)."""
+    n = F.size(pts)
+    a = F.slice(pts, 1, n - 1)
+    b = F.slice(pts, 2, n - 1)
+    return F.zip_with(a, b, lambda p, q: p["x"] * q["y"] - q["x"] * p["y"])
+
+
+def wkt_polygon_area(wkt: Column | str) -> Column:
+    """Planar area of a simple WKT polygon (shoelace formula, |signed|/2).
+    With integer-coordinate fixtures the cross-terms are integer-valued
+    doubles, so the sum is order-independent and exact — what lets the
+    j8b gate compare bit-for-bit against a SQL oracle."""
+    terms = _shoelace_terms(wkt_polygon_points(wkt))
+    signed = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+    return F.abs(signed) / 2
+
+
+def wkt_polygon_centroid(wkt: Column | str) -> Column:
+    """Centroid of a simple WKT polygon as ``struct<cx:double, cy:double>``
+    (the standard signed-area-weighted formula: ``C = (1/(6A_signed)) *
+    sum((p_i + p_{i+1}) * cross_i)`` per axis). NULL for NULL/degenerate
+    (zero-area) geometry instead of a division error."""
+    pts = wkt_polygon_points(wkt)
+    n = F.size(pts)
+    a = F.slice(pts, 1, n - 1)
+    b = F.slice(pts, 2, n - 1)
+    cross = F.zip_with(a, b, lambda p, q: p["x"] * q["y"] - q["x"] * p["y"])
+    signed = F.aggregate(cross, F.lit(0.0), lambda acc, v: acc + v)
+    cx_num = F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda p, q: (p["x"] + q["x"]) * (p["x"] * q["y"] - q["x"] * p["y"]),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cy_num = F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda p, q: (p["y"] + q["y"]) * (p["x"] * q["y"] - q["x"] * p["y"]),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(
+        signed != 0,
+        F.struct(
+            (cx_num / (3 * signed)).alias("cx"),
+            (cy_num / (3 * signed)).alias("cy"),
+        ),
+    )
 
 
 def add_geometry(

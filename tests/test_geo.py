@@ -101,3 +101,99 @@ def test_load_geometry_dim_decodes_codes(spark, tmp_path):
     )
     rows = {r["Province"]: r["geometry"] for r in dim.collect()}
     assert rows["Tehran"].startswith("POINT")
+
+
+# -- WKT polygon analytics (the S10 residual: make add_geometry output
+# analyzable — area/centroid via JVM-side shoelace, no UDF) -------------------
+
+
+def _py_shoelace(verts):
+    """Pure-Python cross-check: (area, (cx, cy)) of a closed ring."""
+    signed = sum(
+        verts[i][0] * verts[i + 1][1] - verts[i + 1][0] * verts[i][1]
+        for i in range(len(verts) - 1)
+    )
+    cx = sum(
+        (verts[i][0] + verts[i + 1][0])
+        * (verts[i][0] * verts[i + 1][1] - verts[i + 1][0] * verts[i][1])
+        for i in range(len(verts) - 1)
+    ) / (3 * signed)
+    cy = sum(
+        (verts[i][1] + verts[i + 1][1])
+        * (verts[i][0] * verts[i + 1][1] - verts[i + 1][0] * verts[i][1])
+        for i in range(len(verts) - 1)
+    ) / (3 * signed)
+    return abs(signed) / 2, (cx, cy)
+
+
+def test_wkt_polygon_area_and_centroid(spark):
+    from pyspark.sql import functions as F
+
+    from hbsir_old_spark.operators.geo import (
+        wkt_polygon_area,
+        wkt_polygon_centroid,
+    )
+
+    # unit square (known closed form), a clockwise ring (negative signed
+    # area -> same |area| and centroid), and an irregular non-convex pentagon
+    pent = [(3, 0), (7, 1), (6, 6), (4, 8), (2, 2), (3, 0)]
+    rows = [
+        ("sq", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+        ("cw", "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))"),
+        ("pent", "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in pent) + "))"),
+        ("none", None),
+    ]
+    df = spark.createDataFrame(rows, "name string, geometry string")
+    out = {
+        r["name"]: r
+        for r in df.select(
+            "name",
+            wkt_polygon_area("geometry").alias("area"),
+            wkt_polygon_centroid("geometry").alias("c"),
+        ).collect()
+    }
+    assert out["sq"]["area"] == 1.0
+    assert (out["sq"]["c"]["cx"], out["sq"]["c"]["cy"]) == (0.5, 0.5)
+    assert out["cw"]["area"] == 1.0
+    assert (out["cw"]["c"]["cx"], out["cw"]["c"]["cy"]) == (0.5, 0.5)
+    exp_area, (exp_cx, exp_cy) = _py_shoelace(pent)
+    assert out["pent"]["area"] == exp_area
+    assert abs(out["pent"]["c"]["cx"] - exp_cx) < 1e-12
+    assert abs(out["pent"]["c"]["cy"] - exp_cy) < 1e-12
+    # NULL geometry (the unmatched left-join row) -> NULL analytics
+    assert out["none"]["area"] is None and out["none"]["c"] is None
+
+
+def test_wkt_polygon_degenerate_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    from hbsir_old_spark.operators.geo import (
+        wkt_polygon_area,
+        wkt_polygon_centroid,
+    )
+
+    # zero-area (collinear) ring: area 0, centroid NULL (no division error);
+    # non-polygon garbage: NULL, not an exception
+    df = spark.createDataFrame(
+        [
+            ("flat", "POLYGON ((0 0, 1 1, 2 2, 0 0))"),
+            ("junk", "LINESTRING (0 0, 1 1)"),
+        ],
+        "name string, geometry string",
+    )
+    out = {
+        r["name"]: r
+        for r in df.select(
+            "name",
+            wkt_polygon_area("geometry").alias("area"),
+            wkt_polygon_centroid("geometry").alias("c"),
+        ).collect()
+    }
+    assert out["flat"]["area"] == 0.0 and out["flat"]["c"] is None
+    assert out["junk"]["area"] is None and out["junk"]["c"] is None
+    # the whole computation is expression-only: no BatchEvalPython /
+    # ArrowEvalPython node may appear in the plan (UDF-free contract)
+    plan = df.select(
+        wkt_polygon_area("geometry").alias("a")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

@@ -178,7 +178,11 @@ def test_non_png_image_bytes_still_hit_the_guard(spark):
     assert "codec" in str(err.value) or "NotImplementedError" in str(err.value)
 
 
-def test_audio_decode_remains_stubbed(spark):
+def test_non_wav_audio_bytes_still_hit_the_guard(spark):
+    # without soundfile, non-WAV audio bytes must fail loudly through the
+    # documented NotImplementedError seam (never silently fake-decode);
+    # b"RIFFfake" has the RIFF magic but no WAVE tag, so it exercises the
+    # full two-part container check
     from hbsir_old_spark.functions.multimodal import ASSET_SCHEMA
 
     assets = spark.createDataFrame(
@@ -187,6 +191,122 @@ def test_audio_decode_remains_stubbed(spark):
     with pytest.raises(Exception) as err:
         extract_features(assets, use_fake_decoder=False).collect()
     assert "codec" in str(err.value) or "NotImplementedError" in str(err.value)
+
+
+# -- real audio decode path (optional-soundfile guard + stdlib WAV) ----------
+
+
+def _wav_all_widths(width, frames, channels, rate=8000):
+    """Raw PCM WAV at an arbitrary sample width via the stdlib writer."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_stdlib_wav_decoder_all_sample_widths():
+    import numpy as np
+
+    from hbsir_old_spark.functions.multimodal import (
+        _decode_wav_stdlib,
+        build_wav,
+    )
+
+    # 16-bit via the package's own builder (stereo): integer-exact roundtrip
+    samples = np.array([[-32768, 32767], [100, -100], [0, 7]], dtype=np.int16)
+    wav = build_wav(samples, sample_rate=16000, channels=2)
+    out, sr = _decode_wav_stdlib(wav)
+    assert sr == 16000 and out.shape == (3, 2)
+    assert np.array_equal(out, samples.astype(np.int32))
+
+    # 8-bit: stored unsigned, decoded recentred to signed
+    out8, _ = _decode_wav_stdlib(
+        _wav_all_widths(1, bytes([0, 128, 255, 1]), channels=1)
+    )
+    assert out8.ravel().tolist() == [-128, 0, 127, -127]
+
+    # 24-bit: little-endian two's complement, sign-extended
+    frames24 = (
+        (0x000001).to_bytes(3, "little")
+        + (0xFFFFFF).to_bytes(3, "little")  # -1
+        + (0x800000).to_bytes(3, "little")  # -2^23
+        + (0x7FFFFF).to_bytes(3, "little")  # 2^23-1
+    )
+    out24, _ = _decode_wav_stdlib(_wav_all_widths(3, frames24, channels=2))
+    assert out24.ravel().tolist() == [1, -1, -(1 << 23), (1 << 23) - 1]
+
+    # 32-bit
+    import struct
+
+    frames32 = struct.pack("<4i", 2**31 - 1, -(2**31), 42, -42)
+    out32, _ = _decode_wav_stdlib(_wav_all_widths(4, frames32, channels=1))
+    assert out32.ravel().tolist() == [2**31 - 1, -(2**31), 42, -42]
+
+
+def test_real_decode_wav_through_extract_features(spark):
+    # the REAL audio path end-to-end through mapInPandas: WAV bytes in,
+    # true (channels, sample_rate, n_frames) out — no soundfile in this
+    # container, so this proves the stdlib fallback (the PNG twin above)
+    import numpy as np
+
+    from hbsir_old_spark.functions.multimodal import ASSET_SCHEMA, build_wav
+
+    wav = build_wav(
+        np.arange(-10, 14, dtype=np.int16).reshape(12, 2),
+        sample_rate=22050,
+        channels=2,
+    )
+    assets = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), None)], schema=ASSET_SCHEMA
+    )
+    row = extract_features(assets, use_fake_decoder=False).collect()[0]
+    assert row["decoded"]["channels"] == 2
+    assert row["decoded"]["sample_rate"] == 22050
+    assert row["decoded"]["n_frames"] == 12
+    assert row["decoded"]["width"] is None and row["decoded"]["height"] is None
+
+
+def test_audio_stats_integer_exact(spark):
+    import numpy as np
+
+    from hbsir_old_spark.functions.multimodal import (
+        ASSET_SCHEMA,
+        audio_stats,
+        build_wav,
+    )
+
+    rows = []
+    expected = {}
+    for aid in (1, 2, 3):
+        n = 5 + aid
+        ch = 1 + aid % 2
+        vals = (
+            (np.arange(n * ch, dtype=np.int64) * 7919 + aid * 104729) % 65536
+        ) - 32768
+        rows.append(
+            (
+                aid,
+                "audio",
+                bytearray(build_wav(vals.astype(np.int16), 8000, channels=ch)),
+                None,
+            )
+        )
+        expected[aid] = (int(vals.sum()), int(np.abs(vals).max()), n, ch)
+    # a non-audio row must be ignored, not decoded
+    rows.append((99, "image", bytearray(b"not audio"), None))
+    assets = spark.createDataFrame(rows, schema=ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in audio_stats(assets).collect()}
+    assert set(got) == {1, 2, 3}
+    for aid, (s, m, n, ch) in expected.items():
+        r = got[aid]
+        assert (r["sample_sum"], r["sample_abs_max"]) == (s, m)
+        assert (r["n_frames"], r["channels"], r["sample_rate"]) == (n, ch, 8000)
 
 
 def test_wide_mode_scaling_never_clips():

@@ -101,27 +101,83 @@ def test_every_oracle_key_has_a_query():
 # The correctness driver records rows for only the first 50 entries of
 # queries() (r2: 51 registered -> 50 rows; r3: 57 -> first 50). These pins
 # enforce the rotation policy:
-#  (a) gates WITHOUT a green row in CORRECTNESS_r10.json that are OWED the
-#      window (the 33 r8-green veterans displaced in r10 — the computed
-#      ledger in VERDICT r10 "What's wrong" #1), plus brand-new gates,
-#      sit inside the recorded window;
+#  (a) gates WITHOUT a green row in CORRECTNESS_r11.json that are OWED the
+#      window (the 38 r9-green veterans the r11 tail carried as
+#      R9_GREEN_WAITING — 3 rounds stale this round), plus brand-new
+#      gates, sit inside the recorded window;
 #  (b) rows-only gates (approximate by design, no oracle) NEVER rotate out
 #      -- the driver's only evidence for them is the per-round spark_rows
 #      record, so parking them past the cap would erase all driver
 #      evidence for them;
 #  (c) only FULL-ORACLE gates with a green (hash-matched) driver row may
-#      sit past position 50. Round 11: the window holds 2 new + 33
-#      returning r8-green + 5 r9-green fillers + 10 rows-only = 50; the
-#      tail holds the 40 r10-green gates (normal rotation, 1 round fresh)
-#      and the other 38 r9-green veterans (the every-other-round ideal
-#      oversubscribes a 50-slot window at 128 gates; each is re-proven
-#      exact against DuckDB by this suite every run and carries r12
-#      window priority).
-NO_R10_ROW_OR_NEW = {
-    # new in round 11
+#      sit past position 50. Round 12: the window holds 2 new + 38
+#      returning r9-green + 10 rows-only = 50; the tail holds the 40
+#      r11-green gates (normal rotation, 1 round fresh) and the 40
+#      r10-green veterans (the every-other-round ideal oversubscribes a
+#      50-slot window at 130 gates; each is re-proven exact against
+#      DuckDB by this suite every run and carries r13 window priority).
+NO_R11_ROW_OR_NEW = {
+    # new in round 12
+    "x47_audio_decode",
+    "j8b_geometry_analytics",
+    # ALL 38 r9-green veterans waiting since r9 (r12 priority paid)
+    "p24_interval_binning",
+    "g7_income_brackets",
+    "x36_boilerplate_removal",
+    "x37_context_chunking",
+    "x18_token_freq",
+    "x5_text_stats",
+    "p7_computed_column",
+    "p8_category_conditions",
+    "p18_melt",
+    "p19_pivot",
+    "f1_filter_predicates",
+    "f2_attribute_select",
+    "a8_rollup",
+    "a9_grouping_sets",
+    "w3_quantile_by_variable",
+    "l3_real_corpus_food",
+    "l4_real_household_decode",
+    "x23_best_rep_dedup",
+    "l5_real_occupation_classification",
+    "l6_local_override_decode",
+    "g4_real_weighted_report",
+    "g5_real_isc_summary",
+    "x24_token_budget",
+    "x25_repetition_filter",
+    "x26_kmeans_planted",
+    "x27_semantic_dedup",
+    "x28_sequence_pack",
+    "x29_temperature_sample",
+    "x30_lm_perplexity",
+    "l8_orc_roundtrip",
+    "l10_salted_skew_join",
+    "l11_partitioned_write",
+    "l12_real_duration_aspect",
+    "g2_training_pipeline",
+    "l15_full_span_food",
+    "l17_real_income_chain",
+    "l18_real_outlay_chain",
+    "x33_quality_classifier",
+}
+# approximate-by-design gates: spark_rows is their only driver record
+ROWS_ONLY_PINNED_IN_WINDOW = {
+    "x3_minhash_lsh",
+    "x4_simhash_pairs",
+    "x9_ann_lsh",
+    "x13_ivf_topk",
+    "a7_approx_distinct",
+    "w4_approx_decile",
+    "w4b_weighted_approx_decile",
+    "x38b_curation_fuzzy_lsh",
+    "x42_pq_topk",
+    "x45_bpe_learned",
+}
+# the 40 gates with green rows in CORRECTNESS_r11.json — normal rotation
+# (the r11 window: 2 then-new + 33 returning r8-green + 5 r9-green fillers)
+R11_GREEN = {
     "x44b_pipeline_fuzzy",
     "x22b_bloom_dedup",
-    # ALL 33 r8-green veterans displaced in round 10 (r11 priority paid)
     "a2_household_math",
     "a4_average_table",
     "a5_weighted_sum",
@@ -155,29 +211,14 @@ NO_R10_ROW_OR_NEW = {
     "x22_incremental_dedup",
     "x32_dup_windows",
     "x34_curation_pipeline",
-}
-# r9-green fillers taken in-window this round (header has the rationales)
-R9_GREEN_FILLERS = {
     "s6_interval_join",
     "x10_multimodal_features",
     "s7_stream_dedup",
     "l9_bucketed_join",
     "a1_groupby_sum",
 }
-# approximate-by-design gates: spark_rows is their only driver record
-ROWS_ONLY_PINNED_IN_WINDOW = {
-    "x3_minhash_lsh",
-    "x4_simhash_pairs",
-    "x9_ann_lsh",
-    "x13_ivf_topk",
-    "a7_approx_distinct",
-    "w4_approx_decile",
-    "w4b_weighted_approx_decile",
-    "x38b_curation_fuzzy_lsh",
-    "x42_pq_topk",
-    "x45_bpe_learned",
-}
-# the 40 gates with green rows in CORRECTNESS_r10.json — normal rotation
+# the 40 gates whose latest green driver row is CORRECTNESS_r10.json —
+# 2 rounds stale, r13 window priority
 R10_GREEN = {
     "s8_funnel",
     "s9_retention",
@@ -220,54 +261,12 @@ R10_GREEN = {
     "s3_events_sliding",
     "x31_dsir_select",
 }
-# the 38 r9-green veterans the 50-slot window cannot hold this round —
-# all re-proven by this suite each run; r12 window priority
-R9_GREEN_WAITING = {
-    "p24_interval_binning",
-    "g7_income_brackets",
-    "x36_boilerplate_removal",
-    "x37_context_chunking",
-    "x18_token_freq",
-    "x5_text_stats",
-    "p7_computed_column",
-    "p8_category_conditions",
-    "p18_melt",
-    "p19_pivot",
-    "f1_filter_predicates",
-    "f2_attribute_select",
-    "a8_rollup",
-    "a9_grouping_sets",
-    "w3_quantile_by_variable",
-    "l3_real_corpus_food",
-    "l4_real_household_decode",
-    "x23_best_rep_dedup",
-    "l5_real_occupation_classification",
-    "l6_local_override_decode",
-    "g4_real_weighted_report",
-    "g5_real_isc_summary",
-    "x24_token_budget",
-    "x25_repetition_filter",
-    "x26_kmeans_planted",
-    "x27_semantic_dedup",
-    "x28_sequence_pack",
-    "x29_temperature_sample",
-    "x30_lm_perplexity",
-    "l8_orc_roundtrip",
-    "l10_salted_skew_join",
-    "l11_partitioned_write",
-    "l12_real_duration_aspect",
-    "g2_training_pipeline",
-    "l15_full_span_food",
-    "l17_real_income_chain",
-    "l18_real_outlay_chain",
-    "x33_quality_classifier",
-}
-ROTATED_VETERANS = R10_GREEN | R9_GREEN_WAITING
+ROTATED_VETERANS = R11_GREEN | R10_GREEN
 
 
 def test_driver_cap_ordering():
     first50 = set(list(QUERIES)[:50])
-    missing = NO_R10_ROW_OR_NEW - first50
+    missing = NO_R11_ROW_OR_NEW - first50
     assert not missing, f"unrowed gates outside the driver's 50-row window: {missing}"
     ro_missing = ROWS_ONLY_PINNED_IN_WINDOW - first50
     assert not ro_missing, (
@@ -280,11 +279,9 @@ def test_driver_cap_ordering():
         f"past position 50: {tail - ROTATED_VETERANS}"
     )
     # the window ledger must ADD UP (the r9/r10 headers both drifted on
-    # this arithmetic; the judge recomputes it every round): 2 new + 33
-    # returning + 5 fillers + 10 rows-only = exactly the 50 recorded slots
-    assert first50 == (
-        NO_R10_ROW_OR_NEW | R9_GREEN_FILLERS | ROWS_ONLY_PINNED_IN_WINDOW
-    )
+    # this arithmetic; the judge recomputes it every round): 2 new + 38
+    # returning + 10 rows-only = exactly the 50 recorded slots
+    assert first50 == (NO_R11_ROW_OR_NEW | ROWS_ONLY_PINNED_IN_WINDOW)
     assert tail == ROTATED_VETERANS
 
 
