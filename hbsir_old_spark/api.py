@@ -391,3 +391,79 @@ def partitioned_base_loader(spark: SparkSession, root: str) -> BaseLoader:
         return spark.read.parquet(path).filter(F.col("Year") == year)
 
     return load
+
+
+# -- project scaffolding (reference api.py:659-693) ---------------------------
+
+
+def setup_config(project_dir: str, replace: bool = False) -> str:
+    """Reference ``setup_config`` (api.py:659-677): materialize the package
+    default settings as an editable ``settings.yaml`` in ``project_dir``.
+    The reference copies its ``settings-sample.yaml`` into the user's data
+    root; here the same defaults live in
+    :data:`~hbsir_old_spark.metadata.settings.PACKAGE_DEFAULTS`, so the
+    file is generated from them — edit it, then feed it back through
+    :func:`load_settings_file` (or ``HBSIREngine(settings=...)``).
+    Existing files are kept unless ``replace=True``. Returns the path."""
+    import os
+
+    import yaml
+
+    from hbsir_old_spark.metadata.settings import PACKAGE_DEFAULTS
+
+    os.makedirs(project_dir, exist_ok=True)
+    dst = os.path.join(project_dir, "settings.yaml")
+    if os.path.exists(dst) and not replace:
+        return dst
+    header = (
+        "# hbsir_old_spark project settings (generated by setup_config).\n"
+        "# Every key overrides the package default of the same path;\n"
+        "# delete what you don't change.\n"
+    )
+    with open(dst, "w") as f:
+        f.write(header + yaml.safe_dump(PACKAGE_DEFAULTS, sort_keys=False))
+    return dst
+
+
+def load_settings_file(project_dir: str) -> dict:
+    """Read ``{project_dir}/settings.yaml`` (as written by
+    :func:`setup_config`, possibly edited) into the override mapping the
+    engine constructors accept — the project layer of the reference's
+    settings cascade (metadata_reader.py:216-256). Missing file -> empty
+    overrides (package defaults apply)."""
+    import os
+
+    import yaml
+
+    path = os.path.join(project_dir, "settings.yaml")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return yaml.safe_load(f) or {}
+
+
+def setup_metadata(project_dir: str, replace: bool = False) -> str:
+    """Reference ``setup_metadata`` (api.py:680-693): copy the packaged
+    metadata corpus into ``{project_dir}/metadata`` so individual files can
+    be edited locally; point
+    ``HBSIREngine.with_reference_corpus(local_metadata_dir=...)`` at the
+    returned directory and edited files take precedence over the packaged
+    ones (the local-override hook, metadata/corpus.py). Per-file semantics
+    match the reference: existing files are kept unless ``replace=True``.
+    Returns the metadata directory path."""
+    import os
+    import shutil
+
+    from hbsir_old_spark.metadata.corpus import PACKAGE_YAML_DIR
+
+    dst_dir = os.path.join(project_dir, "metadata")
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in sorted(os.listdir(PACKAGE_YAML_DIR)):
+        src = os.path.join(str(PACKAGE_YAML_DIR), name)
+        if not os.path.isfile(src):
+            continue
+        dst = os.path.join(dst_dir, name)
+        if os.path.exists(dst) and not replace:
+            continue
+        shutil.copy(src, dst)
+    return dst_dir

@@ -486,3 +486,65 @@ class TestEngineFacadeOverCorpus:
         df = spark.createDataFrame([(1400, 10**10 + 5)], "Year int, ID long")
         row = engine.add_attribute(df, "Urban_Rural").collect()[0]
         assert row["Urban_Rural"] == "City"
+
+
+class TestProjectScaffolding:
+    """setup_config / setup_metadata (reference api.py:659-693): the two
+    named conveniences over the settings cascade + local-override hook."""
+
+    def test_setup_config_roundtrip(self, spark, tmp_path):
+        from hbsir_old_spark.api import (
+            HBSIREngine,
+            load_settings_file,
+            setup_config,
+        )
+        from hbsir_old_spark.metadata.settings import PACKAGE_DEFAULTS
+
+        proj = str(tmp_path / "proj")
+        path = setup_config(proj)
+        # the generated file IS the package defaults
+        assert load_settings_file(proj) == PACKAGE_DEFAULTS
+        # an edited project file feeds the cascade: project layer wins
+        with open(path, "a") as f:
+            f.write("\nyears:\n  last: 1390\n")
+        engine = HBSIREngine.with_reference_corpus(
+            spark, settings=load_settings_file(proj)
+        )
+        assert engine.last_year == 1390
+        assert engine.first_year == PACKAGE_DEFAULTS["years"]["first"]
+        # reference semantics: existing file kept unless replace=True
+        setup_config(proj)
+        assert load_settings_file(proj)["years"]["last"] == 1390
+        setup_config(proj, replace=True)
+        assert load_settings_file(proj) == PACKAGE_DEFAULTS
+        # no project file at all -> empty overrides (defaults apply)
+        assert load_settings_file(str(tmp_path / "nowhere")) == {}
+
+    def test_setup_metadata_copies_and_local_override_wins(self, spark, tmp_path):
+        import os
+
+        from hbsir_old_spark.api import HBSIREngine, setup_metadata
+
+        proj = str(tmp_path / "proj")
+        meta_dir = setup_metadata(proj)
+        assert os.path.isfile(os.path.join(meta_dir, "household.yaml"))
+        # edit the copied file; the engine pointed at the project metadata
+        # dir must honor the edit (the local-override hook end-to-end)
+        with open(os.path.join(meta_dir, "household.yaml"), "w") as f:
+            f.write(
+                "Urban_Rural:\n"
+                "  code:\n    position:\n      start: 0\n      end: 1\n"
+                "  name:\n    1387:\n      1: \"City\"\n      2: \"Countryside\"\n"
+            )
+        engine = HBSIREngine.with_reference_corpus(
+            spark, local_metadata_dir=meta_dir
+        )
+        df = spark.createDataFrame([(1400, 10**10 + 5)], "Year int, ID long")
+        assert engine.add_attribute(df, "Urban_Rural").collect()[0][
+            "Urban_Rural"
+        ] == "City"
+        # per-file keep-unless-replace (reference setup_metadata semantics)
+        setup_metadata(proj)
+        assert "City" in open(os.path.join(meta_dir, "household.yaml")).read()
+        setup_metadata(proj, replace=True)
+        assert "City" not in open(os.path.join(meta_dir, "household.yaml")).read()
