@@ -643,6 +643,96 @@ class TestNearDedupIngest:
             assert os.path.isdir(os.path.join(store, "data", b, "bands"))
 
 
+class TestNearDedupIngestMultiEpoch:
+    """The fuzzy ingest loop BEYOND one batch (VERDICT r11 #6): a
+    boilerplate template keeps arriving every epoch; the store must
+    screen it every time, the manifest must grow one entry per epoch,
+    and the persisted band table's bucket sizes must respect the
+    write-cap bound (<= hot_bucket_cap per bucket PER APPEND, so
+    <= appends * cap store-wide) — the invariant that keeps probe
+    fan-out bounded as the store accumulates boilerplate clusters."""
+
+    BASE = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )
+
+    def test_multi_epoch_growth_and_screening(self, spark, tmp_path):
+        import os
+
+        from hbsir_old_spark.streaming.sink import (
+            _read_manifest,
+            read_near_dedup_store,
+            run_near_dedup_ingest,
+        )
+
+        src = str(tmp_path / "src_me")
+        store = str(tmp_path / "store_me")
+        epochs, per_epoch_novel, cap = 6, 3, 4
+        nid = 1000
+        for e in range(epochs):
+            rows = []
+            # 8 near-dup variants of the SAME template every epoch: an
+            # in-batch hot bucket (8 > cap) AND a recurring store probe hit
+            for i in range(8):
+                rows.append((e * 100 + i, self.BASE + f" v{e}x{i}"))
+            # novel docs with disjoint vocabularies (no cross near-dups)
+            for i in range(per_epoch_novel):
+                rows.append(
+                    (nid, " ".join(f"e{e}n{i}t{k}" for k in range(10)))
+                )
+                nid += 1
+            # one parquet file per epoch so maxFilesPerTrigger=1 delivers
+            # exactly one epoch per micro-batch
+            spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = run_near_dedup_ingest(
+            stream,
+            store,
+            str(tmp_path / "ckpt_me"),
+            threshold=0.5,
+            bands=8,
+            hot_bucket_cap=cap,
+            hot_bucket_anchors=2,
+        )
+        q.awaitTermination(600)
+
+        manifest = _read_manifest(store)
+        assert len(manifest) == epochs  # every epoch committed its novel docs
+        docs, bands = read_near_dedup_store(spark, store)
+        texts = [r["text"] for r in docs.collect()]
+        # exactly ONE template representative ever commits; every later
+        # epoch's variants are screened by the store probe
+        assert sum(t.startswith(self.BASE) for t in texts) == 1
+        assert len(texts) == 1 + epochs * per_epoch_novel
+        # write-cap bound, per append: every committed batch's band table
+        # respects the per-bucket cap...
+        from pyspark.sql import functions as F
+
+        for b in manifest:
+            per_bucket = (
+                spark.read.parquet(os.path.join(store, "data", b, "bands"))
+                .groupBy("band", "bh")
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+            )
+            assert per_bucket <= cap, (b, per_bucket)
+        # ...so the STORE-wide bucket growth is linear in appends, never
+        # in arriving duplicates (6 epochs x 8 template variants arrived;
+        # the template's bucket holds at most appends * cap rows)
+        worst = (
+            bands.groupBy("band", "bh").count().agg(F.max("count")).collect()[0][0]
+        )
+        assert worst <= len(manifest) * cap
+
+
 class TestIngestRestartSafety:
     """Review-pass regressions: a restarted query's epoch ids begin at 0
     again, and a pre-manifest flat store must be refused, not silently
