@@ -14,11 +14,13 @@ single-iteration timings at 0.3-4 s granularity cannot distinguish a real
 
 Storm-proofing (round-12, after the r11 driver record published a 132 s
 total whose x3 "warm median" was 7x its own cold — a mid-run host storm):
-the quiet gate is re-checked PER QUERY, every query stamps the loadavg it
-ran under, and a query whose median lands >1.5x its entry in the last
-COMMITTED quiet record (BENCH_QUIET_REFERENCE.json) — or that finished
-with the gate breached — is automatically RETAKEN after re-waiting for a
-quiet host. A complete, untruncated copy of the record is also written to
+the quiet gate is re-checked PER QUERY, every query stamps the EXTERNAL
+CPU (other processes' busy cores — raw loadavg is self-contaminated once
+the 32-thread timed loop is running) it ran under, and a query whose
+median lands >1.5x its entry in the last COMMITTED quiet record
+(BENCH_QUIET_REFERENCE.json) — or that ran with external CPU above the
+gate — is automatically RETAKEN after re-waiting for external quiet. A
+complete, untruncated copy of the record is also written to
 BENCH_r{N}_full.json (round inferred from CORRECTNESS_r*.json) so the
 driver's 2000-char stdout tail is never the only copy.
 """
@@ -184,6 +186,10 @@ HEADLINE = [
     # is likewise gate-only: its wall time is Lloyd-iteration job latency
     # (driver round trips), not engine throughput — and x27's is the
     # interpreted pairwise-cosine verify over in-cluster candidates.
+    # round 12: x47_audio_decode stays gate-only — its wall time is the
+    # Python WAV build+decode inside mapInPandas (the documented codec
+    # boundary, not engine throughput); j8b_geometry_analytics likewise
+    # (25 dim rows — gate shape, nothing to measure).
 ]
 
 
@@ -211,6 +217,79 @@ def wait_for_quiet_host(
         time.sleep(poll_s)
         waited += poll_s
     return waited, quiet()
+
+
+class ExternalLoadMeter:
+    """External-CPU meter for MID-RUN storm detection: raw loadavg is
+    useless once the timed loop is running (the bench's own 32-thread
+    queries push it to 5-10, so a loadavg-based per-query gate fires on
+    ITSELF and burns the retake budget sleeping — observed on this
+    harness's first storm-proofed run). Instead, measure the busy jiffies
+    of everything OUTSIDE our own process tree over each sampling window:
+    ``external_cores()`` returns the average number of cores other
+    processes kept busy since the previous call. /proc/stat gives total
+    busy; /proc/<pid>/stat (utime+stime over the descendant tree of this
+    process, which includes the Spark JVM) gives ours."""
+
+    def __init__(self) -> None:
+        self._hz = os.sysconf("SC_CLK_TCK")
+        self._last = self._read()
+
+    @staticmethod
+    def _tree_jiffies() -> int:
+        me = os.getpid()
+        ppid_map: dict[int, int] = {}
+        jiffies: dict[int, int] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    rest = f.read().rsplit(")", 1)[1].split()
+            except (OSError, IndexError):
+                continue  # raced a process exit
+            pid = int(d)
+            ppid_map[pid] = int(rest[1])
+            jiffies[pid] = int(rest[11]) + int(rest[12])  # utime+stime
+        tree = {me}
+        changed = True
+        while changed:
+            changed = False
+            for pid, ppid in ppid_map.items():
+                if ppid in tree and pid not in tree:
+                    tree.add(pid)
+                    changed = True
+        return sum(jiffies.get(p, 0) for p in tree)
+
+    def _read(self) -> tuple[int, int, float]:
+        with open("/proc/stat") as f:
+            fields = [int(x) for x in f.readline().split()[1:]]
+        busy = sum(fields) - fields[3] - fields[4]  # minus idle+iowait
+        return busy, self._tree_jiffies(), time.monotonic()
+
+    def external_cores(self) -> float:
+        busy, ours, now = self._read()
+        b0, o0, t0 = self._last
+        self._last = (busy, ours, now)
+        dt = max(now - t0, 1e-6)
+        return max(0.0, (busy - b0) - (ours - o0)) / self._hz / dt
+
+
+def wait_for_external_quiet(
+    meter: ExternalLoadMeter, threshold: float, timeout_s: float,
+    poll_s: float = 15.0,
+) -> tuple[float, bool]:
+    """Mid-run analogue of :func:`wait_for_quiet_host`: sleep until other
+    processes' CPU use drops below ``threshold`` cores per sampling
+    window (or the budget runs out). Sleeping first makes each sample a
+    clean window in which the bench itself was idle."""
+    waited = 0.0
+    while waited < timeout_s:
+        time.sleep(poll_s)
+        waited += poll_s
+        if meter.external_cores() <= threshold:
+            return waited, True
+    return waited, False
 
 
 def _repo_root() -> str:
@@ -299,7 +378,7 @@ def main() -> None:
     medians: dict[str, float] = {}
     cold: dict[str, float] = {}
     reruns: list[str] = []
-    loadavg_per_query: dict[str, float] = {}
+    external_cores_per_query: dict[str, float] = {}
     retakes: dict[str, dict] = {}
     suspect_vs_reference: list[str] = []
 
@@ -323,14 +402,21 @@ def main() -> None:
             runs += timed(fn, 2)
         return runs
 
+    # the bench's own 32-thread queries dominate raw loadavg mid-run, so
+    # per-query storm detection measures EXTERNAL cpu only (everything
+    # outside this process tree) — see ExternalLoadMeter
+    meter = ExternalLoadMeter()
     for name in HEADLINE:
         fn = queries[name]
         # per-query PRE-gate (r11 lesson: the loadavg-0.8 start gate let a
         # mid-run storm publish x3 at 7x its own cold): a storm that
-        # arrives mid-suite pauses the suite instead of polluting it
-        if os.getloadavg()[0] > quiet_threshold and retake_budget_s > 0:
-            waited, q = wait_for_quiet_host(
-                quiet_threshold, min(retake_budget_s, quiet_timeout)
+        # arrives mid-suite pauses the suite instead of polluting it.
+        # external_cores() here covers the window since the last sample
+        # (the previous query), so a storm overlapping it is caught before
+        # the next query is timed
+        if meter.external_cores() > quiet_threshold and retake_budget_s > 0:
+            waited, q = wait_for_external_quiet(
+                meter, quiet_threshold, min(retake_budget_s, quiet_timeout)
             )
             retake_budget_s -= waited
             quiet_wait_s += waited
@@ -338,17 +424,18 @@ def main() -> None:
         runs = median_with_spread_guard(fn, name, first=True)
         med = statistics.median(runs)
         cold[name] = round(runs[0], 3)
-        load_now = os.getloadavg()[0]
-        loadavg_per_query[name] = round(load_now, 2)
+        # this sample's window is exactly the query's runs
+        ext_now = meter.external_cores()
+        external_cores_per_query[name] = round(ext_now, 2)
         # AUTO-RETAKE: a median >1.5x the last committed quiet record (+a
-        # 0.25 s floor so sub-second queries don't flap on jitter), or a
-        # gate breach while this query ran, is storm-suspect — re-wait for
-        # quiet and publish a FRESH median instead
-        breach = load_now > quiet_threshold
+        # 0.25 s floor so sub-second queries don't flap on jitter), or
+        # external CPU above the gate while this query ran, is
+        # storm-suspect — re-wait for quiet and publish a FRESH median
+        breach = ext_now > quiet_threshold
         above_ref = name in reference and med > 1.5 * reference[name] + 0.25
         if (breach or above_ref) and retake_budget_s > 0:
-            waited, q = wait_for_quiet_host(
-                quiet_threshold, min(retake_budget_s, quiet_timeout)
+            waited, q = wait_for_external_quiet(
+                meter, quiet_threshold, min(retake_budget_s, quiet_timeout)
             )
             retake_budget_s -= waited
             quiet_wait_s += waited
@@ -357,13 +444,13 @@ def main() -> None:
             retakes[name] = {
                 "first": round(med, 3),
                 "retaken": round(med2, 3),
-                "loadavg_at_first": round(load_now, 2),
+                "external_cores_at_first": round(ext_now, 2),
                 "reason": "gate_breach" if breach else "above_reference",
                 "quiet_for_retake": q,
             }
             if q:
                 med = med2
-                loadavg_per_query[name] = round(os.getloadavg()[0], 2)
+                external_cores_per_query[name] = round(meter.external_cores(), 2)
             else:
                 # the storm outlasted the wait budget: publish the better
                 # of the two, but the record is flagged noisy overall
@@ -403,9 +490,10 @@ def main() -> None:
         "bench_notes": {
             "loadavg_before": [round(x, 2) for x in load_before],
             "loadavg_after": [round(x, 2) for x in load_after],
-            # 1-min loadavg stamped as each query's median was taken — a
-            # mid-run storm is visible per-query, not only start-vs-end
-            "loadavg_per_query": loadavg_per_query,
+            # external cores (other processes' CPU) stamped over each
+            # query's own window — a mid-run storm is visible per-query,
+            # not only start-vs-end, and the bench's own load is excluded
+            "external_cores_per_query": external_cores_per_query,
             # queries re-measured after a quiet re-wait because their
             # first median breached the gate or landed >1.5x the last
             # committed quiet record (BENCH_QUIET_REFERENCE.json)
