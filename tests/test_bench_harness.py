@@ -64,3 +64,42 @@ class TestHeadlineRegistry:
             f"(update BENCH_QUIET_REFERENCE.json from the next committed "
             f"quiet record): {uncovered}"
         )
+
+
+class TestExternalLoadMeter:
+    def test_self_load_is_excluded(self):
+        # the property the meter exists for: CPU burned by THIS process
+        # tree (python + descendants, i.e. the Spark JVM in a real run)
+        # must not register as external — the first storm-proofed bench
+        # run gated on raw loadavg and fired on its own 32-thread queries
+        import multiprocessing as mp
+        import time
+
+        meter = bench.ExternalLoadMeter()
+        time.sleep(1.0)
+        idle = meter.external_cores()
+
+        def spin(seconds):
+            end = time.monotonic() + seconds
+            while time.monotonic() < end:
+                pass
+
+        procs = [mp.Process(target=spin, args=(2.0,)) for _ in range(4)]
+        for p in procs:
+            p.start()
+        time.sleep(2.0)
+        busy_self = meter.external_cores()
+        for p in procs:
+            p.join()
+        # 4 in-tree cores spinning must look (almost) idle externally;
+        # allow slack for unrelated system daemons
+        assert busy_self < 1.5, (idle, busy_self)
+
+    def test_meter_monotonic_window_semantics(self):
+        import time
+
+        meter = bench.ExternalLoadMeter()
+        time.sleep(0.2)
+        a = meter.external_cores()
+        b = meter.external_cores()  # near-zero window, must not blow up
+        assert a >= 0.0 and b >= 0.0
