@@ -327,3 +327,91 @@ def test_wide_mode_scaling_never_clips():
     # degenerate constant image -> zeros, no division blow-up
     const = np.full((2, 2), 4242, dtype=np.int32)
     assert _scale_wide_to_uint8(const, "I").max() == 0
+
+
+# -- image resize (the remaining multimodal-brief op: decode/extract/
+# RESIZE/frame-sample) --------------------------------------------------------
+
+
+def test_resize_nearest_semantics():
+    import numpy as np
+
+    from hbsir_old_spark.functions.multimodal import _resize_array
+
+    src = _gradient(4, 6, 3)
+    # integer 2x upscale under center sampling == np.repeat on both axes
+    up = _resize_array(src, 8, 12, method="nearest")
+    assert np.array_equal(up, src.repeat(2, axis=0).repeat(2, axis=1))
+    # pure-python cross-check on an odd downscale
+    out = _resize_array(src, 3, 5, method="nearest")
+    for i in range(3):
+        for j in range(5):
+            yi = min(int((i + 0.5) * 4 / 3), 3)
+            xi = min(int((j + 0.5) * 6 / 5), 5)
+            assert (out[i, j] == src[yi, xi]).all()
+
+
+def test_resize_bilinear_semantics():
+    import numpy as np
+
+    from hbsir_old_spark.functions.multimodal import _resize_array
+
+    # constant image stays exactly constant at any size
+    const = np.full((5, 7, 3), 119, dtype=np.uint8)
+    assert (_resize_array(const, 9, 4) == 119).all()
+    # identity size is a no-op (half-pixel centers align exactly)
+    src = _gradient(6, 5, 1)
+    assert np.array_equal(_resize_array(src, 6, 5), src)
+    # 2x upscale of a horizontal linear ramp stays a monotone ramp per row
+    ramp = (np.arange(8, dtype=np.uint8) * 30).reshape(1, 8, 1).repeat(4, axis=0)
+    up = _resize_array(ramp, 4, 16)
+    row = up[0, :, 0].astype(int)
+    assert all(b >= a for a, b in zip(row, row[1:]))
+    assert row[0] == 0 and row[-1] == 210
+    # edge clamping: corners of the output equal corners of the input
+    src2 = _gradient(5, 4, 3)
+    out = _resize_array(src2, 10, 8)
+    assert (out[0, 0] == src2[0, 0]).all() and (out[-1, -1] == src2[-1, -1]).all()
+
+
+def test_resize_rejects_bad_args():
+    import numpy as np
+
+    from hbsir_old_spark.functions.multimodal import _resize_array
+
+    src = _gradient(3, 3, 1)
+    with pytest.raises(ValueError):
+        _resize_array(src, 0, 3)
+    with pytest.raises(ValueError):
+        _resize_array(src, 3, 3, method="lanczos")
+    with pytest.raises(ValueError):
+        _resize_array(np.zeros((3, 3), dtype=np.uint8), 2, 2)
+
+
+def test_resize_images_end_to_end(spark):
+    # PNG bytes -> real decode -> vectorized resize, through mapInPandas;
+    # pixel buffer and integer sum must match the local computation
+    import numpy as np
+
+    from hbsir_old_spark.functions.multimodal import (
+        ASSET_SCHEMA,
+        _resize_array,
+        resize_images,
+    )
+
+    pix = _gradient(9, 7, 3)
+    png = _png_encode(pix)
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(png), None),
+            (2, "audio", bytearray(b"RIFFxxxxWAVE"), None),  # ignored
+        ],
+        schema=ASSET_SCHEMA,
+    )
+    rows = resize_images(assets, width=4, height=5, method="nearest").collect()
+    assert [r["asset_id"] for r in rows] == [1]
+    r = rows[0]
+    exp = _resize_array(pix, 5, 4, method="nearest")
+    assert (r["height"], r["width"], r["channels"]) == (5, 4, 3)
+    assert bytes(r["pixels"]) == exp.tobytes()
+    assert r["pixel_sum"] == int(exp.sum(dtype=np.int64))
