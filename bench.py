@@ -250,7 +250,17 @@ class ExternalLoadMeter:
                 continue  # raced a process exit
             pid = int(d)
             ppid_map[pid] = int(rest[1])
-            jiffies[pid] = int(rest[11]) + int(rest[12])  # utime+stime
+            # utime+stime PLUS reaped-children time (cutime+cstime):
+            # without the latter, a PySpark python worker that exits
+            # mid-window takes its jiffies out of the tree sum while
+            # /proc/stat keeps them — the delta reads as EXTERNAL load
+            # on an idle host and trips a spurious retake (review-pass
+            # finding). While a child lives its time is counted via its
+            # own entry; on reaping it moves into the parent's cutime —
+            # either way the tree sum is stable, never double-counted.
+            jiffies[pid] = (
+                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+            )
         tree = {me}
         changed = True
         while changed:
@@ -300,7 +310,7 @@ def _load_quiet_reference(sf: str) -> dict[str, float]:
     """Medians from the last COMMITTED quiet-host record
     (BENCH_QUIET_REFERENCE.json) — the per-query retake yardstick. Only
     applicable at the same scale factor; absent/mismatched -> no yardstick
-    (retakes then trigger on the loadavg stamp alone)."""
+    (retakes then trigger on the external-CPU gate breach alone)."""
     try:
         with open(os.path.join(_repo_root(), "BENCH_QUIET_REFERENCE.json")) as f:
             ref = json.load(f)
@@ -448,14 +458,28 @@ def main() -> None:
                 "reason": "gate_breach" if breach else "above_reference",
                 "quiet_for_retake": q,
             }
+            retakes[name]["external_cores_at_retake"] = round(
+                meter.external_cores(), 2
+            )
             if q:
                 med = med2
-                external_cores_per_query[name] = round(meter.external_cores(), 2)
+                external_cores_per_query[name] = retakes[name][
+                    "external_cores_at_retake"
+                ]
+                # NOTE: cold[name] deliberately keeps the original first
+                # run — with the median now quiet, a storm-contaminated
+                # cold surfaces through cold_storm_suspects below (its
+                # documented reading)
             else:
                 # the storm outlasted the wait budget: publish the better
                 # of the two, but the record is flagged noisy overall
                 quiet_host = False
                 med = min(med, med2)
+        elif breach:
+            # a gate breach with NO retake budget left must not publish
+            # a quiet-labeled record — the exact mislabeling (r11's 132 s
+            # driver record) this machinery exists to prevent
+            quiet_host = False
         if name in reference and med > 1.5 * reference[name] + 0.25:
             # survived (or skipped) a quiet retake and still >1.5x the
             # committed record: a REAL regression candidate for the

@@ -247,24 +247,30 @@ def _decode_wav_stdlib(content: bytes) -> tuple[np.ndarray, int]:
 
 def _real_decode_audio(content: bytes) -> tuple[np.ndarray, int]:
     """Real audio decode (bytes -> ``(samples[n_frames, channels],
-    sample_rate)``) behind the optional-dependency guard: soundfile when
-    installed (any format it reads, asked for int16 so integer WAVs stay
-    exact); otherwise the built-in stdlib WAV decoder for RIFF/WAVE
-    bytes; otherwise the documented NotImplementedError seam."""
+    sample_rate)``) behind the optional-dependency guard. RIFF/WAVE bytes
+    ALWAYS take the built-in stdlib decoder — even when soundfile is
+    installed — because results must not depend on the environment:
+    ``soundfile.read(dtype='int16')`` RESCALES non-16-bit PCM (8-bit
+    << 8, 24-bit >> 8, 32-bit >> 16) while this module's contract is raw
+    integer sample values (review-pass finding; the x47 oracle and the
+    width-pinned unit tests encode that contract). Non-WAV bytes go to
+    soundfile when installed (converted to int16 scale — the only
+    meaningful integer reading for lossy/float formats), else the
+    documented NotImplementedError seam."""
+    if (
+        content
+        and content[:4] == _WAV_MAGIC_RIFF
+        and content[8:12] == _WAV_MAGIC_WAVE
+    ):
+        return _decode_wav_stdlib(content)
     try:
         import soundfile  # optional; absent in this container
     except ImportError:
-        if (
-            content
-            and content[:4] == _WAV_MAGIC_RIFF
-            and content[8:12] == _WAV_MAGIC_WAVE
-        ):
-            return _decode_wav_stdlib(content)
         raise NotImplementedError(
             "no audio codec available for these bytes: install soundfile "
-            "(any format), or supply WAV/PCM bytes for the built-in "
+            "(non-WAV formats), or supply WAV/PCM bytes for the built-in "
             "stdlib decoder"
-        )
+        ) from None
     import io
 
     data, sample_rate = soundfile.read(
@@ -284,6 +290,13 @@ def build_wav(
     import wave
 
     arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 2 and arr.shape[1] != channels:
+        # a (n_frames, channels) array with a mismatched channels arg
+        # would silently write a mono header over interleaved stereo
+        # data (doubled frame count, no error anywhere downstream)
+        raise ValueError(
+            f"samples shape {arr.shape} disagrees with channels={channels}"
+        )
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(channels)

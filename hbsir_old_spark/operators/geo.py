@@ -120,8 +120,9 @@ def wkt_polygon_centroid(wkt: Column | str) -> Column:
     n = F.size(pts)
     a = F.slice(pts, 1, n - 1)
     b = F.slice(pts, 2, n - 1)
-    cross = F.zip_with(a, b, lambda p, q: p["x"] * q["y"] - q["x"] * p["y"])
-    signed = F.aggregate(cross, F.lit(0.0), lambda acc, v: acc + v)
+    signed = F.aggregate(
+        _shoelace_terms(pts), F.lit(0.0), lambda acc, v: acc + v
+    )
     cx_num = F.aggregate(
         F.zip_with(
             a, b,

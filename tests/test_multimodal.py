@@ -415,3 +415,43 @@ def test_resize_images_end_to_end(spark):
     assert (r["height"], r["width"], r["channels"]) == (5, 4, 3)
     assert bytes(r["pixels"]) == exp.tobytes()
     assert r["pixel_sum"] == int(exp.sum(dtype=np.int64))
+
+
+def test_wav_bytes_never_reach_soundfile(monkeypatch):
+    # results must not depend on the environment: soundfile's int16 read
+    # RESCALES 8/24/32-bit PCM, so RIFF/WAVE bytes must take the stdlib
+    # decoder even when soundfile IS installed (review-pass finding).
+    # Plant a booby-trapped soundfile module and decode a real WAV.
+    import sys
+    import types
+
+    import numpy as np
+
+    from hbsir_old_spark.functions.multimodal import (
+        _real_decode_audio,
+        build_wav,
+    )
+
+    trapped = types.ModuleType("soundfile")
+
+    def _boom(*a, **k):
+        raise AssertionError("WAV bytes must not be routed to soundfile")
+
+    trapped.read = _boom
+    monkeypatch.setitem(sys.modules, "soundfile", trapped)
+    wav = build_wav(np.array([1, -2, 3], dtype=np.int16), 8000)
+    out, sr = _real_decode_audio(wav)
+    assert sr == 8000 and out.ravel().tolist() == [1, -2, 3]
+
+
+def test_build_wav_rejects_channel_mismatch():
+    import numpy as np
+    import pytest as _pytest
+
+    from hbsir_old_spark.functions.multimodal import build_wav
+
+    with _pytest.raises(ValueError, match="channels"):
+        build_wav(np.zeros((10, 2), dtype=np.int16), 8000)  # forgot channels=2
+    # explicit agreement still fine, 1-D interleaved unaffected
+    build_wav(np.zeros((10, 2), dtype=np.int16), 8000, channels=2)
+    build_wav(np.zeros(20, dtype=np.int16), 8000, channels=2)
