@@ -7865,7 +7865,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows-only pins. The 40 gates rowed green in CORRECTNESS_r11.json
     # rotate out (1 round fresh); the 40 r10-green tail veterans carry r13
     # window PRIORITY (they will be 3 rounds stale — same cadence debt the
-    # r9-green set just repaid).
+    # r9-green set just repaid). r13 TODO: gate the r12 resize operator
+    # (functions/multimodal.py:resize_images — nearest-mode x48 full
+    # oracle via the arithmetic-generator pattern); it has no slot this
+    # round because the window is exactly full with the owed veterans.
     return {
         # -- new in round 12 --
         "x47_audio_decode": q_audio_decode_stats,
