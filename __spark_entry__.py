@@ -1955,6 +1955,82 @@ FROM documents WHERE doc_id < 200
 
 
 # --------------------------------------------------------------------------
+# x48 — image resize through the real decode path (operator landed r12;
+# REGISTERED IN R13 — the r12 driver window is exactly full with the owed
+# r9-green veterans, see the queries() header). Same arithmetic-generator
+# pattern as x47: PNG bytes built per-document from a pure pixel function
+# of doc_id (real container via functions/multimodal.py build_png), decoded
+# and nearest-resized by the real path, reduced to integer-exact sums the
+# oracle recomputes via the center-sampling index formula
+# (src = (2*out + 1) * in / (2 * out_size), floor'd — integer-exact in SQL
+# as ((2*i + 1) * h) / (2 * out_h) with integer division).
+# --------------------------------------------------------------------------
+
+
+def q_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.multimodal import (
+        ASSET_SCHEMA,
+        build_png,
+        resize_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                h, w, c = 5 + did % 6, 4 + did % 5, 1 + (did % 2) * 2
+                y, x, ch = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(c), indexing="ij"
+                )
+                pix = ((did * 31 + y * 17 + x * 7 + ch * 3) % 256).astype(
+                    np.uint8
+                )
+                rows.append(
+                    {
+                        "asset_id": did,
+                        "kind": "image",
+                        "content": build_png(pix),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "kind", "content", "meta"]
+            )
+
+    assets = docs.mapInPandas(make, schema=ASSET_SCHEMA)
+    resized = resize_images(assets, width=9, height=7, method="nearest")
+    return resized.select(
+        "asset_id", "width", "height", "channels", "pixel_sum"
+    )
+
+
+SQL_RESIZE_STATS = """
+WITH d AS (
+  SELECT doc_id,
+         5 + doc_id % 6 AS h, 4 + doc_id % 5 AS w, 1 + (doc_id % 2) * 2 AS c
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id::BIGINT AS asset_id,
+       9::INTEGER AS width, 7::INTEGER AS height, c::INTEGER AS channels,
+       (SELECT SUM((doc_id*31
+                    + LEAST(((2*(k // (9*c)) + 1) * h) // 14, h - 1) * 17
+                    + LEAST(((2*((k % (9*c)) // c) + 1) * w) // 18, w - 1) * 7
+                    + (k % c) * 3) % 256)
+          FROM unnest(generate_series(0, 7*9*c - 1)) AS t(k)
+       )::BIGINT AS pixel_sum
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-duplicate detection (exact pairwise baseline; the
 # LSH-bucketed scale path is q_ann_lsh)
 # --------------------------------------------------------------------------

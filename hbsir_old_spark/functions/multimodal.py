@@ -373,6 +373,38 @@ def extract_features(assets: DataFrame, use_fake_decoder: bool = True) -> DataFr
     return assets.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+def build_png(pixels: np.ndarray) -> bytes:
+    """Encode an HxWxC uint8 array (C in {1, 3, 4}) as 8-bit
+    non-interlaced PNG bytes (filter type 0 per scanline) via stdlib
+    struct/zlib. The image counterpart of :func:`build_wav`: fixtures and
+    the planned x48 gate round-trip a REAL PNG container through the real
+    decode path (:func:`_decode_png_minimal` / Pillow), not a fake."""
+    import struct
+    import zlib
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3, 4):
+        raise ValueError(f"expected HxWx(1|3|4) array, got shape {arr.shape}")
+    h, w, c = arr.shape
+    colortype = {1: 0, 3: 2, 6: 6, 4: 6}[c]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _resize_array(
     arr: np.ndarray, out_h: int, out_w: int, method: str = "bilinear"
 ) -> np.ndarray:

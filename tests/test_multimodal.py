@@ -455,3 +455,47 @@ def test_build_wav_rejects_channel_mismatch():
     # explicit agreement still fine, 1-D interleaved unaffected
     build_wav(np.zeros((10, 2), dtype=np.int16), 8000, channels=2)
     build_wav(np.zeros(20, dtype=np.int16), 8000, channels=2)
+
+
+def test_build_png_roundtrips_through_real_decoder():
+    import numpy as np
+    import pytest as _pytest
+
+    from hbsir_old_spark.functions.multimodal import (
+        _decode_png_minimal,
+        build_png,
+    )
+
+    for c in (1, 3, 4):
+        pix = _gradient(6, 5, c)
+        assert np.array_equal(_decode_png_minimal(build_png(pix)), pix)
+    with _pytest.raises(ValueError):
+        build_png(np.zeros((4, 4, 2), dtype=np.uint8))  # 2-channel: no PNG type
+    with _pytest.raises(ValueError):
+        build_png(np.zeros((4, 4), dtype=np.uint8))
+
+
+def test_x48_resize_gate_matches_duckdb_oracle(spark, sf_dir):
+    """Pre-registration proof of the staged x48 gate (see __spark_entry__:
+    q_resize_stats / SQL_RESIZE_STATS, driver registration owed r13): the
+    Spark resize pipeline and the DuckDB center-sampling arithmetic must
+    agree exactly — dtypes, row count, and every value — so the r13 window
+    insert is a reorder, not a new risk."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    spark_df = entry_mod.q_resize_stats(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    duck_df = con.sql(entry_mod.SQL_RESIZE_STATS).df()
+    for col in spark_df.columns:
+        assert str(spark_df[col].dtype) == str(duck_df[col].dtype), col
+    left = spark_df.sort_values("asset_id").reset_index(drop=True)
+    right = duck_df.sort_values("asset_id").reset_index(drop=True)
+    assert len(left) == len(right) > 0
+    for col in left.columns:
+        assert left[col].tolist() == right[col].tolist(), col
