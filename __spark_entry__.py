@@ -1955,28 +1955,25 @@ FROM documents WHERE doc_id < 200
 
 
 # --------------------------------------------------------------------------
-# x48 — image resize through the real decode path (operator landed r12;
-# REGISTERED IN R13 — the r12 driver window is exactly full with the owed
-# r9-green veterans, see the queries() header). Same arithmetic-generator
-# pattern as x47: PNG bytes built per-document from a pure pixel function
-# of doc_id (real container via functions/multimodal.py build_png), decoded
-# and nearest-resized by the real path, reduced to integer-exact sums the
-# oracle recomputes via the center-sampling index formula
-# (src = (2*out + 1) * in / (2 * out_size), floor'd — integer-exact in SQL
-# as ((2*i + 1) * h) / (2 * out_h) with integer division).
+# x48/x48b — image resize through the real decode path (operator landed
+# r12; REGISTERED IN R13 — the r12 driver window is exactly full with the
+# owed r9-green veterans, see the queries() header; both gates are already
+# PROVEN against DuckDB by tests/test_multimodal.py pre-registration
+# parity tests). Same arithmetic-generator pattern as x47: PNG bytes built
+# per-document from a pure pixel function of doc_id (real container via
+# functions/multimodal.py build_png), decoded and resized by the real
+# path, reduced to integer-exact sums the oracle recomputes. x48 =
+# nearest (center-sampling index formula, floor'd integer division);
+# x48b = bilinear (exact-rational weights with denominators 2*out_h /
+# 2*out_w and round-half-to-even — see _resize_array's docstring for why
+# the operator is integer-exact rather than float).
 # --------------------------------------------------------------------------
 
 
-def q_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hbsir_old_spark.functions.multimodal import (
-        ASSET_SCHEMA,
-        build_png,
-        resize_images,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
-        F.col("doc_id") < 100
-    )
+def _png_assets_from_docs(docs: DataFrame) -> DataFrame:
+    """doc_id -> one real PNG asset per doc: h=5+id%6, w=4+id%5,
+    c=1+(id%2)*2, pixel(y,x,ch) = (id*31 + y*17 + x*7 + ch*3) % 256."""
+    from hbsir_old_spark.functions.multimodal import ASSET_SCHEMA, build_png
 
     def make(batches):
         import numpy as np
@@ -2005,11 +2002,29 @@ def q_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["asset_id", "kind", "content", "meta"]
             )
 
-    assets = docs.mapInPandas(make, schema=ASSET_SCHEMA)
-    resized = resize_images(assets, width=9, height=7, method="nearest")
+    return docs.mapInPandas(make, schema=ASSET_SCHEMA)
+
+
+def _q_resize(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
+    from hbsir_old_spark.functions.multimodal import resize_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+    resized = resize_images(
+        _png_assets_from_docs(docs), width=9, height=7, method=method
+    )
     return resized.select(
         "asset_id", "width", "height", "channels", "pixel_sum"
     )
+
+
+def q_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q_resize(spark, sf_dir, "nearest")
+
+
+def q_resize_bilinear_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q_resize(spark, sf_dir, "bilinear")
 
 
 SQL_RESIZE_STATS = """
@@ -2027,6 +2042,61 @@ SELECT doc_id::BIGINT AS asset_id,
           FROM unnest(generate_series(0, 7*9*c - 1)) AS t(k)
        )::BIGINT AS pixel_sum
 FROM d
+"""
+
+
+# Bilinear: output pixel (i,j,ch) has source coordinate numerators
+# ny = (2i+1)*h - 7 over denominator 14 and nx = (2j+1)*w - 9 over 18;
+# y0 = clamp(floor(ny/14)) (ny >= -6 here, so the negative case clamps
+# straight to 0), weight numerator ry = clamp(ny - y0*14, 0, 14); the
+# blended value is num/252 with num an exact integer, rounded half to
+# even — the same arithmetic _resize_array runs vectorized in int64.
+SQL_RESIZE_BILINEAR_STATS = """
+WITH d AS (
+  SELECT doc_id,
+         5 + doc_id % 6 AS h, 4 + doc_id % 5 AS w, 1 + (doc_id % 2) * 2 AS c
+  FROM documents WHERE doc_id < 100
+),
+geo AS (
+  SELECT d.doc_id, d.h, d.w, d.c,
+         t.k // (9 * d.c) AS i,
+         (t.k % (9 * d.c)) // d.c AS j,
+         t.k % d.c AS ch
+  FROM d, unnest(generate_series(0, 7*9*d.c - 1)) AS t(k)
+),
+ax AS (
+  SELECT *, (2*i + 1) * h - 7 AS ny, (2*j + 1) * w - 9 AS nx FROM geo
+),
+cl AS (
+  SELECT *,
+         LEAST(CASE WHEN ny < 0 THEN 0 ELSE ny // 14 END, h - 1) AS y0,
+         LEAST(CASE WHEN nx < 0 THEN 0 ELSE nx // 18 END, w - 1) AS x0
+  FROM ax
+),
+wt AS (
+  SELECT *,
+         LEAST(y0 + 1, h - 1) AS y1, LEAST(x0 + 1, w - 1) AS x1,
+         LEAST(GREATEST(ny - y0 * 14, 0), 14) AS ry,
+         LEAST(GREATEST(nx - x0 * 18, 0), 18) AS rx
+  FROM cl
+),
+nm AS (
+  SELECT doc_id, c,
+         ((doc_id*31 + y0*17 + x0*7 + ch*3) % 256) * (14 - ry) * (18 - rx)
+       + ((doc_id*31 + y0*17 + x1*7 + ch*3) % 256) * (14 - ry) * rx
+       + ((doc_id*31 + y1*17 + x0*7 + ch*3) % 256) * ry * (18 - rx)
+       + ((doc_id*31 + y1*17 + x1*7 + ch*3) % 256) * ry * rx AS num
+  FROM wt
+),
+rq AS (
+  SELECT doc_id, c, num // 252 AS q, num % 252 AS r FROM nm
+)
+SELECT doc_id::BIGINT AS asset_id,
+       9::INTEGER AS width, 7::INTEGER AS height, c::INTEGER AS channels,
+       SUM(q + CASE WHEN 2*r > 252 OR (2*r = 252 AND q % 2 = 1)
+               THEN 1 ELSE 0 END)::BIGINT AS pixel_sum
+FROM rq
+GROUP BY doc_id, c
 """
 
 
@@ -7941,10 +8011,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows-only pins. The 40 gates rowed green in CORRECTNESS_r11.json
     # rotate out (1 round fresh); the 40 r10-green tail veterans carry r13
     # window PRIORITY (they will be 3 rounds stale — same cadence debt the
-    # r9-green set just repaid). r13 TODO: gate the r12 resize operator
-    # (functions/multimodal.py:resize_images — nearest-mode x48 full
-    # oracle via the arithmetic-generator pattern); it has no slot this
-    # round because the window is exactly full with the owed veterans.
+    # r9-green set just repaid). r13 TODO: register the two staged resize
+    # gates (x48 nearest / x48b integer-exact bilinear — queries, SQL
+    # oracles, and DuckDB pre-registration parity proofs all already in
+    # tree: q_resize_stats/q_resize_bilinear_stats +
+    # tests/test_multimodal.py::test_resize_gates_match_duckdb_oracle);
+    # they have no slot this round because the window is exactly full
+    # with the owed veterans.
     return {
         # -- new in round 12 --
         "x47_audio_decode": q_audio_decode_stats,

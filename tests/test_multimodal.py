@@ -475,23 +475,32 @@ def test_build_png_roundtrips_through_real_decoder():
         build_png(np.zeros((4, 4), dtype=np.uint8))
 
 
-def test_x48_resize_gate_matches_duckdb_oracle(spark, sf_dir):
-    """Pre-registration proof of the staged x48 gate (see __spark_entry__:
-    q_resize_stats / SQL_RESIZE_STATS, driver registration owed r13): the
-    Spark resize pipeline and the DuckDB center-sampling arithmetic must
-    agree exactly — dtypes, row count, and every value — so the r13 window
-    insert is a reorder, not a new risk."""
+@pytest.mark.parametrize("gate", ["x48", "x48b"])
+def test_resize_gates_match_duckdb_oracle(spark, sf_dir, gate):
+    """Pre-registration proof of the staged x48 (nearest) and x48b
+    (bilinear, exact-rational round-half-even) gates — see __spark_entry__:
+    q_resize_stats / q_resize_bilinear_stats and their SQL twins, driver
+    registration owed r13. The Spark resize pipeline and the DuckDB
+    arithmetic must agree exactly — dtypes, row count, and every value —
+    so the r13 window insert is a reorder, not a new risk."""
     import duckdb
 
     import __spark_entry__ as entry_mod
 
-    spark_df = entry_mod.q_resize_stats(spark, sf_dir).toPandas()
+    q, sql = {
+        "x48": (entry_mod.q_resize_stats, entry_mod.SQL_RESIZE_STATS),
+        "x48b": (
+            entry_mod.q_resize_bilinear_stats,
+            entry_mod.SQL_RESIZE_BILINEAR_STATS,
+        ),
+    }[gate]
+    spark_df = q(spark, sf_dir).toPandas()
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf_dir}/documents.parquet')"
     )
-    duck_df = con.sql(entry_mod.SQL_RESIZE_STATS).df()
+    duck_df = con.sql(sql).df()
     for col in spark_df.columns:
         assert str(spark_df[col].dtype) == str(duck_df[col].dtype), col
     left = spark_df.sort_values("asset_id").reset_index(drop=True)
@@ -499,3 +508,58 @@ def test_x48_resize_gate_matches_duckdb_oracle(spark, sf_dir):
     assert len(left) == len(right) > 0
     for col in left.columns:
         assert left[col].tolist() == right[col].tolist(), col
+
+
+def test_resize_bilinear_matches_exact_rational_reference():
+    """Independent recompute of the bilinear resample with
+    fractions.Fraction: the vectorized int64 path must equal true
+    rational half-pixel sampling with round-half-to-even at EVERY pixel
+    — including the exact-tie pixels where a float64 evaluation provably
+    diverges (the reason the operator is integer-exact)."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from hbsir_old_spark.functions.multimodal import _resize_array
+
+    def reference(arr, out_h, out_w):
+        h, w, c = arr.shape
+        out = np.zeros((out_h, out_w, c), dtype=np.uint8)
+        for i in range(out_h):
+            ys = Fraction(2 * i + 1, 2) * Fraction(h, out_h) - Fraction(1, 2)
+            y0 = min(max(ys.__floor__(), 0), h - 1)
+            y1 = min(y0 + 1, h - 1)
+            wy = min(max(ys - y0, Fraction(0)), Fraction(1))
+            for j in range(out_w):
+                xs = Fraction(2 * j + 1, 2) * Fraction(w, out_w) - Fraction(1, 2)
+                x0 = min(max(xs.__floor__(), 0), w - 1)
+                x1 = min(x0 + 1, w - 1)
+                wx = min(max(xs - x0, Fraction(0)), Fraction(1))
+                for k in range(c):
+                    v = (
+                        int(arr[y0, x0, k]) * (1 - wy) * (1 - wx)
+                        + int(arr[y0, x1, k]) * (1 - wy) * wx
+                        + int(arr[y1, x0, k]) * wy * (1 - wx)
+                        + int(arr[y1, x1, k]) * wy * wx
+                    )
+                    q, rem = divmod(v.numerator, v.denominator)
+                    half = Fraction(rem, v.denominator)
+                    if half > Fraction(1, 2) or (
+                        half == Fraction(1, 2) and q % 2 == 1
+                    ):
+                        q += 1
+                    out[i, j, k] = q
+        return out
+
+    rng = np.random.default_rng(42)
+    for h, w, c, oh, ow in [(5, 4, 3, 7, 9), (6, 8, 1, 4, 16), (3, 3, 4, 10, 2)]:
+        arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        assert np.array_equal(_resize_array(arr, oh, ow), reference(arr, oh, ow))
+    # the gate generator corpus: every doc, every pixel (668 exact ties live here)
+    for did in range(100):
+        h, w, c = 5 + did % 6, 4 + did % 5, 1 + (did % 2) * 2
+        y, x, ch = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(c), indexing="ij"
+        )
+        arr = ((did * 31 + y * 17 + x * 7 + ch * 3) % 256).astype(np.uint8)
+        assert np.array_equal(_resize_array(arr, 7, 9), reference(arr, 7, 9))
