@@ -510,6 +510,43 @@ def test_resize_gates_match_duckdb_oracle(spark, sf_dir, gate):
         assert left[col].tolist() == right[col].tolist(), col
 
 
+def _bilinear_reference_fraction(arr, out_h, out_w):
+    """True rational half-pixel bilinear with round-half-to-even, one
+    fractions.Fraction pixel at a time — the independent reference the
+    vectorized int64 path is pinned against."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    h, w, c = arr.shape
+    out = np.zeros((out_h, out_w, c), dtype=np.uint8)
+    for i in range(out_h):
+        ys = Fraction(2 * i + 1, 2) * Fraction(h, out_h) - Fraction(1, 2)
+        y0 = min(max(ys.__floor__(), 0), h - 1)
+        y1 = min(y0 + 1, h - 1)
+        wy = min(max(ys - y0, Fraction(0)), Fraction(1))
+        for j in range(out_w):
+            xs = Fraction(2 * j + 1, 2) * Fraction(w, out_w) - Fraction(1, 2)
+            x0 = min(max(xs.__floor__(), 0), w - 1)
+            x1 = min(x0 + 1, w - 1)
+            wx = min(max(xs - x0, Fraction(0)), Fraction(1))
+            for k in range(c):
+                v = (
+                    int(arr[y0, x0, k]) * (1 - wy) * (1 - wx)
+                    + int(arr[y0, x1, k]) * (1 - wy) * wx
+                    + int(arr[y1, x0, k]) * wy * (1 - wx)
+                    + int(arr[y1, x1, k]) * wy * wx
+                )
+                q, rem = divmod(v.numerator, v.denominator)
+                half = Fraction(rem, v.denominator)
+                if half > Fraction(1, 2) or (
+                    half == Fraction(1, 2) and q % 2 == 1
+                ):
+                    q += 1
+                out[i, j, k] = q
+    return out
+
+
 def test_resize_bilinear_matches_exact_rational_reference():
     """Independent recompute of the bilinear resample with
     fractions.Fraction: the vectorized int64 path must equal true
@@ -522,34 +559,7 @@ def test_resize_bilinear_matches_exact_rational_reference():
 
     from hbsir_old_spark.functions.multimodal import _resize_array
 
-    def reference(arr, out_h, out_w):
-        h, w, c = arr.shape
-        out = np.zeros((out_h, out_w, c), dtype=np.uint8)
-        for i in range(out_h):
-            ys = Fraction(2 * i + 1, 2) * Fraction(h, out_h) - Fraction(1, 2)
-            y0 = min(max(ys.__floor__(), 0), h - 1)
-            y1 = min(y0 + 1, h - 1)
-            wy = min(max(ys - y0, Fraction(0)), Fraction(1))
-            for j in range(out_w):
-                xs = Fraction(2 * j + 1, 2) * Fraction(w, out_w) - Fraction(1, 2)
-                x0 = min(max(xs.__floor__(), 0), w - 1)
-                x1 = min(x0 + 1, w - 1)
-                wx = min(max(xs - x0, Fraction(0)), Fraction(1))
-                for k in range(c):
-                    v = (
-                        int(arr[y0, x0, k]) * (1 - wy) * (1 - wx)
-                        + int(arr[y0, x1, k]) * (1 - wy) * wx
-                        + int(arr[y1, x0, k]) * wy * (1 - wx)
-                        + int(arr[y1, x1, k]) * wy * wx
-                    )
-                    q, rem = divmod(v.numerator, v.denominator)
-                    half = Fraction(rem, v.denominator)
-                    if half > Fraction(1, 2) or (
-                        half == Fraction(1, 2) and q % 2 == 1
-                    ):
-                        q += 1
-                    out[i, j, k] = q
-        return out
+    reference = _bilinear_reference_fraction
 
     rng = np.random.default_rng(42)
     for h, w, c, oh, ow in [(5, 4, 3, 7, 9), (6, 8, 1, 4, 16), (3, 3, 4, 10, 2)]:
@@ -563,3 +573,35 @@ def test_resize_bilinear_matches_exact_rational_reference():
         )
         arr = ((did * 31 + y * 17 + x * 7 + ch * 3) % 256).astype(np.uint8)
         assert np.array_equal(_resize_array(arr, 7, 9), reference(arr, 7, 9))
+
+
+def test_resize_bilinear_property_random_shapes():
+    """Property pin: for ARBITRARY small shapes, target sizes, and pixel
+    contents, the vectorized int64 bilinear equals the Fraction
+    reference exactly (hypothesis explores the clamp/tie edges the fixed
+    cases can't enumerate — extreme up/downscales, 1-pixel axes)."""
+    from hypothesis import given, settings, strategies as st
+
+    import numpy as np
+
+    from hbsir_old_spark.functions.multimodal import _resize_array
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(1, 7),
+        w=st.integers(1, 7),
+        c=st.sampled_from([1, 3, 4]),
+        oh=st.integers(1, 11),
+        ow=st.integers(1, 11),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, c, oh, ow, seed):
+        arr = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, c), dtype=np.uint8
+        )
+        assert np.array_equal(
+            _resize_array(arr, oh, ow),
+            _bilinear_reference_fraction(arr, oh, ow),
+        )
+
+    check()
