@@ -386,7 +386,7 @@ def build_png(pixels: np.ndarray) -> bytes:
     if arr.ndim != 3 or arr.shape[2] not in (1, 3, 4):
         raise ValueError(f"expected HxWx(1|3|4) array, got shape {arr.shape}")
     h, w, c = arr.shape
-    colortype = {1: 0, 3: 2, 6: 6, 4: 6}[c]
+    colortype = {1: 0, 3: 2, 4: 6}[c]
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         body = ctype + data
