@@ -1970,9 +1970,11 @@ FROM documents WHERE doc_id < 200
 # --------------------------------------------------------------------------
 
 
-def _png_assets_from_docs(docs: DataFrame) -> DataFrame:
-    """doc_id -> one real PNG asset per doc: h=5+id%6, w=4+id%5,
-    c=1+(id%2)*2, pixel(y,x,ch) = (id*31 + y*17 + x*7 + ch*3) % 256."""
+def _png_assets_from_docs(docs: DataFrame, class_mod: int = 0) -> DataFrame:
+    """doc_id -> one real PNG asset per doc: h=5+k%6, w=4+k%5,
+    c=1+(k%2)*2, pixel(y,x,ch) = (k*31 + y*17 + x*7 + ch*3) % 256, where
+    k = doc_id (injective images) or doc_id % class_mod when class_mod
+    is set (planted byte-identical duplicate classes for x49)."""
     from hbsir_old_spark.functions.multimodal import ASSET_SCHEMA, build_png
 
     def make(batches):
@@ -1981,8 +1983,9 @@ def _png_assets_from_docs(docs: DataFrame) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
+            for asset_id in pdf["doc_id"]:
+                asset_id = int(asset_id)
+                did = asset_id % class_mod if class_mod else asset_id
                 h, w, c = 5 + did % 6, 4 + did % 5, 1 + (did % 2) * 2
                 y, x, ch = np.meshgrid(
                     np.arange(h), np.arange(w), np.arange(c), indexing="ij"
@@ -1992,7 +1995,7 @@ def _png_assets_from_docs(docs: DataFrame) -> DataFrame:
                 )
                 rows.append(
                     {
-                        "asset_id": did,
+                        "asset_id": asset_id,
                         "kind": "image",
                         "content": build_png(pix),
                         "meta": None,
@@ -2025,6 +2028,40 @@ def q_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_resize_bilinear_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_resize(spark, sf_dir, "bilinear")
+
+
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x49 (staged for r13 with x48/x48b) — image dedup via canonical
+    thumbnail fingerprint, the production pattern the integer-exact
+    resize exists for: real PNG decode -> bilinear resize to a canonical
+    size -> sha2 over the resized pixel buffer -> exact dedup on the
+    fingerprint. Composed entirely from existing operators (the x44
+    precedent — the composition IS the deliverable): resize_images +
+    native sha2/groupBy. Duplicates are PLANTED by keying the generator
+    on doc_id % 40, so byte-identical images recur across doc_ids and
+    the class structure is pure arithmetic the oracle recomputes without
+    touching pixels (identical source image => identical resized bytes
+    => identical sha; distinct classes verified distinct by this gate's
+    deterministic pre-registration parity test)."""
+    from hbsir_old_spark.functions.multimodal import resize_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+    resized = resize_images(
+        _png_assets_from_docs(docs, class_mod=40),
+        width=6,
+        height=5,
+        method="bilinear",
+    )
+    return (
+        resized.groupBy(F.sha2(F.col("pixels"), 256).alias("fingerprint"))
+        .agg(
+            F.min("asset_id").alias("rep_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("rep_id", "dup_count")
+    )
 
 
 SQL_RESIZE_STATS = """
@@ -2097,6 +2134,17 @@ SELECT doc_id::BIGINT AS asset_id,
                THEN 1 ELSE 0 END)::BIGINT AS pixel_sum
 FROM rq
 GROUP BY doc_id, c
+"""
+
+
+# x49: the duplicate classes are planted as doc_id % 40, so the dedup
+# result is pure arithmetic — identical source image => identical
+# resized bytes => identical sha256 (and the gate's deterministic parity
+# test proves distinct classes land distinct fingerprints).
+SQL_IMAGE_DEDUP = """
+SELECT MIN(doc_id)::BIGINT AS rep_id, COUNT(*)::BIGINT AS dup_count
+FROM documents WHERE doc_id < 100
+GROUP BY doc_id % 40
 """
 
 
@@ -8011,10 +8059,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows-only pins. The 40 gates rowed green in CORRECTNESS_r11.json
     # rotate out (1 round fresh); the 40 r10-green tail veterans carry r13
     # window PRIORITY (they will be 3 rounds stale — same cadence debt the
-    # r9-green set just repaid). r13 TODO: register the two staged resize
-    # gates (x48 nearest / x48b integer-exact bilinear — queries, SQL
-    # oracles, and DuckDB pre-registration parity proofs all already in
-    # tree: q_resize_stats/q_resize_bilinear_stats +
+    # r9-green set just repaid). r13 TODO: register the three staged
+    # gates (x48 nearest resize / x48b integer-exact bilinear resize /
+    # x49 thumbnail-fingerprint image dedup — queries, SQL oracles, and
+    # DuckDB pre-registration parity proofs all already in tree:
+    # q_resize_stats/q_resize_bilinear_stats/q_image_dedup +
     # tests/test_multimodal.py::test_resize_gates_match_duckdb_oracle);
     # they have no slot this round because the window is exactly full
     # with the owed veterans.

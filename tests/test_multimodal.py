@@ -475,7 +475,7 @@ def test_build_png_roundtrips_through_real_decoder():
         build_png(np.zeros((4, 4), dtype=np.uint8))
 
 
-@pytest.mark.parametrize("gate", ["x48", "x48b"])
+@pytest.mark.parametrize("gate", ["x48", "x48b", "x49"])
 def test_resize_gates_match_duckdb_oracle(spark, sf_dir, gate):
     """Pre-registration proof of the staged x48 (nearest) and x48b
     (bilinear, exact-rational round-half-even) gates — see __spark_entry__:
@@ -493,6 +493,7 @@ def test_resize_gates_match_duckdb_oracle(spark, sf_dir, gate):
             entry_mod.q_resize_bilinear_stats,
             entry_mod.SQL_RESIZE_BILINEAR_STATS,
         ),
+        "x49": (entry_mod.q_image_dedup, entry_mod.SQL_IMAGE_DEDUP),
     }[gate]
     spark_df = q(spark, sf_dir).toPandas()
     con = duckdb.connect()
@@ -503,8 +504,9 @@ def test_resize_gates_match_duckdb_oracle(spark, sf_dir, gate):
     duck_df = con.sql(sql).df()
     for col in spark_df.columns:
         assert str(spark_df[col].dtype) == str(duck_df[col].dtype), col
-    left = spark_df.sort_values("asset_id").reset_index(drop=True)
-    right = duck_df.sort_values("asset_id").reset_index(drop=True)
+    key = "rep_id" if gate == "x49" else "asset_id"
+    left = spark_df.sort_values(key).reset_index(drop=True)
+    right = duck_df.sort_values(key).reset_index(drop=True)
     assert len(left) == len(right) > 0
     for col in left.columns:
         assert left[col].tolist() == right[col].tolist(), col
