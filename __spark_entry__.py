@@ -1970,15 +1970,28 @@ FROM documents WHERE doc_id < 200
 # --------------------------------------------------------------------------
 
 
+def gate_image_pixels(did: int):
+    """The x48/x48b/x49 gate-corpus generator, as ONE pure function so
+    the SQL oracles, the Spark asset builder, and the tie-coverage test
+    (tests/test_multimodal.py) all derive from the same formula:
+    h=5+k%6, w=4+k%5, c=1+(k%2)*2,
+    pixel(y,x,ch) = (k*31 + y*17 + x*7 + ch*3) % 256."""
+    import numpy as np
+
+    h, w, c = 5 + did % 6, 4 + did % 5, 1 + (did % 2) * 2
+    y, x, ch = np.meshgrid(
+        np.arange(h), np.arange(w), np.arange(c), indexing="ij"
+    )
+    return ((did * 31 + y * 17 + x * 7 + ch * 3) % 256).astype(np.uint8)
+
+
 def _png_assets_from_docs(docs: DataFrame, class_mod: int = 0) -> DataFrame:
-    """doc_id -> one real PNG asset per doc: h=5+k%6, w=4+k%5,
-    c=1+(k%2)*2, pixel(y,x,ch) = (k*31 + y*17 + x*7 + ch*3) % 256, where
-    k = doc_id (injective images) or doc_id % class_mod when class_mod
-    is set (planted byte-identical duplicate classes for x49)."""
+    """doc_id -> one real PNG asset per doc from :func:`gate_image_pixels`
+    keyed on k = doc_id (injective images) or doc_id % class_mod when
+    class_mod is set (planted byte-identical duplicate classes for x49)."""
     from hbsir_old_spark.functions.multimodal import ASSET_SCHEMA, build_png
 
     def make(batches):
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -1986,13 +1999,7 @@ def _png_assets_from_docs(docs: DataFrame, class_mod: int = 0) -> DataFrame:
             for asset_id in pdf["doc_id"]:
                 asset_id = int(asset_id)
                 did = asset_id % class_mod if class_mod else asset_id
-                h, w, c = 5 + did % 6, 4 + did % 5, 1 + (did % 2) * 2
-                y, x, ch = np.meshgrid(
-                    np.arange(h), np.arange(w), np.arange(c), indexing="ij"
-                )
-                pix = ((did * 31 + y * 17 + x * 7 + ch * 3) % 256).astype(
-                    np.uint8
-                )
+                pix = gate_image_pixels(did)
                 rows.append(
                     {
                         "asset_id": asset_id,

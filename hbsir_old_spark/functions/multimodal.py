@@ -430,12 +430,22 @@ def _resize_array(
     and x48b (bilinear) oracles recompute the same arithmetic in SQL."""
     if arr.ndim != 3:
         raise ValueError(f"expected HxWxC array, got shape {arr.shape}")
+    if arr.dtype != np.uint8:
+        # int64 blending truncates floats and wraps >255 ints — make the
+        # uint8 contract explicit instead of silently producing garbage
+        raise ValueError(f"expected uint8 pixels, got dtype {arr.dtype}")
     if out_h < 1 or out_w < 1:
         raise ValueError(f"target size must be positive, got {out_h}x{out_w}")
     h, w, _ = arr.shape
     if method == "nearest":
-        yi = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
-        xi = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+        yi = np.minimum(
+            ((2 * np.arange(out_h, dtype=np.int64) + 1) * h) // (2 * out_h),
+            h - 1,
+        )
+        xi = np.minimum(
+            ((2 * np.arange(out_w, dtype=np.int64) + 1) * w) // (2 * out_w),
+            w - 1,
+        )
         return arr[yi][:, xi]
     if method != "bilinear":
         raise ValueError(f"method must be 'nearest' or 'bilinear', got {method!r}")

@@ -567,13 +567,12 @@ def test_resize_bilinear_matches_exact_rational_reference():
     for h, w, c, oh, ow in [(5, 4, 3, 7, 9), (6, 8, 1, 4, 16), (3, 3, 4, 10, 2)]:
         arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
         assert np.array_equal(_resize_array(arr, oh, ow), reference(arr, oh, ow))
-    # the gate generator corpus: every doc, every pixel (668 exact ties live here)
+    # the gate generator corpus: every doc, every pixel (668 exact ties
+    # live here) — the SAME formula the gates run, via the shared helper
+    from __spark_entry__ import gate_image_pixels
+
     for did in range(100):
-        h, w, c = 5 + did % 6, 4 + did % 5, 1 + (did % 2) * 2
-        y, x, ch = np.meshgrid(
-            np.arange(h), np.arange(w), np.arange(c), indexing="ij"
-        )
-        arr = ((did * 31 + y * 17 + x * 7 + ch * 3) % 256).astype(np.uint8)
+        arr = gate_image_pixels(did)
         assert np.array_equal(_resize_array(arr, 7, 9), reference(arr, 7, 9))
 
 
