@@ -8073,7 +8073,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_resize_stats/q_resize_bilinear_stats/q_image_dedup +
     # tests/test_multimodal.py::test_resize_gates_match_duckdb_oracle);
     # they have no slot this round because the window is exactly full
-    # with the owed veterans.
+    # with the owed veterans. Suggested r13 displacements for the three
+    # new slots (cheapest to defer — thin wrappers over native Spark ops
+    # that pytest parity re-proves every session and whose plans haven't
+    # changed since r8): o2 (native rolling window), a6 (native distinct
+    # agg), u1 (allowMissingColumns union); they'd carry r14 priority.
     return {
         # -- new in round 12 --
         "x47_audio_decode": q_audio_decode_stats,
