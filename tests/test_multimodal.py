@@ -606,3 +606,33 @@ def test_resize_bilinear_property_random_shapes():
         )
 
     check()
+
+
+def test_build_png_roundtrip_property_random_images():
+    """Property pin for the codec boundary: arbitrary small shapes and
+    pixel contents survive build_png -> _decode_png_minimal bit-exactly
+    (1-pixel axes, all channel counts, random bytes — beyond what the
+    fixed gradient fixtures cover)."""
+    from hypothesis import given, settings, strategies as st
+
+    import numpy as np
+
+    from hbsir_old_spark.functions.multimodal import (
+        _decode_png_minimal,
+        build_png,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 9),
+        w=st.integers(1, 9),
+        c=st.sampled_from([1, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, c, seed):
+        arr = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, c), dtype=np.uint8
+        )
+        assert np.array_equal(_decode_png_minimal(build_png(arr)), arr)
+
+    check()
