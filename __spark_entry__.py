@@ -7441,9 +7441,13 @@ ORDER BY Province
 # S10 residual — VERDICT r11 "What's missing" #2). The dimension carries
 # irregular integer-coordinate pentagon WKTs generated per nationkey; Spark
 # PARSES the actual WKT strings (operators/geo.py wkt_polygon_points, pure
-# regexp/split/transform — no UDF) and computes shoelace area + signed-area
-# centroid; the oracle recomputes both from the vertex GENERATOR, so a parse
-# or formula bug on either axis breaks the hash. Nations >= 20 get no
+# regexp/split/transform — no UDF) and computes the shoelace/centroid
+# building blocks, emitted INTEGER-EXACT (|signed| = 2*area, the centroid
+# numerators, and denom = 3*signed — all exact integers for
+# integer-coordinate rings; r13 hardening of the r12 round(x,4) emission,
+# which rested on the fixture staying tie-free at the 5th decimal); the
+# oracle recomputes them from the vertex GENERATOR, so a parse or formula
+# bug on either axis breaks the hash. Nations >= 20 get no
 # geometry (the left-join NULL-analytics path). Rendering itself stays out
 # of core (SURVEY §2 scope): area/centroid are the choropleth-binning and
 # label-placement quantities a map consumer needs from the engine.
@@ -7459,8 +7463,7 @@ def q_geometry_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.operators.geo import (
         add_geometry,
         geometry_dim,
-        wkt_polygon_area,
-        wkt_polygon_centroid,
+        wkt_polygon_centroid_terms,
     )
 
     wkts = {
@@ -7480,13 +7483,20 @@ def q_geometry_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_suppliers"))
     )
     g = add_geometry(per_prov, dim)
-    centroid = wkt_polygon_centroid("geometry")
+    t = wkt_polygon_centroid_terms("geometry")
+    # integer-exact emission (ADVICE r12): round(cx, 4) compared Spark
+    # HALF_UP against DuckDB round() and rested on the fixture staying
+    # tie-free at the 5th decimal; the centroid NUMERATORS and 3*signed
+    # are exact integers for integer-coordinate rings, so the hash
+    # compares construction, not luck. centroid = (cx_num, cy_num)/denom;
+    # area = area2x / 2.
     return g.select(
         "Province",
         "n_suppliers",
-        wkt_polygon_area("geometry").alias("area"),
-        F.round(centroid["cx"], 4).alias("cx"),
-        F.round(centroid["cy"], 4).alias("cy"),
+        F.abs(t["signed"]).cast("long").alias("area2x"),
+        t["cx_num"].cast("long").alias("cx_num"),
+        t["cy_num"].cast("long").alias("cy_num"),
+        (3 * t["signed"]).cast("long").alias("denom"),
     )
 
 
@@ -7497,24 +7507,25 @@ WITH sup AS (
   GROUP BY 1, 2
 ), v AS (
   SELECT Province, n_suppliers, k,
-         k::DOUBLE AS x1, 0::DOUBLE AS y1,
-         (k+4)::DOUBLE AS x2, (k%3)::DOUBLE AS y2,
-         (k+3)::DOUBLE AS x3, (k%5+4)::DOUBLE AS y3,
-         (k+1)::DOUBLE AS x4, (k%7+5)::DOUBLE AS y4,
-         (k-1)::DOUBLE AS x5, 2::DOUBLE AS y5
+         k AS x1, 0 AS y1,
+         k+4 AS x2, k%3 AS y2,
+         k+3 AS x3, k%5+4 AS y3,
+         k+1 AS x4, k%7+5 AS y4,
+         k-1 AS x5, 2 AS y5
   FROM sup
 ), s2 AS (
   SELECT *, (x1*y2-x2*y1)+(x2*y3-x3*y2)+(x3*y4-x4*y3)+(x4*y5-x5*y4)+(x5*y1-x1*y5) AS signed
   FROM v
 )
 SELECT Province, n_suppliers,
-  CASE WHEN k < 20 THEN abs(signed)/2 END AS area,
-  CASE WHEN k < 20 AND signed <> 0 THEN round(
-    ((x1+x2)*(x1*y2-x2*y1)+(x2+x3)*(x2*y3-x3*y2)+(x3+x4)*(x3*y4-x4*y3)
-     +(x4+x5)*(x4*y5-x5*y4)+(x5+x1)*(x5*y1-x1*y5)) / (3*signed), 4) END AS cx,
-  CASE WHEN k < 20 AND signed <> 0 THEN round(
-    ((y1+y2)*(x1*y2-x2*y1)+(y2+y3)*(x2*y3-x3*y2)+(y3+y4)*(x3*y4-x4*y3)
-     +(y4+y5)*(x4*y5-x5*y4)+(y5+y1)*(x5*y1-x1*y5)) / (3*signed), 4) END AS cy
+  (CASE WHEN k < 20 THEN abs(signed) END)::BIGINT AS area2x,
+  (CASE WHEN k < 20 THEN
+    (x1+x2)*(x1*y2-x2*y1)+(x2+x3)*(x2*y3-x3*y2)+(x3+x4)*(x3*y4-x4*y3)
+    +(x4+x5)*(x4*y5-x5*y4)+(x5+x1)*(x5*y1-x1*y5) END)::BIGINT AS cx_num,
+  (CASE WHEN k < 20 THEN
+    (y1+y2)*(x1*y2-x2*y1)+(y2+y3)*(x2*y3-x3*y2)+(y3+y4)*(x3*y4-x4*y3)
+    +(y4+y5)*(x4*y5-x5*y4)+(y5+y1)*(x5*y1-x1*y5) END)::BIGINT AS cy_num,
+  (CASE WHEN k < 20 THEN 3*signed END)::BIGINT AS denom
 FROM s2
 """
 

@@ -297,6 +297,14 @@ def build_wav(
         raise ValueError(
             f"samples shape {arr.shape} disagrees with channels={channels}"
         )
+    if arr.size % channels:
+        # a ragged interleaved 1-D buffer would write a truncated final
+        # frame; the stdlib decoder's reshape(-1, channels) then fails
+        # with an opaque error far from the bug
+        raise ValueError(
+            f"{arr.size} samples is not a whole number of frames for "
+            f"channels={channels}"
+        )
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(channels)

@@ -74,6 +74,11 @@ def wkt_polygon_points(wkt: Column | str) -> Column:
     codegen, no UDF — so downstream area/centroid math stays on the fast
     path. NULL/non-polygon strings parse to NULL/empty (the left-join
     "area without a geometry" rows flow through as NULL analytics).
+    Geometry OUTSIDE the contract — a POLYGON with interior rings or a
+    MULTIPOLYGON — also parses to NULL: the ring regexp stops at the
+    first ``)``, so without the guard those would silently yield the
+    outer/first ring's area-centroid, a plausible wrong answer instead
+    of a loud NULL. Exactly two ``(`` in the WKT means exactly one ring.
 
     The spatial scope is deliberately minimal (reference map_drawer.py
     stops at attaching geometry; rendering is out of core per SURVEY §2):
@@ -82,7 +87,10 @@ def wkt_polygon_points(wkt: Column | str) -> Column:
     remains the documented Sedona/GeoPandas seam."""
     wkt = F.col(wkt) if isinstance(wkt, str) else wkt
     body = F.regexp_extract(wkt, r"POLYGON\s*\(\(([^)]*)\)\)", 1)
-    return F.when(body != "", F.transform(
+    one_ring = (
+        F.length(wkt) - F.length(F.regexp_replace(wkt, r"[(]", "")) == 2
+    )
+    return F.when((body != "") & one_ring, F.transform(
         F.split(body, r",\s*"),
         lambda s: F.struct(
             F.split(F.trim(s), r"\s+")[0].cast("double").alias("x"),
@@ -111,11 +119,14 @@ def wkt_polygon_area(wkt: Column | str) -> Column:
     return F.abs(signed) / 2
 
 
-def wkt_polygon_centroid(wkt: Column | str) -> Column:
-    """Centroid of a simple WKT polygon as ``struct<cx:double, cy:double>``
-    (the standard signed-area-weighted formula: ``C = (1/(6A_signed)) *
-    sum((p_i + p_{i+1}) * cross_i)`` per axis). NULL for NULL/degenerate
-    (zero-area) geometry instead of a division error."""
+def wkt_polygon_centroid_terms(wkt: Column | str) -> Column:
+    """The centroid's EXACT building blocks as ``struct<cx_num:double,
+    cy_num:double, signed:double>`` — per-axis numerators ``sum((p_i +
+    p_{i+1}) * cross_i)`` and the signed shoelace sum, with the centroid
+    itself ``(cx_num, cy_num) / (3 * signed)``. For integer-coordinate
+    rings every field is an integer-valued double, so gates can compare
+    these bit-for-bit across engines instead of rounding a quotient near
+    a decimal boundary (the j8b full-oracle pattern)."""
     pts = wkt_polygon_points(wkt)
     n = F.size(pts)
     a = F.slice(pts, 1, n - 1)
@@ -139,11 +150,22 @@ def wkt_polygon_centroid(wkt: Column | str) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    return F.struct(
+        cx_num.alias("cx_num"), cy_num.alias("cy_num"), signed.alias("signed")
+    )
+
+
+def wkt_polygon_centroid(wkt: Column | str) -> Column:
+    """Centroid of a simple WKT polygon as ``struct<cx:double, cy:double>``
+    (the standard signed-area-weighted formula: ``C = (1/(6A_signed)) *
+    sum((p_i + p_{i+1}) * cross_i)`` per axis). NULL for NULL/degenerate
+    (zero-area) geometry instead of a division error."""
+    t = wkt_polygon_centroid_terms(wkt)
     return F.when(
-        signed != 0,
+        t["signed"] != 0,
         F.struct(
-            (cx_num / (3 * signed)).alias("cx"),
-            (cy_num / (3 * signed)).alias("cy"),
+            (t["cx_num"] / (3 * t["signed"])).alias("cx"),
+            (t["cy_num"] / (3 * t["signed"])).alias("cy"),
         ),
     )
 

@@ -197,3 +197,61 @@ def test_wkt_polygon_degenerate_and_plan(spark):
         wkt_polygon_area("geometry").alias("a")
     )._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_wkt_unsupported_geometry_is_null_not_wrong(spark):
+    from hbsir_old_spark.operators.geo import (
+        wkt_polygon_area,
+        wkt_polygon_centroid,
+    )
+
+    # the ring regexp stops at the first ')': without the one-ring guard a
+    # POLYGON with a hole or a MULTIPOLYGON would silently compute the
+    # outer/first ring's area — a plausible WRONG number. The contract is
+    # outer-ring-only simple polygons; anything else must be NULL.
+    df = spark.createDataFrame(
+        [
+            (
+                "hole",
+                "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                "(2 2, 4 2, 4 4, 2 4, 2 2))",
+            ),
+            (
+                "multi",
+                "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 0)), "
+                "((10 10, 14 10, 14 14, 10 10)))",
+            ),
+            ("simple", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        ],
+        "name string, geometry string",
+    )
+    out = {
+        r["name"]: r
+        for r in df.select(
+            "name",
+            wkt_polygon_area("geometry").alias("area"),
+            wkt_polygon_centroid("geometry").alias("c"),
+        ).collect()
+    }
+    assert out["hole"]["area"] is None and out["hole"]["c"] is None
+    assert out["multi"]["area"] is None and out["multi"]["c"] is None
+    assert out["simple"]["area"] == 16.0
+    assert out["simple"]["c"]["cx"] == 2.0 and out["simple"]["c"]["cy"] == 2.0
+
+
+def test_wkt_centroid_terms_are_integer_exact(spark):
+    from hbsir_old_spark.operators.geo import wkt_polygon_centroid_terms
+
+    # the exact building blocks gates hash across engines: for an
+    # integer-coordinate ring every field is an integer-valued double and
+    # centroid = (cx_num, cy_num) / (3 * signed)
+    df = spark.createDataFrame(
+        [("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",)], "geometry string"
+    )
+    t = df.select(
+        wkt_polygon_centroid_terms("geometry").alias("t")
+    ).collect()[0]["t"]
+    assert t["signed"] == 32.0  # 2 * area, CCW ring
+    assert t["cx_num"] / (3 * t["signed"]) == 2.0
+    assert t["cy_num"] / (3 * t["signed"]) == 2.0
+    assert all(v == int(v) for v in (t["cx_num"], t["cy_num"], t["signed"]))

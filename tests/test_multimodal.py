@@ -455,6 +455,11 @@ def test_build_wav_rejects_channel_mismatch():
     # explicit agreement still fine, 1-D interleaved unaffected
     build_wav(np.zeros((10, 2), dtype=np.int16), 8000, channels=2)
     build_wav(np.zeros(20, dtype=np.int16), 8000, channels=2)
+    # ragged 1-D interleaved buffer: a truncated final frame would only
+    # surface as an opaque reshape error inside the decoder — reject at
+    # the encode boundary instead
+    with _pytest.raises(ValueError, match="whole number of frames"):
+        build_wav(np.zeros(21, dtype=np.int16), 8000, channels=2)
 
 
 def test_build_png_roundtrips_through_real_decoder():
