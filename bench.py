@@ -233,10 +233,17 @@ class ExternalLoadMeter:
 
     def __init__(self) -> None:
         self._hz = os.sysconf("SC_CLK_TCK")
+        # pid -> last-seen jiffies for every process counted in the tree:
+        # lets a descendant that daemonizes (reparented to PID 1) keep
+        # counting, and preserves the time of one that vanishes entirely
+        self._seen: dict[int, int] = {}
+        # accumulated jiffies of vanished tree members: /proc/stat keeps
+        # their time forever, so the tree sum must too or the next window
+        # reads the difference as an external-CPU spike (ADVICE r12)
+        self._lost = 0
         self._last = self._read()
 
-    @staticmethod
-    def _tree_jiffies() -> int:
+    def _tree_jiffies(self) -> int:
         me = os.getpid()
         ppid_map: dict[int, int] = {}
         jiffies: dict[int, int] = {}
@@ -269,12 +276,35 @@ class ExternalLoadMeter:
                 if ppid in tree and pid not in tree:
                     tree.add(pid)
                     changed = True
-        return sum(jiffies.get(p, 0) for p in tree)
+        # re-adopt remembered members no longer reachable by parentage (a
+        # descendant that daemonized was reparented to PID 1 mid-window);
+        # a jiffies count BELOW the last-seen value means the PID was
+        # recycled by a foreign process — drop it instead
+        for pid, last in list(self._seen.items()):
+            if pid in jiffies and pid not in tree:
+                if jiffies[pid] >= last:
+                    tree.add(pid)
+                else:
+                    del self._seen[pid]
+        # members gone from /proc entirely: bank their last-known jiffies.
+        # (A child reaped by an in-tree parent also lands in the parent's
+        # cutime, so its time can be counted twice here — that only ever
+        # UNDER-states external load, the safe direction: it cannot burn
+        # retake budget on a phantom storm; the clamp in external_cores
+        # floors the window at 0.)
+        for pid in list(self._seen):
+            if pid not in jiffies:
+                self._lost += self._seen.pop(pid)
+        self._seen.update({p: jiffies[p] for p in tree if p in jiffies})
+        return sum(jiffies.get(p, 0) for p in tree) + self._lost
 
     def _read(self) -> tuple[int, int, float]:
         with open("/proc/stat") as f:
             fields = [int(x) for x in f.readline().split()[1:]]
-        busy = sum(fields) - fields[3] - fields[4]  # minus idle+iowait
+        # user..steal only (fields 0-7) minus idle+iowait: the guest and
+        # guest_nice fields (8, 9) are ALREADY included in user/nice, so
+        # summing them double-counts VM time as external CPU (ADVICE r12)
+        busy = sum(fields[:8]) - fields[3] - fields[4]
         return busy, self._tree_jiffies(), time.monotonic()
 
     def external_cores(self) -> float:
@@ -302,6 +332,43 @@ def wait_for_external_quiet(
     return waited, False
 
 
+def retake_until_quiet(
+    run_median,
+    wait_quiet,
+    external_cores,
+    budget_s: float,
+    threshold: float,
+    max_attempts: int = 3,
+) -> tuple[list[dict], bool, float | None, float, float]:
+    """The retake LOOP (r12 lesson: x43's single retake 'succeeded' the
+    quiet wait but MEASURED at 2.42 external cores and published as a
+    clean median anyway, leaving an unresolvable suspect). A retake only
+    counts as quiet if the external meter stayed under ``threshold`` over
+    the retake runs THEMSELVES; otherwise re-wait and try again, up to
+    ``max_attempts`` or the wait budget. Returns ``(attempts,
+    quiet_retake, best_median, budget_left, waited_total)`` — when
+    ``quiet_retake`` the caller must publish the LAST attempt's median
+    (the one measured quiet), not the min across loud attempts."""
+    attempts: list[dict] = []
+    quiet = False
+    best: float | None = None
+    waited_total = 0.0
+    while budget_s > 0 and not quiet and len(attempts) < max_attempts:
+        waited, q = wait_quiet(budget_s)
+        budget_s -= waited
+        waited_total += waited
+        if not q:
+            break  # budget exhausted while still loud
+        m = run_median()
+        ext = external_cores()
+        attempts.append(
+            {"median": round(m, 3), "external_cores": round(ext, 2)}
+        )
+        best = m if best is None else min(best, m)
+        quiet = ext <= threshold
+    return attempts, quiet, best, budget_s, waited_total
+
+
 def _repo_root() -> str:
     return os.path.dirname(os.path.abspath(__file__))
 
@@ -322,9 +389,23 @@ def _load_quiet_reference(sf: str) -> dict[str, float]:
 
 
 def _infer_round() -> int | None:
-    """Current round = latest CORRECTNESS_r{N}.json + 1 (the driver writes
-    correctness at the END of round N, so during round N+1 the newest file
-    is N). Used only to name the self-contained BENCH_r{N}_full.json."""
+    """ONE source of truth for the round label: the driver's own latest
+    "round" field in PROGRESS.jsonl (appended throughout the round). The
+    old latest-CORRECTNESS+1 rule mislabeled driver-initiated runs: the
+    r12 post-snapshot bench saw CORRECTNESS_r12.json already on disk and
+    wrote BENCH_r13_full.json for a record whose own "n" said 12 (VERDICT
+    r12 #4). CORRECTNESS+1 remains the fallback when PROGRESS.jsonl is
+    absent. The label is also stamped INTO the record as "round_label" so
+    the filename and the contents cannot diverge silently."""
+    try:
+        with open(os.path.join(_repo_root(), "PROGRESS.jsonl")) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        if lines:
+            rnd = json.loads(lines[-1]).get("round")
+            if isinstance(rnd, int):
+                return rnd
+    except (OSError, json.JSONDecodeError):
+        pass
     ns = []
     for f in os.listdir(_repo_root()):
         m = re.match(r"CORRECTNESS_r(\d+)\.json$", f)
@@ -391,6 +472,7 @@ def main() -> None:
     external_cores_per_query: dict[str, float] = {}
     retakes: dict[str, dict] = {}
     suspect_vs_reference: list[str] = []
+    retake_not_quiet: list[str] = []
 
     def timed(fn, n: int) -> list[float]:
         out = []
@@ -444,46 +526,65 @@ def main() -> None:
         breach = ext_now > quiet_threshold
         above_ref = name in reference and med > 1.5 * reference[name] + 0.25
         if (breach or above_ref) and retake_budget_s > 0:
-            waited, q = wait_for_external_quiet(
-                meter, quiet_threshold, min(retake_budget_s, quiet_timeout)
+            attempts, quiet_retake, best2, retake_budget_s, waited = (
+                retake_until_quiet(
+                    run_median=lambda: statistics.median(
+                        median_with_spread_guard(fn, name, first=False)
+                    ),
+                    wait_quiet=lambda budget: wait_for_external_quiet(
+                        meter, quiet_threshold, min(budget, quiet_timeout)
+                    ),
+                    external_cores=meter.external_cores,
+                    budget_s=retake_budget_s,
+                    threshold=quiet_threshold,
+                )
             )
-            retake_budget_s -= waited
             quiet_wait_s += waited
-            runs2 = median_with_spread_guard(fn, name, first=False)
-            med2 = statistics.median(runs2)
             retakes[name] = {
                 "first": round(med, 3),
-                "retaken": round(med2, 3),
                 "external_cores_at_first": round(ext_now, 2),
                 "reason": "gate_breach" if breach else "above_reference",
-                "quiet_for_retake": q,
+                "attempts": attempts,
+                "quiet_for_retake": quiet_retake,
             }
-            retakes[name]["external_cores_at_retake"] = round(
-                meter.external_cores(), 2
-            )
-            if q:
-                med = med2
-                external_cores_per_query[name] = retakes[name][
-                    "external_cores_at_retake"
+            if attempts:
+                retakes[name]["retaken"] = attempts[-1]["median"]
+                retakes[name]["external_cores_at_retake"] = attempts[-1][
+                    "external_cores"
                 ]
+            if quiet_retake:
+                # publish the measurement taken in the quiet window (not
+                # the min across loud attempts)
+                med = attempts[-1]["median"]
+                external_cores_per_query[name] = attempts[-1]["external_cores"]
                 # NOTE: cold[name] deliberately keeps the original first
                 # run — with the median now quiet, a storm-contaminated
                 # cold surfaces through cold_storm_suspects below (its
                 # documented reading)
             else:
-                # the storm outlasted the wait budget: publish the better
-                # of the two, but the record is flagged noisy overall
+                # never got a quiet measurement window: publish the best
+                # seen but stamp retake_not_quiet so the record separates
+                # "re-measured high while quiet" (a real suspect) from
+                # "never got a quiet window" (unresolved noise)
+                retakes[name]["retake_not_quiet"] = True
+                retake_not_quiet.append(name)
                 quiet_host = False
-                med = min(med, med2)
+                if best2 is not None:
+                    med = min(med, best2)
         elif breach:
             # a gate breach with NO retake budget left must not publish
             # a quiet-labeled record — the exact mislabeling (r11's 132 s
             # driver record) this machinery exists to prevent
             quiet_host = False
-        if name in reference and med > 1.5 * reference[name] + 0.25:
+        if (
+            name in reference
+            and med > 1.5 * reference[name] + 0.25
+            and name not in retake_not_quiet
+        ):
             # survived (or skipped) a quiet retake and still >1.5x the
             # committed record: a REAL regression candidate for the
-            # two-record protocol, not host noise
+            # two-record protocol, not host noise (a median that never got
+            # a quiet window sits in retake_not_quiet instead)
             suspect_vs_reference.append(name)
         medians[name] = round(med, 3)
     load_after = os.getloadavg()
@@ -525,6 +626,10 @@ def main() -> None:
             # >1.5x the committed quiet record even after a quiet retake:
             # real regression candidates (two-record protocol), not noise
             "suspect_vs_reference": suspect_vs_reference,
+            # queries whose retakes never landed in a quiet window:
+            # UNRESOLVED (neither cleared nor a suspect) — re-measure on a
+            # quiet host before reading anything into their medians
+            "retake_not_quiet": retake_not_quiet,
             "reference_queries": len(reference),
             "noise_reruns": reruns,
             # colds implausibly above their own warm median (>1.5x +
@@ -551,13 +656,17 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # self-contained per-round copy (VERDICT r11 #4: the driver's
+    # BENCH_r{N}.json keeps only a truncated stdout tail; this file makes
+    # the full record addressable by round without BENCH.json archaeology).
+    # round_label rides INSIDE the record too, so the filename and the
+    # contents share one source of truth (the r12 off-by-one fix)
+    rnd = _infer_round()
+    if rnd is not None:
+        record["round_label"] = rnd
     line = json.dumps(record)
     with open(os.path.join(_repo_root(), "BENCH.json"), "w") as f:
         f.write(line + "\n")
-    # self-contained per-round copy (VERDICT r11 #4: the driver's
-    # BENCH_r{N}.json keeps only a truncated stdout tail; this file makes
-    # the full record addressable by round without BENCH.json archaeology)
-    rnd = _infer_round()
     if rnd is not None:
         with open(os.path.join(_repo_root(), f"BENCH_r{rnd:02d}_full.json"), "w") as f:
             f.write(line + "\n")
