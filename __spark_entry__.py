@@ -1712,7 +1712,72 @@ def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     test-pinned, but whose plan shape is the one a production user runs.
     bench.py merges these into its callable map; the driver never sees
     them (queries() alone is the gate registry)."""
-    return {"x46b_refresh_lsh_store": q_corpus_refresh_lsh_store}
+    return {
+        "x46b_refresh_lsh_store": q_corpus_refresh_lsh_store,
+        # throughput envelope for the resize path (VERDICT r12 #7): the
+        # x48/x48b/x49/x50 gates prove EXACTNESS on doc_id<100 thumbnails;
+        # this probe runs the same decode->resize->aggregate plan over
+        # EVERY document at the bench SF with ~30x30 RGB PNGs, so the
+        # per-round record carries the Arrow-batch codec throughput number
+        "x48x_resize_scale": q_resize_scale_probe,
+    }
+
+
+def q_resize_scale_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only resize throughput probe: one real ~30x30 RGB PNG per
+    document at the bench SF (sf0.1 -> ~5k images), decoded and
+    bilinear-resized to 16x16 through the production path
+    (functions/multimodal.py resize_images), reduced to a single count+sum
+    row so the timed write measures the codec boundary, not row
+    shipping. The doc ids are spread across the session's parallelism
+    BEFORE the codec mapInPandas: the sf-dir documents table is one
+    parquet file -> one scan partition, which would serialize the whole
+    codec stage onto one core (the same single-partition trap the LSH
+    verify path guards with ensure_min_partitions)."""
+    from hbsir_old_spark.functions.multimodal import ASSET_SCHEMA, build_png, resize_images
+    from hbsir_old_spark.session import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                h, w = 24 + did % 17, 24 + did % 13
+                y, x, ch = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                pix = ((did * 31 + y * 17 + x * 7 + ch * 3) % 256).astype(
+                    np.uint8
+                )
+                rows.append(
+                    {
+                        "asset_id": did,
+                        "kind": "image",
+                        "content": build_png(pix),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "kind", "content", "meta"]
+            )
+
+    resized = resize_images(
+        docs.mapInPandas(make, schema=ASSET_SCHEMA),
+        width=16,
+        height=16,
+        method="bilinear",
+    )
+    return resized.groupBy().agg(
+        F.count("*").alias("n_images"),
+        F.sum("pixel_sum").alias("total_pixel_sum"),
+    )
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

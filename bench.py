@@ -190,6 +190,14 @@ HEADLINE = [
     # Python WAV build+decode inside mapInPandas (the documented codec
     # boundary, not engine throughput); j8b_geometry_analytics likewise
     # (25 dim rows — gate shape, nothing to measure).
+    # round 13: the resize-path throughput envelope (VERDICT r12 #7) — the
+    # x48/x48b/x49/x50 gates prove exactness on doc_id<100 thumbnails and
+    # stay gate-only per the codec-boundary precedent above; this probe
+    # runs decode->bilinear-resize->aggregate over EVERY document at the
+    # bench SF (~5k real ~30x30 RGB PNGs at sf0.1) so the record carries
+    # the Arrow-batch codec throughput number before anyone trusts the
+    # path at 100 TB
+    "x48x_resize_scale",
 ]
 
 
