@@ -346,3 +346,34 @@ def test_x22b_bloom_probe_is_broadcast_and_map_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan or "BuildRight, Cross" in plan
+
+
+def test_x50_capstone_shuffles_only_agg_state(spark, sf_dir):
+    """The multimodal capstone's 100 TB shape: Python stays confined to
+    the four codec mapInPandas boundaries (two generator builders, the
+    image resize, the audio decode); each leg PARTIALLY aggregates before
+    its Exchange, and the resized pixel buffers are projected away into
+    their sha2 fingerprint BEFORE the shuffle — only (key, agg-state)
+    rows cross the wire, never image bytes. The doc_id pruning reaches
+    both parquet scans."""
+    plan = plan_of(entry_mod.q_multimodal_capstone(spark, sf_dir))
+    assert plan.count("MapInPandas") == 4
+    assert plan.count("Exchange") == 2  # one hash shuffle per leg
+    assert "partial_min" in plan and "partial_sum" in plan
+    # the Exchange inputs carry the fingerprint grouping expression, not
+    # the pixel payload (sha2 computed map-side, pixels pruned)
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        first_line = seg.splitlines()[0]
+        assert "pixels" not in first_line and "content" not in first_line
+    assert "LessThan(doc_id,200)" in plan  # pushed to both scans
+    assert "EvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+def test_resize_scale_probe_parallelizes_codec_stage(spark, sf_dir):
+    """The bench throughput probe must not serialize the codec stage onto
+    one task when the documents table is a single parquet file: an
+    explicit round-robin repartition (ensure_min_partitions) sits below
+    the asset-builder mapInPandas."""
+    plan = plan_of(entry_mod.q_resize_scale_probe(spark, sf_dir))
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
+    assert plan.count("MapInPandas") == 2  # builder + resize only
