@@ -647,3 +647,40 @@ def test_build_png_roundtrip_property_random_images():
         assert np.array_equal(_decode_png_minimal(build_png(arr)), arr)
 
     check()
+
+
+def test_build_wav_roundtrip_property_random_samples():
+    """Property pin for the audio codec boundary (the WAV sibling of the
+    PNG roundtrip property): arbitrary frame counts, channel counts,
+    rates, and sample values survive build_wav -> _decode_wav_stdlib
+    bit-exactly, through BOTH accepted input forms (interleaved 1-D and
+    (frames, channels) 2-D)."""
+    from hypothesis import given, settings, strategies as st
+
+    import numpy as np
+
+    from hbsir_old_spark.functions.multimodal import (
+        _decode_wav_stdlib,
+        build_wav,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        frames=st.integers(1, 64),
+        ch=st.integers(1, 4),
+        sr=st.sampled_from([8000, 16000, 44100]),
+        two_d=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(frames, ch, sr, two_d, seed):
+        vals = np.random.default_rng(seed).integers(
+            -32768, 32768, size=(frames, ch), dtype=np.int16
+        )
+        wav = build_wav(
+            vals if two_d else vals.reshape(-1), sr, channels=ch
+        )
+        samples, rate = _decode_wav_stdlib(wav)
+        assert rate == sr
+        assert np.array_equal(samples, vals.astype(np.int32))
+
+    check()
