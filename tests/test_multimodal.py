@@ -684,3 +684,49 @@ def test_build_wav_roundtrip_property_random_samples():
         assert np.array_equal(samples, vals.astype(np.int32))
 
     check()
+
+
+def test_resize_nearest_property_random_shapes():
+    """Property pin for the nearest resample (the bilinear sibling above):
+    for arbitrary small shapes and target sizes, the vectorized int64
+    index arithmetic equals a per-pixel Fraction center-sampling
+    reference — floor((2i+1)*h / (2*out_h)) clamped to the source range —
+    including 1-pixel axes and extreme up/downscales."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings, strategies as st
+
+    import numpy as np
+
+    from hbsir_old_spark.functions.multimodal import _resize_array
+
+    def reference(arr, oh, ow):
+        h, w, c = arr.shape
+        out = np.zeros((oh, ow, c), dtype=np.uint8)
+        for i in range(oh):
+            y = min(max((Fraction(2 * i + 1, 2) * Fraction(h, oh)
+                         ).__floor__(), 0), h - 1)
+            for j in range(ow):
+                x = min(max((Fraction(2 * j + 1, 2) * Fraction(w, ow)
+                             ).__floor__(), 0), w - 1)
+                out[i, j] = arr[y, x]
+        return out
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(1, 7),
+        w=st.integers(1, 7),
+        c=st.sampled_from([1, 3, 4]),
+        oh=st.integers(1, 11),
+        ow=st.integers(1, 11),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, c, oh, ow, seed):
+        arr = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, c), dtype=np.uint8
+        )
+        assert np.array_equal(
+            _resize_array(arr, oh, ow, "nearest"), reference(arr, oh, ow)
+        )
+
+    check()
