@@ -15,10 +15,34 @@ engine's broadcast-dimension design doesn't cover:
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
 from typing import Sequence
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _clear_stale_table_location(spark: SparkSession, table_name: str) -> None:
+    """Remove a managed-table location that survives from a PREVIOUS
+    process: a fresh session's metastore has no entry for it, so
+    ``saveAsTable(mode="overwrite")`` cannot drop-and-recreate and raises
+    LOCATION_ALREADY_EXISTS instead (seen when a driver run leaves
+    ``spark-warehouse/<table>`` behind and a later pytest session writes
+    the same table). Only local ``file:`` warehouses are handled — on a
+    cluster with a shared metastore the catalog entry exists and the
+    normal DROP TABLE path below owns the cleanup."""
+    warehouse = urlparse(str(spark.conf.get("spark.sql.warehouse.dir")))
+    if warehouse.scheme not in ("", "file"):
+        return
+    parts = table_name.split(".")
+    root = Path(warehouse.path)
+    if len(parts) == 2:
+        root = root / f"{parts[0].lower()}.db"
+    location = root / parts[-1].lower()
+    if location.is_dir():
+        shutil.rmtree(location, ignore_errors=True)
 
 
 def write_bucketed(
@@ -32,6 +56,11 @@ def write_bucketed(
     """Persist a fact table bucketed (and optionally sorted) by its join
     key. Requires a session catalog (saveAsTable); reading the table back
     and joining on the bucket key produces an exchange-free plan."""
+    if mode == "overwrite":
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        if not spark.catalog.tableExists(table_name):
+            _clear_stale_table_location(spark, table_name)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)

@@ -68,3 +68,31 @@ def test_salted_left_join_keeps_unmatched(spark):
     by_key = {r["k"]: r["rv"] for r in out}
     assert by_key == {1: 10, 99: None}
     assert len(out) == 2
+
+
+def test_write_bucketed_survives_orphaned_location(spark):
+    """A previous PROCESS can leave the managed-table directory behind while
+    a fresh session's catalog has no entry for it; saveAsTable(overwrite)
+    then raises LOCATION_ALREADY_EXISTS (the r13 driver run reproduced this
+    against test_dedup_clusters). write_bucketed must clear the stale
+    location and succeed."""
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    table = "orphan_loc_bucketed"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = Path(urlparse(str(spark.conf.get("spark.sql.warehouse.dir"))).path)
+    stale = warehouse / table
+    stale.mkdir(parents=True, exist_ok=True)
+    (stale / "leftover.parquet").write_bytes(b"not a real parquet")
+    try:
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+        write_bucketed(df, table, ["k"], num_buckets=4)
+        assert spark.table(table).count() == 100
+        # overwrite over our OWN table (catalog entry present) still works
+        write_bucketed(df.limit(10), table, ["k"], num_buckets=4)
+        assert spark.table(table).count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
