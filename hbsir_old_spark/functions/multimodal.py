@@ -24,7 +24,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -620,3 +620,186 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
         }
         rows.append((i, kind, bytearray(content), meta))
     return spark.createDataFrame(rows, schema=ASSET_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual (near-duplicate) image hashing — the capability exact
+# thumbnail fingerprinting (sha2 over resized pixels, the x49 gate) cannot
+# provide: a recompressed or brightness-shifted copy changes every byte of
+# the thumbnail but barely moves its GRADIENT STRUCTURE. dHash encodes
+# that structure: resize to a (hash_h x hash_w+1) grid, reduce channels,
+# and keep one sign bit per horizontal neighbor comparison. Because the
+# resize is integer-exact (see _resize_array), the hash is bit-stable
+# across platforms — the property that makes banded Hamming joins on it
+# production-sound. Reference parity note: the reference engine has no
+# image operators at all (its multimodal surface is absent); this family
+# follows the LLM-pipeline brief, mirroring the text-side LSH design
+# (functions/dedup.py banding + hot-bucket capping + connected
+# components) in image space.
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("bands", T.ArrayType(T.LongType(), False), False),
+    ]
+)
+
+
+def image_dhash(
+    assets: DataFrame,
+    hash_h: int = 8,
+    hash_w: int = 8,
+    n_bands: int = 4,
+    method: str = "nearest",
+) -> DataFrame:
+    """Difference-hash every image asset: decode (REAL path) -> resize to
+    ``hash_h x (hash_w + 1)`` grayscale -> one bit per horizontal neighbor
+    comparison -> ``hash_h * hash_w`` bits packed into ``n_bands``
+    equal-width integers (LSB-first within each band; bit index
+    ``b = y * hash_w + x`` lands in band ``b // band_bits`` at offset
+    ``b % band_bits``).
+
+    The channel reduction is the CHANNEL SUM, not the mean: only the
+    comparison sign matters and the sum is order-isomorphic to the mean
+    without introducing a division whose rounding a cross-engine oracle
+    would have to replicate. Emitting k band integers instead of one
+    64-bit word keeps every value positive in signed-64 engines (bit 63
+    of a packed uint64 has no portable SQL twin) and is exactly the shape
+    the banded Hamming join consumes.
+
+    Scale shape: codec + hash inside one mapInPandas over Arrow batches
+    (the documented multimodal boundary); output is (id, k small ints) —
+    the corpus' pixel payload never reaches a shuffle."""
+    total_bits = hash_h * hash_w
+    if n_bands < 1 or total_bits % n_bands:
+        raise ValueError(
+            f"n_bands must divide hash_h*hash_w ({total_bits}), got {n_bands}"
+        )
+    band_bits = total_bits // n_bands
+    if band_bits > 62:
+        raise ValueError(
+            f"band width {band_bits} bits does not fit a signed 64-bit lane"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << (np.arange(total_bits, dtype=np.int64) % band_bits)
+        for pdf in batches:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                arr = _resize_array(
+                    _real_decode_image(content), hash_h, hash_w + 1, method
+                )
+                gray = arr.astype(np.int64).sum(axis=2)
+                bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64).ravel()
+                vals = bits * weights
+                bands = [
+                    int(vals[i * band_bits : (i + 1) * band_bits].sum())
+                    for i in range(n_bands)
+                ]
+                rows.append({"asset_id": int(asset_id), "bands": bands})
+            yield pd.DataFrame(rows, columns=["asset_id", "bands"])
+
+    return assets.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=DHASH_SCHEMA
+    )
+
+
+def hamming_distance_bands(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length band arrays:
+    ``sum(bit_count(a[i] XOR b[i]))`` — pure JVM expressions."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "asset_id",
+    max_hamming: int = 6,
+    hot_bucket_cap: int | None = 256,
+    hot_bucket_anchors: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs from dHash band arrays (the
+    :func:`image_dhash` output): banded candidate generation — a pair is
+    a candidate iff SOME band matches exactly (never all-pairs) — then
+    exact verification ``hamming <= max_hamming`` JVM-side. With k bands
+    over ``B`` total bits, any pair within ``k - 1`` bit flips is
+    guaranteed a matching band (pigeonhole); beyond that the banding is
+    the standard LSH recall/cost trade, same as the text-side MinHash
+    design it mirrors. Hot buckets (a constant-background corpus where
+    one band value recurs everywhere) are star-capped via
+    :func:`~hbsir_old_spark.functions.dedup.cap_band_buckets` so no
+    bucket joins quadratically.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``."""
+    from .dedup import cap_band_buckets
+
+    # the band table is consumed by the self-join AND the verify joins —
+    # materialize once so the caller's decode pipeline runs once
+    hashes = hashes.select(
+        F.col(id_col).alias("__id__"), F.col("bands").alias("__bands__")
+    ).localCheckpoint(eager=True)
+    exploded = hashes.select(
+        F.col("__id__"), F.posexplode("__bands__").alias("band", "bh")
+    )
+    if hot_bucket_cap is not None:
+        exploded = cap_band_buckets(
+            exploded,
+            id_col="__id__",
+            hot_bucket_cap=hot_bucket_cap,
+            hot_bucket_anchors=hot_bucket_anchors,
+        )
+    a = exploded.select(F.col("__id__").alias("id_a"), "band", "bh")
+    b = exploded.select(F.col("__id__").alias("id_b"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = hashes.select(F.col("__id__").alias("id_a"), F.col("__bands__").alias("__ba__"))
+    hb = hashes.select(F.col("__id__").alias("id_b"), F.col("__bands__").alias("__bb__"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", hamming_distance_bands(F.col("__ba__"), F.col("__bb__")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def image_near_dedup_clusters(
+    assets: DataFrame,
+    hash_h: int = 8,
+    hash_w: int = 8,
+    n_bands: int = 4,
+    max_hamming: int = 6,
+    method: str = "nearest",
+    hot_bucket_cap: int | None = 256,
+) -> DataFrame:
+    """End-to-end near-duplicate image clustering: dHash -> banded Hamming
+    pairs -> connected components (min-id representative), singletons
+    included. Returns ``(rep_id, cluster_size)`` — the near-dup analogue
+    of the exact thumbnail-fingerprint dedup (x49)."""
+    from .dedup import connected_components
+
+    hashes = image_dhash(
+        assets, hash_h=hash_h, hash_w=hash_w, n_bands=n_bands, method=method
+    ).localCheckpoint(eager=True)
+    pairs = image_near_dup_pairs(
+        hashes, max_hamming=max_hamming, hot_bucket_cap=hot_bucket_cap
+    )
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    labeled = (
+        hashes.select(F.col("asset_id").alias("node"))
+        .join(comps, "node", "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+    )
+    return labeled.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    ).select(F.col("component").alias("rep_id"), "cluster_size")

@@ -4,6 +4,7 @@ fake features, the stubbed real-decoder gate, and frame sampling."""
 import os
 import sys
 
+import numpy as np
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -730,3 +731,150 @@ def test_resize_nearest_property_random_shapes():
         )
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup image hashing (x51 family)
+# ---------------------------------------------------------------------------
+
+
+def _grad_image(k, h=16, w=18, c=3, shift=0, spots=()):
+    """Deterministic gradient test image: base formula bounded <160 so a
+    brightness shift or spot perturbation cannot wrap uint8."""
+    y, x, ch = np.meshgrid(np.arange(h), np.arange(w), np.arange(c), indexing="ij")
+    pix = (k * 37 + y * 11 + x * 5 + ch * 3) % 160 + shift
+    for (sy, sx, delta) in spots:
+        pix = pix + np.where((y == sy) & (x == sx), delta, 0)
+    return pix.astype(np.uint8)
+
+
+def _pure_python_dhash(arr, hash_h=8, hash_w=8, n_bands=4):
+    """Reference dHash: independent scalar-loop implementation (no numpy
+    vector tricks) of the documented bit layout."""
+    from hbsir_old_spark.functions.multimodal import _resize_array
+
+    resized = _resize_array(arr, hash_h, hash_w + 1, "nearest")
+    gray = [
+        [int(resized[y, x, :].astype(np.int64).sum()) for x in range(hash_w + 1)]
+        for y in range(hash_h)
+    ]
+    band_bits = hash_h * hash_w // n_bands
+    bands = [0] * n_bands
+    for y in range(hash_h):
+        for x in range(hash_w):
+            if gray[y][x + 1] > gray[y][x]:
+                b = y * hash_w + x
+                bands[b // band_bits] |= 1 << (b % band_bits)
+    return bands
+
+
+def _asset_rows(images):
+    from hbsir_old_spark.functions.multimodal import build_png
+
+    return [
+        (i, "image", bytearray(build_png(arr)), None)
+        for i, arr in enumerate(images)
+    ]
+
+
+def test_image_dhash_matches_pure_python(spark):
+    from hbsir_old_spark.functions.multimodal import ASSET_SCHEMA, image_dhash
+
+    images = [_grad_image(k, c=1 + (k % 2) * 2) for k in range(6)]
+    assets = spark.createDataFrame(_asset_rows(images), schema=ASSET_SCHEMA)
+    got = {
+        r["asset_id"]: list(r["bands"])
+        for r in image_dhash(assets).collect()
+    }
+    for i, arr in enumerate(images):
+        assert got[i] == _pure_python_dhash(arr), f"asset {i}"
+
+
+def test_image_dhash_brightness_invariant(spark):
+    """A global brightness shift moves every thumbnail byte but no
+    gradient sign — the transform the perceptual hash exists to survive
+    (and which breaks the x49 sha2 fingerprint by construction)."""
+    from hbsir_old_spark.functions.multimodal import ASSET_SCHEMA, image_dhash
+
+    images = [_grad_image(7), _grad_image(7, shift=40)]
+    assets = spark.createDataFrame(_asset_rows(images), schema=ASSET_SCHEMA)
+    bands = [list(r["bands"]) for r in image_dhash(assets).orderBy("asset_id").collect()]
+    assert bands[0] == bands[1]
+
+
+def test_image_near_dup_pairs_verify_and_reject(spark):
+    from hbsir_old_spark.functions.multimodal import (
+        ASSET_SCHEMA,
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    images = [
+        _grad_image(5),                                   # 0: base
+        _grad_image(5, shift=16),                         # 1: exact hash dup
+        _grad_image(5, spots=[(3, 1, 60)]),               # 2: ~1 bit away
+        _grad_image(9),                                   # 3: different structure
+    ]
+    assets = spark.createDataFrame(_asset_rows(images), schema=ASSET_SCHEMA)
+    hashes = image_dhash(assets)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_pairs(hashes, max_hamming=6, hot_bucket_cap=None).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert 1 <= pairs[(0, 2)] <= 6
+    assert not any(3 in p for p in pairs), "distinct class must verify away"
+
+
+def test_image_near_dedup_clusters_includes_singletons(spark):
+    from hbsir_old_spark.functions.multimodal import (
+        ASSET_SCHEMA,
+        image_near_dedup_clusters,
+    )
+
+    images = [
+        _grad_image(5),
+        _grad_image(5, shift=8),
+        _grad_image(5, spots=[(3, 1, 60)]),
+        _grad_image(9),
+        _grad_image(11, c=1),
+    ]
+    assets = spark.createDataFrame(_asset_rows(images), schema=ASSET_SCHEMA)
+    got = {
+        r["rep_id"]: r["cluster_size"]
+        for r in image_near_dedup_clusters(assets, hot_bucket_cap=None).collect()
+    }
+    assert got == {0: 3, 3: 1, 4: 1}
+
+
+def test_image_near_dup_hot_bucket_cap_bounds_candidates(spark):
+    """A constant-background corpus puts every image in the same band
+    buckets; the write-path star cap must bound the self-join instead of
+    letting it go quadratic."""
+    from hbsir_old_spark.functions.multimodal import (
+        ASSET_SCHEMA,
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    n = 40
+    images = [_grad_image(3, shift=i % 4) for i in range(n)]
+    assets = spark.createDataFrame(_asset_rows(images), schema=ASSET_SCHEMA)
+    hashes = image_dhash(assets)
+    capped = image_near_dup_pairs(
+        hashes, max_hamming=6, hot_bucket_cap=8, hot_bucket_anchors=4
+    )
+    rows = capped.collect()
+    # every surviving pair involves an anchor (smallest ids) — the star
+    # shape — so pair count is O(anchors * n), not n^2
+    assert 0 < len(rows) <= 4 * 4 * n
+    assert all(r["id_a"] < 16 for r in rows), "left ends must be anchor ids"
+    # and min-id reachability survives capping: id 0 pairs with others
+    assert any(r["id_a"] == 0 for r in rows)
+
+
+def test_image_dhash_rejects_bad_band_split():
+    from hbsir_old_spark.functions.multimodal import image_dhash
+
+    with pytest.raises(ValueError):
+        image_dhash(None, hash_h=8, hash_w=8, n_bands=5)
