@@ -2335,6 +2335,191 @@ FROM aud GROUP BY sr
 
 
 # --------------------------------------------------------------------------
+# x51 — perceptual NEAR-duplicate image dedup (VERDICT r13 "Next round"
+# #4): the capability x49's byte-exact thumbnail fingerprint cannot
+# provide — a brightness-shifted or lightly-edited copy changes every
+# thumbnail byte but not its gradient structure. dHash over the
+# integer-exact nearest resize (bit-stable by x48's exactness), packed
+# into 4x16-bit bands, banded Hamming candidate join + exact popcount
+# verify (<= 6 bits), connected components, singletons included
+# (functions/multimodal.py image_dhash / image_near_dup_pairs /
+# image_near_dedup_clusters — the x3/x46 LSH machinery applied to image
+# space). FULL DuckDB oracle: the generator plants 24 classes of 5
+# variants each (v0-v2 global brightness shifts — dHash-identical by
+# construction; v3 three localized spot edits — a few bits; v4 a
+# reversed-gradient image — far), and the oracle recomputes the ENTIRE
+# pipeline arithmetically: gray values at the nearest-resize sample
+# coords, the 64 comparison bits, the band packing, the banded candidate
+# rule (pairs must share >= 1 exact band — mirroring the LSH miss
+# surface, not just hamming <= r), popcount verification, and a
+# recursive-CTE transitive closure (the x38 precedent) — DuckDB never
+# touches a pixel buffer. The gate runs uncapped (hot_bucket_cap=None,
+# the exact operating point; the hot-bucket star cap has its own planted
+# test) so candidates are exactly the oracle's EXISTS-band-match.
+# --------------------------------------------------------------------------
+
+
+def near_image_pixels(did: int):
+    """The x51 gate-corpus generator, ONE pure function shared by the
+    Spark asset builder, the SQL oracle (which re-evaluates it at the
+    resize sample coordinates only), and the planted-geometry test:
+    class k = did % 24, variant v = did // 24, h=16, w=18,
+    c = 1 + (k % 2) * 2, base(y,x,ch) = (k*37 + y*ym + x*xm + x*x*q
+    + ch*3) % 160 with class-keyed frequencies ym = 5 + (k%7)*2,
+    xm = 3 + (k%5)*2, q = 1 + k%3 (bounded < 160 so no perturbation can
+    wrap uint8; the QUADRATIC x term wraps several times per row, so the
+    horizontal gradient changes sign at class-specific columns — without
+    it every class is a monotone ramp, their dHashes collapse to
+    near-all-ones, and half the corpus merges into one cluster). v in
+    0..2 adds a global brightness shift v*8; v=3 adds three localized
+    spot edits (two of the six perturbed columns land on nearest-resize
+    sample coords, the even ones are decoys the resize must ignore);
+    v=4 reverses the horizontal axis. Planted geometry (pinned by
+    tests/test_multimodal.py): all 24 v3s join their class via
+    NONZERO-Hamming pairs, all 24 v4s separate."""
+    import numpy as np
+
+    k, v = did % 24, did // 24
+    c = 1 + (k % 2) * 2
+    y, x, ch = np.meshgrid(
+        np.arange(16), np.arange(18), np.arange(c), indexing="ij"
+    )
+    ym, xm, q = 5 + (k % 7) * 2, 3 + (k % 5) * 2, 1 + k % 3
+    if v == 4:
+        pix = (
+            k * 37 + y * ym + (17 - x) * xm + (17 - x) * (17 - x) * q + ch * 3
+        ) % 160 + 32
+    else:
+        pix = (k * 37 + y * ym + x * xm + x * x * q + ch * 3) % 160 + v * 8
+        if v == 3:
+            pix = (
+                pix
+                + np.where((y == 3) & (x <= 1), 60, 0)
+                + np.where((y == 7) & (x >= 4) & (x <= 5), 50, 0)
+                + np.where((y == 11) & (x >= 8) & (x <= 9), 55, 0)
+            )
+    return pix.astype(np.uint8)
+
+
+def _near_png_assets_from_docs(docs: DataFrame) -> DataFrame:
+    """doc_id -> one real PNG asset from :func:`near_image_pixels`."""
+    from hbsir_old_spark.functions.multimodal import ASSET_SCHEMA, build_png
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for asset_id in pdf["doc_id"]:
+                asset_id = int(asset_id)
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "kind": "image",
+                        "content": build_png(near_image_pixels(asset_id)),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "kind", "content", "meta"]
+            )
+
+    return docs.mapInPandas(make, schema=ASSET_SCHEMA)
+
+
+def q_image_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.multimodal import image_near_dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 120
+    )
+    return image_near_dedup_clusters(
+        _near_png_assets_from_docs(docs),
+        hash_h=8,
+        hash_w=8,
+        n_bands=4,
+        max_hamming=6,
+        method="nearest",
+        hot_bucket_cap=None,
+    )
+
+
+# Nearest resize of the 16x18 source to the 8x9 dHash grid samples
+# exactly src[2*gy+1][2*gx+1] (yi = ((2i+1)*16)//16 = 2i+1, xi =
+# ((2j+1)*18)//18 = 2j+1), so the oracle evaluates the generator at odd
+# coordinates only; gray is the channel SUM (no division — the
+# order-isomorphic reduction image_dhash documents); bit b = gy*8+gx is
+# set iff gray(gy, gx+1) > gray(gy, gx), band = b // 16, offset b % 16.
+SQL_IMAGE_NEAR_DEDUP = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id % 24 AS k, doc_id // 24 AS v,
+         1 + (doc_id % 24 % 2) * 2 AS c
+  FROM documents WHERE doc_id < 120
+),
+g AS (
+  SELECT d.doc_id, yy.gy AS gy, xx.gx AS gx,
+         SUM(
+           CASE WHEN d.v = 4
+                THEN (d.k*37 + (2*yy.gy+1)*(5 + (d.k%7)*2)
+                      + (16-2*xx.gx)*(3 + (d.k%5)*2)
+                      + (16-2*xx.gx)*(16-2*xx.gx)*(1 + d.k%3)
+                      + ch.ch*3) % 160 + 32
+                ELSE (d.k*37 + (2*yy.gy+1)*(5 + (d.k%7)*2)
+                      + (2*xx.gx+1)*(3 + (d.k%5)*2)
+                      + (2*xx.gx+1)*(2*xx.gx+1)*(1 + d.k%3)
+                      + ch.ch*3) % 160
+                     + d.v * 8
+                     + CASE WHEN d.v = 3 AND 2*yy.gy+1 = 3  AND 2*xx.gx+1 <= 1 THEN 60
+                            WHEN d.v = 3 AND 2*yy.gy+1 = 7  AND 2*xx.gx+1 BETWEEN 4 AND 5 THEN 50
+                            WHEN d.v = 3 AND 2*yy.gy+1 = 11 AND 2*xx.gx+1 BETWEEN 8 AND 9 THEN 55
+                            ELSE 0 END
+           END
+         )::BIGINT AS gray
+  FROM d,
+       unnest(generate_series(0, 7)) AS yy(gy),
+       unnest(generate_series(0, 8)) AS xx(gx),
+       unnest(generate_series(0, 2)) AS ch(ch)
+  WHERE ch.ch < d.c
+  GROUP BY 1, 2, 3
+),
+hb AS (
+  SELECT a.doc_id, (a.gy*8 + a.gx) // 16 AS band,
+         SUM(CASE WHEN b.gray > a.gray
+                  THEN 1::BIGINT << ((a.gy*8 + a.gx) % 16) ELSE 0 END)::BIGINT AS bh
+  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+  WHERE a.gx < 8
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM hb a JOIN hb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN hb ha ON ha.doc_id = c.id_a
+  JOIN hb hbb ON hbb.doc_id = c.id_b AND hbb.band = ha.band
+  GROUP BY c.id_a, c.id_b
+  HAVING SUM(bit_count(xor(ha.bh, hbb.bh))) <= 6
+),
+edges AS (
+  SELECT id_a AS u, id_b AS w FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u, u AS comp FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.w = r.u
+),
+comp AS (SELECT u, MIN(comp) AS component FROM reach GROUP BY u)
+SELECT COALESCE(cp.component, d.doc_id)::BIGINT AS rep_id,
+       COUNT(*)::BIGINT AS cluster_size
+FROM d LEFT JOIN comp cp ON cp.u = d.doc_id
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-duplicate detection (exact pairwise baseline; the
 # LSH-bucketed scale path is q_ann_lsh)
 # --------------------------------------------------------------------------
@@ -8244,30 +8429,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # which re-proves every full oracle against DuckDB each run — is the
     # exactness half); rows-only gates never leave the window.
     #
-    # Round 13 ledger (= 50): 4 new full-oracle gates (x48 nearest resize,
-    # x48b integer-exact bilinear resize, x49 thumbnail-fingerprint image
-    # dedup — all three staged-and-proven in r12, registration owed per
-    # VERDICT r12 #1 — plus x50, the mixed image+audio capstone new this
-    # round) + 10 rows-only pins + 36 of the 40 r10-green veterans
-    # (3 rounds stale, owed priority by the r12 header). The arithmetic
-    # forces 4 displacements from the r10-green set; displaced (cheapest
-    # to defer — thin wrappers over native Spark ops whose plans haven't
-    # changed since r8 and which every pytest parity run re-proves exact
-    # against DuckDB): o2 (native rolling window), a6 (native distinct
-    # agg), u1 (allowMissingColumns union), a10 (native cube). Those 4
-    # plus the 40 r11-green veterans carry r14 window priority (they will
-    # be 3 rounds stale then); the 40 r12-green gates rotate out 1 round
-    # fresh — the normal cadence.
+    # Round 14 ledger (= 50): the 4 displaced r10-green veterans
+    # (u1/a6/a10/o2 — latest green row r10, 4 rounds stale, FIRST in
+    # line per the r13 header's promise) at positions 0-3 + 1 new
+    # full-oracle gate (x51 perceptual near-dup image dedup, VERDICT r13
+    # #4) + 35 of the 40 r11-green veterans (3 rounds stale) + 10
+    # rows-only pins. The arithmetic forces 5 deferrals from the
+    # r11-green set (44 owed for 39 rotating slots); deferred (cheapest
+    # — thin wrappers over native Spark ops whose plans haven't changed
+    # since r8 and which every pytest parity run re-proves exact against
+    # DuckDB): o1 (native orderBy+limit), f3 (native dropDuplicates),
+    # p4 (regexp_replace chain), p17 (literal-map lookup), p23 (native
+    # get_json_object). Those 5 plus the 40 r12-green veterans carry r15
+    # window priority; the 40 r13-green gates rotate out 1 round fresh —
+    # the normal cadence.
     return {
-        # -- new in round 13: the r12-staged resize family, registered --
+        # -- positions 0-3: the r10-green veterans displaced by the r13
+        # window arithmetic, 4 rounds stale — first in line --
+        "u1_union_missing_columns": q_union_missing_columns,
+        "a6_distinct_agg": q_distinct_agg,
+        "a10_cube": q_cube,
+        "o2_rolling_window": q_rolling_window,
+        # -- new in round 14: perceptual near-dup image dedup --
+        "x51_image_near_dedup": q_image_near_dedup,
+        # -- 35 returning r11-green veterans (3 rounds stale; o1/f3/p4/
+        # p17/p23 deferred to the tail with r15 priority, rationale
+        # above) --
+        "x44b_pipeline_fuzzy": q_pipeline_fuzzy_e2e,
+        "x22b_bloom_dedup": q_bloom_dedup,
+        "a2_household_math": q_household_math,
+        "a4_average_table": q_average_table,
+        "a5_weighted_sum": q_weighted_sum,
+        "g3_report_pivot_totals": q_report_pivot_totals,
+        "j1_classification_join": q_classification_join,
+        "j2_dim_join_chain": q_dim_join_chain,
+        "j3_weighted_average": q_weighted_average,
+        "j6_fact_join": q_fact_join,
+        "j9_semi_anti": q_semi_anti_join,
+        "l2_setup_roundtrip": q_setup_roundtrip,
+        "l13_real_cpi_chain": q_real_cpi_chain,
+        "l14_multi_year_food": q_multi_year_food,
+        "s1_events_tumbling": q_events_tumbling,
+        "s2_events_sessions": q_events_sessions,
+        "x1_dedup_exact": q_dedup_exact,
+        "x2_ngram_jaccard": q_ngram_jaccard,
+        "x6_lang_id": q_lang_id,
+        "x7_rolling_fingerprint": q_rolling_fingerprint,
+        "x8_cosine_topk": q_cosine_topk,
+        "x14_text_cleaning": q_text_cleaning,
+        "x15_contamination_flag": q_contamination_flag,
+        "x16_hash_split": q_hash_split,
+        "x17_group_quota": q_group_quota,
+        "x19_dup_clusters": q_dup_clusters,
+        "x20_tfidf_top_terms": q_tfidf_top_terms,
+        "x22_incremental_dedup": q_incremental_dedup,
+        "x32_dup_windows": q_dup_windows,
+        "x34_curation_pipeline": q_curation_pipeline,
+        "s6_interval_join": q_interval_join,
+        "x10_multimodal_features": q_multimodal_features,
+        "s7_stream_dedup": q_stream_dedup,
+        "l9_bucketed_join": q_bucketed_join,
+        "a1_groupby_sum": q_groupby_sum,
+        # -- rows-only gates (approximate by design, no oracle): the
+        # driver's ONLY evidence for them is the per-round spark_rows
+        # record, so they NEVER rotate past the 50-row window --
+        "a7_approx_distinct": q_approx_distinct,
+        "x3_minhash_lsh": q_minhash_lsh,
+        "x4_simhash_pairs": q_simhash_pairs,
+        "x9_ann_lsh": q_ann_lsh,
+        "x13_ivf_topk": q_ivf_topk,
+        "w4_approx_decile": q_approx_decile,
+        "w4b_weighted_approx_decile": q_weighted_approx_decile,
+        "x38b_curation_fuzzy_lsh": q_curation_fuzzy_lsh,
+        "x42_pq_topk": q_pq_topk,
+        "x45_bpe_learned": q_bpe_learned,
+        # ------------------------------------------------------------------
+        # past position 50: first the 40 gates rowed GREEN (rows+schema+
+        # hash) in CORRECTNESS_r13.json — 1 round fresh, the normal
+        # rotation --
         "x48_resize_nearest": q_resize_stats,
         "x48b_resize_bilinear": q_resize_bilinear_stats,
         "x49_image_dedup": q_image_dedup,
-        # -- new in round 13: mixed image+audio capstone --
         "x50_multimodal_capstone": q_multimodal_capstone,
-        # -- 36 returning r10-green veterans (3 rounds stale, the
-        # R10_GREEN priority the r12 header promised; o2/a6/u1/a10
-        # displaced to the tail with r14 priority, rationale above) --
         "s8_funnel": q_funnel,
         "s9_retention": q_retention,
         "s10_stream_funnel": q_stream_funnel,
@@ -8304,23 +8547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x21_asof_attribution": q_asof_attribution,
         "s3_events_sliding": q_events_sliding,
         "x31_dsir_select": q_dsir_select,
-        # -- rows-only gates (approximate by design, no oracle): the
-        # driver's ONLY evidence for them is the per-round spark_rows
-        # record, so they NEVER rotate past the 50-row window --
-        "a7_approx_distinct": q_approx_distinct,
-        "x3_minhash_lsh": q_minhash_lsh,
-        "x4_simhash_pairs": q_simhash_pairs,
-        "x9_ann_lsh": q_ann_lsh,
-        "x13_ivf_topk": q_ivf_topk,
-        "w4_approx_decile": q_approx_decile,
-        "w4b_weighted_approx_decile": q_weighted_approx_decile,
-        "x38b_curation_fuzzy_lsh": q_curation_fuzzy_lsh,
-        "x42_pq_topk": q_pq_topk,
-        "x45_bpe_learned": q_bpe_learned,
-        # ------------------------------------------------------------------
-        # past position 50: first the 40 gates rowed GREEN (rows+schema+
-        # hash) in CORRECTNESS_r12.json — 1 round fresh, the normal
-        # rotation --
+        # -- then the 40 r12-green veterans (2 rounds stale; each
+        # re-proven exact against DuckDB by every pytest parity run; ALL
+        # carry r15 window priority together with the 5 deferred below) --
         "x47_audio_decode": q_audio_decode_stats,
         "j8b_geometry_analytics": q_geometry_analytics,
         "p24_interval_binning": q_interval_binning,
@@ -8361,56 +8590,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l17_real_income_chain": q_real_income_chain,
         "l18_real_outlay_chain": q_real_outlay_chain,
         "x33_quality_classifier": q_quality_classifier,
-        # -- then the 40 r11-green veterans (2 rounds stale; each re-proven
-        # exact against DuckDB by every pytest parity run; ALL carry r14
-        # window priority together with the 4 displaced below) --
-        "x44b_pipeline_fuzzy": q_pipeline_fuzzy_e2e,
-        "x22b_bloom_dedup": q_bloom_dedup,
-        "a2_household_math": q_household_math,
-        "a4_average_table": q_average_table,
-        "a5_weighted_sum": q_weighted_sum,
-        "f3_distinct": q_distinct,
-        "g3_report_pivot_totals": q_report_pivot_totals,
-        "j1_classification_join": q_classification_join,
-        "j2_dim_join_chain": q_dim_join_chain,
-        "j3_weighted_average": q_weighted_average,
-        "j6_fact_join": q_fact_join,
-        "j9_semi_anti": q_semi_anti_join,
-        "l2_setup_roundtrip": q_setup_roundtrip,
-        "l13_real_cpi_chain": q_real_cpi_chain,
-        "l14_multi_year_food": q_multi_year_food,
+        # -- last: the 5 r11-green veterans deferred by this round's
+        # window arithmetic (rationale in the header; latest green row
+        # r11, FIRST in line for the r15 window) --
         "o1_top_k": q_top_k,
+        "f3_distinct": q_distinct,
         "p4_string_scrub": q_string_scrub,
         "p17_map_lookup": q_map_lookup,
         "p23_json_extract": q_json_extract,
-        "s1_events_tumbling": q_events_tumbling,
-        "s2_events_sessions": q_events_sessions,
-        "x1_dedup_exact": q_dedup_exact,
-        "x2_ngram_jaccard": q_ngram_jaccard,
-        "x6_lang_id": q_lang_id,
-        "x7_rolling_fingerprint": q_rolling_fingerprint,
-        "x8_cosine_topk": q_cosine_topk,
-        "x14_text_cleaning": q_text_cleaning,
-        "x15_contamination_flag": q_contamination_flag,
-        "x16_hash_split": q_hash_split,
-        "x17_group_quota": q_group_quota,
-        "x19_dup_clusters": q_dup_clusters,
-        "x20_tfidf_top_terms": q_tfidf_top_terms,
-        "x22_incremental_dedup": q_incremental_dedup,
-        "x32_dup_windows": q_dup_windows,
-        "x34_curation_pipeline": q_curation_pipeline,
-        "s6_interval_join": q_interval_join,
-        "x10_multimodal_features": q_multimodal_features,
-        "s7_stream_dedup": q_stream_dedup,
-        "l9_bucketed_join": q_bucketed_join,
-        "a1_groupby_sum": q_groupby_sum,
-        # -- last: the 4 r10-green veterans displaced by this round's new
-        # registrations (rationale in the header; latest green row r10,
-        # FIRST in line for the r14 window) --
-        "u1_union_missing_columns": q_union_missing_columns,
-        "a6_distinct_agg": q_distinct_agg,
-        "a10_cube": q_cube,
-        "o2_rolling_window": q_rolling_window,
     }
 
 
@@ -8468,6 +8655,7 @@ def oracle_sql() -> dict[str, str]:
         "x48b_resize_bilinear": SQL_RESIZE_BILINEAR_STATS,
         "x49_image_dedup": SQL_IMAGE_DEDUP,
         "x50_multimodal_capstone": SQL_MULTIMODAL_CAPSTONE,
+        "x51_image_near_dedup": SQL_IMAGE_NEAR_DEDUP,
         "x11_bpe_token_count": SQL_BPE_TOKEN_COUNT,
         "x12_embedding_dedup": SQL_EMBEDDING_DEDUP,
         "g1_dsl_pipeline": SQL_DSL_PIPELINE,

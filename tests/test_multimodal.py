@@ -878,3 +878,57 @@ def test_image_dhash_rejects_bad_band_split():
 
     with pytest.raises(ValueError):
         image_dhash(None, hash_h=8, hash_w=8, n_bands=5)
+
+
+def test_x51_planted_geometry(spark, sf_dir):
+    """Pin the x51 gate corpus' planted structure with an INDEPENDENT
+    scalar-python recomputation (no Spark, no oracle): every brightness
+    variant (v0-v2) hashes identically; every v3 spot-edit variant joins
+    its class through a NONZERO-Hamming pair (so the verify path is
+    exercised, not only exact-hash matches); every v4 axis-reversal
+    separates — and the Spark gate reproduces exactly that partition."""
+    import __spark_entry__ as entry
+
+    H = {
+        d: _pure_python_dhash(entry.near_image_pixels(d))
+        for d in range(120)
+    }
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    pairs = [
+        (a, b)
+        for a in range(120)
+        for b in range(a + 1, 120)
+        if any(x == y for x, y in zip(H[a], H[b])) and ham(H[a], H[b]) <= 6
+    ]
+    parent = {i: i for i in range(120)}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        parent[max(ra, rb)] = min(ra, rb)
+    for k in range(24):
+        assert find(k) == find(k + 24) == find(k + 48), f"brightness variants of class {k}"
+        assert find(k) == find(k + 72), f"v3 spot-edit variant of class {k} must join"
+        assert find(k) != find(k + 96), f"v4 reversal of class {k} must separate"
+    assert any(
+        ham(H[k], H[k + 72]) > 0 for k in range(24)
+    ), "at least one v3 join must need the Hamming verify (nonzero distance)"
+    from collections import Counter
+
+    expected = Counter(
+        Counter(find(i) for i in range(120)).values()
+    )
+    got = {
+        r["rep_id"]: r["cluster_size"]
+        for r in entry.q_image_near_dedup(spark, sf_dir).collect()
+    }
+    assert sum(got.values()) == 120
+    assert Counter(got.values()) == expected
