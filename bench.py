@@ -241,10 +241,12 @@ class ExternalLoadMeter:
 
     def __init__(self) -> None:
         self._hz = os.sysconf("SC_CLK_TCK")
-        # pid -> last-seen jiffies for every process counted in the tree:
-        # lets a descendant that daemonizes (reparented to PID 1) keep
-        # counting, and preserves the time of one that vanishes entirely
-        self._seen: dict[int, int] = {}
+        # pid -> (jiffies, ppid, starttime) for every process counted in
+        # the tree: lets a descendant that daemonizes (reparented to PID 1)
+        # keep counting, preserves the time of one that vanishes entirely,
+        # and pins the kernel start time so a recycled PID can never be
+        # mistaken for the remembered member (ADVICE r13)
+        self._seen: dict[int, tuple[int, int, int]] = {}
         # accumulated jiffies of vanished tree members: /proc/stat keeps
         # their time forever, so the tree sum must too or the next window
         # reads the difference as an external-CPU spike (ADVICE r12)
@@ -255,6 +257,7 @@ class ExternalLoadMeter:
         me = os.getpid()
         ppid_map: dict[int, int] = {}
         jiffies: dict[int, int] = {}
+        start: dict[int, int] = {}
         for d in os.listdir("/proc"):
             if not d.isdigit():
                 continue
@@ -271,11 +274,16 @@ class ExternalLoadMeter:
             # /proc/stat keeps them — the delta reads as EXTERNAL load
             # on an idle host and trips a spurious retake (review-pass
             # finding). While a child lives its time is counted via its
-            # own entry; on reaping it moves into the parent's cutime —
-            # either way the tree sum is stable, never double-counted.
+            # own entry; on reaping it moves into the parent's cutime.
+            # The vanished-member banking below therefore SKIPS pids
+            # whose parent is still in-tree — banking them as well would
+            # count the reaped time twice, biasing external_cores LOW,
+            # the unsafe direction for quiet_host publishing (ADVICE
+            # r13).
             jiffies[pid] = (
                 int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
             )
+            start[pid] = int(rest[19])  # starttime, /proc stat field 22
         tree = {me}
         changed = True
         while changed:
@@ -286,24 +294,38 @@ class ExternalLoadMeter:
                     changed = True
         # re-adopt remembered members no longer reachable by parentage (a
         # descendant that daemonized was reparented to PID 1 mid-window);
-        # a jiffies count BELOW the last-seen value means the PID was
-        # recycled by a foreign process — drop it instead
-        for pid, last in list(self._seen.items()):
+        # a changed kernel start time or a jiffies count BELOW the
+        # last-seen value means the PID was recycled by a foreign process
+        # — drop it instead of counting the stranger's CPU as ours
+        # (jiffies alone was spoofable: a member first seen near 0
+        # jiffies would re-adopt almost any successor)
+        for pid, (last, _ppid, st) in list(self._seen.items()):
             if pid in jiffies and pid not in tree:
-                if jiffies[pid] >= last:
+                if start.get(pid) == st and jiffies[pid] >= last:
                     tree.add(pid)
                 else:
                     del self._seen[pid]
-        # members gone from /proc entirely: bank their last-known jiffies.
-        # (A child reaped by an in-tree parent also lands in the parent's
-        # cutime, so its time can be counted twice here — that only ever
-        # UNDER-states external load, the safe direction: it cannot burn
-        # retake budget on a phantom storm; the clamp in external_cores
-        # floors the window at 0.)
+        # members gone from /proc entirely: bank their last-known jiffies
+        # — UNLESS the last-known parent is still tracked, in which case
+        # the reaped time arrives via that parent's cutime and banking
+        # would double-count it (see the jiffies-read comment above). A
+        # parent that died un-waited leaves the child's time unbanked and
+        # uncounted — that only OVER-states external load (worst case a
+        # spurious retake), never a loud host labeled quiet.
+        remembered = set(self._seen)  # pre-loop snapshot: a parent popped
+        # earlier in this same loop must still suppress its child's bank
         for pid in list(self._seen):
             if pid not in jiffies:
-                self._lost += self._seen.pop(pid)
-        self._seen.update({p: jiffies[p] for p in tree if p in jiffies})
+                _last, ppid, _st = self._seen.pop(pid)
+                if ppid not in tree and ppid not in remembered:
+                    self._lost += _last
+        self._seen.update(
+            {
+                p: (jiffies[p], ppid_map.get(p, 0), start[p])
+                for p in tree
+                if p in jiffies
+            }
+        )
         return sum(jiffies.get(p, 0) for p in tree) + self._lost
 
     def _read(self) -> tuple[int, int, float]:
@@ -397,21 +419,29 @@ def _load_quiet_reference(sf: str) -> dict[str, float]:
 
 
 def _infer_round() -> int | None:
-    """ONE source of truth for the round label: the driver's own latest
-    "round" field in PROGRESS.jsonl (appended throughout the round). The
-    old latest-CORRECTNESS+1 rule mislabeled driver-initiated runs: the
-    r12 post-snapshot bench saw CORRECTNESS_r12.json already on disk and
-    wrote BENCH_r13_full.json for a record whose own "n" said 12 (VERDICT
-    r12 #4). CORRECTNESS+1 remains the fallback when PROGRESS.jsonl is
-    absent. The label is also stamped INTO the record as "round_label" so
-    the filename and the contents cannot diverge silently."""
+    """Round label for the record: the driver's own latest "round" field
+    in PROGRESS.jsonl, CROSS-CHECKED against the CORRECTNESS-derived
+    label (latest CORRECTNESS_r{N} + 1). Each source alone has a known
+    off-by-one: latest-CORRECTNESS+1 mislabeled driver-initiated runs
+    (the r12 post-snapshot bench saw CORRECTNESS_r12.json already on disk
+    and wrote BENCH_r13_full.json for a record whose own "n" said 12,
+    VERDICT r12 #4), while PROGRESS alone mislabels a bench run at the
+    START of round N+1 before the driver appends any round-(N+1) line
+    (ADVICE r13 — the mirror image). When the two disagree the LARGER
+    wins (a stale source can only under-state the round; CORRECTNESS
+    files are committed at round end, PROGRESS lines throughout, so
+    whichever has ticked is the fresher evidence) and the disagreement is
+    surfaced on stderr. The label is also stamped INTO the record as
+    "round_label" so the filename and the contents cannot diverge
+    silently."""
+    progress = None
     try:
         with open(os.path.join(_repo_root(), "PROGRESS.jsonl")) as f:
             lines = [ln for ln in f.read().splitlines() if ln.strip()]
         if lines:
             rnd = json.loads(lines[-1]).get("round")
             if isinstance(rnd, int):
-                return rnd
+                progress = rnd
     except (OSError, json.JSONDecodeError):
         pass
     ns = []
@@ -419,7 +449,18 @@ def _infer_round() -> int | None:
         m = re.match(r"CORRECTNESS_r(\d+)\.json$", f)
         if m:
             ns.append(int(m.group(1)))
-    return max(ns) + 1 if ns else None
+    fallback = max(ns) + 1 if ns else None
+    if progress is None:
+        return fallback
+    if fallback is not None and fallback != progress:
+        print(
+            f"bench: round label sources disagree (PROGRESS.jsonl says "
+            f"{progress}, latest CORRECTNESS+1 says {fallback}); using "
+            f"{max(progress, fallback)}",
+            file=sys.stderr,
+        )
+        return max(progress, fallback)
+    return progress
 
 
 def main() -> None:

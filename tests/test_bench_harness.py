@@ -47,6 +47,22 @@ class TestRoundInference:
         rnd = bench._infer_round()
         assert rnd == last["round"] >= 13
 
+    def test_infer_round_prefers_larger_source_on_disagreement(
+        self, tmp_path, monkeypatch
+    ):
+        # ADVICE r13: trusting PROGRESS.jsonl unconditionally mislabels a
+        # bench run at the START of round N+1 before the driver appends
+        # any round-(N+1) line — cross-check against latest-CORRECTNESS+1
+        # and prefer the larger (a stale source only under-states)
+        (tmp_path / "PROGRESS.jsonl").write_text('{"round": 13}\n')
+        (tmp_path / "CORRECTNESS_r13.json").write_text("{}")
+        monkeypatch.setattr(bench, "_repo_root", lambda: str(tmp_path))
+        assert bench._infer_round() == 14  # stale last progress line
+        # converse: driver-initiated mid-round run before the round's own
+        # CORRECTNESS file exists — PROGRESS is the fresher source
+        (tmp_path / "PROGRESS.jsonl").write_text('{"round": 15}\n')
+        assert bench._infer_round() == 15
+
 
 class TestRetakeLoop:
     """Pins for retake_until_quiet (VERDICT r12 #5): a retake that still
@@ -166,6 +182,12 @@ class TestExternalLoadMeter:
         import time
 
         meter = bench.ExternalLoadMeter()
+        # baseline window with NO spinners: genuine external daemons or CI
+        # contention shift this and the with-spinners reading together, so
+        # the assertion below is on the DELTA, not an absolute bound that
+        # flakes on a busy host (ADVICE r13)
+        time.sleep(1.0)
+        baseline = meter.external_cores()
         # a shell that backgrounds 3 spinners and exits after 0.7 s: the
         # spinners are in-tree while the shell lives, then reparent to 1
         p = subprocess.Popen(
@@ -181,8 +203,41 @@ class TestExternalLoadMeter:
         p.wait()
         time.sleep(1.5)  # spinners burn ~3 cores, now reparented to PID 1
         ext = meter.external_cores()
-        # without re-adoption this reads ~3.0; allow system-daemon slack
-        assert ext < 1.5, ext
+        # without re-adoption this reads ~baseline + 3.0
+        assert ext < baseline + 1.0, (baseline, ext)
+
+    def test_recycled_pid_with_changed_starttime_is_dropped(self):
+        # ADVICE r13: jiffies>=last alone was spoofable — a member first
+        # seen near 0 jiffies would re-adopt almost any foreign successor
+        # on the recycled pid. The kernel start time (stat field 22) pins
+        # process identity; pretend PID 1 was once a tree member with a
+        # bogus start time and assert the meter refuses to re-adopt it.
+        import os
+
+        meter = bench.ExternalLoadMeter()
+        meter._tree_jiffies()
+        meter._seen[1] = (0, os.getpid(), -1)
+        meter._tree_jiffies()
+        assert 1 not in meter._seen
+
+    def test_vanished_child_of_tracked_parent_is_not_banked(self):
+        # ADVICE r13: a vanished member's own utime+stime was banked into
+        # _lost even though its in-tree parent's cutime already carries
+        # the reaped time — double-counting that biases external_cores
+        # LOW, the unsafe direction for quiet_host publishing. Only a
+        # vanished member whose remembered parent is neither in-tree nor
+        # itself tracked may bank.
+        import os
+
+        meter = bench.ExternalLoadMeter()
+        meter._tree_jiffies()
+        lost0 = meter._lost
+        meter._seen[99_999_999] = (1000, os.getpid(), 42)  # parent in-tree
+        meter._seen[99_999_998] = (500, 99_999_997, 42)  # true orphan
+        meter._tree_jiffies()
+        assert meter._lost == lost0 + 500
+        assert 99_999_999 not in meter._seen
+        assert 99_999_998 not in meter._seen
 
     def test_proc_stat_busy_excludes_guest_fields(self):
         # guest/guest_nice (fields 8, 9) are already included in user/nice;
