@@ -803,3 +803,140 @@ class TestIngestRestartSafety:
             failed = True
         failed = failed or q.exception() is not None
         assert failed, "ingest into a manifest-less non-empty store must fail"
+
+
+class TestImageDedupIngest:
+    """The IMAGE near-dedup ingest loop (VERDICT r13 #7,
+    streaming/sink.py:run_image_dedup_ingest): thumbnail-sha2 exact +
+    dHash-band near dedup within each micro-batch and against the growing
+    signature store, with the docs and their write-capped band table
+    committed atomically by one manifest rename. Image fixtures come from
+    the x51 gate generator (near_image_pixels) whose planted geometry —
+    brightness variants hash-identical, v4 reversals far — is pinned by
+    tests/test_multimodal.py::test_x51_planted_geometry; classes 5 and 9
+    are verified cross-clean there (not part of the one known cross-class
+    merge, 0~21)."""
+
+    @staticmethod
+    def _png(d):
+        import __spark_entry__ as entry
+        from hbsir_old_spark.functions.multimodal import build_png
+
+        return bytearray(build_png(entry.near_image_pixels(d)))
+
+    def _write_batch(self, spark, src, rows):
+        spark.createDataFrame(
+            [(i, "image", self._png(d)) for i, d in rows],
+            schema="asset_id long, kind string, content binary",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def _run(self, spark, src, store, ckpt):
+        from hbsir_old_spark.streaming.sink import run_image_dedup_ingest
+
+        stream = spark.readStream.schema(
+            "asset_id long, kind string, content binary"
+        ).parquet(src)
+        q = run_image_dedup_ingest(stream, store, ckpt)
+        q.awaitTermination(180)
+
+    @staticmethod
+    def _ids(spark, store):
+        from hbsir_old_spark.streaming.sink import read_near_dedup_store
+
+        docs, _ = read_near_dedup_store(spark, store)
+        return set() if docs is None else {r["asset_id"] for r in docs.collect()}
+
+    def test_image_ingest_dedups_within_and_across_batches(self, spark, tmp_path):
+        src = str(tmp_path / "src_ii")
+        store = str(tmp_path / "store_ii")
+        # batch 1: base of class 5, an in-batch brightness near-copy
+        # (v1 = 5+24, dHash-identical but byte-different), base of class 9
+        self._write_batch(spark, src, [(1, 5), (2, 5 + 24), (3, 9)])
+        self._run(spark, src, store, str(tmp_path / "ckpt_ii1"))
+        assert self._ids(spark, store) == {1, 3}
+        # batch 2: an exact byte copy of stored 3, a near copy of stored 1
+        # (v2 = 5+48), and a genuinely novel image (v4 of class 9 — far)
+        self._write_batch(spark, src, [(10, 9), (11, 5 + 48), (12, 9 + 96)])
+        self._run(spark, src, store, str(tmp_path / "ckpt_ii1"))
+        assert self._ids(spark, store) == {1, 3, 12}
+
+    def test_image_ingest_kill_mid_batch_replays_clean(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import os
+
+        import hbsir_old_spark.streaming.sink as sink_mod
+
+        src = str(tmp_path / "src_ik")
+        store = str(tmp_path / "store_ik")
+        ckpt = str(tmp_path / "ckpt_ik")
+        self._write_batch(spark, src, [(1, 5), (2, 5 + 24), (3, 9)])
+
+        real_commit = sink_mod._commit_manifest
+        calls = {"n": 0}
+
+        def crashing_commit(store_dir, batches):
+            calls["n"] += 1
+            raise OSError("injected crash before manifest rename")
+
+        monkeypatch.setattr(sink_mod, "_commit_manifest", crashing_commit)
+        stream = spark.readStream.schema(
+            "asset_id long, kind string, content binary"
+        ).parquet(src)
+        q = sink_mod.run_image_dedup_ingest(stream, store, ckpt)
+        failed = False
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            failed = True
+        failed = failed or q.exception() is not None
+        assert failed, "query should have failed on the injected crash"
+        assert calls["n"] >= 1
+        # data written but nothing committed: readers see an empty store
+        docs, bands = sink_mod.read_near_dedup_store(spark, store)
+        assert docs is None and bands is None
+        assert os.path.isdir(os.path.join(store, "data"))
+
+        # restart with the SAME checkpoint: the failed batch replays and
+        # commits exactly once — planted dupes still collapse, no
+        # double-committed batch dirs
+        monkeypatch.setattr(sink_mod, "_commit_manifest", real_commit)
+        stream = spark.readStream.schema(
+            "asset_id long, kind string, content binary"
+        ).parquet(src)
+        q = sink_mod.run_image_dedup_ingest(stream, store, ckpt)
+        q.awaitTermination(120)
+        assert self._ids(spark, store) == {1, 3}
+        manifest = sink_mod._read_manifest(store)
+        assert len(manifest) == 1 and manifest[0].startswith("batch-00000000-")
+        # and a FULL replay through a fresh checkpoint commits nothing
+        # (the exact screen empties the batch)
+        self._run(spark, src, store, str(tmp_path / "ckpt_ik2"))
+        assert self._ids(spark, store) == {1, 3}
+        assert sink_mod._read_manifest(store) == manifest
+
+    def test_image_ingest_docs_and_bands_commit_as_pair(self, spark, tmp_path):
+        import os
+
+        from hbsir_old_spark.streaming.sink import (
+            _read_manifest,
+            read_near_dedup_store,
+        )
+
+        src = str(tmp_path / "src_ip")
+        store = str(tmp_path / "store_ip")
+        self._write_batch(spark, src, [(1, 5), (3, 9)])
+        self._run(spark, src, store, str(tmp_path / "ckpt_ip"))
+        docs, bands = read_near_dedup_store(spark, store)
+        ids = {r["asset_id"] for r in docs.collect()}
+        band_rows = bands.collect()
+        assert {r["asset_id"] for r in band_rows} == ids
+        per_id = {}
+        for r in band_rows:
+            per_id[r["asset_id"]] = per_id.get(r["asset_id"], 0) + 1
+        assert all(v == 4 for v in per_id.values())  # 4 dHash bands each
+        # stored docs carry BOTH signatures the screens need
+        assert {"asset_id", "__fp__", "bands"} <= set(docs.columns)
+        for b in _read_manifest(store):
+            assert os.path.isdir(os.path.join(store, "data", b, "docs"))
+            assert os.path.isdir(os.path.join(store, "data", b, "bands"))
