@@ -932,3 +932,57 @@ def test_x51_planted_geometry(spark, sf_dir):
     }
     assert sum(got.values()) == 120
     assert Counter(got.values()) == expected
+
+
+def test_png_decoder_cross_checked_against_pillow():
+    """VERDICT r13 #8: when Pillow is installed, pin the two PNG decode
+    paths to EACH OTHER (not just each to the builder): hypothesis-
+    generated images written by build_png must decode identically through
+    _decode_png_minimal and through Pillow, and a Pillow-ENCODED PNG
+    (different filter/zlib choices than build_png's) must decode
+    identically through both. Skipped in codec-less containers — the
+    builder-roundtrip property tests above keep the minimal path pinned
+    there."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from hypothesis import given, settings, strategies as st
+
+    from hbsir_old_spark.functions.multimodal import (
+        _decode_png_minimal,
+        build_png,
+    )
+
+    def pil_decode(data):
+        img = PIL_Image.open(io.BytesIO(data))
+        arr = np.asarray(img)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return arr
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 9),
+        w=st.integers(1, 9),
+        c=st.sampled_from([1, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, c, seed):
+        arr = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, c), dtype=np.uint8
+        )
+        ours = build_png(arr)
+        assert np.array_equal(pil_decode(ours), arr)
+        assert np.array_equal(_decode_png_minimal(ours), arr)
+        # Pillow's own encoder picks different row filters / compression:
+        # the minimal decoder must handle that stream too
+        mode = {1: "L", 3: "RGB", 4: "RGBA"}[c]
+        buf = io.BytesIO()
+        PIL_Image.fromarray(arr.squeeze(-1) if c == 1 else arr, mode).save(
+            buf, format="PNG"
+        )
+        theirs = buf.getvalue()
+        assert np.array_equal(_decode_png_minimal(theirs), pil_decode(theirs))
+        assert np.array_equal(_decode_png_minimal(theirs), arr)
+
+    check()
