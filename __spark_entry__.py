@@ -1720,6 +1720,12 @@ def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # EVERY document at the bench SF with ~30x30 RGB PNGs, so the
         # per-round record carries the Arrow-batch codec throughput number
         "x48x_resize_scale": q_resize_scale_probe,
+        # throughput envelope for the perceptual near-dedup path (the r14
+        # analogue of x48x): the x51 gate proves EXACTNESS on 120 planted
+        # images; this probe runs decode -> dHash -> banded Hamming pairs
+        # over EVERY document at the bench SF with planted 4-variant
+        # classes, so the record carries the hash+banded-join throughput
+        "x51x_image_near_dedup_scale": q_image_near_dedup_scale_probe,
     }
 
 
@@ -1778,6 +1784,84 @@ def q_resize_scale_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_images"),
         F.sum("pixel_sum").alias("total_pixel_sum"),
     )
+
+
+def q_image_near_dedup_scale_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only image near-dedup throughput probe: one real RGB PNG per
+    document at the bench SF (sf0.1 -> ~5k images, class-keyed shapes
+    ~16-24 x 18-24), decoded and dHashed through the production path
+    (functions/multimodal.py image_dhash), then banded-Hamming paired
+    (image_near_dup_pairs at the default hot-bucket cap) and reduced to
+    one (n_pairs, hamming_sum) row. Duplicate classes are planted as
+    doc_id // 4 with 4 variants (base / brightness / spot edit /
+    axis-reversal), so the banded join works real ~4-member buckets, the
+    verify path sees nonzero Hamming distances, and ~3/4 of the corpus
+    pairs up. Same single-partition-scan guard as x48x: the doc ids are
+    spread across the session's parallelism BEFORE the codec
+    mapInPandas."""
+    from hbsir_old_spark.functions.multimodal import (
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    hashes = image_dhash(_x51x_assets(spark, sf_dir))
+    pairs = image_near_dup_pairs(hashes, max_hamming=6)
+    return pairs.groupBy().agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("hamming").alias("hamming_sum"),
+    )
+
+
+def _x51x_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The x51x probe's asset builder, module-level so the plan-quality
+    pin can assert the codec stage's shape (ensure_min_partitions below
+    the builder mapInPandas) BEFORE image_near_dup_pairs' eager
+    localCheckpoint erases it from the executed plan."""
+    from hbsir_old_spark.functions.multimodal import ASSET_SCHEMA, build_png
+    from hbsir_old_spark.session import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k, v = did // 4, did % 4
+                h, w = 16 + k % 9, 18 + k % 7
+                y, x, ch = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                ym, xm, q = 5 + k % 11, 3 + k % 9, 1 + k % 4
+                if v == 3:
+                    pix = (
+                        k * 37 + y * ym + (w - 1 - x) * xm
+                        + (w - 1 - x) * (w - 1 - x) * q + ch * 3
+                    ) % 160 + 24
+                else:
+                    pix = (
+                        k * 37 + y * ym + x * xm + x * x * q + ch * 3
+                    ) % 160 + v * 8
+                    if v == 2:
+                        pix = pix + np.where((y == 3) & (x <= 1), 60, 0)
+                rows.append(
+                    {
+                        "asset_id": did,
+                        "kind": "image",
+                        "content": build_png(pix.astype(np.uint8)),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "kind", "content", "meta"]
+            )
+
+    return docs.mapInPandas(make, schema=ASSET_SCHEMA)
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

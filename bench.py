@@ -198,6 +198,7 @@ HEADLINE = [
     # the Arrow-batch codec throughput number before anyone trusts the
     # path at 100 TB
     "x48x_resize_scale",
+    "x51x_image_near_dedup_scale",
 ]
 
 

@@ -377,3 +377,47 @@ def test_resize_scale_probe_parallelizes_codec_stage(spark, sf_dir):
     plan = plan_of(entry_mod.q_resize_scale_probe(spark, sf_dir))
     assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
     assert plan.count("MapInPandas") == 2  # builder + resize only
+
+
+def test_x51_near_dedup_pairs_band_join_not_cartesian(spark, sf_dir):
+    """The perceptual image near-dedup's 100 TB shape: candidates come
+    from an equi-join on (band, bh) — never an all-pairs cross join — and
+    what shuffles is the (id, band, bh) signature table, never pixel
+    buffers or PNG bytes. Python stays confined to the codec mapInPandas
+    (decode + dHash); the pairing, popcount verify, and aggregation are
+    JVM expressions."""
+    from hbsir_old_spark.functions.multimodal import (
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    assets = entry_mod._near_png_assets_from_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter("doc_id < 120")
+    )
+    pairs = image_near_dup_pairs(image_dhash(assets), max_hamming=6)
+    plan = plan_of(pairs)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan and "bh" in plan  # the banded equi-join keys
+    assert "EvalPython" not in plan  # popcount verify is bit_count, JVM-side
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        first_line = seg.splitlines()[0]
+        assert "pixels" not in first_line and "content" not in first_line
+
+
+def test_x51x_scale_probe_parallelizes_codec_stage(spark, sf_dir):
+    """The bench probe must not serialize the decode+dHash stage onto one
+    task when the documents table is a single parquet file (the x48x
+    guard applied to the near-dedup path). The codec stage is pinned
+    PRE-checkpoint (image_near_dup_pairs eagerly materializes the hash
+    table, so the probe's own executed plan starts from an ExistingRDD
+    scan); the probe's full plan is pinned for join shape."""
+    from hbsir_old_spark.functions.multimodal import image_dhash
+
+    codec = plan_of(image_dhash(entry_mod._x51x_assets(spark, sf_dir)))
+    assert "REPARTITION_BY_NUM" in codec or "RoundRobinPartitioning" in codec
+    assert codec.count("MapInPandas") == 2  # asset builder + dHash only
+    plan = plan_of(entry_mod.q_image_near_dedup_scale_probe(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # agg state reduced before the exchange
