@@ -2604,6 +2604,165 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# x52 — perceptual NEAR-duplicate AUDIO dedup: the audio analogue of x51
+# (and the symmetric completion of the multimodal near-dup story). The
+# energy-profile difference hash (functions/multimodal.py audio_dhash)
+# is exactly invariant under channel duplication (mono channel-sum
+# scales positively), polarity inversion (|mono| unchanged), and uniform
+# gain; localized edits move a few bits; reversal moves the profile. 24
+# planted classes x 5 variants (base / stereo-duplicated / polarity-
+# inverted / zeroed-run spot edit / reversed), real WAV containers
+# through the real decode path, banded Hamming join + CC — reusing the
+# x51 machinery verbatim (banded_near_dup_pairs is modality-agnostic).
+# FULL oracle with the x51 SQL skeleton: DuckDB recomputes window
+# energies from the sample generator (no codec), the 32 comparison
+# bits, band packing, the banded candidate rule, popcount, and the
+# recursive-CTE closure. Uncapped at the gate operating point (the hot-
+# bucket cap has its own planted test).
+# --------------------------------------------------------------------------
+
+
+def near_audio_samples(did: int):
+    """The x52 gate-corpus generator, ONE pure function shared by the
+    Spark asset builder, the SQL oracle, and the planted-geometry test:
+    class k = did % 24, variant v = did // 24, n = 200 + 4k frames,
+    base(f) = ((k*7919 + f*104729 + f*f*(1 + k%5)) % 65535) - 32767
+    (65535 keeps the range in [-32767, 32767] so polarity inversion
+    cannot overflow int16; the quadratic term decorrelates class energy
+    profiles). v0 mono base; v1 the same signal duplicated to stereo
+    (hash-identical by positive scaling); v2 polarity-inverted
+    (hash-identical by |.|); v3 zeroes frames 60..79 (a ~2-window
+    localized edit, a few bits); v4 reversed (far). Returns
+    (interleaved int16 array, channels). Planted geometry (pinned by
+    tests/test_multimodal.py): all 24 v3s join their class via
+    NONZERO-Hamming pairs; 22 of 24 v4s separate (two v4 profiles land
+    within threshold of something — mirrored exactly by the oracle)."""
+    import numpy as np
+
+    k, v = did % 24, did // 24
+    n = 200 + 4 * k
+    f = np.arange(n, dtype=np.int64)
+    b = ((k * 7919 + f * 104729 + f * f * (1 + k % 5)) % 65535) - 32767
+    if v == 1:
+        return np.repeat(b, 2).astype(np.int16), 2
+    if v == 2:
+        return (-b).astype(np.int16), 1
+    if v == 3:
+        mono = b.copy()
+        mono[60:80] = 0
+        return mono.astype(np.int16), 1
+    if v == 4:
+        return b[::-1].astype(np.int16), 1
+    return b.astype(np.int16), 1
+
+
+def _near_wav_assets_from_docs(docs: DataFrame) -> DataFrame:
+    """doc_id -> one real WAV asset from :func:`near_audio_samples`."""
+    from hbsir_old_spark.functions.multimodal import ASSET_SCHEMA, build_wav
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for asset_id in pdf["doc_id"]:
+                asset_id = int(asset_id)
+                vals, ch = near_audio_samples(asset_id)
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "kind": "audio",
+                        "content": build_wav(vals, 8000, channels=ch),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "kind", "content", "meta"]
+            )
+
+    return docs.mapInPandas(make, schema=ASSET_SCHEMA)
+
+
+def q_audio_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbsir_old_spark.functions.multimodal import audio_near_dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 120
+    )
+    return audio_near_dedup_clusters(
+        _near_wav_assets_from_docs(docs),
+        n_windows=33,
+        n_bands=4,
+        max_hamming=6,
+        hot_bucket_cap=None,
+    )
+
+
+# Sample f lands in window w = (f*33) // n; every window is nonempty
+# (n >= 200 > 33). mono = base with the variant's sign/scale CASE; the
+# zeroed run (v3) applies at the ORIGINAL frame index, the reversal (v4)
+# re-indexes the base formula at n-1-f. Window energy = SUM(ABS(mono)),
+# 32 comparison bits, 4x8-bit bands, then the x51 skeleton verbatim.
+SQL_AUDIO_NEAR_DEDUP = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id % 24 AS k, doc_id // 24 AS v,
+         200 + 4 * (doc_id % 24) AS n
+  FROM documents WHERE doc_id < 120
+),
+geo AS (
+  SELECT d.doc_id, d.k, d.v, d.n, ff.f,
+         CASE WHEN d.v = 4 THEN d.n - 1 - ff.f ELSE ff.f END AS f2
+  FROM d, unnest(generate_series(0, d.n - 1)) AS ff(f)
+),
+mono AS (
+  SELECT doc_id, (f * 33) // n AS w,
+         CASE WHEN v = 3 AND f BETWEEN 60 AND 79 THEN 0
+              ELSE (CASE WHEN v = 1 THEN 2 WHEN v = 2 THEN -1 ELSE 1 END)
+                   * (((k*7919 + f2*104729 + f2*f2*(1 + k%5)) % 65535) - 32767)
+         END AS m
+  FROM geo
+),
+en AS (
+  SELECT doc_id, w, SUM(ABS(m))::BIGINT AS energy FROM mono GROUP BY 1, 2
+),
+hb AS (
+  SELECT a.doc_id, a.w // 8 AS band,
+         SUM(CASE WHEN b.energy > a.energy
+                  THEN 1::BIGINT << (a.w % 8) ELSE 0 END)::BIGINT AS bh
+  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+  WHERE a.w < 32
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM hb a JOIN hb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN hb ha ON ha.doc_id = c.id_a
+  JOIN hb hbb ON hbb.doc_id = c.id_b AND hbb.band = ha.band
+  GROUP BY c.id_a, c.id_b
+  HAVING SUM(bit_count(xor(ha.bh, hbb.bh))) <= 6
+),
+edges AS (
+  SELECT id_a AS u, id_b AS w2 FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u, u AS comp FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.w2 = r.u
+),
+comp AS (SELECT u, MIN(comp) AS component FROM reach GROUP BY u)
+SELECT COALESCE(cp.component, d.doc_id)::BIGINT AS rep_id,
+       COUNT(*)::BIGINT AS cluster_size
+FROM d LEFT JOIN comp cp ON cp.u = d.doc_id
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-duplicate detection (exact pairwise baseline; the
 # LSH-bucketed scale path is q_ann_lsh)
 # --------------------------------------------------------------------------
@@ -8515,18 +8674,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # Round 14 ledger (= 50): the 4 displaced r10-green veterans
     # (u1/a6/a10/o2 — latest green row r10, 4 rounds stale, FIRST in
-    # line per the r13 header's promise) at positions 0-3 + 1 new
-    # full-oracle gate (x51 perceptual near-dup image dedup, VERDICT r13
-    # #4) + 35 of the 40 r11-green veterans (3 rounds stale) + 10
-    # rows-only pins. The arithmetic forces 5 deferrals from the
-    # r11-green set (44 owed for 39 rotating slots); deferred (cheapest
-    # — thin wrappers over native Spark ops whose plans haven't changed
-    # since r8 and which every pytest parity run re-proves exact against
-    # DuckDB): o1 (native orderBy+limit), f3 (native dropDuplicates),
-    # p4 (regexp_replace chain), p17 (literal-map lookup), p23 (native
-    # get_json_object). Those 5 plus the 40 r12-green veterans carry r15
-    # window priority; the 40 r13-green gates rotate out 1 round fresh —
-    # the normal cadence.
+    # line per the r13 header's promise) at positions 0-3 + 2 new
+    # full-oracle gates (x51 perceptual near-dup image dedup, VERDICT
+    # r13 #4, and x52 its audio analogue) + 34 of the 40 r11-green
+    # veterans (3 rounds stale) + 10 rows-only pins. The arithmetic
+    # forces 6 deferrals from the r11-green set (44 owed for 38 rotating
+    # slots); deferred (cheapest — thin wrappers over native Spark ops
+    # whose plans haven't changed since r8 and which every pytest parity
+    # run re-proves exact against DuckDB): o1 (native orderBy+limit),
+    # f3 (native dropDuplicates), p4 (regexp_replace chain), p17
+    # (literal-map lookup), p23 (native get_json_object), x16 (native
+    # xxhash64+pmod split). Those 6 plus the 40 r12-green veterans carry
+    # r15 window priority; the 40 r13-green gates rotate out 1 round
+    # fresh — the normal cadence.
     return {
         # -- positions 0-3: the r10-green veterans displaced by the r13
         # window arithmetic, 4 rounds stale — first in line --
@@ -8534,10 +8694,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_distinct_agg": q_distinct_agg,
         "a10_cube": q_cube,
         "o2_rolling_window": q_rolling_window,
-        # -- new in round 14: perceptual near-dup image dedup --
+        # -- new in round 14: perceptual near-dup dedup, image + audio --
         "x51_image_near_dedup": q_image_near_dedup,
-        # -- 35 returning r11-green veterans (3 rounds stale; o1/f3/p4/
-        # p17/p23 deferred to the tail with r15 priority, rationale
+        "x52_audio_near_dedup": q_audio_near_dedup,
+        # -- 34 returning r11-green veterans (3 rounds stale; o1/f3/p4/
+        # p17/p23/x16 deferred to the tail with r15 priority, rationale
         # above) --
         "x44b_pipeline_fuzzy": q_pipeline_fuzzy_e2e,
         "x22b_bloom_dedup": q_bloom_dedup,
@@ -8562,7 +8723,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_cosine_topk": q_cosine_topk,
         "x14_text_cleaning": q_text_cleaning,
         "x15_contamination_flag": q_contamination_flag,
-        "x16_hash_split": q_hash_split,
         "x17_group_quota": q_group_quota,
         "x19_dup_clusters": q_dup_clusters,
         "x20_tfidf_top_terms": q_tfidf_top_terms,
@@ -8674,7 +8834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l17_real_income_chain": q_real_income_chain,
         "l18_real_outlay_chain": q_real_outlay_chain,
         "x33_quality_classifier": q_quality_classifier,
-        # -- last: the 5 r11-green veterans deferred by this round's
+        # -- last: the 6 r11-green veterans deferred by this round's
         # window arithmetic (rationale in the header; latest green row
         # r11, FIRST in line for the r15 window) --
         "o1_top_k": q_top_k,
@@ -8682,6 +8842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_string_scrub": q_string_scrub,
         "p17_map_lookup": q_map_lookup,
         "p23_json_extract": q_json_extract,
+        "x16_hash_split": q_hash_split,
     }
 
 
@@ -8740,6 +8901,7 @@ def oracle_sql() -> dict[str, str]:
         "x49_image_dedup": SQL_IMAGE_DEDUP,
         "x50_multimodal_capstone": SQL_MULTIMODAL_CAPSTONE,
         "x51_image_near_dedup": SQL_IMAGE_NEAR_DEDUP,
+        "x52_audio_near_dedup": SQL_AUDIO_NEAR_DEDUP,
         "x11_bpe_token_count": SQL_BPE_TOKEN_COUNT,
         "x12_embedding_dedup": SQL_EMBEDDING_DEDUP,
         "g1_dsl_pipeline": SQL_DSL_PIPELINE,

@@ -784,17 +784,47 @@ def image_near_dedup_clusters(
     pairs -> connected components (min-id representative), singletons
     included. Returns ``(rep_id, cluster_size)`` — the near-dup analogue
     of the exact thumbnail-fingerprint dedup (x49)."""
+    return near_dedup_clusters_from_bands(
+        image_dhash(
+            assets, hash_h=hash_h, hash_w=hash_w, n_bands=n_bands,
+            method=method,
+        ),
+        max_hamming=max_hamming,
+        hot_bucket_cap=hot_bucket_cap,
+    )
+
+
+# the banded Hamming machinery above is modality-agnostic — it consumes
+# (id, bands) rows regardless of what produced the band array
+banded_near_dup_pairs = image_near_dup_pairs
+
+
+def near_dedup_clusters_from_bands(
+    hashes: DataFrame,
+    id_col: str = "asset_id",
+    max_hamming: int = 6,
+    hot_bucket_cap: int | None = 256,
+    hot_bucket_anchors: int = 8,
+) -> DataFrame:
+    """Generic band-array near-dup clustering: banded Hamming pairs ->
+    connected components (min-id representative), singletons included —
+    the shared tail of :func:`image_near_dedup_clusters` and
+    :func:`audio_near_dedup_clusters`. ``hashes`` must carry ``id_col``
+    and ``bands`` (equal-length long arrays); it is checkpointed here
+    because the pair join and the singleton union both consume it."""
     from .dedup import connected_components
 
-    hashes = image_dhash(
-        assets, hash_h=hash_h, hash_w=hash_w, n_bands=n_bands, method=method
-    ).localCheckpoint(eager=True)
-    pairs = image_near_dup_pairs(
-        hashes, max_hamming=max_hamming, hot_bucket_cap=hot_bucket_cap
+    hashes = hashes.localCheckpoint(eager=True)
+    pairs = banded_near_dup_pairs(
+        hashes,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        hot_bucket_cap=hot_bucket_cap,
+        hot_bucket_anchors=hot_bucket_anchors,
     )
     comps = connected_components(pairs, src="id_a", dst="id_b")
     labeled = (
-        hashes.select(F.col("asset_id").alias("node"))
+        hashes.select(F.col(id_col).alias("node"))
         .join(comps, "node", "left")
         .select(
             "node", F.coalesce("component", F.col("node")).alias("component")
@@ -803,3 +833,80 @@ def image_near_dedup_clusters(
     return labeled.groupBy("component").agg(
         F.count("*").alias("cluster_size")
     ).select(F.col("component").alias("rep_id"), "cluster_size")
+
+
+def audio_dhash(
+    assets: DataFrame,
+    n_windows: int = 33,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Perceptual AUDIO fingerprint — the energy-profile difference hash,
+    the audio analogue of :func:`image_dhash`: decode (REAL path) ->
+    channel-SUM mono (integer, no division) -> partition the sample
+    index into ``n_windows`` contiguous windows by pure integer
+    arithmetic (sample ``f`` lands in window ``f * n_windows // n``) ->
+    window energy = sum of ``|mono|`` -> one sign bit per adjacent-window
+    comparison -> ``n_windows - 1`` bits packed into ``n_bands`` band
+    integers (same LSB-first layout and signed-64 rationale as
+    image_dhash).
+
+    The hash is exactly invariant under the transforms a near-dup audio
+    pipeline must survive: channel duplication (mono sum scales by the
+    channel count — positive scaling preserves every strict comparison),
+    polarity inversion (``|mono|`` unchanged), and any uniform positive
+    gain; a localized edit moves only the windows it touches (a few
+    bits); reversal/re-cut moves the whole profile (far). Everything is
+    integer-exact, so a SQL oracle recomputes the hash from a sample
+    generator without the codec."""
+    total_bits = n_windows - 1
+    if n_bands < 1 or total_bits % n_bands:
+        raise ValueError(
+            f"n_bands must divide n_windows-1 ({total_bits}), got {n_bands}"
+        )
+    band_bits = total_bits // n_bands
+    if band_bits > 62:
+        raise ValueError(
+            f"band width {band_bits} bits does not fit a signed 64-bit lane"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << (np.arange(total_bits, dtype=np.int64) % band_bits)
+        for pdf in batches:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                samples, _sr = _real_decode_audio(content)
+                mono = samples.astype(np.int64).sum(axis=1)
+                n = mono.shape[0]
+                energy = np.zeros(n_windows, dtype=np.int64)
+                if n:
+                    w = (np.arange(n) * n_windows) // n
+                    np.add.at(energy, w, np.abs(mono))
+                bits = (energy[1:] > energy[:-1]).astype(np.int64)
+                vals = bits * weights
+                bands = [
+                    int(vals[i * band_bits : (i + 1) * band_bits].sum())
+                    for i in range(n_bands)
+                ]
+                rows.append({"asset_id": int(asset_id), "bands": bands})
+            yield pd.DataFrame(rows, columns=["asset_id", "bands"])
+
+    return assets.filter(F.col("kind") == "audio").mapInPandas(
+        run, schema=DHASH_SCHEMA
+    )
+
+
+def audio_near_dedup_clusters(
+    assets: DataFrame,
+    n_windows: int = 33,
+    n_bands: int = 4,
+    max_hamming: int = 6,
+    hot_bucket_cap: int | None = 256,
+) -> DataFrame:
+    """End-to-end near-duplicate audio clustering: energy-profile dHash
+    -> banded Hamming pairs -> connected components, singletons included
+    — :func:`image_near_dedup_clusters` with the audio fingerprint."""
+    return near_dedup_clusters_from_bands(
+        audio_dhash(assets, n_windows=n_windows, n_bands=n_bands),
+        max_hamming=max_hamming,
+        hot_bucket_cap=hot_bucket_cap,
+    )

@@ -986,3 +986,131 @@ def test_png_decoder_cross_checked_against_pillow():
         assert np.array_equal(_decode_png_minimal(theirs), arr)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup audio hashing (x52 family)
+# ---------------------------------------------------------------------------
+
+
+def _pure_python_audio_dhash(mono, n_windows=33, n_bands=4):
+    """Reference energy-profile dHash: independent scalar-loop
+    implementation of the documented window/bit layout."""
+    n = len(mono)
+    energy = [0] * n_windows
+    for f in range(n):
+        energy[(f * n_windows) // n] += abs(int(mono[f]))
+    band_bits = (n_windows - 1) // n_bands
+    bands = [0] * n_bands
+    for i in range(n_windows - 1):
+        if energy[i + 1] > energy[i]:
+            bands[i // band_bits] |= 1 << (i % band_bits)
+    return bands
+
+
+def _wav_asset_rows(spark, specs):
+    """specs: list of (asset_id, interleaved int16 array, channels)."""
+    from hbsir_old_spark.functions.multimodal import ASSET_SCHEMA, build_wav
+
+    return spark.createDataFrame(
+        [
+            (i, "audio", bytearray(build_wav(vals, 8000, channels=ch)), None)
+            for i, vals, ch in specs
+        ],
+        schema=ASSET_SCHEMA,
+    )
+
+
+def test_audio_dhash_matches_pure_python_and_invariances(spark):
+    import __spark_entry__ as entry
+    from hbsir_old_spark.functions.multimodal import audio_dhash
+
+    # class 7's five gate variants: v0 base, v1 stereo-duplicated,
+    # v2 polarity-inverted, v3 zeroed-run edit, v4 reversed
+    specs = [
+        (v, *entry.near_audio_samples(7 + 24 * v)) for v in range(5)
+    ]
+    assets = _wav_asset_rows(spark, specs)
+    got = {
+        r["asset_id"]: list(r["bands"]) for r in audio_dhash(assets).collect()
+    }
+    # pure-python cross-check on the mono stream of each variant
+    for v, vals, ch in specs:
+        mono = vals.astype("int64").reshape(-1, ch).sum(axis=1)
+        assert got[v] == _pure_python_audio_dhash(mono), f"variant {v}"
+    # invariances: stereo duplication and polarity inversion are EXACT
+    assert got[0] == got[1] == got[2]
+    # localized edit: close but not identical
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    assert 1 <= ham(got[0], got[3]) <= 6
+    # reversal: far
+    assert ham(got[0], got[4]) > 6
+
+
+def test_audio_near_dedup_clusters_end_to_end(spark):
+    import __spark_entry__ as entry
+    from hbsir_old_spark.functions.multimodal import audio_near_dedup_clusters
+
+    # class 3: all five variants; class 11: base only (singleton control)
+    specs = [(v, *entry.near_audio_samples(3 + 24 * v)) for v in range(5)]
+    specs.append((100, *entry.near_audio_samples(11)))
+    clusters = {
+        r["rep_id"]: r["cluster_size"]
+        for r in audio_near_dedup_clusters(
+            _wav_asset_rows(spark, specs), hot_bucket_cap=None
+        ).collect()
+    }
+    assert clusters == {0: 4, 4: 1, 100: 1}
+
+
+def test_x52_planted_geometry(spark, sf_dir):
+    """Pin the x52 gate corpus' planted structure with an INDEPENDENT
+    scalar-python recomputation, exactly the x51 pattern: every stereo/
+    polarity variant hashes identically; every v3 zeroed-run variant
+    joins its class through a NONZERO-Hamming pair; v4 reversals
+    separate from their class (two land near OTHER profiles — mirrored
+    by the oracle); and the Spark gate reproduces the partition."""
+    import __spark_entry__ as entry
+
+    def mono_of(d):
+        vals, ch = entry.near_audio_samples(d)
+        return vals.astype("int64").reshape(-1, ch).sum(axis=1)
+
+    H = {d: _pure_python_audio_dhash(mono_of(d)) for d in range(120)}
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    pairs = [
+        (a, b)
+        for a in range(120)
+        for b in range(a + 1, 120)
+        if any(x == y for x, y in zip(H[a], H[b])) and ham(H[a], H[b]) <= 6
+    ]
+    parent = {i: i for i in range(120)}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        parent[max(ra, rb)] = min(ra, rb)
+    for k in range(24):
+        assert find(k) == find(k + 24) == find(k + 48), f"scale variants of class {k}"
+        assert find(k) == find(k + 72), f"v3 edit variant of class {k} must join"
+        assert ham(H[k], H[k + 72]) >= 1, f"v3 of class {k} must need the verify"
+    assert sum(1 for k in range(24) if find(k) != find(k + 96)) >= 22
+    from collections import Counter
+
+    expected = Counter(Counter(find(i) for i in range(120)).values())
+    got = {
+        r["rep_id"]: r["cluster_size"]
+        for r in entry.q_audio_near_dedup(spark, sf_dir).collect()
+    }
+    assert sum(got.values()) == 120
+    assert Counter(got.values()) == expected

@@ -103,7 +103,7 @@ def test_every_oracle_key_has_a_query():
 # enforce the rotation policy:
 #  (a) gates WITHOUT a green row in CORRECTNESS_r13.json that are OWED the
 #      window (the 4 r10-green veterans displaced in r13 — 4 rounds stale,
-#      first in line per the r13 header's promise — plus 35 of the 40
+#      first in line per the r13 header's promise — plus 34 of the 40
 #      r11-green veterans, 3 rounds stale), plus brand-new gates, sit
 #      inside the recorded window;
 #  (b) rows-only gates (approximate by design, no oracle) NEVER rotate out
@@ -112,15 +112,16 @@ def test_every_oracle_key_has_a_query():
 #      evidence for them;
 #  (c) only FULL-ORACLE gates with a green (hash-matched) driver row may
 #      sit past position 50. Round 14: the window holds u1/a6/a10/o2 at
-#      positions 0-3 + 1 new gate (x51 perceptual near-dup image dedup)
-#      + 35 returning r11-green + 10 rows-only = 50; the arithmetic
-#      forces 5 deferrals from the r11-green set — o1/f3/p4/p17/p23, the
-#      thinnest wrappers over native Spark ops (orderBy+limit /
-#      dropDuplicates / regexp chain / literal map / get_json_object),
-#      chosen because their plans haven't changed since r8 and every
-#      parity run re-proves them exact against DuckDB. They sit last in
-#      the tail and are FIRST in line for r15, together with the 40
-#      r12-green veterans (3 rounds stale by then).
+#      positions 0-3 + 2 new gates (x51 perceptual near-dup image dedup
+#      and x52 its audio analogue) + 34 returning r11-green + 10
+#      rows-only = 50; the arithmetic forces 6 deferrals from the
+#      r11-green set — o1/f3/p4/p17/p23/x16, the thinnest wrappers over
+#      native Spark ops (orderBy+limit / dropDuplicates / regexp chain /
+#      literal map / get_json_object / xxhash64+pmod split), chosen
+#      because their plans haven't changed since r8 and every parity run
+#      re-proves them exact against DuckDB. They sit last in the tail
+#      and are FIRST in line for r15, together with the 40 r12-green
+#      veterans (3 rounds stale by then).
 NO_R13_ROW_OR_NEW = {
     # the r13-displaced r10-green veterans, 4 rounds stale — positions 0-3
     "u1_union_missing_columns",
@@ -129,7 +130,8 @@ NO_R13_ROW_OR_NEW = {
     "o2_rolling_window",
     # new in round 14
     "x51_image_near_dedup",
-    # 35 returning r11-green veterans (3 rounds stale, owed priority)
+    "x52_audio_near_dedup",
+    # 34 returning r11-green veterans (3 rounds stale, owed priority)
     "x44b_pipeline_fuzzy",
     "x22b_bloom_dedup",
     "a2_household_math",
@@ -153,7 +155,6 @@ NO_R13_ROW_OR_NEW = {
     "x8_cosine_topk",
     "x14_text_cleaning",
     "x15_contamination_flag",
-    "x16_hash_split",
     "x17_group_quota",
     "x19_dup_clusters",
     "x20_tfidf_top_terms",
@@ -267,7 +268,7 @@ R12_GREEN = {
     "l18_real_outlay_chain",
     "x33_quality_classifier",
 }
-# the 5 r11-green veterans deferred by this round's window arithmetic —
+# the 6 r11-green veterans deferred by this round's window arithmetic —
 # latest green row r11 (3 rounds stale), FIRST in line for the r15 window
 DISPLACED_R11_GREEN = {
     "o1_top_k",
@@ -275,6 +276,7 @@ DISPLACED_R11_GREEN = {
     "p4_string_scrub",
     "p17_map_lookup",
     "p23_json_extract",
+    "x16_hash_split",
 }
 ROTATED_VETERANS = R13_GREEN | R12_GREEN | DISPLACED_R11_GREEN
 
@@ -295,7 +297,7 @@ def test_driver_cap_ordering():
     )
     # the window ledger must ADD UP (the r9/r10 headers both drifted on
     # this arithmetic; the judge recomputes it every round): 4 displaced
-    # + 1 new + 35 returning + 10 rows-only = exactly the 50 recorded
+    # + 2 new + 34 returning + 10 rows-only = exactly the 50 recorded
     # slots
     assert first50 == (NO_R13_ROW_OR_NEW | ROWS_ONLY_PINNED_IN_WINDOW)
     assert tail == ROTATED_VETERANS
