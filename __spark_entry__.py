@@ -58,6 +58,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """The documents corpus, spread across the session's parallelism
+    (r14, guide §2.5 "input skew — one huge unsplittable file"): the
+    local fixture is ONE parquet file with ONE row group, so a plain scan
+    is a single task and every per-row text expression serializes onto
+    one core. ensure_min_partitions round-robins the scan output; at real
+    scale a corpus scan has thousands of splits and the helper no-ops, so
+    the production plan carries no extra Exchange. Used by the
+    expression-heavy corpus queries; tiny dimension slices (benchmark
+    probes, doc_id<k filters) keep the bare ``_t`` scan."""
+    from hbsir_old_spark.session import ensure_min_partitions
+
+    df = _t(spark, sf_dir, "documents")
+    if cols:
+        df = df.select(*cols)
+    return ensure_min_partitions(df)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load events with a TimestampType ``ts`` regardless of how the parquet
     encodes it. Some generator versions write TIMESTAMP(NANOS), which
@@ -1491,7 +1509,7 @@ FROM deduped GROUP BY lang
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir, "doc_id", "text")
     doubled = union_tables(
         [docs, docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")]
     )
@@ -1885,7 +1903,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     feats = quality_features("text")
     return docs.select(
         "doc_id",
@@ -2881,7 +2899,7 @@ GROUP BY 1, 2
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.text import bpe_token_count
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         token_count("text").cast("long").alias("ws_tokens"),
@@ -2940,7 +2958,7 @@ def q_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joined-string output compares bytewise across engines.
     from hbsir_old_spark.functions.bpe import bpe_encode_by_vocab
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     vocab = spark.createDataFrame(
         _X45B_VOCAB, "__word__ string, __syms__ array<string>"
     )
@@ -4292,7 +4310,7 @@ ORDER BY p.bracket
 def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.text import remove_boilerplate_lines
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     multi = docs.select(
         "doc_id",
         F.concat_ws(
@@ -4368,7 +4386,7 @@ ORDER BY m.doc_id
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.sampling import chunk_documents
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     out = chunk_documents(docs, chunk_tokens=32, stride=24)
     return out.select(
         "doc_id",
@@ -4421,28 +4439,69 @@ ORDER BY doc_id, chunk_index
 
 
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 optimization (guide §2.5/§4): the single-file documents scan
+    # serialized every feature onto one core (one row group -> one task),
+    # and the inline repetition_filter Columns re-derived the whitespace
+    # tokenization ~20x per row (Catalyst collapses adjacent projections
+    # unless a non-cheap alias is referenced more than once, so the fix is
+    # to FACTOR the token/line arrays through a lower projection, the
+    # gopher_quality_rules pattern). ensure_min_partitions round-robins
+    # the scan across the session's parallelism — a no-op at real scale
+    # where the scan has thousands of splits. Measured 2.01 s -> see
+    # OPTIMIZATION_r14.md. Values are bit-identical: the same expressions
+    # over the same arrays, computed once instead of per-feature.
     from hbsir_old_spark.functions.text import (
-        duplicate_line_fraction,
-        repetition_filter,
+        REPETITION_THRESHOLDS,
+        duplicate_line_fraction_from_lines,
+        duplicate_ngram_fraction_from_tokens,
+        nonblank_lines,
+        repeated_token_ratio_from_tokens,
+        whitespace_tokens,
     )
+    from hbsir_old_spark.session import ensure_min_partitions
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     multi = F.concat_ws(
         "\n",
         F.substring("text", 1, 80),
         F.substring("text", 81, 80),
         F.substring("text", 1, 80),
     )
-    feats = repetition_filter("text")
-    return docs.select(
+    prepared = docs.select(
         "doc_id",
-        duplicate_line_fraction(multi).alias("dup_line_frac_planted"),
-        feats["dup_bigram_frac"].alias("dup_bigram_frac"),
-        feats["dup_trigram_frac"].alias("dup_trigram_frac"),
-        feats["repeated_token_ratio"].alias("repeated_token_ratio"),
-        # single-line originals have dup_line_frac = 0, so keep reduces to
-        # the n-gram + token-ratio rules (mirrored literally in the oracle)
-        feats["keep"].alias("keep"),
+        whitespace_tokens("text").alias("__toks__"),
+        nonblank_lines(multi).alias("__mlines__"),
+        nonblank_lines("text").alias("__tlines__"),
+    )
+    toks = F.col("__toks__")
+    feats = prepared.select(
+        "doc_id",
+        duplicate_line_fraction_from_lines(F.col("__mlines__")).alias(
+            "dup_line_frac_planted"
+        ),
+        duplicate_ngram_fraction_from_tokens(toks, 2).alias("dup_bigram_frac"),
+        duplicate_ngram_fraction_from_tokens(toks, 3).alias("dup_trigram_frac"),
+        repeated_token_ratio_from_tokens(toks).alias("repeated_token_ratio"),
+        # the keep flag's line rule applies to the ORIGINAL text's lines
+        # (single-line originals -> 0, so keep reduces to the n-gram +
+        # token-ratio rules, mirrored literally in the oracle)
+        duplicate_line_fraction_from_lines(F.col("__tlines__")).alias(
+            "__dlf_text__"
+        ),
+    )
+    t = REPETITION_THRESHOLDS
+    return feats.select(
+        "doc_id",
+        "dup_line_frac_planted",
+        "dup_bigram_frac",
+        "dup_trigram_frac",
+        "repeated_token_ratio",
+        (
+            (F.col("__dlf_text__") <= F.lit(t["dup_line_frac"]))
+            & (F.col("dup_bigram_frac") <= F.lit(t["dup_bigram_frac"]))
+            & (F.col("dup_trigram_frac") <= F.lit(t["dup_trigram_frac"]))
+            & (F.col("repeated_token_ratio") <= F.lit(t["repeated_token_ratio"]))
+        ).alias("keep"),
     )
 
 
@@ -6110,7 +6169,7 @@ def q_partitioned_span_food(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.text import bigram_lm_scores
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir, "doc_id", "text")
     return bigram_lm_scores(docs).orderBy("doc_id")
 
 
@@ -6158,7 +6217,7 @@ def q_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.sampling import prune_by_score_quantile
     from hbsir_old_spark.functions.text import bigram_lm_scores
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir, "doc_id", "text")
     scores = bigram_lm_scores(docs)
     return prune_by_score_quantile(scores, "cross_entropy", q=0.75).orderBy("doc_id")
 
@@ -6219,7 +6278,7 @@ ORDER BY doc_id
 def q_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.text import cross_doc_dup_windows
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir, "doc_id", "text")
     return cross_doc_dup_windows(docs).orderBy("doc_id")
 
 
@@ -6265,7 +6324,7 @@ GROUP BY w.doc_id ORDER BY doc_id
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.text import hashed_quality_score
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir, "doc_id", "text")
     return hashed_quality_score(docs, pass_threshold=0.19).orderBy("doc_id")
 
 
@@ -6310,13 +6369,17 @@ ORDER BY doc_id
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.curation import curate_corpus
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir, "doc_id", "text")
     # doubled corpus (exact-dup pressure, as x1); originals < 5 are the
     # held-out benchmark set probed by the contamination stage
     corpus = union_tables(
         [docs, docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")]
     )
-    benchmark = docs.filter(F.col("doc_id") < 5)
+    # benchmark probe from the bare scan: the 5-row dim side must not
+    # carry the corpus round-robin spread
+    benchmark = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 5
+    )
     return curate_corpus(
         corpus, benchmark, quality_threshold=0.0, shingle_n=5
     ).orderBy("doc_id")
@@ -6464,7 +6527,12 @@ ORDER BY doc_id
 
 
 def _fuzzy_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # corpus side spread across the parallelism (r14, see _docs): the
+    # three union branches otherwise yield 3 single-file scan tasks and
+    # the whole stage-1/2 funnel expression work runs on 3 of 32 cores.
+    # The benchmark probe (doc_id < 5) keeps the bare scan — repartitioning
+    # a 5-row dim before its broadcast would be pure overhead.
+    docs = _docs(spark, sf_dir, "doc_id", "text")
     corpus = union_tables(
         [
             docs,
@@ -6477,7 +6545,10 @@ def _fuzzy_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
             ),
         ]
     )
-    return corpus, docs.filter(F.col("doc_id") < 5)
+    benchmark = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 5
+    )
+    return corpus, benchmark
 
 
 def q_curation_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6596,7 +6667,7 @@ _X39_ELLIPSIS = "trailing off…\n" * 9
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.text import gopher_quality_rules
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir, "doc_id", "text")
     corpus = union_tables(
         [
             docs,
@@ -6714,7 +6785,7 @@ _X40_PREFIX = (
 def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.text import c4_line_filter
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir, "doc_id", "text")
     corpus = union_tables(
         [
             docs,
@@ -6803,7 +6874,7 @@ FROM sent ORDER BY doc_id
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.sampling import dsir_importance_select
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _docs(spark, sf_dir, 
         "doc_id", (F.col("lang") == "en").alias("is_target"), "text"
     )
     return dsir_importance_select(
@@ -7394,7 +7465,7 @@ FROM capped GROUP BY lang ORDER BY lang
 def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.text import top_k_tokens
 
-    docs = _t(spark, sf_dir, "documents").select("text")
+    docs = _docs(spark, sf_dir, "text")
     return top_k_tokens(docs, text_col="text", k=20).select(
         "token", F.col("freq").cast("long").alias("freq")
     )
@@ -7819,7 +7890,7 @@ ORDER BY d.doc_id
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.dedup import dedup_against
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     incoming = docs.filter(F.col("doc_id") % 2 == 1)
     seen = docs.filter(F.col("doc_id") % 2 == 0)
     out = dedup_against(incoming, seen)
@@ -7862,7 +7933,7 @@ QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
 def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.dedup import dedup_against_bloom
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     planted = docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 20)).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "source", "text"
     )
@@ -7907,7 +7978,7 @@ QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.text import tfidf_top_terms
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     out = tfidf_top_terms(docs, "doc_id", "text", k=3)
     # rank on the raw doubles (identical relative order on both engines),
     # round only at the comparison boundary — 4dp leaves a wide margin
@@ -8287,8 +8358,11 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from hbsir_old_spark.functions.text import token_count
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    benchmark = docs.filter(F.col("doc_id") < 5).select("doc_id", "text")
+    docs = _docs(spark, sf_dir, "doc_id", "text", "lang")
+    # benchmark probe from the bare scan (see q_curation_pipeline)
+    benchmark = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 5
+    )
     verdicts = curate_corpus(
         docs.select("doc_id", "text"), benchmark, quality_threshold=0.0, shingle_n=5
     )
@@ -8598,7 +8672,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.dedup import remove_duplicate_passages
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir, "doc_id", "text")
     out = remove_duplicate_passages(docs, width=8, min_docs=2, keep="first")
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),

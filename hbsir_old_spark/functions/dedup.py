@@ -699,9 +699,14 @@ def minhash_lsh_pairs(
     banded = banded.localCheckpoint(eager=True)
     if hot_bucket_cap is not None:
         # one partial agg over the (tiny) checkpointed band table; the
-        # size join shuffles on the same __band__ key the pair join needs
+        # size join shuffles on the same __band__ key the pair join needs.
+        # Materialized once (r14, guide §2.4): its four consumers below
+        # (both cold self-join sides, hot, anchors) carry different
+        # attribute ids, so without this the size agg + join re-executes
+        # per consumer (no ReusedExchange) — with_sz is banded plus one
+        # int column, so the checkpoint is as cheap as banded's own.
         sizes = banded.groupBy("__band__").agg(F.count("*").alias("__bsz__"))
-        with_sz = banded.join(sizes, "__band__")
+        with_sz = banded.join(sizes, "__band__").localCheckpoint(eager=True)
         cold = with_sz.filter(F.col("__bsz__") <= hot_bucket_cap).drop("__bsz__")
         hot = with_sz.filter(F.col("__bsz__") > hot_bucket_cap).drop("__bsz__")
         anchors = salted_limit_per_group(
@@ -758,6 +763,15 @@ def minhash_lsh_pairs(
         df.join(cand_ids, F.col(id_col) == cand_ids["__id__"], "left_semi")
         .select(F.col(id_col).alias("__id__"), word_shingles(text_col, n).alias("__sh__"))
     )
+    # Materialize the candidate shingle sliver ONCE (r14, guide §2.4):
+    # the verify join consumes it as BOTH sides (sh_a and sh_b), and the
+    # two sides carry different attribute ids, so without this the
+    # semi-join + shingle rebuild — including a full corpus scan —
+    # executes once PER SIDE (verified: the pre-r14 executed plan shows
+    # two corpus scans and two cand_ids distincts feeding the verify).
+    # The sliver is bounded by the candidate count, tiny next to the
+    # corpus; same localCheckpoint recovery caveat as `cand` above.
+    shingled = shingled.localCheckpoint(eager=True)
     sa = shingled.select(F.col("__id__").alias("id_a"), F.col("__sh__").alias("sh_a"))
     sb = shingled.select(F.col("__id__").alias("id_b"), F.col("__sh__").alias("sh_b"))
     verified = cand.join(sa, "id_a").join(sb, "id_b")

@@ -746,12 +746,20 @@ def image_near_dup_pairs(
         F.col("__id__"), F.posexplode("__bands__").alias("band", "bh")
     )
     if hot_bucket_cap is not None:
+        # Materialize the CAPPED band table (r14, guide §2.4): the
+        # self-join consumes it as both sides, so without this the whole
+        # cap machinery (bucket-size agg + size join + salted anchor
+        # windows) executes once per side — the pre-r14 executed x51x
+        # plan carried four copies of the size aggregate. The capped
+        # table is (id, band, bh) per asset per band, tiny at any scale;
+        # cap_band_buckets' own input checkpoint covers its three
+        # internal consumers, this one covers the join fan-out.
         exploded = cap_band_buckets(
             exploded,
             id_col="__id__",
             hot_bucket_cap=hot_bucket_cap,
             hot_bucket_anchors=hot_bucket_anchors,
-        )
+        ).localCheckpoint(eager=True)
     a = exploded.select(F.col("__id__").alias("id_a"), "band", "bh")
     b = exploded.select(F.col("__id__").alias("id_b"), "band", "bh")
     cand = (

@@ -425,7 +425,18 @@ def redact_pii(col: Column | str, patterns: dict[str, str] | None = None) -> Col
 def repeated_token_ratio(col: Column | str) -> Column:
     """Gopher-style repetition signal: 1 - distinct_tokens / tokens.
     High values flag boilerplate/spammy documents. Rounded 6dp."""
-    tokens = whitespace_tokens(col)
+    return repeated_token_ratio_from_tokens(whitespace_tokens(col))
+
+
+def repeated_token_ratio_from_tokens(tokens: Column) -> Column:
+    """:func:`repeated_token_ratio` over a pre-tokenized array column —
+    the factored form for callers that materialize
+    :func:`whitespace_tokens` once in a lower projection and derive
+    several repetition features from it (Catalyst's projection collapse
+    declines to inline a non-cheap alias referenced more than once, so
+    the tokenization runs once per row instead of once per feature —
+    the same k-fold-inline trap :func:`gopher_quality_rules`
+    documents)."""
     n = F.size(tokens)
     distinct_n = F.size(F.array_distinct(tokens))
     return F.round(
@@ -438,13 +449,26 @@ def duplicate_line_fraction(col: Column | str) -> Column:
     duplicates of an earlier line (Rae et al. 2021 §A1.1, "duplicate line
     fraction"). 1 - distinct/total over newline-split lines; per-row native
     array ops, map-only at any scale. Rounded 6dp."""
+    return duplicate_line_fraction_from_lines(nonblank_lines(col))
+
+
+def nonblank_lines(col: Column | str) -> Column:
+    """Trimmed non-blank lines of the text, as an array — the shared line
+    splitter of the repetition rules (factor it into a lower projection
+    when several features consume it)."""
     # NB: the one-arg lambda is load-bearing — F.trim passed directly would
     # be treated as an (element, index) two-arg lambda by transform (trim's
     # optional second param), silently binding the index as the trim-chars
-    lines = F.filter(
+    return F.filter(
         F.transform(F.split(_c(col), r"\n"), lambda x: F.trim(x)),
         lambda x: F.length(x) > 0,
     )
+
+
+def duplicate_line_fraction_from_lines(lines: Column) -> Column:
+    """:func:`duplicate_line_fraction` over a pre-split
+    :func:`nonblank_lines` array column (factored form — see
+    :func:`repeated_token_ratio_from_tokens`)."""
     n = F.size(lines)
     return F.round(
         F.when(n > 0, 1 - F.size(F.array_distinct(lines)) / n).otherwise(
@@ -461,7 +485,14 @@ def duplicate_ngram_fraction(col: Column | str, n: int = 2) -> Column:
     shuffle; the same list algebra exists in DuckDB for the oracle."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    tokens = whitespace_tokens(col)
+    return duplicate_ngram_fraction_from_tokens(whitespace_tokens(col), n)
+
+
+def duplicate_ngram_fraction_from_tokens(tokens: Column, n: int = 2) -> Column:
+    """:func:`duplicate_ngram_fraction` over a pre-tokenized array column
+    (factored form — see :func:`repeated_token_ratio_from_tokens`)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     m = F.size(tokens) - (n - 1)
     # clamped for the slice calls only: an empty token array makes m go to
     # -(n-1), and slice rejects negative lengths; the when(m > 0) below

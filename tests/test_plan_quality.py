@@ -207,12 +207,18 @@ def test_real_household_decode_plan(spark, sf_dir):
 
 
 def test_repetition_filter_is_map_only(spark, sf_dir):
-    # x25: the Gopher prefilter must stay a single map-only pass — any
-    # Exchange/explode here would be a scale regression for what should be
-    # an embarrassingly parallel scan
+    # x25: the Gopher prefilter must stay a map-only pass — a
+    # hash-partitioned Exchange or explode here would be a scale
+    # regression for what should be an embarrassingly parallel scan. The
+    # one allowed Exchange is ensure_min_partitions' ROUND-ROBIN spread
+    # of the single-file local fixture scan (r14: the one-row-group
+    # parquet otherwise serializes every per-row feature onto one core;
+    # at real scale the scan has thousands of splits and the helper
+    # no-ops, so the production plan carries zero Exchanges).
     df = entry_mod.q_repetition_filter(spark, sf_dir)
     plan = plan_of(df)
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
     assert "Generate" not in plan  # no explode
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
