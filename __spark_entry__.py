@@ -283,7 +283,12 @@ FROM nation
 # --------------------------------------------------------------------------
 
 def q_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # r14: the single-file lineitem scan is one task; the melt's 4x stack
+    # fanout (2.4M output rows at sf0.1) and per-row round otherwise run
+    # single-core. Round-robin spread is a no-op at real scale (see _docs).
+    from hbsir_old_spark.session import ensure_min_partitions
+
+    li = ensure_min_partitions(_t(spark, sf_dir, "lineitem"))
     return melt(
         li,
         id_cols=("l_orderkey", "l_linenumber"),
@@ -1509,7 +1514,8 @@ FROM deduped GROUP BY lang
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir, "doc_id", "text")
+    # no _docs guard here: exact_dedup spreads its input itself
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = union_tables(
         [docs, docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")]
     )
@@ -4176,6 +4182,16 @@ def q_income_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("Year", "ID", "Income_Type")
         .agg(F.sum("Income").alias("Income"))
     )
+    # Materialize the breakdown ONCE (r14, guide §2.4/§5): it anchors BOTH
+    # the household-total path (total -> hh -> per_bracket/shares) and the
+    # per-type path below, and Spark reuses no subtrees across consumers —
+    # without this the lineitem-orders fact join executes once per
+    # consumer (the pre-r14 executed plan carried 28 scans). The breakdown
+    # is the (household x 4 income types) grain — bounded by households,
+    # a sliver of the fact at any scale, exactly the guide's "decide with
+    # small rows" shape. Same localCheckpoint recovery caveat as the
+    # dedup internals.
+    breakdown = breakdown.localCheckpoint(eager=True)
     # Total_Income: per-household sum over the breakdown (schema.yaml:1128)
     total = breakdown.groupBy("Year", "ID").agg(
         F.round(F.sum("Income"), 0).alias("Income")
@@ -4192,6 +4208,10 @@ def q_income_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
     hh = registry.add_weights(hh, [_G7_YEAR]).withColumn(
         "bracket", bin_by_breaks("Income", _G7_BREAKS, _G7_LABELS)
     )
+    # hh is consumed by per_bracket AND the per-type join: one household-
+    # grain materialization instead of two executions of the total ->
+    # attribute -> weights chain (r14, same rationale as breakdown above)
+    hh = hh.localCheckpoint(eager=True)
     # cells 5+6 fused into ONE per-bracket aggregate (the oracle's
     # per_bracket shape): household count, distinct-household weight sum,
     # and the A4 weighted mean (sum(M*w) over the null-restricted
@@ -6218,7 +6238,11 @@ def q_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.text import bigram_lm_scores
 
     docs = _docs(spark, sf_dir, "doc_id", "text")
-    scores = bigram_lm_scores(docs)
+    # materialize the per-document scores ONCE (r14): the prune consumes
+    # them as histogram, total, and filter side — without this the whole
+    # bigram-LM pipeline re-executes per consumer (the pre-r14 plan
+    # carried 24 scans / 68 Exchanges). One narrow row per doc.
+    scores = bigram_lm_scores(docs).localCheckpoint(eager=True)
     return prune_by_score_quantile(scores, "cross_entropy", q=0.75).orderBy("doc_id")
 
 
@@ -7519,8 +7543,15 @@ def q_approx_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_weighted_approx_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.operators.quantile import add_weighted_approx_bin
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", F.col("l_quantity").alias("Weight")
+    # r14: the GK probe-grid sketch pass over the single-file lineitem
+    # scan ran on one core (the dominant cost of this query at the local
+    # fixture scale); spread it — no-op at real scale (see _docs)
+    from hbsir_old_spark.session import ensure_min_partitions
+
+    li = ensure_min_partitions(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", F.col("l_quantity").alias("Weight")
+        )
     )
     binned = add_weighted_approx_bin(
         li, "l_extendedprice", "Weight", bins=10, out_col="decile"
@@ -8672,7 +8703,8 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.dedup import remove_duplicate_passages
 
-    docs = _docs(spark, sf_dir, "doc_id", "text")
+    # no _docs guard here: remove_duplicate_passages spreads its input itself
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     out = remove_duplicate_passages(docs, width=8, min_docs=2, keep="first")
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),

@@ -252,6 +252,9 @@ class ExternalLoadMeter:
         # their time forever, so the tree sum must too or the next window
         # reads the difference as an external-CPU spike (ADVICE r12)
         self._lost = 0
+        # steal cores observed in the most recent external_cores() window
+        # (see _read): external-but-self-induced on oversubscribed hosts
+        self.last_steal_cores = 0.0
         self._last = self._read()
 
     def _tree_jiffies(self) -> int:
@@ -329,20 +332,30 @@ class ExternalLoadMeter:
         )
         return sum(jiffies.get(p, 0) for p in tree) + self._lost
 
-    def _read(self) -> tuple[int, int, float]:
+    def _read(self) -> tuple[int, int, int, float]:
         with open("/proc/stat") as f:
             fields = [int(x) for x in f.readline().split()[1:]]
         # user..steal only (fields 0-7) minus idle+iowait: the guest and
         # guest_nice fields (8, 9) are ALREADY included in user/nice, so
         # summing them double-counts VM time as external CPU (ADVICE r12)
         busy = sum(fields[:8]) - fields[3] - fields[4]
-        return busy, self._tree_jiffies(), time.monotonic()
+        # steal (field 7) tracked separately: on an oversubscribed VM host
+        # the hypervisor steal grows WITH this tree's own CPU demand (our
+        # vCPUs contend with neighbors exactly when we use them), so steal
+        # is external-but-self-induced. It stays inside external_cores()
+        # — stolen cycles corrupt timings just like a neighbor process, so
+        # the storm gate must fire on them — but the breakout lets the
+        # record (and the meter's own tests) separate "another process in
+        # this VM" from "the host is oversubscribed right now".
+        steal = fields[7] if len(fields) > 7 else 0
+        return busy, steal, self._tree_jiffies(), time.monotonic()
 
     def external_cores(self) -> float:
-        busy, ours, now = self._read()
-        b0, o0, t0 = self._last
-        self._last = (busy, ours, now)
+        busy, steal, ours, now = self._read()
+        b0, s0, o0, t0 = self._last
+        self._last = (busy, steal, ours, now)
         dt = max(now - t0, 1e-6)
+        self.last_steal_cores = max(0.0, steal - s0) / self._hz / dt
         return max(0.0, (busy - b0) - (ours - o0)) / self._hz / dt
 
 
@@ -520,6 +533,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     reruns: list[str] = []
     external_cores_per_query: dict[str, float] = {}
+    steal_cores_per_query: dict[str, float] = {}
     retakes: dict[str, dict] = {}
     suspect_vs_reference: list[str] = []
     retake_not_quiet: list[str] = []
@@ -569,6 +583,7 @@ def main() -> None:
         # this sample's window is exactly the query's runs
         ext_now = meter.external_cores()
         external_cores_per_query[name] = round(ext_now, 2)
+        steal_cores_per_query[name] = round(meter.last_steal_cores, 2)
         # AUTO-RETAKE: a median >1.5x the last committed quiet record (+a
         # 0.25 s floor so sub-second queries don't flap on jitter), or
         # external CPU above the gate while this query ran, is
@@ -669,6 +684,7 @@ def main() -> None:
             # query's own window — a mid-run storm is visible per-query,
             # not only start-vs-end, and the bench's own load is excluded
             "external_cores_per_query": external_cores_per_query,
+            "steal_cores_per_query": steal_cores_per_query,
             # queries re-measured after a quiet re-wait because their
             # first median breached the gate or landed >1.5x the last
             # committed quiet record (BENCH_QUIET_REFERENCE.json)

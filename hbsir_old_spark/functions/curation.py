@@ -92,6 +92,20 @@ def curate_corpus(
         extra_cols=("lang_ok", "__fp__"),
     )
 
+    # Materialize the flagged frame ONCE (r14, guide §2.4): it is consumed
+    # by BOTH the canonical-copy aggregate and the join-back below, and
+    # Spark shares no subtrees across consumers — without this the corpus
+    # scan plus the funnel's most expensive map stage (the per-token md5
+    # feature hashing of the quality classifier, plus lang-id and the
+    # fingerprint) execute twice per run. The frame is NARROW — id, three
+    # flags, the fingerprint and two counters; the text column was dropped
+    # by the classifier's select — so the materialization is a sliver of
+    # the corpus it summarizes at any scale. localCheckpoint trades
+    # executor-loss recovery for lineage truncation (same contract as the
+    # dedup/CC internals; prefer a reliable checkpoint dir on clusters
+    # with expected churn).
+    flagged = flagged.localCheckpoint(eager=True)
+
     # stage 3: canonical copy = min id per fingerprint. groupBy + join
     # back, NOT min().over(Window.partitionBy) — same rationale as
     # exact_dedup (dedup.py): partial aggregation pre-collapses duplicate

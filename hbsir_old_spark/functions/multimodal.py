@@ -123,20 +123,33 @@ def _decode_png_minimal(content: bytes) -> np.ndarray:
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
     bpp = channels
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = rows[:, 0]
+    if ftypes.max(initial=0) > 4:
+        raise ValueError(f"bad PNG filter type {int(ftypes.max())}")
+    # Vectorized fast path (r14, guide §4.2: hand whole arrays to numpy
+    # instead of per-byte Python): filter-0 scanlines need no unfiltering
+    # at all — the common output of simple encoders, including build_png —
+    # so an all-zero filter column decodes as one slice+reshape. Same
+    # bytes out as the general loop below (pinned by the roundtrip and
+    # Pillow cross-check tests).
+    if not ftypes.any():
+        return rows[:, 1:].copy().reshape(height, width, channels)
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    p = 0
     for y in range(height):
-        f = raw[p]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=p + 1).copy()
-        p += stride + 1
+        f = rows[y, 0]
+        line = rows[y, 1:].copy()
         if f == 0:
             pass
-        elif f == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (int(line[i]) + int(line[i - bpp])) & 0xFF
-        elif f == 2:  # Up
-            line = ((line.astype(np.int32) + prev) & 0xFF).astype(np.uint8)
+        elif f == 1:  # Sub: per-channel wrapping prefix sum (vectorized)
+            cols = line[: stride - stride % bpp].reshape(-1, bpp)
+            np.add.accumulate(cols, axis=0, dtype=np.uint8, out=cols)
+            # stride is always a multiple of bpp (width*channels), the
+            # reshape covers the whole line; the slice guard is belt and
+            # braces for malformed inputs
+        elif f == 2:  # Up (vectorized wrapping add)
+            line += prev
         elif f == 3:  # Average
             for i in range(stride):
                 a = int(line[i - bpp]) if i >= bpp else 0
@@ -149,8 +162,6 @@ def _decode_png_minimal(content: bytes) -> np.ndarray:
                 pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
                 pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
                 line[i] = (int(line[i]) + pr) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {f}")
         out[y] = line
         prev = line
     return out.reshape(height, width, channels)

@@ -581,7 +581,20 @@ def bigram_lm_scores(
         df.select(_F.col(id_col), _F.explode(grams).alias("__g__"))
         .select(id_col, _F.col("__g__.w1").alias("w1"), _F.col("__g__.w2").alias("w2"))
     )
-    bigram_counts = pairs.groupBy("w1", "w2").agg(_F.count("*").alias("c2"))
+    # Materialize the trained bigram table ONCE (r14, guide §2.4): its
+    # three consumers below (context totals, vocabulary size, the scored
+    # join) carry different attribute ids, so Spark re-executes the whole
+    # explode + count pipeline per consumer (the pre-r14 x30 plan carried
+    # 8 corpus scans / 20 Exchanges). The table is one row per DISTINCT
+    # bigram — bounded by vocabulary, far smaller than the exploded
+    # corpus it summarizes; the doc-side `pairs` explode deliberately
+    # stays unmaterialized (corpus-sized; its two consumers are map-only
+    # recomputes from the scan). localCheckpoint recovery caveat as usual.
+    bigram_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(_F.count("*").alias("c2"))
+        .localCheckpoint(eager=True)
+    )
     context_totals = bigram_counts.groupBy("w1").agg(_F.sum("c2").alias("c1"))
     vocab = bigram_counts.select("w2").distinct().agg(
         _F.count("*").alias("v")

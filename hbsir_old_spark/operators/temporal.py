@@ -321,6 +321,16 @@ def funnel_steps(
         F.col("step_1_ts") + interval_expr(within, "within") if within else None
     )
     for i, step in enumerate(steps[1:], start=2):
+        # materialize the per-user frame ONCE per pass (r14, guide §2.4):
+        # each pass consumes `reached` twice (the step-i join side and the
+        # outer left join), and Spark shares no subtrees across consumers,
+        # so without this step k's plan re-executes step 1's aggregation
+        # ~2^(k-1) times — the 3-step gate's executed plan carried 7 event
+        # scans where the k-pass design promises 3. The frame is one narrow
+        # row per step-1 user — a sliver of the event stream at any scale.
+        # localCheckpoint trades executor-loss recovery for lineage
+        # truncation (same contract as the dedup/CC internals).
+        reached = reached.localCheckpoint(eager=True)
         evs = base.filter(F.col(type_col) == step).select(user_col, ts_col)
         cond = F.col(ts_col) > F.col(f"step_{i - 1}_ts")
         if deadline is not None:

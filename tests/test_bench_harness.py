@@ -157,11 +157,17 @@ class TestExternalLoadMeter:
             p.start()
         time.sleep(2.0)
         busy_self = meter.external_cores()
+        steal = meter.last_steal_cores
         for p in procs:
             p.join()
         # 4 in-tree cores spinning must look (almost) idle externally;
-        # allow slack for unrelated system daemons
-        assert busy_self < 1.5, (idle, busy_self)
+        # allow slack for unrelated system daemons. Hypervisor steal is
+        # subtracted: on an oversubscribed host our own demand induces
+        # steal (observed 3+ cores during this very spin window), which
+        # IS external interference by design but is not a tree-accounting
+        # failure — the property under test here (ADVICE r13-style
+        # robustness; external_cores itself deliberately keeps steal).
+        assert busy_self - steal < 1.5, (idle, busy_self, steal)
 
     def test_meter_monotonic_window_semantics(self):
         import time
@@ -203,8 +209,13 @@ class TestExternalLoadMeter:
         p.wait()
         time.sleep(1.5)  # spinners burn ~3 cores, now reparented to PID 1
         ext = meter.external_cores()
-        # without re-adoption this reads ~baseline + 3.0
-        assert ext < baseline + 1.0, (baseline, ext)
+        steal = meter.last_steal_cores
+        # without re-adoption this reads ~baseline + 3.0; steal subtracted
+        # for the same reason as test_self_load_is_excluded — the in-tree
+        # spinners induce hypervisor steal on an oversubscribed host,
+        # which is real external interference but not the re-adoption
+        # failure this test pins
+        assert ext - steal < baseline + 1.0, (baseline, ext, steal)
 
     def test_recycled_pid_with_changed_starttime_is_dropped(self):
         # ADVICE r13: jiffies>=last alone was spoofable — a member first
@@ -243,7 +254,7 @@ class TestExternalLoadMeter:
         # guest/guest_nice (fields 8, 9) are already included in user/nice;
         # summing them double-counts VM time as external CPU (ADVICE r12)
         meter = bench.ExternalLoadMeter()
-        busy, _, _ = meter._read()
+        busy, _, _, _ = meter._read()
         with open("/proc/stat") as f:
             fields = [int(x) for x in f.readline().split()[1:]]
         assert busy <= sum(fields[:8]) - fields[3] - fields[4]
