@@ -283,12 +283,12 @@ FROM nation
 # --------------------------------------------------------------------------
 
 def q_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r14: the single-file lineitem scan is one task; the melt's 4x stack
-    # fanout (2.4M output rows at sf0.1) and per-row round otherwise run
-    # single-core. Round-robin spread is a no-op at real scale (see _docs).
-    from hbsir_old_spark.session import ensure_min_partitions
-
-    li = ensure_min_partitions(_t(spark, sf_dir, "lineitem"))
+    # r14: a round-robin spread was tried here and REVERTED — the melt's
+    # stack fanout and per-row round are cheap codegen work, while the
+    # keyless repartition shuffles the full-width lineitem (16 cols) and
+    # pays sort-before-repartition. Measured isolated at sf0.1/local[32]:
+    # 0.36-0.44 s without vs 0.84-1.03 s with (OPTIMIZATION_r14.md).
+    li = _t(spark, sf_dir, "lineitem")
     return melt(
         li,
         id_cols=("l_orderkey", "l_linenumber"),
@@ -7543,15 +7543,14 @@ def q_approx_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_weighted_approx_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.operators.quantile import add_weighted_approx_bin
 
-    # r14: the GK probe-grid sketch pass over the single-file lineitem
-    # scan ran on one core (the dominant cost of this query at the local
-    # fixture scale); spread it — no-op at real scale (see _docs)
-    from hbsir_old_spark.session import ensure_min_partitions
-
-    li = ensure_min_partitions(
-        _t(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice", F.col("l_quantity").alias("Weight")
-        )
+    # r14: a round-robin spread was tried here and REVERTED — the keyless
+    # repartition is re-paid by each of the operator's eager sketch jobs
+    # (probe grid + breaks) plus the timed action, while the map-side
+    # binning it parallelizes compiles to scalar literals and is cheap.
+    # Measured isolated at sf0.1/local[32]: 2.1 s without vs 3.1-3.3 s
+    # with the spread (OPTIMIZATION_r14.md).
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", F.col("l_quantity").alias("Weight")
     )
     binned = add_weighted_approx_bin(
         li, "l_extendedprice", "Weight", bins=10, out_col="decile"
