@@ -321,27 +321,32 @@ def funnel_steps(
         F.col("step_1_ts") + interval_expr(within, "within") if within else None
     )
     for i, step in enumerate(steps[1:], start=2):
-        # materialize the per-user frame ONCE per pass (r14, guide §2.4):
-        # each pass consumes `reached` twice (the step-i join side and the
-        # outer left join), and Spark shares no subtrees across consumers,
-        # so without this step k's plan re-executes step 1's aggregation
-        # ~2^(k-1) times — the 3-step gate's executed plan carried 7 event
-        # scans where the k-pass design promises 3. The frame is one narrow
-        # row per step-1 user — a sliver of the event stream at any scale.
-        # localCheckpoint trades executor-loss recovery for lineage
-        # truncation (same contract as the dedup/CC internals).
-        reached = reached.localCheckpoint(eager=True)
+        # ONE left join + conditional min-agg per pass (r14, guide §2.4):
+        # the original shape consumed `reached` twice (an inner join to
+        # apply the step-i condition, then an outer join to re-attach
+        # non-converting users), and Spark shares no subtrees across
+        # consumers, so step k re-executed step 1's aggregation ~2^(k-1)
+        # times — the 3-step gate's executed plan carried 7 event scans
+        # where the k-pass design promises 3. Fusing the condition into
+        # `min(when(cond, ts))` over a LEFT join keeps every step-1 user
+        # in one linear chain: `reached` is consumed once, no
+        # materialization is needed, and each pass adds exactly one
+        # Exchange (the step-i event sliver) — the reached side and the
+        # re-aggregation ride the previous pass's user partitioning.
+        # Semantics identical: a user with no qualifying step-i event
+        # aggregates min(NULL) = NULL, exactly the old outer join's miss;
+        # a stalled user (step_{i-1}_ts NULL) makes cond NULL, same NULL
+        # cascade as before. Per-user state stays O(1) (partial min).
         evs = base.filter(F.col(type_col) == step).select(user_col, ts_col)
         cond = F.col(ts_col) > F.col(f"step_{i - 1}_ts")
         if deadline is not None:
             cond = cond & (F.col(ts_col) <= deadline)
-        t_i = (
-            evs.join(reached, user_col)
-            .filter(cond)
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias(f"step_{i}_ts"))
+        prev_cols = [f"step_{j}_ts" for j in range(1, i)]
+        reached = (
+            reached.join(evs, user_col, "left")
+            .groupBy(user_col, *prev_cols)
+            .agg(F.min(F.when(cond, F.col(ts_col))).alias(f"step_{i}_ts"))
         )
-        reached = reached.join(t_i, user_col, "left")
     return reached
 
 

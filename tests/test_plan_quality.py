@@ -155,6 +155,19 @@ def test_token_freq_prunes_to_text_and_partially_aggregates(spark, sf_dir):
     ), "partial aggregation must sit below (after, in bottom-up text) the Exchange"
 
 
+def test_funnel_one_event_scan_per_step(spark, sf_dir):
+    # s8 (r14): each funnel pass is ONE left join + conditional min-agg,
+    # so the executed plan scans the event stream exactly once per step.
+    # The pre-r14 shape consumed the per-user frame twice per pass and
+    # re-executed step 1's aggregation ~2^(k-1) times (7 scans for the
+    # 3-step gate). No eager materialization: the plan must stay lazy
+    # (no RDD roots) — the linear chain makes checkpoints unnecessary.
+    df = entry_mod.q_funnel(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Scan parquet") == 3, plan
+    assert "ExistingRDD" not in plan, plan
+
+
 def test_group_quota_single_exchange(spark, sf_dir):
     # x17: the two-level salted selection spends its two hash Exchanges
     # on the (group, salt) and (group) ranking windows; the gate's final
