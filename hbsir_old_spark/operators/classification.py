@@ -192,10 +192,17 @@ def _escaped_string_literals() -> bool:
     )
 
 
-def _sql_literal(value) -> str:
+def _sql_literal(value, escaped_mode: bool | None = None) -> str:
     """Render a python value as a Spark SQL literal (CASE-branch payload).
     Rejects types the renderer can't prove round-trip (the old F.lit fold
-    accepted more; an explicit error beats silently-invalid SQL)."""
+    accepted more; an explicit error beats silently-invalid SQL).
+
+    ``escaped_mode`` is the session's ``escapedStringLiterals`` state;
+    callers that render many literals (the CASE-chain compiler) pass it
+    precomputed — the default ``None`` looks it up, but that lookup is a
+    py4j conf round-trip, and paying it once PER LITERAL was the dominant
+    driver-side cost of the 39-year l15 plan build (~850 round-trips,
+    ~1.6 s per build; measured r14)."""
     if value is None:
         return "NULL"
     if isinstance(value, bool):
@@ -209,7 +216,9 @@ def _sql_literal(value) -> str:
         # rendering for these characters in that mode, so the caller must
         # route such payloads through the parser-free Column fold
         # (_needs_literal_fold / _expression_lookup_fold).
-        if _escaped_string_literals() and ("'" in value or "\\" in value):
+        if escaped_mode is None:
+            escaped_mode = _escaped_string_literals()
+        if escaped_mode and ("'" in value or "\\" in value):
             raise ValueError(
                 f"string literal {value!r} cannot be rendered as SQL text "
                 "under spark.sql.parser.escapedStringLiterals=true; use "
@@ -272,7 +281,10 @@ def _expression_lookup(
     Catalyst tree through the Column API."""
     if not rows:
         return F.lit(None).cast(aspect_type)
-    if _escaped_string_literals() and any(
+    # one conf round-trip per chain compile, threaded through every
+    # _sql_literal call below (see its docstring for the measured cost)
+    escaped_mode = _escaped_string_literals()
+    if escaped_mode and any(
         isinstance(r.get(aspect), str)
         and ("'" in r[aspect] or "\\" in r[aspect])
         for r in rows
@@ -291,7 +303,7 @@ def _expression_lookup(
             value = str(value)
         branches.append(
             f"WHEN {' AND '.join(conds)}"
-            f" THEN CAST({_sql_literal(value)} AS {aspect_type})"
+            f" THEN CAST({_sql_literal(value, escaped_mode)} AS {aspect_type})"
         )
     sql = (
         "CASE "
