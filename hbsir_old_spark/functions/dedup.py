@@ -327,6 +327,15 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce("__nmin__", F.col("comp"))).alias("comp"),
             )
         )
+        # materialize before the pointer-jump SELF-join (r14, guide §2.4):
+        # `stepped` is consumed as both join sides below, and without this
+        # the round's neighbor-min join + aggregation re-execute once per
+        # side (they read the checkpointed sym/labels RDDs, so no corpus
+        # rescan — but at edge-list scale that is a full extra shuffle
+        # per round). Fixture-scale A/B measured neutral (±0.2 s on a
+        # 20k-edge graph: the extra job ≈ the saved re-execution); kept
+        # for the at-scale halving of per-round shuffle work.
+        stepped = stepped.localCheckpoint(eager=True)
         # pointer jump: labels are node ids, so comp's own label exists
         jump = stepped.select(F.col("u").alias("comp"), F.col("comp").alias("__jmp__"))
         new_comp = F.least(F.col("comp"), F.coalesce("__jmp__", F.col("comp")))
