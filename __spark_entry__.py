@@ -4330,7 +4330,11 @@ ORDER BY p.bracket
 def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.text import remove_boilerplate_lines
 
-    docs = _docs(spark, sf_dir)
+    # bare scan, NOT _docs (r14, measured): the line-grain groupBy's own
+    # Exchange already spreads the heavy work, so the spread only
+    # parallelizes a cheap explode and adds a shuffle. Isolated A/B at
+    # sf0.1: 1.0-1.25 s bare vs 1.3-1.6 s spread.
+    docs = _t(spark, sf_dir, "documents")
     multi = docs.select(
         "doc_id",
         F.concat_ws(
@@ -7963,7 +7967,12 @@ QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
 def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.dedup import dedup_against_bloom
 
-    docs = _docs(spark, sf_dir)
+    # bare scan, NOT _docs (r14, measured): the eager bloom-build
+    # aggregate and the filter side each re-pay the round-robin
+    # repartition, while the per-row fingerprint work is spread anyway by
+    # the operator's own aggregation Exchange. Isolated A/B at sf0.1:
+    # 2.4-2.5 s bare vs 2.9-3.0 s spread.
+    docs = _t(spark, sf_dir, "documents")
     planted = docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 20)).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "source", "text"
     )
