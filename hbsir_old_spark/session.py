@@ -91,6 +91,30 @@ def get_spark(app_name: str = "hbsir_old_spark", shuffle_partitions: int | None 
     # by the arenas' high-water mark, which Spark's page accounting caps.
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
+    # Fixed, pre-touched heap (r14, measured): the catastrophic "storm"
+    # windows (30-90 s walls with ~20 of 32 cores in KERNEL time on an
+    # otherwise-quiet guest) correlate exactly with driver-JVM RSS GROWTH
+    # phases — G1 committing/faulting fresh heap pages (and uncommitting
+    # them again after cycles) under a memory-overcommitted hypervisor,
+    # where every new-page touch is an exit + host-side reclaim. With the
+    # old 48g cap the heap ballooned with garbage between rare old-gen
+    # collections (RSS 13 -> 41 GiB across four x38b repeats, sys 18-25
+    # cores, repeats 28-84 s); a forced System.gc() that collapsed RSS
+    # ended the storm instantly, and a FIXED pre-touched heap removes the
+    # mechanism outright: -Xms == -Xmx plus AlwaysPreTouch pays every page
+    # fault once at session start, so steady state has ZERO heap
+    # commit/uncommit traffic. Same x38b repeat loop after the change:
+    # 5-15 s per round, sys <= 5 cores, RSS pinned. 16g (not 48g) keeps
+    # the pinned footprint modest and makes old-gen collections frequent
+    # enough that ContextCleaner's weak-ref reaping of dropped
+    # localCheckpoint blocks actually runs; GC itself is parallel USER
+    # time, orders cheaper than the kernel storms. Production overrides:
+    # HBSIR_SPARK_DRIVER_MEM sizes the heap, HBSIR_SPARK_DRIVER_JAVAOPTS
+    # replaces the flag set entirely.
+    driver_mem = os.environ.get("HBSIR_SPARK_DRIVER_MEM", "16g")
+    driver_javaopts = os.environ.get(
+        "HBSIR_SPARK_DRIVER_JAVAOPTS", f"-Xms{driver_mem} -XX:+AlwaysPreTouch"
+    )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -100,7 +124,17 @@ def get_spark(app_name: str = "hbsir_old_spark", shuffle_partitions: int | None 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("HBSIR_SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions", driver_javaopts)
+        # reap dropped localCheckpoint/broadcast blocks on a 5 min cadence
+        # instead of the 30 min default: ContextCleaner only frees them
+        # after a driver GC processes the weak refs, and iterative
+        # checkpoint-heavy operators (CC, LSH) otherwise accumulate dead
+        # blocks across a long bench/ingest loop
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("HBSIR_SPARK_PERIODIC_GC", "5min"),
+        )
         # read shuffle/cache blocks with regular IO instead of mmap below
         # 128 MiB: same storm family as the malloc note above — kernel
         # stack samples during slow windows show exc_page_fault + munmap
