@@ -76,6 +76,21 @@ def _docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
     return ensure_min_partitions(df)
 
 
+def _explode_variants(df: DataFrame, *variants: list[Column]) -> DataFrame:
+    """Build a planted N-x corpus from ONE scan (r14, guide §2.4): explode
+    each scanned row into the given variants (lists of column expressions
+    aliased to ``df``'s column names) instead of an N-branch self-union.
+    The rows produced are IDENTICAL to the union form — union order is
+    irrelevant to every consumer (aggregates, joins, dedup) and the gates
+    all sort or hash order-insensitively — but each consumer of the corpus
+    pays one scan + one spread Exchange instead of N of each. At real
+    scale the plant disappears (it is gate scaffolding), so this changes
+    no production plan."""
+    cols = df.columns
+    out = df.select(F.explode(F.array(*[F.struct(*v) for v in variants])).alias("__v__"))
+    return out.select(*[F.col(f"__v__.{c}").alias(c) for c in cols])
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load events with a TimestampType ``ts`` regardless of how the parquet
     encodes it. Some generator versions write TIMESTAMP(NANOS), which
@@ -1459,8 +1474,10 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-dedup (over a corpus with planted duplicates) -> per-language
     stats. Every stage exact, so the whole composition has an oracle."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    doubled = union_tables(
-        [docs, docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "text")]
+    doubled = _explode_variants(
+        docs,
+        [F.col("doc_id"), F.col("lang"), F.col("text")],
+        [(F.col("doc_id") + 1_000_000).alias("doc_id"), F.col("lang"), F.col("text")],
     )
     feats = quality_features("text")
     scored = doubled.withColumn("quality_score", feats["quality_score"]).withColumn(
@@ -1516,8 +1533,10 @@ FROM deduped GROUP BY lang
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no _docs guard here: exact_dedup spreads its input itself
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    doubled = union_tables(
-        [docs, docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")]
+    doubled = _explode_variants(
+        docs,
+        [F.col("doc_id"), F.col("text")],
+        [(F.col("doc_id") + 1_000_000).alias("doc_id"), F.col("text")],
     )
     return exact_dedup(doubled, text_col="text", id_col="doc_id").select(
         "doc_id", doc_fingerprint("text").alias("fingerprint")
@@ -1895,11 +1914,14 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # copies so real near-dup pairs exist; recall < 1 by design => rows-only
     # driver check (q_ngram_jaccard is the exact-Jaccard twin with an oracle).
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    perturbed = docs.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" perturbed suffix token")).alias("text"),
+    corpus = _explode_variants(
+        docs,
+        [F.col("doc_id"), F.col("text")],
+        [
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" perturbed suffix token")).alias("text"),
+        ],
     )
-    corpus = union_tables([docs, perturbed])
     return minhash_lsh_pairs(corpus, n=2, num_perm=16, bands=4, threshold=0.5)
 
 
@@ -6400,8 +6422,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir, "doc_id", "text")
     # doubled corpus (exact-dup pressure, as x1); originals < 5 are the
     # held-out benchmark set probed by the contamination stage
-    corpus = union_tables(
-        [docs, docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")]
+    corpus = _explode_variants(
+        docs,
+        [F.col("doc_id"), F.col("text")],
+        [(F.col("doc_id") + 1_000_000).alias("doc_id"), F.col("text")],
     )
     # benchmark probe from the bare scan: the 5-row dim side must not
     # carry the corpus round-robin spread
@@ -6556,22 +6580,27 @@ ORDER BY doc_id
 
 def _fuzzy_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     # corpus side spread across the parallelism (r14, see _docs): the
-    # three union branches otherwise yield 3 single-file scan tasks and
-    # the whole stage-1/2 funnel expression work runs on 3 of 32 cores.
+    # single-file scan otherwise serializes the funnel's expression work.
     # The benchmark probe (doc_id < 5) keeps the bare scan — repartitioning
     # a 5-row dim before its broadcast would be pure overhead.
+    #
+    # The planted 3x corpus is built by EXPLODING each scanned row into
+    # its three variants instead of a 3-branch self-union (r14, guide
+    # §2.4): the rows are identical (original, +1M exact copy, +2M
+    # perturbed near-copy — concat(NULL, lit) stays NULL exactly like the
+    # union branch did), but every consumer of the corpus now pays ONE
+    # documents scan instead of three. x38/x38b consume this frame four
+    # times (funnel flags, contamination grams, LSH signatures, verify
+    # sliver), so the old shape re-read the parquet file 12x per run.
     docs = _docs(spark, sf_dir, "doc_id", "text")
-    corpus = union_tables(
+    corpus = _explode_variants(
+        docs,
+        [F.col("doc_id"), F.col("text")],
+        [(F.col("doc_id") + 1_000_000).alias("doc_id"), F.col("text")],
         [
-            docs,
-            docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"),
-            docs.select(
-                (F.col("doc_id") + 2_000_000).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(" perturbed suffix token")).alias(
-                    "text"
-                ),
-            ),
-        ]
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" perturbed suffix token")).alias("text"),
+        ],
     )
     benchmark = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
         F.col("doc_id") < 5
@@ -6696,22 +6725,21 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.text import gopher_quality_rules
 
     docs = _docs(spark, sf_dir, "doc_id", "text")
-    corpus = union_tables(
+    corpus = _explode_variants(
+        docs,
+        [F.col("doc_id"), F.col("text")],
         [
-            docs,
-            docs.select(
-                (F.col("doc_id") + 1_000_000).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(_X39_SYMBOLS)).alias("text"),
-            ),
-            docs.select(
-                (F.col("doc_id") + 2_000_000).alias("doc_id"),
-                F.concat(F.lit(_X39_BULLETS), F.col("text")).alias("text"),
-            ),
-            docs.select(
-                (F.col("doc_id") + 3_000_000).alias("doc_id"),
-                F.concat(F.lit(_X39_ELLIPSIS), F.col("text")).alias("text"),
-            ),
-        ]
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(_X39_SYMBOLS)).alias("text"),
+        ],
+        [
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.lit(_X39_BULLETS), F.col("text")).alias("text"),
+        ],
+        [
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.concat(F.lit(_X39_ELLIPSIS), F.col("text")).alias("text"),
+        ],
     )
     return gopher_quality_rules(corpus, min_words=30).orderBy("doc_id")
 
@@ -6814,26 +6842,25 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.text import c4_line_filter
 
     docs = _docs(spark, sf_dir, "doc_id", "text")
-    corpus = union_tables(
+    corpus = _explode_variants(
+        docs,
+        [F.col("doc_id"), F.col("text")],
         [
-            docs,
-            docs.select(
-                (F.col("doc_id") + 1_000_000).alias("doc_id"),
-                F.concat(F.lit(_X40_PREFIX), F.col("text")).alias("text"),
-            ),
-            docs.select(
-                (F.col("doc_id") + 2_000_000).alias("doc_id"),
-                F.concat(
-                    F.lit(_X40_PREFIX), F.col("text"), F.lit(" and Lorem Ipsum text")
-                ).alias("text"),
-            ),
-            docs.select(
-                (F.col("doc_id") + 3_000_000).alias("doc_id"),
-                F.concat(
-                    F.lit(_X40_PREFIX), F.col("text"), F.lit(" code { brace")
-                ).alias("text"),
-            ),
-        ]
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.lit(_X40_PREFIX), F.col("text")).alias("text"),
+        ],
+        [
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(
+                F.lit(_X40_PREFIX), F.col("text"), F.lit(" and Lorem Ipsum text")
+            ).alias("text"),
+        ],
+        [
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.concat(
+                F.lit(_X40_PREFIX), F.col("text"), F.lit(" code { brace")
+            ).alias("text"),
+        ],
     )
     return c4_line_filter(corpus).orderBy("doc_id")
 
@@ -8499,18 +8526,15 @@ def q_pipeline_fuzzy_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbsir_old_spark.functions.text import token_count
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    corpus = union_tables(
+    corpus = _explode_variants(
+        docs,
+        [F.col("doc_id"), F.col("text"), F.col("lang")],
+        [(F.col("doc_id") + 1_000_000).alias("doc_id"), F.col("text"), F.col("lang")],
         [
-            docs,
-            docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"),
-            docs.select(
-                (F.col("doc_id") + 2_000_000).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(" perturbed suffix token")).alias(
-                    "text"
-                ),
-                "lang",
-            ),
-        ]
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" perturbed suffix token")).alias("text"),
+            F.col("lang"),
+        ],
     )
     benchmark = docs.filter(F.col("doc_id") < 5).select("doc_id", "text")
     verdicts = curate_corpus_fuzzy(

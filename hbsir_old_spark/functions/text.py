@@ -1030,15 +1030,23 @@ def remove_boilerplate_lines(
     * NULL text passes through as NULL with ``n_lines = n_removed = 0``;
     * a document whose every countable line is boilerplate comes back as
       the surviving blank lines, or ``''`` (empty string, never NULL —
-      the document still exists) when nothing survives.
+      the document still exists) when nothing survives;
+    * NULL-``id_col`` rows group into a single NULL-id output row (the
+      grain is the id — a NULL id cannot anchor per-document identity;
+      callers with meaningful NULL-id rows should key them first).
 
     Scale shape: the line explode is map-only; the document frequency
     runs as two partial-aggregable stages — distinct ``(line, id)``
     pairs, then a plain count per line — instead of ``countDistinct``'s
-    expand; the boilerplate set excludes lines through a LEFT ANTI join
-    (AQE broadcasts it when small; boilerplate cardinality is bounded by
-    distinct-line count, not corpus rows); reassembly is one
-    ``groupBy(id)`` whose per-group state is bounded by a single
+    expand; the boilerplate set marks lines through a LEFT join flag (AQE
+    broadcasts it when small; boilerplate cardinality is bounded by
+    distinct-line count, not corpus rows); reassembly, the per-doc line
+    count AND the removed count all come from ONE ``groupBy(id)`` over
+    the flagged line stream (``posexplode_outer`` keeps NULL-text docs as
+    a single NULL-position row, so no join back to the input is ever
+    needed — r14: the old anti-join + rebuild-join shape re-scanned the
+    corpus a third time and shuffled a doc-grain join for columns the
+    line stream already carries). Per-group state is bounded by a single
     document's own line count. No UDFs, no windows, no driver collection.
 
     Reference analogue: none (beyond-reference LLM-pipeline operator).
@@ -1048,7 +1056,9 @@ def remove_boilerplate_lines(
     base = df.select(id_col, text_col)
     lines = base.select(
         id_col,
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos__", "__line__"),
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias(
+            "__pos__", "__line__"
+        ),
     ).withColumn("__norm__", normalize_text("__line__"))
     freq = (
         lines.filter(F.col("__norm__") != "")
@@ -1057,34 +1067,45 @@ def remove_boilerplate_lines(
         .groupBy("__norm__")
         .agg(F.count("*").alias("__nd__"))
     )
-    boiler = freq.filter(F.col("__nd__") >= min_docs).select("__norm__")
-    kept = lines.join(boiler, "__norm__", "left_anti")
+    boiler = (
+        freq.filter(F.col("__nd__") >= min_docs)
+        .select("__norm__")
+        .withColumn("__boiler__", F.lit(True))
+    )
+    # LEFT join, not LEFT ANTI: boilerplate rows stay in the stream with a
+    # flag so the SAME aggregation that rebuilds the text also counts
+    # total and removed lines — blank lines ('' normal form) never enter
+    # `boiler`, so they keep a NULL flag and survive verbatim, and a NULL
+    # norm (NULL text's outer-explode row) never equi-matches
+    flagged = lines.join(boiler, "__norm__", "left")
     # order-preserving reassembly: a struct array sorts by its first field,
-    # so sorting (pos, line) structs restores document order without a window
-    rebuilt = kept.groupBy(id_col).agg(
+    # so sorting (pos, line) structs restores document order without a
+    # window; collect_list skips the NULLs the `when` leaves for
+    # boilerplate rows and the NULL-text sentinel row
+    keep_struct = F.when(
+        F.col("__boiler__").isNull() & F.col("__pos__").isNotNull(),
+        F.struct("__pos__", "__line__"),
+    )
+    rebuilt = flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos__", "__line__"))),
+                F.array_sort(F.collect_list(keep_struct)),
                 lambda s: s["__line__"],
             ),
             "\n",
         ).alias("__clean__"),
-        F.count("*").alias("__kept__"),
+        # count(__pos__) skips the NULL-position sentinel: NULL text
+        # reports 0 lines exactly as the old size(split(...)) guard did
+        F.count("__pos__").cast("int").alias("n_lines"),
+        F.coalesce(
+            F.sum(F.when(F.col("__boiler__"), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_removed"),
     )
-    n_lines = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
-        F.size(F.split(F.col(text_col), "\n"))
-    )
-    return (
-        base.withColumn("__n__", n_lines)
-        .join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
-            .otherwise(F.coalesce(F.col("__clean__"), F.lit("")))
-            .alias(text_col),
-            F.col("__n__").alias("n_lines"),
-            (F.col("__n__") - F.coalesce(F.col("__kept__"), F.lit(0))).alias(
-                "n_removed"
-            ),
-        )
+    return rebuilt.select(
+        id_col,
+        F.when(F.col("n_lines") == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("__clean__"))
+        .alias(text_col),
+        "n_lines",
+        "n_removed",
     )
