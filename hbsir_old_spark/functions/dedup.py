@@ -991,10 +991,12 @@ def remove_duplicate_passages(
     plain count (two partial-aggregable stages, not ``countDistinct``'s
     expand); the canonical pick is a partial-aggregable ``min(struct)``;
     coverage expansion is bounded by ``width ×`` duplicated occurrences;
-    the final exclusion is one LEFT ANTI join on ``(id, position)``
-    against the covered set; reassembly is one ``groupBy(id)`` whose
-    state is bounded by a single document's tokens. No windows, no UDFs,
-    no driver collection, no all-pairs anywhere.
+    the final exclusion is one LEFT join flag on ``(id, position)``
+    against the covered set; reassembly, the token count and the removed
+    count come from one ``groupBy(id)`` over the flagged token stream
+    (no join back to the input — r14), whose state is bounded by a
+    single document's tokens. No windows, no UDFs, no driver collection,
+    no all-pairs anywhere.
 
     Reference analogue: none (beyond-reference LLM-pipeline operator).
     """
@@ -1080,33 +1082,62 @@ def remove_duplicate_passages(
             )
         ).alias("__tp__"),
     ).distinct()
-    tokpos = toks.select(
+    # Reassembly, token count and removed count from ONE groupBy over the
+    # flagged token stream (r14, the remove_boilerplate_lines shape): the
+    # old tail anti-joined `covered` out, grouped, then joined the result
+    # back against a FOURTH corpus scan just to recover n_tokens and the
+    # NULL/'' contract — a full corpus pass plus a doc-grain shuffle for
+    # columns the token stream already carries. posexplode_outer keeps
+    # zero-token docs (NULL/empty/whitespace text) as one NULL-position
+    # sentinel row, and a carried isNull flag separates NULL text from ''
+    # (whitespace_tokens maps both to an empty array).
+    tokpos = base.select(
         F.col(id_col),
-        F.posexplode("__t__").alias("__i0__", "__tok__"),
-    ).select(F.col(id_col), (F.col("__i0__") + 1).alias("__tp__"), F.col("__tok__"))
-    rebuilt = tokpos.join(covered, [id_col, "__tp__"], "left_anti").groupBy(id_col).agg(
+        F.col(text_col).isNull().alias("__tnull__"),
+        F.posexplode_outer(whitespace_tokens(F.col(text_col))).alias(
+            "__i0__", "__tok__"
+        ),
+    ).select(
+        F.col(id_col),
+        F.col("__tnull__"),
+        (F.col("__i0__") + 1).alias("__tp__"),
+        F.col("__tok__"),
+    )
+    # LEFT join, not LEFT ANTI: covered positions stay in the stream with a
+    # flag so the same aggregation that rebuilds the text also counts total
+    # and removed tokens. `covered` is distinct on (id, position), so the
+    # join cannot duplicate a token row; the sentinel row's NULL position
+    # never equi-matches.
+    flagged = tokpos.join(
+        covered.withColumn("__cut__", F.lit(True)), [id_col, "__tp__"], "left"
+    )
+    keep_struct = F.when(
+        F.col("__cut__").isNull() & F.col("__tp__").isNotNull(),
+        F.struct("__tp__", "__tok__"),
+    )
+    rebuilt = flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("__tp__", "__tok__"))),
+                F.array_sort(F.collect_list(keep_struct)),
                 lambda s: s["__tok__"],
             ),
             " ",
         ).alias("__clean__"),
-        F.count("*").alias("__nk__"),
+        # count(__tp__) skips the sentinel: zero-token docs report 0 exactly
+        # as the old size(whitespace_tokens(...)) recompute did
+        F.count("__tp__").cast("int").alias("n_tokens"),
+        F.first("__tnull__").alias("__tnull__"),
+        F.coalesce(
+            F.sum(F.when(F.col("__cut__"), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_removed"),
     )
-    return (
-        base.withColumn("__ntok__", F.size(whitespace_tokens(F.col(text_col))))
-        .join(rebuilt, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
-            .otherwise(F.coalesce(F.col("__clean__"), F.lit("")))
-            .alias(text_col),
-            F.col("__ntok__").alias("n_tokens"),
-            (F.col("__ntok__") - F.coalesce(F.col("__nk__"), F.lit(0))).alias(
-                "n_removed"
-            ),
-        )
+    return rebuilt.select(
+        F.col(id_col),
+        F.when(F.col("__tnull__"), F.lit(None).cast("string"))
+        .otherwise(F.col("__clean__"))
+        .alias(text_col),
+        "n_tokens",
+        "n_removed",
     )
 
 
