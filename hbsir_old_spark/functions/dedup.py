@@ -311,22 +311,41 @@ def connected_components(
     # pair-generation pipeline (measured 20s -> ~6s on the x19 gate). Dup
     # pairs are small relative to the corpus by construction.
     sym = sym.localCheckpoint(eager=True)
-    labels = sym.select("u").distinct().withColumn("comp", F.col("u"))
-    labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iterations):
-        nbr_min = (
-            sym.join(labels.withColumnRenamed("u", "v"), "v")
-            .groupBy("u")
-            .agg(F.min("comp").alias("__nmin__"))
+    if max_iterations <= 0:
+        # degenerate budget: every node is its own component (the identity
+        # labels the old explicit-labels formulation returned unchanged)
+        return sym.select("u").distinct().select(
+            F.col("u").alias("node"), F.col("u").alias("component")
         )
-        stepped = (
-            labels.join(nbr_min, "u", "left")
-            .select(
+    labels = None
+    for it in range(max_iterations):
+        if it == 0:
+            # ROUND-1 SPECIALIZATION (r14): the initial labels are the
+            # identity (comp[u] = u), so the neighbor-min join degenerates
+            # — min over neighbors v of comp[v] is just min(v), and the
+            # node set is exactly sym's distinct u (sym carries both edge
+            # directions). One aggregation replaces the old
+            # distinct + eager checkpoint + two joins: one fewer eager job
+            # and three fewer Exchanges per CC call, identical labels.
+            stepped = sym.groupBy("u").agg(F.min("v").alias("__nmin__")).select(
                 "u",
-                F.col("comp").alias("__old__"),
-                F.least(F.col("comp"), F.coalesce("__nmin__", F.col("comp"))).alias("comp"),
+                F.col("u").alias("__old__"),
+                F.least(F.col("u"), F.col("__nmin__")).alias("comp"),
             )
-        )
+        else:
+            nbr_min = (
+                sym.join(labels.withColumnRenamed("u", "v"), "v")
+                .groupBy("u")
+                .agg(F.min("comp").alias("__nmin__"))
+            )
+            stepped = (
+                labels.join(nbr_min, "u", "left")
+                .select(
+                    "u",
+                    F.col("comp").alias("__old__"),
+                    F.least(F.col("comp"), F.coalesce("__nmin__", F.col("comp"))).alias("comp"),
+                )
+            )
         # materialize before the pointer-jump SELF-join (r14, guide §2.4):
         # `stepped` is consumed as both join sides below, and without this
         # the round's neighbor-min join + aggregation re-execute once per
