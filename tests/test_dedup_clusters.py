@@ -28,6 +28,34 @@ def test_chain_collapses_to_min(spark):
     assert all(out[i] == 1 for i in range(1, 13))
 
 
+def test_single_round_pins_specialized_first_step(spark):
+    # r14 pins the round-1 specialization (identity labels => neighbor-min
+    # degenerates to min(v) per u, no labels frame): with the iteration
+    # budget capped at ONE round, the labels must be exactly one
+    # min-label step + one pointer jump on the chain 1-2-3-4-5, computed
+    # by hand: stepped = {1:1, 2:1, 3:2, 4:3, 5:4}, then
+    # jump comp[u] <- least(comp[u], comp[comp[u]]) = {1:1, 2:1, 3:1,
+    # 4:2, 5:3}. A specialization that diverged from the explicit-labels
+    # round-1 semantics in ANY way would break these intermediates.
+    e = spark.createDataFrame([(i, i + 1) for i in range(1, 5)], ["id_a", "id_b"])
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(e, max_iterations=1).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_zero_iteration_budget_returns_identity(spark):
+    # degenerate budget: every node its own component (the labels frame
+    # the pre-specialization formulation initialized and returned)
+    e = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(e, max_iterations=0).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 3}
+
+
 def test_disjoint_clusters_keep_separate_labels(spark):
     out = _components(spark, [(1, 2), (2, 3), (20, 21), (30, 31), (31, 32), (30, 32)])
     assert {out[1], out[2], out[3]} == {1}
