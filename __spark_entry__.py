@@ -8436,16 +8436,28 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # precedent, functions/curation.py): temperature_sample derives its
     # quota subtree from this same lineage and assign_global_order's
     # count pass executes the plan again — without the checkpoint the
-    # whole four-stage funnel re-executes ~4x per run
-    kept = docs.join(
-        verdicts.filter(F.col("verdict") == "keep").select("doc_id"), "doc_id"
-    ).localCheckpoint(eager=True)
+    # whole four-stage funnel re-executes ~4x per run.
+    # n_tokens is computed HERE, in the checkpoint's map stage, so the
+    # text column never crosses it (r14, guide §2.3 "project before the
+    # exchange"): nothing after this point reads text — only the token
+    # count the packer needs — yet the old shape carried full documents
+    # through the checkpoint AND the mixture/order/pack shuffles (the
+    # quota windows, the order window, the final sort), materializing
+    # and moving corpus text purely as dead weight. Same values: the
+    # count is per-row and order-independent.
+    kept = (
+        docs.select(
+            "doc_id", "lang", token_count("text").cast("long").alias("n_tokens")
+        )
+        .join(verdicts.filter(F.col("verdict") == "keep").select("doc_id"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
     mixed = temperature_sample(
         kept, "lang", alpha=0.5, target_rows=200, order_col="doc_id"
     )
     ordered = assign_global_order(mixed, seed=11)
     packed = pack_sequences(
-        ordered.withColumn("n_tokens", token_count("text").cast("long")),
+        ordered,
         seq_len=512,
         token_col="n_tokens",
         order_col="order_pos",
