@@ -8822,34 +8822,138 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # which re-proves every full oracle against DuckDB each run — is the
     # exactness half); rows-only gates never leave the window.
     #
-    # Round 14 ledger (= 50): the 4 displaced r10-green veterans
-    # (u1/a6/a10/o2 — latest green row r10, 4 rounds stale, FIRST in
-    # line per the r13 header's promise) at positions 0-3 + 2 new
-    # full-oracle gates (x51 perceptual near-dup image dedup, VERDICT
-    # r13 #4, and x52 its audio analogue) + 34 of the 40 r11-green
-    # veterans (3 rounds stale) + 10 rows-only pins. The arithmetic
-    # forces 6 deferrals from the r11-green set (44 owed for 38 rotating
-    # slots); deferred (cheapest — thin wrappers over native Spark ops
-    # whose plans haven't changed since r8 and which every pytest parity
-    # run re-proves exact against DuckDB): o1 (native orderBy+limit),
-    # f3 (native dropDuplicates), p4 (regexp_replace chain), p17
-    # (literal-map lookup), p23 (native get_json_object), x16 (native
-    # xxhash64+pmod split). Those 6 plus the 40 r12-green veterans carry
-    # r15 window priority; the 40 r13-green gates rotate out 1 round
-    # fresh — the normal cadence.
+    # Round 15 ledger (= 50): the 6 r11-green veterans deferred by the
+    # r14 window arithmetic (o1/f3/p4/p17/p23/x16 — latest green row
+    # r11, 3 rounds stale, FIRST in line per the r14 header's promise)
+    # at positions 0-5 + 4 r13-green gates pulled ONE round early
+    # (s8/x41/x44/x35 — their operators were semantically rewritten by
+    # the r14 fuse/materialization work and VERDICT r14 #9 asks for
+    # driver-side oracle confirmation of the rewrites, not just the
+    # in-repo DuckDB gates) + 30 of the 40 r12-green veterans (2 rounds
+    # stale — including the other four r14-rewritten operators x36/x25/
+    # g7/x30) + 10 rows-only pins. The arithmetic defers 10 from the
+    # r12-green set (cheapest — thin wrappers over native Spark ops
+    # whose plans have not changed in 6+ rounds and which every pytest
+    # parity run re-proves exact against DuckDB): p7 (computed-column
+    # projection), p8 (CASE chain), p19 (native pivot), f1 (filter
+    # predicates), f2 (attribute select), a8 (native rollup), a9
+    # (native grouping sets), l8 (native ORC write/read), x24
+    # (cumulative token budget over one window), j8b (25-row dim
+    # analytics). Those 10 plus the 36 remaining r13-green veterans
+    # carry r16 window priority; the 40 r14-green gates rotate out 1
+    # round fresh — the normal cadence.
     return {
-        # -- positions 0-3: the r10-green veterans displaced by the r13
-        # window arithmetic, 4 rounds stale — first in line --
+        # -- positions 0-5: the r11-green veterans displaced by the r14
+        # window arithmetic, 3 rounds stale — first in line --
+        "o1_top_k": q_top_k,
+        "f3_distinct": q_distinct,
+        "p4_string_scrub": q_string_scrub,
+        "p17_map_lookup": q_map_lookup,
+        "p23_json_extract": q_json_extract,
+        "x16_hash_split": q_hash_split,
+        # -- 4 r13-green gates pulled one round early: operators
+        # semantically rewritten in r14 (s8 fused pass join, x41/x44
+        # reassembly/checkpoint fuses, x35 score materialization) get
+        # driver-side oracle confirmation (VERDICT r14 #9) --
+        "s8_funnel": q_funnel,
+        "x41_substring_dedup": q_substring_dedup,
+        "x44_pipeline_e2e": q_pipeline_e2e,
+        "x35_perplexity_prune": q_perplexity_prune,
+        # -- 30 returning r12-green veterans (2 rounds stale; p7/p8/p19/
+        # f1/f2/a8/a9/l8/x24/j8b deferred to the tail with r16 priority,
+        # rationale above) --
+        "x47_audio_decode": q_audio_decode_stats,
+        "p24_interval_binning": q_interval_binning,
+        "g7_income_brackets": q_income_brackets,
+        "x36_boilerplate_removal": q_boilerplate_removal,
+        "x37_context_chunking": q_chunk_documents,
+        "x18_token_freq": q_token_freq,
+        "x5_text_stats": q_text_stats,
+        "p18_melt": q_melt,
+        "w3_quantile_by_variable": q_quantile_by_variable,
+        "l3_real_corpus_food": q_real_corpus_food,
+        "l4_real_household_decode": q_real_household_decode,
+        "x23_best_rep_dedup": q_best_rep_dedup,
+        "l5_real_occupation_classification": q_real_occupation_classification,
+        "l6_local_override_decode": q_local_override_decode,
+        "g4_real_weighted_report": q_real_weighted_report,
+        "g5_real_isc_summary": q_real_isc_summary,
+        "x25_repetition_filter": q_repetition_filter,
+        "x26_kmeans_planted": q_kmeans_planted,
+        "x27_semantic_dedup": q_semantic_dedup,
+        "x28_sequence_pack": q_sequence_pack,
+        "x29_temperature_sample": q_temperature_sample,
+        "x30_lm_perplexity": q_lm_perplexity,
+        "l10_salted_skew_join": q_salted_skew_join,
+        "l11_partitioned_write": q_partitioned_write,
+        "l12_real_duration_aspect": q_real_duration_aspect,
+        "g2_training_pipeline": q_training_pipeline,
+        "l15_full_span_food": q_full_span_food,
+        "l17_real_income_chain": q_real_income_chain,
+        "l18_real_outlay_chain": q_real_outlay_chain,
+        "x33_quality_classifier": q_quality_classifier,
+        # -- rows-only gates (approximate by design, no oracle): the
+        # driver's ONLY evidence for them is the per-round spark_rows
+        # record, so they NEVER rotate past the 50-row window --
+        "a7_approx_distinct": q_approx_distinct,
+        "x3_minhash_lsh": q_minhash_lsh,
+        "x4_simhash_pairs": q_simhash_pairs,
+        "x9_ann_lsh": q_ann_lsh,
+        "x13_ivf_topk": q_ivf_topk,
+        "w4_approx_decile": q_approx_decile,
+        "w4b_weighted_approx_decile": q_weighted_approx_decile,
+        "x38b_curation_fuzzy_lsh": q_curation_fuzzy_lsh,
+        "x42_pq_topk": q_pq_topk,
+        "x45_bpe_learned": q_bpe_learned,
+        # ------------------------------------------------------------------
+        # past position 50: first the 36 remaining gates rowed GREEN
+        # (rows+schema+hash) in CORRECTNESS_r13.json (s8/x41/x44/x35
+        # pulled into the window above) — 2 rounds stale at the next
+        # record, r16 window priority --
+        "x48_resize_nearest": q_resize_stats,
+        "x48b_resize_bilinear": q_resize_bilinear_stats,
+        "x49_image_dedup": q_image_dedup,
+        "x50_multimodal_capstone": q_multimodal_capstone,
+        "s9_retention": q_retention,
+        "s10_stream_funnel": q_stream_funnel,
+        "s11_path_trigrams": q_path_trigrams,
+        "x45b_bpe_encode": q_bpe_encode_fixed,
+        "j10_local_supplier_revenue": q_local_supplier_revenue,
+        "x46_corpus_refresh": q_corpus_refresh,
+        "x43_global_shuffle": q_global_shuffle,
+        "x42b_pq_encode": q_pq_encode_fixed,
+        "x38_curation_fuzzy": q_curation_fuzzy,
+        "g5b_isc_summary_1401": q_real_isc_summary_1401,
+        "x39_gopher_rules": q_gopher_rules,
+        "x40_c4_filter": q_c4_filter,
+        "g8_isc_decile_table": q_isc_decile_table,
+        "s5_batch_sessions": q_batch_sessions,
+        "x12_embedding_dedup": q_embedding_dedup,
+        "w1_weighted_ecdf": q_weighted_ecdf,
+        "w2_decile": q_decile,
+        "p13_cpi_deflation": q_cpi_deflation,
+        "x11_bpe_token_count": q_bpe_token_count,
+        "g1_dsl_pipeline": q_dsl_pipeline,
+        "l1_form_raw_vs_cleaned": q_form_raw_vs_cleaned,
+        "p16_id_digit_extraction": q_id_digit_extraction,
+        "l7_jsonl_ingest": q_jsonl_ingest,
+        "p11_season_derivation": q_season_derivation,
+        "l16_monthly_cpi_chain": q_monthly_cpi_chain,
+        "g6_poverty_rate": q_poverty_rate,
+        "l15b_partitioned_span": q_partitioned_span_food,
+        "j8_geometry_join": q_geometry_join,
+        "s4_upsert_sink": q_upsert_sink,
+        "x21_asof_attribution": q_asof_attribution,
+        "s3_events_sliding": q_events_sliding,
+        "x31_dsir_select": q_dsir_select,
+        # -- then the 40 r14-green gates (1 round fresh, the normal
+        # rotation) --
         "u1_union_missing_columns": q_union_missing_columns,
         "a6_distinct_agg": q_distinct_agg,
         "a10_cube": q_cube,
         "o2_rolling_window": q_rolling_window,
-        # -- new in round 14: perceptual near-dup dedup, image + audio --
         "x51_image_near_dedup": q_image_near_dedup,
         "x52_audio_near_dedup": q_audio_near_dedup,
-        # -- 34 returning r11-green veterans (3 rounds stale; o1/f3/p4/
-        # p17/p23/x16 deferred to the tail with r15 priority, rationale
-        # above) --
         "x44b_pipeline_fuzzy": q_pipeline_fuzzy_e2e,
         "x22b_bloom_dedup": q_bloom_dedup,
         "a2_household_math": q_household_math,
@@ -8884,115 +8988,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_stream_dedup": q_stream_dedup,
         "l9_bucketed_join": q_bucketed_join,
         "a1_groupby_sum": q_groupby_sum,
-        # -- rows-only gates (approximate by design, no oracle): the
-        # driver's ONLY evidence for them is the per-round spark_rows
-        # record, so they NEVER rotate past the 50-row window --
-        "a7_approx_distinct": q_approx_distinct,
-        "x3_minhash_lsh": q_minhash_lsh,
-        "x4_simhash_pairs": q_simhash_pairs,
-        "x9_ann_lsh": q_ann_lsh,
-        "x13_ivf_topk": q_ivf_topk,
-        "w4_approx_decile": q_approx_decile,
-        "w4b_weighted_approx_decile": q_weighted_approx_decile,
-        "x38b_curation_fuzzy_lsh": q_curation_fuzzy_lsh,
-        "x42_pq_topk": q_pq_topk,
-        "x45_bpe_learned": q_bpe_learned,
-        # ------------------------------------------------------------------
-        # past position 50: first the 40 gates rowed GREEN (rows+schema+
-        # hash) in CORRECTNESS_r13.json — 1 round fresh, the normal
-        # rotation --
-        "x48_resize_nearest": q_resize_stats,
-        "x48b_resize_bilinear": q_resize_bilinear_stats,
-        "x49_image_dedup": q_image_dedup,
-        "x50_multimodal_capstone": q_multimodal_capstone,
-        "s8_funnel": q_funnel,
-        "s9_retention": q_retention,
-        "s10_stream_funnel": q_stream_funnel,
-        "s11_path_trigrams": q_path_trigrams,
-        "x45b_bpe_encode": q_bpe_encode_fixed,
-        "j10_local_supplier_revenue": q_local_supplier_revenue,
-        "x46_corpus_refresh": q_corpus_refresh,
-        "x41_substring_dedup": q_substring_dedup,
-        "x43_global_shuffle": q_global_shuffle,
-        "x44_pipeline_e2e": q_pipeline_e2e,
-        "x42b_pq_encode": q_pq_encode_fixed,
-        "x38_curation_fuzzy": q_curation_fuzzy,
-        "g5b_isc_summary_1401": q_real_isc_summary_1401,
-        "x39_gopher_rules": q_gopher_rules,
-        "x40_c4_filter": q_c4_filter,
-        "g8_isc_decile_table": q_isc_decile_table,
-        "s5_batch_sessions": q_batch_sessions,
-        "x12_embedding_dedup": q_embedding_dedup,
-        "w1_weighted_ecdf": q_weighted_ecdf,
-        "w2_decile": q_decile,
-        "p13_cpi_deflation": q_cpi_deflation,
-        "x11_bpe_token_count": q_bpe_token_count,
-        "g1_dsl_pipeline": q_dsl_pipeline,
-        "l1_form_raw_vs_cleaned": q_form_raw_vs_cleaned,
-        "p16_id_digit_extraction": q_id_digit_extraction,
-        "l7_jsonl_ingest": q_jsonl_ingest,
-        "p11_season_derivation": q_season_derivation,
-        "l16_monthly_cpi_chain": q_monthly_cpi_chain,
-        "g6_poverty_rate": q_poverty_rate,
-        "l15b_partitioned_span": q_partitioned_span_food,
-        "x35_perplexity_prune": q_perplexity_prune,
-        "j8_geometry_join": q_geometry_join,
-        "s4_upsert_sink": q_upsert_sink,
-        "x21_asof_attribution": q_asof_attribution,
-        "s3_events_sliding": q_events_sliding,
-        "x31_dsir_select": q_dsir_select,
-        # -- then the 40 r12-green veterans (2 rounds stale; each
-        # re-proven exact against DuckDB by every pytest parity run; ALL
-        # carry r15 window priority together with the 5 deferred below) --
-        "x47_audio_decode": q_audio_decode_stats,
-        "j8b_geometry_analytics": q_geometry_analytics,
-        "p24_interval_binning": q_interval_binning,
-        "g7_income_brackets": q_income_brackets,
-        "x36_boilerplate_removal": q_boilerplate_removal,
-        "x37_context_chunking": q_chunk_documents,
-        "x18_token_freq": q_token_freq,
-        "x5_text_stats": q_text_stats,
+        # -- last: the 10 r12-green veterans deferred by this round's
+        # window arithmetic (rationale in the header; latest green row
+        # r12, FIRST in line for the r16 window together with the 36
+        # r13-green above) --
         "p7_computed_column": q_computed_column,
         "p8_category_conditions": q_category_conditions,
-        "p18_melt": q_melt,
         "p19_pivot": q_pivot,
         "f1_filter_predicates": q_filter_predicates,
         "f2_attribute_select": q_attribute_select,
         "a8_rollup": q_rollup,
         "a9_grouping_sets": q_grouping_sets,
-        "w3_quantile_by_variable": q_quantile_by_variable,
-        "l3_real_corpus_food": q_real_corpus_food,
-        "l4_real_household_decode": q_real_household_decode,
-        "x23_best_rep_dedup": q_best_rep_dedup,
-        "l5_real_occupation_classification": q_real_occupation_classification,
-        "l6_local_override_decode": q_local_override_decode,
-        "g4_real_weighted_report": q_real_weighted_report,
-        "g5_real_isc_summary": q_real_isc_summary,
-        "x24_token_budget": q_token_budget,
-        "x25_repetition_filter": q_repetition_filter,
-        "x26_kmeans_planted": q_kmeans_planted,
-        "x27_semantic_dedup": q_semantic_dedup,
-        "x28_sequence_pack": q_sequence_pack,
-        "x29_temperature_sample": q_temperature_sample,
-        "x30_lm_perplexity": q_lm_perplexity,
         "l8_orc_roundtrip": q_orc_roundtrip,
-        "l10_salted_skew_join": q_salted_skew_join,
-        "l11_partitioned_write": q_partitioned_write,
-        "l12_real_duration_aspect": q_real_duration_aspect,
-        "g2_training_pipeline": q_training_pipeline,
-        "l15_full_span_food": q_full_span_food,
-        "l17_real_income_chain": q_real_income_chain,
-        "l18_real_outlay_chain": q_real_outlay_chain,
-        "x33_quality_classifier": q_quality_classifier,
-        # -- last: the 6 r11-green veterans deferred by this round's
-        # window arithmetic (rationale in the header; latest green row
-        # r11, FIRST in line for the r15 window) --
-        "o1_top_k": q_top_k,
-        "f3_distinct": q_distinct,
-        "p4_string_scrub": q_string_scrub,
-        "p17_map_lookup": q_map_lookup,
-        "p23_json_extract": q_json_extract,
-        "x16_hash_split": q_hash_split,
+        "x24_token_budget": q_token_budget,
+        "j8b_geometry_analytics": q_geometry_analytics,
     }
 
 
